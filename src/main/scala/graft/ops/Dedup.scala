@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design notes (the 100 TB path):
+  *   - Exact dedup is one hash aggregation on a 128-bit content hash —
+  *     map-side partial combine, single shuffle keyed by the hash (never
+  *     by the document text itself).
+  *   - MinHash signatures and LSH band keys are computed in a single
+  *     narrow pass with higher-order array functions (no UDF, no
+  *     explode-before-aggregate blowup: the K hash functions fold over
+  *     the shingle array per row). The only shuffle is the band-bucket
+  *     grouping, keyed by (band index, 64-bit band hash) — uniformly
+  *     distributed by construction, so no skew.
+  *   - Candidate pairs are generated inside each LSH bucket and verified
+  *     with exact Jaccard via a self-join on doc_id (the candidate set is
+  *     tiny relative to the corpus — that's the whole point of LSH).
+  *   - SimHash near-dup uses the pigeonhole principle: hamming(a,b) ≤ k
+  *     ⇒ at least one of k+1 chunks of the 64-bit signature is equal, so
+  *     candidates come from k+1 equi-joins on 16-bit chunks — again
+  *     uniform keys, no O(n²) comparison.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on document content: canonical representative = lowest
+    * `idCol` per distinct `textCol` value. Hashes the text to md5 so the
+    * shuffle key is fixed-width (never shuffles full documents for
+    * comparison; hash collisions for md5 are acceptable at 2^-64 scale,
+    * switch to sha2-256 for adversarial corpora).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy("text_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word `n`-gram shingles of lowercased text, as an array. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(trim(lower(text)), "\\s+")
+    // size-n+1 shingles at 0-based offsets 0..size-n (guarded by the
+    // size>=n branch below, so the sequence bounds are always valid).
+    val grams = transform(
+      sequence(lit(0), size(words) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)
+    )
+    // Short texts (< n words) get a single whole-text shingle so they can
+    // still match exact copies of themselves.
+    array_distinct(when(size(words) >= n, grams).otherwise(array(concat_ws(" ", words))))
+  }
+
+  // -------------------------------------------------------- MinHash + LSH
+
+  /** K-permutation MinHash signature of a shingle array. Permutation i is
+    * simulated by xxhash64(shingle, i); the signature element is the min.
+    * Entirely narrow: K × |shingles| hashes folded per row.
+    */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleArr, s => xxhash64(s, i)))
+    )
+
+  /** LSH band keys: the signature split into `bands` slices of `rowsPerBand`,
+    * each slice hashed to one 64-bit band key.
+    */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(signature, b * rowsPerBand + lit(1), lit(rowsPerBand)))
+    )
+
+  /** Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
+    *
+    * @param df        documents
+    * @param idCol     unique id column (orderable)
+    * @param textCol   text column
+    * @param threshold exact-Jaccard acceptance threshold on word-`n`-gram
+    *                  shingle sets
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
+    *
+    * With k=128, bands=32, rows=4 the candidate-recall at j=0.8 is
+    * 1-(1-0.8⁴)³² ≈ 1-5e-8 — misses are negligible; false positives are
+    * removed by the exact verification join.
+    */
+  def minhashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      n: Int = 3,
+      k: Int = 128,
+      bands: Int = 32): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+
+    val sh = df.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+    val banded = sh
+      .withColumn("bands", lshBandKeys(minhashSignature(col("sh"), k), bands, rowsPerBand))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+
+    // Bucket → candidate pairs (each bucket's sorted id list, pairwise).
+    val buckets = banded
+      .groupBy("band_idx", "band_key")
+      .agg(array_sort(collect_list("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+    val candidates = buckets
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+
+    verifyJaccard(candidates, sh, threshold)
+  }
+
+  /** All ordered pairs (a<b) from a pre-sorted array — a nested
+    * higher-order transform, flattened.
+    */
+  private def pairsOf(sortedIds: Column): Column =
+    flatten(
+      transform(sortedIds, (x, i) =>
+        transform(slice(sortedIds, i + lit(2), size(sortedIds)), y => struct(x.as("a"), y.as("b"))))
+    )
+
+  /** Exact Jaccard verification of candidate (id_a, id_b) pairs against
+    * the shingle-set table `sh` (doc_id, sh). The candidate table is tiny,
+    * so both joins broadcast it.
+    */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    candidates
+      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  // ------------------------------------------------- exact n-gram Jaccard
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold, computed the scalable way:
+    * explode shingles, equi-join on the shingle (inverted index), count
+    * intersections per pair, then Jaccard by inclusion–exclusion. Never
+    * materializes the O(n²) pair space — only pairs sharing ≥1 shingle.
+    * Quadratic in the worst case (all docs identical); MinHash-LSH above
+    * is the 100 TB path, this is the exact oracle-friendly variant.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val inter = inv.as("x")
+      .join(inv.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a")), Seq("id_a"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** SimHash near-duplicate pairs: signature via [[graft.functions.SimHash]],
+    * candidates from equality of any 16-bit chunk (pigeonhole over hamming
+    * ≤ maxHamming ≤ 3), verified with bit_count(xor).
+    */
+  def simhashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 chunks of 16 bits cover hamming<=3")
+    val sig = df.select(
+      col(idCol).as("doc_id"),
+      graft.functions.SimHash.simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
+
+    val chunks = sig.select(
+      col("doc_id"), col("sig"),
+      posexplode(array((0 to 3).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk_idx", "chunk")))
+
+    val cand = chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+
+    cand
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

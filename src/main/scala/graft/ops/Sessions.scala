@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization over an event stream, as a batch plan.
+  *
+  * Classic pattern: a new session starts when the gap to the previous
+  * event of the same user exceeds `gapSeconds`; session ids are the
+  * running count of session starts. Two window passes over the same
+  * (user_id, ts) partitioning — Catalyst reuses the single sort+shuffle
+  * for both, so the cost is one shuffle keyed by user (uniform, scalable).
+  * The streaming twin of this operator lives in
+  * [[graft.streaming.EventStreams]] (flatMapGroupsWithState).
+  */
+object Sessions {
+
+  /** Assign a session sequence number per user. Output = input +
+    * `session_seq` (1-based per user).
+    */
+  def assign(events: DataFrame, userCol: String, tsCol: String, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol).asc)
+    val micros = unix_micros(col(tsCol))
+    val prev = lag(micros, 1).over(byUser)
+    val isStart = when(prev.isNull || micros - prev > gapSeconds * 1000000L, 1L).otherwise(0L)
+    events
+      .withColumn("session_seq",
+        sum(isStart).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session aggregates: event count, value sum, bounds. */
+  def aggregate(events: DataFrame, userCol: String, tsCol: String, gapSeconds: Long): DataFrame =
+    assign(events, userCol, tsCol, gapSeconds)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("session_value"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end")
+      )
+}

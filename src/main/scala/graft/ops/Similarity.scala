@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers:
+  *   - [[bruteForceTopK]]: exact top-k by cosine. The query set is
+  *     broadcast; the corpus streams through one narrow pass computing
+  *     |Q|·dim work per row, then a per-query top-k. This is the correct
+  *     baseline and the oracle for the approximate tier. At 100 TB the
+  *     scan dominates and parallelizes perfectly; the ranking shuffle
+  *     carries only |Q|·|corpus| (id, score) pairs — for small |Q| that is
+  *     the floor of any exact method.
+  *   - [[ivfTopK]]: IVF-style two-stage search. A deterministic centroid
+  *     sample partitions the corpus into `nCentroids` Voronoi cells
+  *     (one broadcast-join pass); queries probe only their `nProbe`
+  *     nearest cells, cutting scanned candidates to ≈ nProbe/nCentroids
+  *     of the corpus — the standard recall/throughput trade.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors by cosine for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) table to search
+    * @param queries (idCol, vecCol) query vectors (small; broadcast)
+    * @return (query_id, neighbor_id, cosine, rank) — rank 1..k, self-match
+    *         excluded, deterministic tie-break by neighbor id
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineSimilarity(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** IVF (inverted-file) approximate top-k.
+    *
+    * Centroids are a deterministic corpus sample (every ⌈n/nCentroids⌉-th
+    * id) — at real scale these would come from a k-means fit; the
+    * assignment/probe machinery is identical. Each corpus vector is
+    * assigned to its nearest centroid (broadcast join, one pass); each
+    * query probes its `nProbe` nearest cells; the exact ranking then runs
+    * only within probed cells.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val n = corpus.count()
+    val stride = math.max(1L, n / nCentroids)
+    val centroids = corpus
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
+      .where(pmod(col("centroid_id"), lit(stride)) === 0)
+      .limit(nCentroids)
+
+    // Assign every corpus vector to its nearest centroid (1 narrow pass).
+    val wAssign = Window.partitionBy("neighbor_id").orderBy(col("cdist").asc, col("centroid_id").asc)
+    val assigned = c
+      .join(broadcast(centroids))
+      .withColumn("cdist", l2DistanceSq(col("c_vec"), col("cent_vec")))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") === 1)
+      .select(col("neighbor_id"), col("c_vec"), col("centroid_id").as("cell"))
+
+    // Each query probes its nProbe nearest cells.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("qdist").asc, col("centroid_id").asc)
+    val probes = q
+      .join(broadcast(centroids))
+      .withColumn("qdist", l2DistanceSq(col("q_vec"), col("cent_vec")))
+      .withColumn("prn", row_number().over(wProbe))
+      .where(col("prn") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("centroid_id").as("cell"))
+
+    // Exact ranking within probed cells only.
+    val scored = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineSimilarity(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥
+    * threshold. Exact all-pairs — O(n²·dim) compute but only the
+    * broadcast side is replicated; for corpora beyond ~10⁵ vectors switch
+    * to LSH bucketing (random-hyperplane signs) before the pair join.
+    */
+  def embeddingNearDup(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineSimilarity(col("vec_a"), col("vec_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

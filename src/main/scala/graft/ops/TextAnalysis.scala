@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Every function here is composed from codegen'd built-ins (no UDFs) so
+  * the whole module rides inside whole-stage codegen and scales linearly —
+  * a single narrow pass over the corpus, no shuffle. All semantics are
+  * deliberately expressible in ANSI-ish SQL so the DuckDB oracle can
+  * verify them bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text; empty input → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alphanumeric runs and individual non-space
+    * punctuation each count as one token — a cheap, deterministic proxy
+    * for a byte-pair tokenizer's token count.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Non-overlapping occurrences of literal `marker` in `text`
+    * (length-difference trick — identical semantics in Spark and DuckDB).
+    */
+  def occurrences(text: Column, marker: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) / marker.length
+
+  /** Stopword-marker score for one language: occurrences of each marker
+    * word (space-padded, lowercased search space) per 100 characters.
+    */
+  private def langScore(padded: Column, markers: Seq[String]): Column =
+    markers.map(m => occurrences(padded, s" $m ")).reduce(_ + _)
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "les", "des", "et", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ein")
+  )
+
+  /** N-gram-marker language ID: argmax of per-language stopword scores
+    * with a fixed preference order on ties; 'und' (undetermined) when no
+    * marker hits at all. Deterministic and SQL-expressible.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = markers.map { case (lang, ms) => lang -> langScore(padded, ms) }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    scores.foldLeft(when(best === 0, "und")) { case (acc, (lang, s)) =>
+      acc.when(s === best, lang)
+    }.otherwise("und")
+  }
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") / length(text))
+
+  /** Ratio of alphabetic characters to total characters (0 for empty). */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text))
+
+  /** Ratio of tokens that are common-English stopwords — a fluency proxy
+    * used by quality classifiers (C4/Gopher-style heuristics).
+    */
+  def stopwordRatio(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is", "that")
+    val hits = stops.map(m => occurrences(padded, s" $m ")).reduce(_ + _)
+    when(tokenCount(text) === 0, 0.0).otherwise(hits.cast("double") / tokenCount(text))
+  }
+
+  /** Composite quality score in [0,1]: weighted mix of alphabetic density,
+    * inverse punctuation density, and length saturation (Gopher-style
+    * heuristic rules collapsed to one deterministic number).
+    */
+  def qualityScore(text: Column): Column =
+    round(
+      alphaRatio(text) * 0.5 +
+        (lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))) * 0.2 +
+        least(tokenCount(text).cast("double") / 100.0, lit(1.0)) * 0.2 +
+        least(stopwordRatio(text) * 4.0, lit(1.0)) * 0.1,
+      6)
+
+  /** Order-sensitive document fingerprint: a chained hash over whitespace
+    * tokens — each step hashes (accumulator, next token) with xxhash64, so
+    * two documents share a fingerprint iff their token sequences are
+    * identical (unlike a set-based signature this is order-sensitive).
+    * Chaining instead of a polynomial multiply keeps it safe under Spark
+    * 4's default ANSI overflow checking. One narrow codegen'd pass.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Convenience: full text-analysis projection over a documents table. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("*"),
+      tokenCount(t).as("n_tokens"),
+      bpeishTokenCount(t).as("n_bpeish_tokens"),
+      langId(t).as("lang_pred"),
+      punctRatio(t).as("punct_ratio"),
+      alphaRatio(t).as("alpha_ratio"),
+      stopwordRatio(t).as("stopword_ratio"),
+      qualityScore(t).as("quality_score"),
+      fingerprint(t).as("fingerprint")
+    )
+  }
+}
