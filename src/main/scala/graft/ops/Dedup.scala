@@ -75,6 +75,21 @@ object Dedup {
       b => xxhash64(slice(signature, b * rowsPerBand + lit(1), lit(rowsPerBand)))
     )
 
+  /** Band keys computed straight from the shingle array, so each of the K
+    * minhash elements is evaluated exactly once per row. (Composing
+    * [[lshBandKeys]]([[minhashSignature]]) instead re-evaluates the whole
+    * K-element signature inside every band lambda — higher-order lambdas
+    * are interpreted, not codegen'd, and Catalyst does not CSE across
+    * them, which turns O(K·|sh|) per row into O(bands·K·|sh|).)
+    */
+  def lshBandKeysDirect(shingleArr: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(transform(
+        sequence(b * rowsPerBand, (b + lit(1)) * rowsPerBand - 1),
+        i => array_min(transform(shingleArr, s => xxhash64(s, i)))))
+    )
+
   /** Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
     *
     * @param df        documents
@@ -99,9 +114,13 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
 
-    val sh = df.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+    // Repartition first: the hash kernel is CPU-bound and the source is
+    // often few parquet row-groups; spread it across all cores.
+    val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sh = df.repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
     val banded = sh
-      .withColumn("bands", lshBandKeys(minhashSignature(col("sh"), k), bands, rowsPerBand))
+      .withColumn("bands", lshBandKeysDirect(col("sh"), bands, rowsPerBand))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
 
     // Bucket → candidate pairs (each bucket's sorted id list, pairwise).

@@ -19,8 +19,10 @@ object Sessions {
   /** Assign a session sequence number per user. Output = input +
     * `session_seq` (1-based per user).
     */
-  def assign(events: DataFrame, userCol: String, tsCol: String, gapSeconds: Long): DataFrame = {
-    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol).asc)
+  def assign(events: DataFrame, userCol: String, tsCol: String, gapSeconds: Long,
+             tieBreak: Seq[String] = Nil): DataFrame = {
+    val byUser = Window.partitionBy(userCol)
+      .orderBy(col(tsCol).asc +: tieBreak.map(col(_).asc): _*)
     val micros = unix_micros(col(tsCol))
     val prev = lag(micros, 1).over(byUser)
     val isStart = when(prev.isNull || micros - prev > gapSeconds * 1000000L, 1L).otherwise(0L)
