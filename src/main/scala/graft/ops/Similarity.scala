@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions._
+import graft.functions.VectorKernels.{cosine_native, l2sq_native}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -38,10 +38,12 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val par = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val c = corpus.repartition(par, col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosineSimilarity(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", cosine_native(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -78,7 +80,7 @@ object Similarity {
     val wAssign = Window.partitionBy("neighbor_id").orderBy(col("cdist").asc, col("centroid_id").asc)
     val assigned = c
       .join(broadcast(centroids))
-      .withColumn("cdist", l2DistanceSq(col("c_vec"), col("cent_vec")))
+      .withColumn("cdist", l2sq_native(col("c_vec"), col("cent_vec")))
       .withColumn("arn", row_number().over(wAssign))
       .where(col("arn") === 1)
       .select(col("neighbor_id"), col("c_vec"), col("centroid_id").as("cell"))
@@ -88,7 +90,7 @@ object Similarity {
     val wProbe = Window.partitionBy("query_id").orderBy(col("qdist").asc, col("centroid_id").asc)
     val probes = q
       .join(broadcast(centroids))
-      .withColumn("qdist", l2DistanceSq(col("q_vec"), col("cent_vec")))
+      .withColumn("qdist", l2sq_native(col("q_vec"), col("cent_vec")))
       .withColumn("prn", row_number().over(wProbe))
       .where(col("prn") <= nProbe)
       .select(col("query_id"), col("q_vec"), col("centroid_id").as("cell"))
@@ -97,7 +99,7 @@ object Similarity {
     val scored = assigned
       .join(broadcast(probes), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosineSimilarity(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", cosine_native(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -115,10 +117,12 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val par = embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val a = embeddings.repartition(par, col(idCol))
+      .select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cosine", cosineSimilarity(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", cosine_native(col("vec_a"), col("vec_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

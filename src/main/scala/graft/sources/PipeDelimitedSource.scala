@@ -58,12 +58,13 @@ object PipeDelimitedSource {
         nonEmpty.cast(dt)
       case DateType =>
         // Reference semantics: slash-formatted dates are reformatted to
-        // dashes before load (S3). to_date with the normalized form.
-        to_date(regexp_replace(nonEmpty, "/", "-"), "yyyy-M-d")
+        // dashes before load (S3). try_* variants keep the permissive
+        // null-on-malformed contract under Spark 4's default ANSI mode.
+        try_to_date(regexp_replace(nonEmpty, "/", "-"), "yyyy-M-d")
       case TimestampType =>
         // Compact `yyyyMMdd HH:mm:ss` (S4) or already-ISO.
-        when(nonEmpty.rlike("^[0-9]{8} "), to_timestamp(nonEmpty, "yyyyMMdd HH:mm:ss"))
-          .otherwise(to_timestamp(nonEmpty))
+        when(nonEmpty.rlike("^[0-9]{8} "), try_to_timestamp(nonEmpty, lit("yyyyMMdd HH:mm:ss")))
+          .otherwise(try_to_timestamp(nonEmpty))
       case other => nonEmpty.cast(other)
     }
   }

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 0
+    (2L, "entirely different words about spark and scala engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 0
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical text; lowest id is the keeper") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 4) // 5 docs, one exact pair
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("shingles: n-grams for long text, whole text for short") {
+    val sh = docs.select(Dedup.shingles(col("text"), 3).as("s"), col("doc_id"))
+    val forDog = sh.where($"doc_id" === 0L).head().getSeq[String](0)
+    assert(forDog.contains("the quick brown"))
+    assert(forDog.contains("the lazy dog"))
+    assert(forDog.length == 7) // 9 words -> 7 trigrams, all distinct
+    val short = sh.where($"doc_id" === 4L).head().getSeq[String](0)
+    assert(short == Seq("short text"))
+  }
+
+  test("minhash LSH finds the exact pair and the near pair, not the unrelated") {
+    val pairs = Dedup.minhashNearDup(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup, jaccard 1.0
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L))) // 6/8 shared trigrams
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("ngram jaccard matches hand-computed similarity") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((0L, 3L)) == 1.0)
+    // docs 0/1 differ in last word: trigrams 7+7, shared 6 -> 6/8
+    assert(out((0L, 1L)) == 0.75)
+  }
+
+  test("simhash: exact dup pairs at hamming 0; unrelated text filtered") {
+    val out = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out((0L, 3L)) == 0)
+    assert(!out.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("vector kernels: dot, norm, cosine on known values") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 0.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.l2Norm(col("a")).as("na"),
+      VectorFunctions.cosineSimilarity(col("a"), col("b")).as("c")).head()
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
+  }
+
+  test("zero vector cosine is null, not NaN") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosineSimilarity(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  private val corpus = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f)),
+    (2L, Array(0.0f, 1.0f)),
+    (3L, Array(-1.0f, 0.0f)),
+    (4L, Array(0.7f, 0.7f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k: correct neighbors, ranks, self excluded") {
+    val out = Similarity.bruteForceTopK(corpus, corpus.where($"vec_id" === 0L), "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 4L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+    assert(out.forall(_.getAs[Long]("neighbor_id") != 0L))
+  }
+
+  test("embedding near-dup finds only the close pair") {
+    val pairs = Similarity.embeddingNearDup(corpus, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("IVF with full probing equals brute force") {
+    val bf = Similarity.bruteForceTopK(corpus, corpus.where($"vec_id" < 2), "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val ivf = Similarity.ivfTopK(corpus, corpus.where($"vec_id" < 2), "vec_id", "embedding", 3,
+      nCentroids = 2, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(ivf == bf)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("v")).head().getAs[T]("v")
+
+  test("token counts: whitespace runs, empty, punctuation-aware bpe-ish") {
+    assert(one[Int](TextAnalysis.tokenCount(col("t")), "a  b\tc") == 3)
+    assert(one[Int](TextAnalysis.tokenCount(col("t")), "") == 0)
+    assert(one[Int](TextAnalysis.tokenCount(col("t")), "   ") == 0)
+    // "don't stop!" -> don + ' + t + stop + ! = 5
+    assert(one[Int](TextAnalysis.bpeishTokenCount(col("t")), "don't stop!") == 5)
+  }
+
+  test("ratios on a known string") {
+    // "ab.," -> 2 punct / 4 chars, 2 alpha / 4 chars
+    assert(one[Double](TextAnalysis.punctRatio(col("t")), "ab.,") == 0.5)
+    assert(one[Double](TextAnalysis.alphaRatio(col("t")), "ab.,") == 0.5)
+    assert(one[Double](TextAnalysis.punctRatio(col("t")), "") == 0.0)
+  }
+
+  test("language id picks the marker-dominant language") {
+    assert(one[String](TextAnalysis.langId(col("t")), "the cat and the dog of the house") == "en")
+    assert(one[String](TextAnalysis.langId(col("t")), "el perro y la casa de los gatos") == "es")
+    assert(one[String](TextAnalysis.langId(col("t")), "le chat et les chiens des maisons") == "fr")
+    assert(one[String](TextAnalysis.langId(col("t")), "der hund und die katze das haus") == "de")
+    assert(one[String](TextAnalysis.langId(col("t")), "xyzzy plugh") == "und")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fp = (s: String) => one[Long](TextAnalysis.fingerprint(col("t")), s)
+    assert(fp("a b c") == fp("a b c"))
+    assert(fp("a b c") != fp("c b a"))
+    assert(fp("a b c") != fp("a b"))
+  }
+
+  test("quality score is in [0,1] and favors clean prose") {
+    val q = (s: String) => one[Double](TextAnalysis.qualityScore(col("t")), s)
+    val clean = q("the quick brown fox jumps over the lazy dog and runs to the house in the field")
+    val junk = q("!!! ??? ,,, ;;; ***")
+    assert(clean > junk)
+    assert(clean >= 0.0 && clean <= 1.0 && junk >= 0.0 && junk <= 1.0)
+  }
+}

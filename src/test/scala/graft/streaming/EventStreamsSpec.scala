@@ -1,0 +1,31 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming/batch equivalence: the windowed aggregation run as a
+  * Structured Streaming query over a bounded file source must equal its
+  * batch twin on the same data (SURVEY §2.7 — streaming is an extension).
+  */
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+
+  test("streaming windowed agg over bounded input equals the batch twin") {
+    // materialize sf0.001 events (ns->us converted) as a proper parquet dir
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchInput = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    batchInput.write.mode("overwrite").parquet(dir)
+
+    val expected = EventStreams.windowedAgg(spark.read.parquet(dir))
+      .collect().map(_.toSeq).toSet
+
+    val streamed = EventStreams.runToMemorySink(
+      spark, EventStreams.streamingWindowedAgg(spark, dir), "stream_test")
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+}
