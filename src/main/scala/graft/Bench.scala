@@ -12,14 +12,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm the JVM/codegen/FS paths so the first measured query isn't
+    // charged for session bring-up (~5s of JIT + parquet footer reads).
+    spark.range(1000).selectExpr("sum(id)").collect()
+    try SparkEntry.queries.head._2(spark, sfDir).count() catch { case _: Throwable => }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-22s $sec%8.2fs  rows=$n")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

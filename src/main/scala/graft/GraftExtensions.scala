@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{ObfuscateNameExpr, SimHash64Expr, VectorKernelExpr}
+
+/** Catalyst extension point: registers graft's native expressions as SQL
+  * functions, so the engine surface is reachable from `spark.sql(...)` as
+  * well as the Column API:
+  *
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions") ...
+  *
+  * or for an existing session, [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.1.2", "", "built-in")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("obfuscate_name",
+      info("obfuscate_name", "obfuscate_name(str) - reference S2 name mask"),
+      (es: Seq[Expression]) => ObfuscateNameExpr(es.head)),
+    ("simhash64",
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash signature"),
+      (es: Seq[Expression]) => SimHash64Expr(es.head)),
+    ("vec_dot",
+      info("vec_dot", "vec_dot(a, b) - fused double dot product over array<float|double>"),
+      (es: Seq[Expression]) => VectorKernelExpr(es(0), es(1), "dot")),
+    ("vec_cosine",
+      info("vec_cosine", "vec_cosine(a, b) - fused cosine similarity; NULL for zero norms"),
+      (es: Seq[Expression]) => VectorKernelExpr(es(0), es(1), "cosine")),
+    ("vec_l2sq",
+      info("vec_l2sq", "vec_l2sq(a, b) - fused squared L2 distance"),
+      (es: Seq[Expression]) => VectorKernelExpr(es(0), es(1), "l2Sq"))
+  )
+
+  /** Register the functions on an already-built session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = org.apache.spark.sql.graft.shims.sessionState(spark).functionRegistry
+    functions.foreach { case (name, i, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), i, builder)
+    }
+  }
+}

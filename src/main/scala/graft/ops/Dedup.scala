@@ -118,9 +118,11 @@ object Dedup {
     // often few parquet row-groups; spread it across all cores.
     val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sh = df.repartition(par, col(idCol))
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.NGramShingles.ngram_shingles(col(textCol), n).as("sh"))
     val banded = sh
-      .withColumn("bands", lshBandKeysDirect(col("sh"), bands, rowsPerBand))
+      .withColumn("bands",
+        graft.functions.MinHash.minhash_bands(col("sh"), bands, rowsPerBand))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
 
     // Bucket → candidate pairs (each bucket's sorted id list, pairwise).
@@ -175,7 +177,10 @@ object Dedup {
       textCol: String,
       threshold: Double,
       n: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+    val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sh = df.repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.NGramShingles.ngram_shingles(col(textCol), n).as("sh"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val inter = inv.as("x")

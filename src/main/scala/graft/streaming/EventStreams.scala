@@ -20,6 +20,11 @@ import org.apache.spark.sql.Row
   */
 object EventStreams {
 
+  /** Input row for [[flatMapSessions]] (top-level for encoder derivation). */
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** Open-session state for [[flatMapSessions]]: bounds in epoch micros. */
+  case class Open(start: Long, end: Long, n: Long, sum: Double)
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -52,13 +57,99 @@ object EventStreams {
     windowedAgg(events.withWatermark("ts", watermark), windowLength)
   }
 
+  /** Gap-session aggregation via the built-in `session_window` — works
+    * identically as a batch plan and a streaming plan (with watermark),
+    * which is how the twin-equivalence test proves the streaming path.
+    * This is the idiomatic large-scale form: state is bounded by the
+    * watermark, sessions merge incrementally, no custom state code.
+    */
+  def sessionAgg(events: DataFrame, gap: String = "1 hour"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Streaming gap-sessionization with session_window + watermark. */
+  def streamingSessionAgg(
+      spark: SparkSession,
+      path: String,
+      watermark: String = "1 hour",
+      gap: String = "1 hour"): DataFrame = {
+    val events = spark.readStream.schema(eventSchema).parquet(path)
+    sessionAgg(events.withWatermark("ts", watermark), gap)
+  }
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the escape
+    * hatch for session semantics `session_window` can't express (e.g.
+    * value-dependent gaps, per-session caps). Emits a session when the
+    * event-time gap closes it; the final open session per user is emitted
+    * on event-time timeout (needs the watermark to pass it).
+    *
+    * State per user is O(1) (one open session), the grouping shuffle is
+    * keyed by user — uniform at scale.
+    */
+  def flatMapSessions(
+      spark: SparkSession,
+      events: DataFrame,
+      gapSeconds: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+
+    val out = events
+      .select(col("user_id"), col("ts"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Open, (Long, Long, Long, Long, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Open]) =>
+          val gapMicros = gapSeconds * 1000000L
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Open]
+          evs.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos)).foreach { e =>
+            val t = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
+            open match {
+              case Some(o) if t - o.end <= gapMicros =>
+                open = Some(Open(o.start, t max o.end, o.n + 1, o.sum + e.value))
+              case Some(o) =>
+                closed += o
+                open = Some(Open(t, t, 1L, e.value))
+              case None =>
+                open = Some(Open(t, t, 1L, e.value))
+            }
+          }
+          if (state.hasTimedOut) {
+            open.foreach(closed += _)
+            open = None
+            state.remove()
+          } else {
+            open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp(o.end / 1000 + gapSeconds * 1000)
+            }
+          }
+          closed.iterator.map(o => (user, o.start, o.end, o.n, o.sum))
+      }
+    out.toDF("user_id", "start_us", "end_us", "n_events", "value_sum")
+      .select(
+        col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"), col("value_sum"))
+  }
+
   /** Run a streaming query to completion against bounded input via the
     * memory sink, returning the materialized result table. Used by tests
     * to prove streaming/batch equivalence.
     */
-  def runToMemorySink(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+  def runToMemorySink(spark: SparkSession, df: DataFrame, name: String,
+                      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = df.writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())

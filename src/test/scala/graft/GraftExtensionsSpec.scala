@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL surface: the custom Catalyst expressions registered as functions. */
+class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
+
+  test("custom expressions callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT obfuscate_name('Lane Weber Obama') AS m,
+                simhash64(array('a','b')) AS sh,
+                vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+                vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+                vec_l2sq(array(0.0F, 0.0F), array(3.0F, 4.0F)) AS l""").head()
+    assert(r.getAs[String]("m") == "Lane W**** *****")
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Double]("c") == 1.0)
+    assert(r.getAs[Double]("l") == 25.0)
+  }
+
+  test("zero-norm cosine is NULL in SQL too") {
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT vec_cosine(array(0.0F), array(1.0F)) AS c").head().isNullAt(0))
+  }
+}
