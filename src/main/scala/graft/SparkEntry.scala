@@ -125,6 +125,16 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "flag")
     }),
 
+    // ---- SRC2: catalog-backed SQL scan (temp-view catalog + spark.sql;
+    //      the pushed-down-SQL path of the reference's BigQuerySource) ----
+    "src2_sql_scan" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      t(s, dir, "region").createOrReplaceTempView("region_v")
+      s.sql("""SELECT r_name, COUNT(*) AS n_nations
+               FROM nation_v JOIN region_v ON n_regionkey = r_regionkey
+               GROUP BY r_name""")
+    }),
+
     // ---- W1/F1: ranking window dedup ----
     "w1_window_dedup" -> ((s, dir) => {
       // l_linenumber is not unique per order in this synthetic data — add
@@ -379,6 +389,11 @@ object SparkEntry {
                 WHEN eligible THEN NULL
                 ELSE 'NO APLICA' END AS flag
          FROM ranked r JOIN quota q ON r.o_custkey = q.o_custkey""",
+
+    "src2_sql_scan" ->
+      """SELECT r_name, COUNT(*) AS n_nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
 
     "w1_window_dedup" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (

@@ -117,13 +117,18 @@ object Dedup {
     // Repartition first: the hash kernel is CPU-bound and the source is
     // often few parquet row-groups; spread it across all cores.
     val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sh = df.repartition(par, col(idCol))
+    val sh = df.where(col(textCol).isNotNull).repartition(par, col(idCol))
       .select(col(idCol).as("doc_id"),
         graft.functions.NGramShingles.ngram_shingles(col(textCol), n).as("sh"))
+    // posexplode_outer, NOT posexplode: the non-outer Generate adds an
+    // implicit `size(bands)>0` filter that predicate pushdown moves below
+    // the repartition exchange, re-evaluating the whole minhash kernel on
+    // the serial pre-shuffle side. Band arrays are never empty for
+    // non-null text, so outer semantics are identical here.
     val banded = sh
       .withColumn("bands",
         graft.functions.MinHash.minhash_bands(col("sh"), bands, rowsPerBand))
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .select(col("doc_id"), posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
 
     // Bucket → candidate pairs (each bucket's sorted id list, pairwise).
     val buckets = banded
