@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based checks of the pure native kernels (no Spark session —
+  * these are the exact functions whole-stage codegen calls).
+  */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private val nameGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))).map(_.mkString)
+
+  property("mask preserves length (+1 iff space-free) and spaces") =
+    forAll(nameGen) { s =>
+      val out = ObfuscateName.mask(UTF8String.fromString(s)).toString
+      val lenOk = out.length == (if (s.contains(' ')) s.length else s.length + 1)
+      val spacesOk = s.zip(out).forall { case (i, o) => i != ' ' || o == ' ' }
+      lenOk && spacesOk
+    }
+
+  property("mask emits only first-token chars, keep-char, space, star") =
+    forAll(nameGen.suchThat(_.contains(' '))) { s =>
+      val out = ObfuscateName.mask(UTF8String.fromString(s)).toString
+      val sp = s.indexOf(' ')
+      val first = s.substring(0, sp)
+      val last = s.substring(sp + 1)
+      val allowed: Set[Char] =
+        first.toSet ++ Set(' ', '*') ++ last.headOption.toSet
+      out.forall(allowed.contains)
+    }
+
+  private val tokensGen: Gen[List[String]] =
+    Gen.listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
+
+  property("shingles: distinct, n-1 inner spaces, count bounded") =
+    forAll(tokensGen, Gen.choose(1, 4)) { (tokens, n) =>
+      val text = tokens.mkString(" ")
+      val arr = NGramShingles.shingleKernel(UTF8String.fromString(text), n)
+      val shingles = (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      val distinctOk = shingles.distinct.size == shingles.size
+      val countOk = shingles.size <= math.max(1, tokens.size - n + 1)
+      val shapeOk = tokens.size < n ||
+        shingles.forall(_.count(_ == ' ') == n - 1)
+      distinctOk && countOk && shapeOk
+    }
+
+  property("minhash band keys are order-invariant over the shingle set") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier), Gen.choose(0L, Long.MaxValue)) { (xs, seed) =>
+      def keys(l: Seq[String]) = {
+        val a = new GenericArrayData(l.map(UTF8String.fromString).toArray[Any])
+        val k = MinHash.bandKeys(a, 8, 4)
+        (0 until k.numElements()).map(k.getLong)
+      }
+      val shuffled = new scala.util.Random(seed).shuffle(xs)
+      keys(xs) == keys(shuffled) && keys(xs).size == 8
+    }
+
+  private val vecGen: Gen[Array[Double]] =
+    Gen.nonEmptyListOf(Gen.choose(-10.0, 10.0)).map(_.toArray)
+
+  property("cosine is symmetric, bounded, and 1 on self") =
+    forAll(vecGen) { v =>
+      val a = new GenericArrayData(v.map(x => x: Any))
+      val self = VectorKernels.cosine(a, a, false, false)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      if (norm == 0.0) Prop(self == null)
+      else Prop(math.abs(self - 1.0) < 1e-9)
+    }
+
+  property("cosine(a,b) == cosine(b,a) and within [-1-eps, 1+eps]") =
+    forAll(vecGen, vecGen) { (x, y) =>
+      val n = math.min(x.length, y.length)
+      val a = new GenericArrayData(x.take(n).map(v => v: Any))
+      val b = new GenericArrayData(y.take(n).map(v => v: Any))
+      val ab = VectorKernels.cosine(a, b, false, false)
+      val ba = VectorKernels.cosine(b, a, false, false)
+      if (ab == null) Prop(ba == null)
+      else Prop(ab == ba && ab <= 1.0 + 1e-9 && ab >= -1.0 - 1e-9)
+    }
+
+  property("simhash of identical token lists is identical; 64-bit stable") =
+    forAll(Gen.listOf(Gen.identifier)) { xs =>
+      val a = new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+      val b = new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+      SimHash.compute(a) == SimHash.compute(b)
+    }
+}
