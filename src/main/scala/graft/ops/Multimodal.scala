@@ -52,6 +52,31 @@ object Multimodal {
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
       else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "wav"
       else "bin"
+
+    /** ======== STUB ======== image resize: real impl would decode,
+      * bilinear-resample to (w,h), re-encode. The stub derives a
+      * deterministic (w*h)-byte "thumbnail" so batch shape, sizing
+      * arithmetic and schema are exercised.
+      */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](w * h)
+      var i = 0
+      while (i < out.length) {
+        out(i) = if (bytes.isEmpty) 0 else bytes(i * bytes.length / out.length)
+        i += 1
+      }
+      out
+    }
+
+    /** ======== STUB ======== video frame sampling: real impl would
+      * demux and decode every `stride`-th frame. The stub treats the
+      * payload as fixed-size pseudo-frames and returns every stride-th
+      * slice — the iterator/batch plumbing is what's real.
+      */
+    def sampleFrames(bytes: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
+      bytes.grouped(frameSize).zipWithIndex
+        .collect { case (f, i) if i % stride == 0 => f }
+        .toSeq
   }
 
   /** Attach an opaque binary payload + typed metadata to a table. In
@@ -67,6 +92,44 @@ object Multimodal {
         length(col(textCol).cast("binary")).as("byte_len"),
         sha2(col(textCol).cast("binary"), 256).as("content_sha256")
       ).as("meta"))
+
+  /** Thumbnail row produced by [[resizePass]]. */
+  case class MediaThumb(media_id: Long, w: Int, h: Int, thumb: Array[Byte])
+
+  /** Batched resize pass over image payloads (decode kernel stubbed).
+    * Same plumbing contract as [[extractFeatures]]: hash-balanced
+    * partitions, iterator-to-iterator, blob column pruned everywhere else.
+    */
+  def resizePass(media: DataFrame, w: Int, h: Int, parallelism: Int): Dataset[MediaThumb] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .repartition(parallelism, col("media_id"))
+      .mapPartitions(_.map { r =>
+        MediaThumb(r.getLong(0), w, h, StubDecoder.resize(r.getAs[Array[Byte]](1), w, h))
+      })
+  }
+
+  /** Sampled-frame row produced by [[frameSamplePass]]. */
+  case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame-sampling pass over video payloads (demux/decode stubbed).
+    * One input row fans out to 0..n frame rows — iterator flatMap keeps
+    * memory at one frame, and the output is ready for a per-frame
+    * feature pass.
+    */
+  def frameSamplePass(
+      media: DataFrame, frameSize: Int, stride: Int, parallelism: Int): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .repartition(parallelism, col("media_id"))
+      .mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        StubDecoder.sampleFrames(r.getAs[Array[Byte]](1), frameSize, stride)
+          .iterator.zipWithIndex.map { case (f, i) => MediaFrame(id, i, f) }
+      })
+  }
 
   /** Batched decode/feature-extract pass. Hash-repartitions for blob-size
     * balance, then runs the (stubbed) decoder iterator-to-iterator.
