@@ -295,6 +295,49 @@ object SparkEntry {
         .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
     }),
 
+    // ---- rollup (hierarchical grouped aggregation; Catalyst-provided
+    //      capability beyond the reference's flat groupBy) ----
+    "a3_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    }),
+
+    // ---- approximate distinct (HLL++; engine-specific estimate →
+    //      rows-only check) ----
+    "x4_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+    }),
+
+    // ---- set operations ----
+    "x5_setops" -> ((s, dir) => {
+      val hi = t(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("custkey"))
+      val urgent = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      hi.intersect(urgent).withColumn("tag", lit("both"))
+        .unionByName(hi.except(urgent).withColumn("tag", lit("hi_only")))
+    }),
+
+    // ---- E: as-of (point-in-time) join — clicks enriched with the
+    //      user's latest signup at-or-before the click ----
+    "e4_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"), col("value").as("signup_value"))
+      graft.ops.AsOfJoin.asOf(clicks, signups, "user_id", "ts", "signup_ts",
+          Seq("signup_ts", "signup_value"))
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
+          date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_time"),
+          col("signup_value"))
+    }),
+
     // ---- M: multimodal binary payload + typed metadata ----
     "m1_media_meta" -> ((s, dir) => {
       graft.ops.Multimodal
@@ -580,6 +623,31 @@ object SparkEntry {
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
          COUNT(*) AS n
          FROM events GROUP BY event_type""",
+
+    "a3_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+
+    "x5_setops" ->
+      """SELECT custkey, 'both' AS tag FROM (
+           SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+           INTERSECT
+           SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         UNION ALL
+         SELECT custkey, 'hi_only' AS tag FROM (
+           SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+           EXCEPT
+           SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
+
+    "e4_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+         strftime(l.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS click_time,
+         strftime(r.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS signup_time,
+         r.value AS signup_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
 
     "m1_media_meta" ->
       """SELECT doc_id AS media_id,

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val quotes = Seq(
+    ("A", "2024-01-01 10:00:00", 100.0),
+    ("A", "2024-01-01 10:05:00", 101.0),
+    ("A", "2024-01-01 10:10:00", 102.0),
+    ("B", "2024-01-01 10:00:00", 50.0)
+  ).toDF("sym", "t", "px")
+    .select(col("sym"), to_timestamp(col("t")).as("qts"), col("px"))
+
+  private val trades = Seq(
+    ("A", "2024-01-01 10:04:59", 10L), // -> 100.0 (10:00)
+    ("A", "2024-01-01 10:05:00", 20L), // -> 101.0 (tie: at-or-before)
+    ("A", "2024-01-01 10:30:00", 30L), // -> 102.0 (latest)
+    ("B", "2024-01-01 09:59:59", 40L), // -> null  (no prior quote)
+    ("C", "2024-01-01 12:00:00", 50L)  // -> null  (unknown key)
+  ).toDF("sym", "t", "qty")
+    .select(col("sym"), to_timestamp(col("t")).as("tts"), col("qty"))
+
+  test("as-of join picks latest at-or-before per key; misses are null") {
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "tts", "qts", Seq("qts", "px"))
+      .collect().map(r => r.getAs[Long]("qty") ->
+        (if (r.isNullAt(r.fieldIndex("px"))) null else Double.box(r.getAs[Double]("px")))).toMap
+    assert(out(10L) == 100.0)
+    assert(out(20L) == 101.0) // inclusive: simultaneous quote visible
+    assert(out(30L) == 102.0)
+    assert(out(40L) == null)
+    assert(out(50L) == null)
+  }
+
+  test("output keeps left cardinality and columns plus requested right cols") {
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "tts", "qts", Seq("px"))
+    assert(out.count() == 5)
+    assert(out.columns.toSeq == Seq("sym", "tts", "qty", "px"))
+  }
+
+  test("plan: single exchange on the key, no range join explosion") {
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "tts", "qts", Seq("px"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2) // one per union branch pre-AQE
+  }
+}
