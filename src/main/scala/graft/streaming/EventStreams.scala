@@ -142,6 +142,36 @@ object EventStreams {
         col("n_events"), col("value_sum"))
   }
 
+  /** Streaming exact dedup on event id, state bounded by the watermark:
+    * duplicates arriving within the watermark horizon are dropped, state
+    * for ids older than the watermark is evicted (the only way streaming
+    * dedup has bounded memory). The batch twin is `dropDuplicates`.
+    */
+  def streamingDedup(
+      spark: SparkSession,
+      path: String,
+      watermark: String = "1 hour",
+      idCols: Seq[String] = Seq("event_id")): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(path)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Micro-batch sink via foreachBatch: each micro-batch lands
+    * transactionally into a managed table (append). This is the hook for
+    * arbitrary batch-side logic (MERGE-style upserts, multi-table
+    * fan-out) that the declarative sinks can't express.
+    */
+  def runToTable(df: DataFrame, table: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").saveAsTable(table)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming query to completion against bounded input via the
     * memory sink, returning the materialized result table. Used by tests
     * to prove streaming/batch equivalence.

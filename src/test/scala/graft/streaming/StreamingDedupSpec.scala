@@ -1,0 +1,40 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def writeDupFixture(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    def row(id: Long, t: String, u: Long) =
+      (id, java.sql.Timestamp.valueOf(t), u, "x", 1.0, "{}")
+    // event 1 appears twice within the watermark horizon
+    Seq(row(1L, "2024-01-01 10:00:00", 1), row(1L, "2024-01-01 10:10:00", 1),
+        row(2L, "2024-01-01 10:20:00", 1), row(3L, "2024-01-01 11:00:00", 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming dedup within watermark equals batch dropDuplicates") {
+    val dir = writeDupFixture()
+    val streamed = EventStreams.runToMemorySink(
+      spark, EventStreams.streamingDedup(spark, dir), "sdedup",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == Seq(1L, 2L, 3L))
+  }
+
+  test("foreachBatch sink lands micro-batches in a managed table") {
+    val dir = writeDupFixture()
+    spark.sql("DROP TABLE IF EXISTS stream_landing")
+    EventStreams.runToTable(
+      EventStreams.streamingDedup(spark, dir), "stream_landing")
+    assert(spark.table("stream_landing").count() == 3)
+    spark.sql("DROP TABLE stream_landing")
+  }
+}
