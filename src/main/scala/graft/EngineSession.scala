@@ -28,6 +28,7 @@ object EngineSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark) // SQL surface: obfuscate_name, vec_*, ...
     spark
   }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression guard: the physical plans the 100 TB design
+  * depends on, asserted as tests so a refactor can't silently lose
+  * pushdown, broadcast, or the WindowGroupLimit dedup optimization.
+  */
+class PlanQualitySpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("a1: filter and projection reach the parquet scan") {
+    val p = plan("a1_full_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("partial_sum"), p) // map-side combine
+    assert(!p.contains("l_comment")) // column pruning (narrow ReadSchema)
+  }
+
+  test("j1/j2: dimension joins broadcast; fact side is never exchanged") {
+    val p2 = plan("j2_multi_join")
+    assert("BroadcastHashJoin".r.findAllIn(p2).length == 4, p2)
+    // the only Exchange allowed is the final aggregation's
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p2).length
+    assert(exchanges == 1, s"fact-side shuffle leaked:\n$p2")
+  }
+
+  test("w1: row_number dedup compiles to partial+final WindowGroupLimit") {
+    val p = plan("w1_window_dedup")
+    assert("WindowGroupLimit".r.findAllIn(p).length == 2, p)
+  }
+
+  test("j3: quota aggregate broadcasts back; single window exchange") {
+    val p = plan("j3_decorrelated_quota")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d2: minhash kernel evaluated once, after the repartition exchange") {
+    val p = plan("d2_minhash_neardup")
+    val scanSide = p.linesIterator.filter(_.contains("REPARTITION_BY_NUM")).toSeq
+    assert(scanSide.nonEmpty, p)
+    // the kernel must not appear in any Filter below an exchange
+    val badFilter = p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("minhash_bands"))
+    assert(!badFilter, s"minhash kernel pushed into a pre-shuffle filter:\n$p")
+  }
+
+  test("x3: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("x3_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("s2/t4: custom expressions stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("s2_obfuscate")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("obfuscate_name"), p)
+    assert(p.contains("*(1)"), s"no whole-stage codegen span:\n$p")
+  }
+}
