@@ -79,6 +79,9 @@ object SparkEntry {
           col("l_extendedprice"), date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
     }),
 
+    // ---- P2: identity projection (SELECT *) scan ----
+    "p2_select_star" -> ((s, dir) => t(s, dir, "nation")),
+
     // ---- J1: broadcast hash join fact⋈dim ----
     "j1_broadcast_join" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -389,6 +392,8 @@ object SparkEntry {
          FROM lineitem
          WHERE l_returnflag = 'R' AND l_quantity >= 45
            AND l_shipdate >= TIMESTAMP '1997-01-01'""",
+
+    "p2_select_star" -> "SELECT * FROM nation",
 
     "j1_broadcast_join" ->
       """SELECT c_mktsegment,

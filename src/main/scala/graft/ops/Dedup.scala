@@ -153,19 +153,27 @@ object Dedup {
     )
 
   /** Exact Jaccard verification of candidate (id_a, id_b) pairs against
-    * the shingle-set table `sh` (doc_id, sh). The candidate table is tiny,
-    * so both joins broadcast it.
+    * the shingle-set table `sh` (doc_id, sh). The shingle table is first
+    * semi-joined down to ids that appear in some candidate — at corpus
+    * scale the candidate set is a vanishing fraction of the corpus, so
+    * the expensive array shuffle carries only those rows; the candidate
+    * list itself broadcasts.
     */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val shNeeded = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
     candidates
-      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .join(shNeeded.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(shNeeded.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
 
   // ------------------------------------------------- exact n-gram Jaccard
 
