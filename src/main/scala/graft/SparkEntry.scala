@@ -260,6 +260,11 @@ object SparkEntry {
     "v2_embed_neardup" -> ((s, dir) =>
       graft.ops.Similarity.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3)),
 
+    // ---- V: sign-LSH bucketed near-dup (approx recall; rows-only) ----
+    "v4_lsh_neardup" -> ((s, dir) =>
+      graft.ops.Similarity.lshEmbeddingNearDup(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+
     // ---- V: IVF approximate top-k (approx; rows-only check) ----
     "v3_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

@@ -144,8 +144,11 @@ object Dedup {
   }
 
   /** All ordered pairs (a<b) from a pre-sorted array — a nested
-    * higher-order transform, flattened.
+    * higher-order transform, flattened. Shared by the MinHash and
+    * sign-LSH bucket-to-candidates steps.
     */
+  private[ops] def pairsOfSorted(sortedIds: Column): Column = pairsOf(sortedIds)
+
   private def pairsOf(sortedIds: Column): Column =
     flatten(
       transform(sortedIds, (x, i) =>

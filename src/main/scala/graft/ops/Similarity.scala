@@ -107,10 +107,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** LSH-bucketed embedding near-dup — the 100 TB path for high-cosine
+    * pair mining. Sign-LSH band keys (random hyperplanes, native kernel)
+    * bucket the corpus; candidate pairs form only inside buckets; exact
+    * cosine verifies. Linear in corpus + candidate volume, never all-pairs.
+    * Recall for cos ≥ 0.9 at 64 bands × 8 bits ≈ 1 − 1e-15; lower the
+    * threshold → widen bands/shrink bits (bit-agreement p = 1 − θ/π).
+    */
+  def lshEmbeddingNearDup(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bands: Int = 64,
+      bitsPerBand: Int = 8): DataFrame = {
+    val par = embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val base = embeddings.where(col(vecCol).isNotNull).repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
+    val banded = base
+      .withColumn("keys", graft.functions.SignBands.sign_bands(col("vec"), bands, bitsPerBand))
+      .select(col("doc_id"), explode(col("keys")).as("band_key"))
+    val buckets = banded
+      .groupBy("band_key")
+      .agg(array_sort(collect_list("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+    val candidates = buckets
+      .select(explode(Dedup.pairsOfSorted(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    val vecs = base.join(broadcast(
+      candidates.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi")
+    candidates
+      .join(vecs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("vec", "vec_a"), Seq("id_a"))
+      .join(vecs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("vec", "vec_b"), Seq("id_b"))
+      .withColumn("cosine", cosine_native(col("vec_a"), col("vec_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥
     * threshold. Exact all-pairs — O(n²·dim) compute but only the
-    * broadcast side is replicated; for corpora beyond ~10⁵ vectors switch
-    * to LSH bucketing (random-hyperplane signs) before the pair join.
+    * broadcast side is replicated; this is the exact/oracle variant,
+    * [[lshEmbeddingNearDup]] is the corpus-scale path.
     */
   def embeddingNearDup(
       embeddings: DataFrame,
