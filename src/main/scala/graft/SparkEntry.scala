@@ -198,6 +198,55 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    // ---- analytic window functions (lag + frame + rank; beyond the
+    //      reference's single ranking window) ----
+    "w2_analytics" -> ((s, dir) => {
+      val byCust = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(byCust).as("prev_price"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"),
+        rank().over(Window.partitionBy("o_custkey").orderBy(
+          col("o_totalprice").desc, col("o_orderkey").asc)).cast("long").as("price_rank"))
+    }),
+
+    // ---- correlated scalar subquery (Catalyst decorrelates it into the
+    //      same agg+join shape j3 builds by hand — SURVEY §4) ----
+    "j4_correlated_scalar" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderkey, o_custkey,
+                 CAST(o_totalprice AS DECIMAL(18,2)) *
+                   (SELECT COUNT(*) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+                 > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) FROM orders_v i
+                    WHERE i.o_custkey = o.o_custkey) AS above_avg
+               FROM orders_v o""")
+    }),
+
+    // ---- string function battery ----
+    "s3_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "#").as("padded"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("folded"),
+        concat_ws("::", col("p_brand"), col("p_type")).as("joined"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 5).as("prefix5"))
+    }),
+
+    // ---- ordered statistics: exact percentiles ----
+    "x6_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          percentile(col("l_extendedprice"), lit(0.25)).as("q1_price"),
+          percentile(col("l_extendedprice"), lit(0.75)).as("q3_price"))
+    }),
+
     // ---- D: exact dedup ----
     "d1_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
@@ -487,6 +536,42 @@ object SparkEntry {
     "x3_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "w2_analytics" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+         CAST(RANK() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "j4_correlated_scalar" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) *
+           (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+         > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) FROM orders i
+            WHERE i.o_custkey = o.o_custkey) AS above_avg
+         FROM orders o""",
+
+    "s3_string_funcs" ->
+      """SELECT p_partkey,
+         lpad(p_brand, 12, '#') AS padded,
+         regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+         translate(p_type, 'AEIOU', 'aeiou') AS folded,
+         concat_ws('::', p_brand, p_type) AS joined,
+         CAST(length(p_name) AS BIGINT) AS name_len,
+         substr(p_name, 1, 5) AS prefix5
+         FROM part""",
+
+    "x6_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS median_qty,
+         quantile_cont(l_extendedprice, 0.25) AS q1_price,
+         quantile_cont(l_extendedprice, 0.75) AS q3_price
+         FROM lineitem GROUP BY l_returnflag""",
 
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_hash,
