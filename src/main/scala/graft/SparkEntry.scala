@@ -298,6 +298,28 @@ object SparkEntry {
         graft.ops.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // ---- T: word count (explode / lateral — the canonical corpus pass) ----
+    "t5_wordcount" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- null semantics battery (F3: null-safe guards as expressions) ----
+    "x7_null_semantics" -> ((s, dir) => {
+      val status = nullif(col("o_orderstatus"), lit("P")) // P -> null
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(status).as("n_non_p"),            // count skips nulls
+          count(lit(1)).as("n_all"),
+          sum(when(status.isNull, 1L).otherwise(0L)).as("n_p"),
+          first(coalesce(status, lit("PENDING")), ignoreNulls = false).isNotNull
+            .as("coalesced_non_null"))
+    }),
+
     // ---- V: brute-force exact top-k cosine ----
     "v1_topk_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -667,6 +689,20 @@ object SparkEntry {
              + LEAST(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.2
              + LEAST(stopword_ratio * 4.0, 1.0) * 0.1, 6) AS quality_score
          FROM f""",
+
+    "t5_wordcount" ->
+      """SELECT word, COUNT(*) AS n FROM (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+           FROM documents)
+         WHERE length(word) > 0 GROUP BY word""",
+
+    "x7_null_semantics" ->
+      """SELECT o_orderpriority,
+         COUNT(NULLIF(o_orderstatus, 'P')) AS n_non_p,
+         COUNT(*) AS n_all,
+         CAST(COUNT(CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL THEN 1 END) AS BIGINT) AS n_p,
+         (FIRST(COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING')) IS NOT NULL) AS coalesced_non_null
+         FROM orders GROUP BY o_orderpriority""",
 
     "v1_topk_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
