@@ -320,6 +320,11 @@ object SparkEntry {
             .as("coalesced_non_null"))
     }),
 
+    // ---- T: composite corpus curation (quality gate -> exact dedup ->
+    //      greedy near-dup removal; the end-to-end training-data shape) ----
+    "t6_curate_corpus" -> ((s, dir) =>
+      graft.ops.Corpus.curate(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- V: brute-force exact top-k cosine ----
     "v1_topk_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -703,6 +708,36 @@ object SparkEntry {
          CAST(COUNT(CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL THEN 1 END) AS BIGINT) AS n_p,
          (FIRST(COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING')) IS NOT NULL) AS coalesced_non_null
          FROM orders GROUP BY o_orderpriority""",
+
+    "t6_curate_corpus" ->
+      """WITH s AS (
+           SELECT doc_id, text,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio
+           FROM documents),
+         q AS (SELECT * FROM s WHERE n_tokens >= 10 AND alpha_ratio >= 0.5),
+         ke AS (SELECT doc_id, text, n_tokens, alpha_ratio FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                  FROM q) WHERE rn = 1),
+         d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM ke),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(w)-1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS sset
+                FROM d),
+         inv AS (SELECT doc_id, unnest(sset) AS g FROM sh),
+         sz AS (SELECT doc_id, len(sset) AS nsh FROM sh),
+         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+                   GROUP BY x.doc_id, y.doc_id),
+         dups AS (SELECT DISTINCT id_b FROM inter
+                  JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+                  WHERE i / (na.nsh + nb.nsh - i) >= 0.8)
+         SELECT doc_id, n_tokens, alpha_ratio FROM ke
+         WHERE doc_id NOT IN (SELECT id_b FROM dups)""",
 
     "v1_topk_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),

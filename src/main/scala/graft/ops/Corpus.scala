@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composite corpus curation — the end-to-end shape of a training-data
+  * preparation pipeline, composed from the engine's own operators:
+  *
+  *   1. quality gate: token count + alphabetic-density thresholds
+  *      ([[TextAnalysis]] heuristics, C4/Gopher-style);
+  *   2. exact dedup: one survivor (lowest id) per md5 of the text;
+  *   3. near-dup removal: among survivors, greedy drop of the HIGHER id
+  *      of every n-gram-Jaccard pair ≥ threshold.
+  *
+  * The near-dup step here uses the exact inverted-index pairs so the
+  * whole pipeline is SQL-expressible and oracle-checkable; at corpus
+  * scale, swap [[Dedup.ngramJaccardPairs]] for [[Dedup.minhashNearDup]]
+  * (same output contract, LSH-bounded cost).
+  *
+  * Greedy-by-id is deterministic and single-pass; it is NOT a transitive
+  * clustering (A~B, B~C with A≁C still drops both B and C). That is the
+  * standard choice for dedup-before-training, documented here as the
+  * contract.
+  */
+object Corpus {
+
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 10,
+      minAlphaRatio: Double = 0.5,
+      jaccardThreshold: Double = 0.8,
+      n: Int = 3,
+      useLsh: Boolean = false): DataFrame = {
+    val id = col(idCol)
+    val text = col(textCol)
+
+    val gated = docs.select(
+        id, text,
+        TextAnalysis.tokenCount(text).cast("long").as("n_tokens"),
+        TextAnalysis.alphaRatio(text).as("alpha_ratio"))
+      .where(col("n_tokens") >= minTokens && col("alpha_ratio") >= minAlphaRatio)
+
+    val w = Window.partitionBy(md5(text)).orderBy(id.asc)
+    val exactKept = gated.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+
+    val pairs =
+      if (useLsh) Dedup.minhashNearDup(exactKept, idCol, textCol, jaccardThreshold, n)
+      else Dedup.ngramJaccardPairs(exactKept, idCol, textCol, jaccardThreshold, n)
+    val dropIds = pairs.select(col("id_b").as(idCol)).distinct()
+
+    exactKept
+      .join(dropIds, Seq(idCol), "left_anti")
+      .select(id, col("n_tokens"), col("alpha_ratio"))
+  }
+}
