@@ -247,6 +247,14 @@ object SparkEntry {
           percentile(col("l_extendedprice"), lit(0.75)).as("q3_price"))
     }),
 
+    // ---- pivot (wide conditional aggregation) ----
+    "x8_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+    }),
+
     // ---- D: exact dedup ----
     "d1_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
@@ -599,6 +607,13 @@ object SparkEntry {
          quantile_cont(l_extendedprice, 0.25) AS q1_price,
          quantile_cont(l_extendedprice, 0.75) AS q3_price
          FROM lineitem GROUP BY l_returnflag""",
+
+    "x8_pivot" ->
+      """SELECT o_orderpriority,
+         COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+         COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+         COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+         FROM orders GROUP BY o_orderpriority""",
 
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_hash,
