@@ -164,6 +164,30 @@ object SparkEntry {
           lower(col("o_orderpriority"))).as("status_tag"))
     }),
 
+    // ---- date/time function battery ----
+    "s4_datetime_funcs" -> ((s, dir) => {
+      val d = to_date(col("o_orderdate"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        datediff(lit("2002-01-01").cast("date"), d).cast("long").as("days_to_ref"),
+        date_format(date_add(d, 30), "yyyy-MM-dd").as("plus30"),
+        date_format(last_day(d), "yyyy-MM-dd").as("eom"),
+        (dayofweek(d) - 1).cast("long").as("dow"), // 0=Sunday on both sides
+        quarter(d).cast("long").as("qtr"))
+    }),
+
+    // ---- array function battery ----
+    "a4_array_funcs" -> ((s, dir) => {
+      val w = split(trim(lower(col("text"))), "\\s+")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        array_join(slice(w, 1, 3), " ").as("first3"),
+        element_at(sort_array(w), 1).as("alpha_first"),
+        array_contains(w, "the").as("has_the"),
+        size(array_distinct(w)).cast("long").as("n_uniq"))
+    }),
+
     // ---- S2: name obfuscation (custom codegen expression) ----
     "s2_obfuscate" -> ((s, dir) => {
       t(s, dir, "customer").select(
@@ -547,6 +571,26 @@ object SparkEntry {
          CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'HOT' ELSE 'COLD' END AS pri_class,
          UPPER(SUBSTR(o_orderstatus,1,1)) || '-' || LOWER(o_orderpriority) AS status_tag
          FROM orders""",
+
+    "s4_datetime_funcs" ->
+      """SELECT o_orderkey,
+         date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_ref,
+         strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+         strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+         CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+         CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr
+         FROM orders""",
+
+    "a4_array_funcs" ->
+      """WITH d AS (SELECT doc_id,
+           string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+         SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         array_to_string(w[1:3], ' ') AS first3,
+         list_sort(w)[1] AS alpha_first,
+         list_contains(w, 'the') AS has_the,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq
+         FROM d""",
 
     "s2_obfuscate" ->
       """WITH t AS (SELECT c_custkey, c_name || ' ' || c_mktsegment AS f FROM customer),

@@ -25,8 +25,30 @@ object SignBands {
   @inline private def rademacher(plane: Int, dim: Int): Double =
     if ((XxHash64Function.hash(dim.toLong, LongType, plane.toLong) & 1L) == 0L) 1.0 else -1.0
 
+  /** Plane matrix cache (plane-major, flat): hashing per (plane, dim) per
+    * ROW would dominate the kernel (65M hash calls for 2k×64-dim at
+    * 64×8 bits); the matrix is deterministic, so build it once per
+    * executor and key it by (planes, dim).
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def planes(nPlanes: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((nPlanes, dim), { case (p, d) =>
+      val m = new Array[Double](p * d)
+      var plane = 0
+      while (plane < p) {
+        var i = 0
+        while (i < d) { m(plane * d + i) = rademacher(plane, i); i += 1 }
+        plane += 1
+      }
+      m
+    })
+
   def bandKeys(vec: ArrayData, bands: Int, bitsPerBand: Int, vecIsFloat: Boolean): ArrayData = {
     val dim = vec.numElements()
+    val nPlanes = bands * bitsPerBand
+    val m = planes(nPlanes, dim)
     val keys = new Array[Long](bands)
     var b = 0
     var plane = 0
@@ -35,11 +57,12 @@ object SignBands {
       var r = 0
       while (r < bitsPerBand) {
         var s = 0.0
+        val off = plane * dim
         var i = 0
         while (i < dim) {
           if (!vec.isNullAt(i)) {
             val x = if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
-            s += x * rademacher(plane, i)
+            s += x * m(off + i)
           }
           i += 1
         }
