@@ -130,30 +130,24 @@ object Dedup {
         graft.functions.MinHash.minhash_bands(col("sh"), bands, rowsPerBand))
       .select(col("doc_id"), posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
 
-    // Bucket → candidate pairs (each bucket's sorted id list, pairwise).
-    val buckets = banded
-      .groupBy("band_idx", "band_key")
-      .agg(array_sort(collect_list("doc_id")).as("ids"))
-      .where(size(col("ids")) > 1)
-    val candidates = buckets
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .distinct()
-
-    verifyJaccard(candidates, sh, threshold)
+    verifyJaccard(bucketCandidates(banded, Seq("band_idx", "band_key")), sh, threshold)
   }
 
-  /** All ordered pairs (a<b) from a pre-sorted array — a nested
-    * higher-order transform, flattened. Shared by the MinHash and
-    * sign-LSH bucket-to-candidates steps.
+  /** Distinct candidate (id_a, id_b) pairs (id_a < id_b) from bucket
+    * membership: rows sharing a bucket key pair up. Self-join
+    * formulation, shared by MinHash and sign-LSH: no per-bucket array is
+    * ever materialized, so a degenerate bucket (a whole corpus of one
+    * duplicate text) streams through a join and spills instead of
+    * building one giant collect_list in a single task.
     */
-  private[ops] def pairsOfSorted(sortedIds: Column): Column = pairsOf(sortedIds)
-
-  private def pairsOf(sortedIds: Column): Column =
-    flatten(
-      transform(sortedIds, (x, i) =>
-        transform(slice(sortedIds, i + lit(2), size(sortedIds)), y => struct(x.as("a"), y.as("b"))))
-    )
+  private[ops] def bucketCandidates(banded: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val x = banded.toDF(banded.columns.map(c => if (c == "doc_id") "id_a" else c): _*)
+    val y = banded.toDF(banded.columns.map(c => if (c == "doc_id") "id_b" else c): _*)
+    x.join(y, keyCols)
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
 
   /** Exact Jaccard verification of candidate (id_a, id_b) pairs against
     * the shingle-set table `sh` (doc_id, sh). The shingle table is first

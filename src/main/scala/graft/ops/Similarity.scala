@@ -127,14 +127,7 @@ object Similarity {
     val banded = base
       .withColumn("keys", graft.functions.SignBands.sign_bands(col("vec"), bands, bitsPerBand))
       .select(col("doc_id"), explode(col("keys")).as("band_key"))
-    val buckets = banded
-      .groupBy("band_key")
-      .agg(array_sort(collect_list("doc_id")).as("ids"))
-      .where(size(col("ids")) > 1)
-    val candidates = buckets
-      .select(explode(Dedup.pairsOfSorted(col("ids"))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .distinct()
+    val candidates = Dedup.bucketCandidates(banded, Seq("band_key"))
     val vecs = base.join(broadcast(
       candidates.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()),
       Seq("doc_id"), "left_semi")
