@@ -29,7 +29,11 @@ object SparkEntry {
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+    // `div` (integer division), NOT `/`: Spark's `/` is double division,
+    // and near 1.7e15 µs the double grid spacing is 0.25, so ns values
+    // off the µs boundary could round UP — diverging from DuckDB's
+    // truncating ns->us cast.
+    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** Exact-decimal sum of a double column, returned as double. */

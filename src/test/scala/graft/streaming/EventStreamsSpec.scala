@@ -14,7 +14,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     // materialize sf0.001 events (ns->us converted) as a proper parquet dir
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchInput = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integer div: see SparkEntry.events
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     batchInput.write.mode("overwrite").parquet(dir)
 
