@@ -51,14 +51,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Deterministic mini k-means for IVF centroids: stride-sampled seeds
+    * refined by `iters` Lloyd iterations, entirely as DataFrame plans
+    * (assign = broadcast join + window argmin; recenter = groupBy mean
+    * over element position). Each iteration is one shuffle keyed by cell.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / k)
+    var centroids = corpus
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
+      .where(pmod(col("centroid_id"), lit(stride)) === 0)
+      .limit(k)
+
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("v"))
+    (0 until iters).foreach { _ =>
+      val wAssign = Window.partitionBy("cid").orderBy(col("d").asc, col("centroid_id").asc)
+      val assigned = c
+        .join(broadcast(centroids))
+        .withColumn("d", l2sq_native(col("v"), col("cent_vec")))
+        .withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+        .select(col("centroid_id"), col("v"))
+      // recenter: per-dimension mean via posexplode + groupBy(cell, dim)
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("centroid_id", "dim")
+        .agg(avg(col("x")).as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("centroid_id"),
+          transform(col("dm"), e => e.getField("m").cast("float")).as("cent_vec"))
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) approximate top-k.
     *
-    * Centroids are a deterministic corpus sample (every ⌈n/nCentroids⌉-th
-    * id) — at real scale these would come from a k-means fit; the
-    * assignment/probe machinery is identical. Each corpus vector is
-    * assigned to its nearest centroid (broadcast join, one pass); each
-    * query probes its `nProbe` nearest cells; the exact ranking then runs
-    * only within probed cells.
+    * Centroids default to a deterministic stride sample; pass
+    * `kmeansIters > 0` to refine them with [[kmeansCentroids]]. Each
+    * corpus vector is assigned to its nearest centroid (broadcast join,
+    * one pass); each query probes its `nProbe` nearest cells; the exact
+    * ranking then runs only within probed cells.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -67,14 +106,10 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      kmeansIters: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-    val n = corpus.count()
-    val stride = math.max(1L, n / nCentroids)
-    val centroids = corpus
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
-      .where(pmod(col("centroid_id"), lit(stride)) === 0)
-      .limit(nCentroids)
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters)
 
     // Assign every corpus vector to its nearest centroid (1 narrow pass).
     val wAssign = Window.partitionBy("neighbor_id").orderBy(col("cdist").asc, col("centroid_id").asc)

@@ -47,6 +47,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("k-means centroids: k rows, refined means converge toward cluster centers") {
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", k = 2, iters = 2)
+      .collect()
+    assert(cents.length == 2)
+    assert(cents.forall(_.getSeq[Float](1).length == 2)) // dim preserved
+  }
+
+  test("IVF with k-means refinement and full probing equals brute force") {
+    val bf = Similarity.bruteForceTopK(corpus, corpus.where($"vec_id" < 2), "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val ivf = Similarity.ivfTopK(corpus, corpus.where($"vec_id" < 2), "vec_id", "embedding", 3,
+      nCentroids = 2, nProbe = 2, kmeansIters = 1)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(ivf == bf)
+  }
+
   test("IVF with full probing equals brute force") {
     val bf = Similarity.bruteForceTopK(corpus, corpus.where($"vec_id" < 2), "vec_id", "embedding", 3)
       .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
