@@ -142,6 +142,25 @@ object EventStreams {
         col("n_events"), col("value_sum"))
   }
 
+  /** Time-bounded stream-stream join: clicks attributed to a signup of
+    * the same user within `horizon` before the click. In streaming, BOTH
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so state eviction is provable (the only way a
+    * stream-stream join runs unbounded). The same plan runs as a batch
+    * twin for the equivalence test.
+    */
+  def clickAttribution(clicks: DataFrame, signups: DataFrame,
+                       horizon: String = "7 days"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+    val s = signups.select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+    c.join(s,
+      col("user_id") === col("s_user_id") &&
+        col("click_ts") >= col("signup_ts") &&
+        col("click_ts") <= col("signup_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("click_id"), col("user_id"), col("click_ts"), col("signup_ts"))
+  }
+
   /** Streaming exact dedup on event id, state bounded by the watermark:
     * duplicates arriving within the watermark horizon are dropped, state
     * for ids older than the watermark is evicted (the only way streaming

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamJoinSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def writeEvents(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin").toString
+    def row(id: Long, t: String, u: Long, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), u, typ, 1.0, "{}")
+    Seq(
+      row(1L, "2024-01-01 10:00:00", 1, "signup"),
+      row(2L, "2024-01-02 09:00:00", 1, "click"),  // within 7d of signup
+      row(3L, "2024-01-20 09:00:00", 1, "click"),  // beyond horizon
+      row(4L, "2024-01-01 08:00:00", 2, "click"),  // click BEFORE signup
+      row(5L, "2024-01-01 09:00:00", 2, "signup"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("stream-stream time-bounded join equals the batch twin") {
+    val dir = writeEvents()
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.where(col("event_type") === "click"), df.where(col("event_type") === "signup"))
+
+    val (bc, bs) = split(spark.read.parquet(dir))
+    val batch = EventStreams.clickAttribution(bc, bs)
+      .collect().map(_.toSeq).toSet
+    assert(batch.map(_.head) == Set(2L)) // only the in-horizon click
+
+    val stream = spark.readStream.schema(EventStreams.eventSchema).parquet(dir)
+    val (sc, ss) = split(stream)
+    val streamed = EventStreams.runToMemorySink(
+      spark,
+      EventStreams.clickAttribution(
+        sc.withWatermark("ts", "1 hour"), ss.withWatermark("ts", "1 hour")),
+      "ssjoin", OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+}
