@@ -281,6 +281,8 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .count()
+        // empty cells: Spark pivot yields NULL, SQL COUNT(CASE) yields 0
+        .na.fill(0L, Seq("F", "O", "P"))
     }),
 
     // ---- D: exact dedup ----

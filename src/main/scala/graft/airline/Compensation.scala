@@ -87,7 +87,10 @@ object Compensation {
       .join(broadcast(quota), Seq("cod_vuelo"), "left")
       .withColumn(
         "compensacion",
-        when(col("anios").isNull || !(col("quota_left") > 0), col("compensacion"))
+        // coalesce: a NULL cod_vuelo (venta whose cod_avion missed the
+        // dim) never matches the quota table -> quota_left NULL; such
+        // rows must keep their value, not fall through to NO APLICA
+        when(col("anios").isNull || coalesce(col("quota_left"), lit(0L)) <= 0, col("compensacion"))
           .when(eligible && col("elig_rank") <= col("quota_left"),
             when(col("anios") < 14, Asistencia).otherwise(Asiento)) // granted
           .when(col("anios") < 14 || col("anios") > 60, col("compensacion")) // already-pref or beyond quota

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   *
   *   1. tag both inputs and union them (right rows sort BEFORE left rows
   *      on ts ties so an exactly-simultaneous right row is visible);
-  *   2. one window pass per key ordered by (ts, tag): `last(right-cols,
-  *      ignoreNulls)` over rows-unbounded-preceding carries the latest
-  *      right values forward;
+  *   2. one window pass per key ordered by (ts, tag) carries the latest
+  *      right row forward as ONE struct — `last(struct, ignoreNulls)`
+  *      over rows-unbounded-preceding. The struct is non-null for every
+  *      right row even when its FIELDS are null, so a legitimate null in
+  *      the latest right row is preserved (per-column carry would fill
+  *      it from an older row) and all carried columns always come from
+  *      the same right row;
   *   3. keep the left rows.
   *
   * Cost: ONE shuffle on the key and one sort — same shape as any
@@ -41,33 +45,31 @@ object AsOfJoin {
       rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!rightCols.contains(key), "rightCols must not repeat the key")
+    require(!leftCols.exists(Set("_ts", "_tag", "_r")), "reserved column name in left input")
 
-    val l = left
+    // one atomic struct of the carried columns; NULL only for left rows
+    val rStructType = org.apache.spark.sql.types.StructType(
+      right.select(rightCols.map(col): _*).schema.fields)
+    val lAligned = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_tag", lit(1))
-    val lAligned = rightCols.foldLeft(l)((df, c) => df.withColumn(s"_r_$c", lit(null)))
+      .withColumn("_r", lit(null).cast(rStructType))
+      .select((leftCols ++ Seq("_ts", "_tag", "_r")).map(col): _*)
 
-    val r0 = right.select((key +: rightTs +: rightCols).map(col): _*)
-    val rAligned0 = rightCols.foldLeft(
-      r0.withColumn("_ts", col(rightTs)).withColumn("_tag", lit(0))
-    )((df, c) => df.withColumn(s"_r_$c", col(c)))
-    // align right to the left schema: left-only columns become nulls
-    val rAligned = leftCols.filterNot(c => c == key).foldLeft(rAligned0) {
-      (df, c) => if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
-    }.select((leftCols ++ Seq("_ts", "_tag") ++ rightCols.map(c => s"_r_$c")).map(col): _*)
-
-    val unioned = lAligned
-      .select((leftCols ++ Seq("_ts", "_tag") ++ rightCols.map(c => s"_r_$c")).map(col): _*)
-      .unionByName(rAligned)
+    val rAligned = leftCols.filterNot(_ == key).foldLeft(
+      right
+        .withColumn("_ts", col(rightTs))
+        .withColumn("_tag", lit(0))
+        .withColumn("_r", struct(rightCols.map(col): _*))
+    )((df, c) => if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
+      .select((leftCols ++ Seq("_ts", "_tag", "_r")).map(col): _*)
 
     val w = Window.partitionBy(key).orderBy(col("_ts").asc, col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"_c_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
 
-    carried
+    lAligned.unionByName(rAligned)
+      .withColumn("_c", last(col("_r"), ignoreNulls = true).over(w))
       .where(col("_tag") === 1)
-      .select((leftCols.map(col) ++ rightCols.map(c => col(s"_c_$c").as(c))): _*)
+      .select((leftCols.map(col) ++ rightCols.map(c => col("_c").getField(c).as(c))): _*)
   }
 }

@@ -55,40 +55,11 @@ object Dedup {
   }
 
   // -------------------------------------------------------- MinHash + LSH
-
-  /** K-permutation MinHash signature of a shingle array. Permutation i is
-    * simulated by xxhash64(shingle, i); the signature element is the min.
-    * Entirely narrow: K × |shingles| hashes folded per row.
-    */
-  def minhashSignature(shingleArr: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleArr, s => xxhash64(s, i)))
-    )
-
-  /** LSH band keys: the signature split into `bands` slices of `rowsPerBand`,
-    * each slice hashed to one 64-bit band key.
-    */
-  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(slice(signature, b * rowsPerBand + lit(1), lit(rowsPerBand)))
-    )
-
-  /** Band keys computed straight from the shingle array, so each of the K
-    * minhash elements is evaluated exactly once per row. (Composing
-    * [[lshBandKeys]]([[minhashSignature]]) instead re-evaluates the whole
-    * K-element signature inside every band lambda — higher-order lambdas
-    * are interpreted, not codegen'd, and Catalyst does not CSE across
-    * them, which turns O(K·|sh|) per row into O(bands·K·|sh|).)
-    */
-  def lshBandKeysDirect(shingleArr: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(transform(
-        sequence(b * rowsPerBand, (b + lit(1)) * rowsPerBand - 1),
-        i => array_min(transform(shingleArr, s => xxhash64(s, i)))))
-    )
+  // (The signature/band kernels live in graft.functions.MinHash as a
+  // native codegen expression — higher-order-function formulations were
+  // removed: interpreted lambdas are ~100x slower, get pushed below
+  // exchanges, and used different per-permutation seeding, so they were
+  // NOT drop-in equivalent to the kernel.)
 
   /** Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
     *

@@ -62,7 +62,8 @@ object Multimodal {
       val out = new Array[Byte](w * h)
       var i = 0
       while (i < out.length) {
-        out(i) = if (bytes.isEmpty) 0 else bytes(i * bytes.length / out.length)
+        // Long arithmetic: i * bytes.length overflows Int for ~1 MB payloads
+        out(i) = if (bytes.isEmpty) 0 else bytes((i.toLong * bytes.length / out.length).toInt)
         i += 1
       }
       out

@@ -31,14 +31,18 @@ object Sessions {
         sum(isStart).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
-  /** Per-session aggregates: event count, value sum, bounds. */
-  def aggregate(events: DataFrame, userCol: String, tsCol: String, gapSeconds: Long): DataFrame =
+  /** Per-session aggregates: event count, optional value sum, bounds.
+    * `valueCol = None` skips the sum (for tables without a value column).
+    */
+  def aggregate(events: DataFrame, userCol: String, tsCol: String, gapSeconds: Long,
+                valueCol: Option[String] = Some("value")): DataFrame = {
+    val base = Seq(
+      count(lit(1)).as("n_events"),
+      min(col(tsCol)).as("session_start"),
+      max(col(tsCol)).as("session_end"))
+    val aggs = valueCol.map(v => round(sum(col(v)), 4).as("session_value")).toSeq ++ base
     assign(events, userCol, tsCol, gapSeconds)
       .groupBy(col(userCol), col("session_seq"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("session_value"),
-        min(col(tsCol)).as("session_start"),
-        max(col(tsCol)).as("session_end")
-      )
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

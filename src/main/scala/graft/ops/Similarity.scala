@@ -62,11 +62,13 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int = 2): DataFrame = {
-    val n = corpus.count()
-    val stride = math.max(1L, n / k)
+    // seed = the k ids with the smallest xxhash64(id): a deterministic
+    // uniform sample for ANY id type/distribution (dense, sparse, string),
+    // planned as a distributed partial top-k — no count() action, no
+    // density assumption
     var centroids = corpus
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
-      .where(pmod(col("centroid_id"), lit(stride)) === 0)
+      .orderBy(xxhash64(col("centroid_id")).asc, col("centroid_id").asc)
       .limit(k)
 
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("v"))

@@ -51,9 +51,12 @@ object PipeDelimitedSource {
     dt match {
       case StringType => c
       case LongType | IntegerType | ShortType =>
-        // Dirty-integer policy: keep digits and a leading minus only.
-        val cleaned = regexp_replace(nonEmpty, "[^0-9-]", "")
-        when(cleaned.rlike("^-?[0-9]+$"), cleaned.cast(dt)).otherwise(lit(null).cast(dt))
+        // Dirty-integer policy: strip everything but digits; a leading
+        // '-' (after trim) keeps the sign. `+56 9 4365-7435` -> 56943657435,
+        // `-1 234` -> -1234, no digits at all -> null.
+        val digits = regexp_replace(nonEmpty, "[^0-9]", "")
+        val signed = concat(when(nonEmpty.startsWith("-"), lit("-")).otherwise(lit("")), digits)
+        when(length(digits) > 0, signed.cast(dt)).otherwise(lit(null).cast(dt))
       case DoubleType | FloatType =>
         nonEmpty.cast(dt)
       case DateType =>

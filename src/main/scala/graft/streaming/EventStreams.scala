@@ -129,7 +129,11 @@ object EventStreams {
           } else {
             open.foreach { o =>
               state.update(o)
-              state.setTimeoutTimestamp(o.end / 1000 + gapSeconds * 1000)
+              // clamp to the current watermark: late events (which
+              // flatMapGroupsWithState does NOT drop) would otherwise
+              // request a timeout in the past and kill the query
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(o.end / 1000 + gapSeconds * 1000, wm + 1))
             }
           }
           closed.iterator.map(o => (user, o.start, o.end, o.n, o.sum))

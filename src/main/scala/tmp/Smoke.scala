@@ -1,3 +1,5 @@
+package tmp
+
 object Smoke {
   def main(args: Array[String]): Unit = {
     val spark = graft.EngineSession.local("4", "smoke")

@@ -67,6 +67,15 @@ class CompensationSpec extends AnyFunSuite with SparkSpec {
     assert(g("dni-0") == Compensation.NoAplica)
   }
 
+  test("rows on a NULL flight (dim-miss) keep their value, never NO APLICA") {
+    // 20 rows on F0 (quota 3) + one mid-age row with cod_vuelo NULL
+    val m = mart("F0", Seq.fill(20)(Some(1950)))
+      .unionByName(mart(null, Seq(Some(1980))))
+    val out = Compensation(m, asOfYear = 2026)
+    val orphan = out.where($"cod_vuelo".isNull).head()
+    assert(orphan.getAs[String]("compensacion") == null)
+  }
+
   test("null birthdate rows are never touched") {
     val m = mart("F3", Seq.fill(20)(Some(1950)) :+ None)
     val out = Compensation(m, asOfYear = 2026)

@@ -38,6 +38,20 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out(50L) == null)
   }
 
+  test("null field in the latest right row is preserved, not backfilled") {
+    // latest quote for A at 10:05 has px=NULL, sz=9; older quote has px=100, sz=5
+    val quotes2 = Seq(
+      ("A", "2024-01-01 10:00:00", Some(100.0), 5L),
+      ("A", "2024-01-01 10:05:00", None, 9L)
+    ).toDF("sym", "t", "px", "sz")
+      .select(col("sym"), to_timestamp(col("t")).as("qts"), col("px"), col("sz"))
+    val trades2 = Seq(("A", "2024-01-01 10:06:00", 1L)).toDF("sym", "t", "qty")
+      .select(col("sym"), to_timestamp(col("t")).as("tts"), col("qty"))
+    val r = AsOfJoin.asOf(trades2, quotes2, "sym", "tts", "qts", Seq("px", "sz")).head()
+    assert(r.isNullAt(r.fieldIndex("px"))) // real NULL from the 10:05 row, not 100.0
+    assert(r.getAs[Long]("sz") == 9L)      // both carried cols from the SAME row
+  }
+
   test("output keeps left cardinality and columns plus requested right cols") {
     val out = AsOfJoin.asOf(trades, quotes, "sym", "tts", "qts", Seq("px"))
     assert(out.count() == 5)

@@ -29,15 +29,19 @@ class PipeDelimitedSourceSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[java.sql.Date]("fecha_de_nacimiento").toString == "1990-01-31")
   }
 
-  test("dirty INTEGER policy: plus-prefix stripped, garbage -> null, empty -> null") {
+  test("dirty INTEGER policy: non-digits stripped, sign kept, no digits -> null") {
     val path = write(
       "1-1|A|a@x|s|+56943657435|1990/01/01\r\n" +
       "2-2|B|b@x|s|phone-unknown|1990/01/01\r\n" +
-      "3-3|C|c@x|s||1990/01/01")
+      "3-3|C|c@x|s||1990/01/01\r\n" +
+      "4-4|D|d@x|s|+56 9 4365-7435|1990/01/01\r\n" +
+      "5-5|E|e@x|s|-1 234|1990/01/01")
     val df = PipeDelimitedSource.read(spark, path, AirlineSchemas.pasajero)
     val tel = df.orderBy("dni").collect().map(r =>
       if (r.isNullAt(4)) null else Long.box(r.getLong(4)))
-    assert(tel.toSeq == Seq(Long.box(56943657435L), null, null))
+    assert(tel.toSeq == Seq(
+      Long.box(56943657435L), null, null,
+      Long.box(56943657435L), Long.box(-1234L)))
   }
 
   test("compact timestamps and ISO both coerce") {
