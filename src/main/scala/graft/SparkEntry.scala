@@ -285,6 +285,32 @@ object SparkEntry {
         .na.fill(0L, Seq("F", "O", "P"))
     }),
 
+    // ---- cube (full grouping-set lattice) ----
+    "x9_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+    }),
+
+    // ---- semi join (EXISTS) ----
+    "x10_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(col("o_totalprice") > 450000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // ---- math battery (IEEE-exact ops only: sqrt/ceil/floor/mod/sign) ----
+    "s5_math_funcs" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
+        floor(col("l_extendedprice")).cast("long").as("floor_price"),
+        pmod(col("l_partkey"), lit(97L)).as("pk_mod"),
+        signum(col("l_quantity") - 25.0).as("qty_sign"))
+    }),
+
     // ---- D: exact dedup ----
     "d1_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
@@ -664,6 +690,26 @@ object SparkEntry {
          COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
          COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
          FROM orders GROUP BY o_orderpriority""",
+
+    "x9_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "x10_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)""",
+
+    "s5_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+         sqrt(l_quantity) AS sqrt_qty,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+         CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+         l_partkey % 97 AS pk_mod,
+         CASE WHEN l_quantity - 25.0 > 0 THEN 1.0
+              WHEN l_quantity - 25.0 < 0 THEN -1.0 ELSE 0.0 END AS qty_sign
+         FROM lineitem""",
 
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_hash,
