@@ -19,9 +19,14 @@ object Bench {
     // charged for session bring-up (~5s of JIT + parquet footer reads).
     spark.range(1000).selectExpr("sum(id)").collect()
     try SparkEntry.queries.head._2(spark, sfDir).count() catch { case _: Throwable => }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val n = try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          -1L
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $sec%8.2fs  rows=$n")
       name -> sec
@@ -29,7 +34,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries must be visible in the machine-readable line, not
+    // just stderr — a time-to-exception would otherwise read as a speedup
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -424,16 +424,10 @@ object SparkEntry {
           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
     }),
 
-    // ---- E: tumbling-window aggregation (streaming twin in
-    //      graft.streaming.EventStreams) ----
-    "e2_window_hourly" -> ((s, dir) => {
-      events(s, dir)
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
-        .select(
-          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-          col("event_type"), col("n_events"), col("total_value"))
-    }),
+    // ---- E: tumbling-window aggregation — SHARED column logic with the
+    //      streaming path, so the oracle check covers both ----
+    "e2_window_hourly" -> ((s, dir) =>
+      graft.streaming.EventStreams.windowedAgg(events(s, dir))),
 
     // ---- E: semi-structured JSON extraction ----
     "e3_json_extract" -> ((s, dir) => {
@@ -475,8 +469,12 @@ object SparkEntry {
       val ev = events(s, dir)
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      // one signup row per (user, ts): simultaneous signups (possible
+      // after ns->us truncation) would make both the window carry and
+      // DuckDB's ASOF pick arbitrarily
       val signups = ev.where(col("event_type") === "signup")
-        .select(col("user_id"), col("ts").as("signup_ts"), col("value").as("signup_value"))
+        .groupBy(col("user_id"), col("ts").as("signup_ts"))
+        .agg(max(col("value")).as("signup_value"))
       graft.ops.AsOfJoin.asOf(clicks, signups, "user_id", "ts", "signup_ts",
           Seq("signup_ts", "signup_value"))
         .select(
@@ -509,7 +507,7 @@ object SparkEntry {
   // ===================================================================
   // DuckDB oracles — names/aliases must match the Spark output exactly.
   // Omitted for approximate / engine-specific-hash operators
-  // (d2, d3, t4, v3, m2) → driver records a rows-only check.
+  // (d2, d3, t4, v3, v4, m2, x4) → driver records a rows-only check.
   // ===================================================================
 
   def oracleSql: Map[String, String] = Map(
@@ -923,7 +921,9 @@ object SparkEntry {
          strftime(r.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS signup_time,
          r.value AS signup_value
          FROM (SELECT * FROM events WHERE event_type = 'click') l
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+         ASOF LEFT JOIN (SELECT user_id, ts::TIMESTAMP AS ts, MAX(value) AS value
+                         FROM events WHERE event_type = 'signup'
+                         GROUP BY user_id, ts::TIMESTAMP) r
          ON l.user_id = r.user_id AND l.ts >= r.ts""",
 
     "m1_media_meta" ->

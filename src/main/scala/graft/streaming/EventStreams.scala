@@ -34,13 +34,32 @@ object EventStreams {
     StructField("props", StringType)
   ))
 
+  /** Stream the CANONICAL events.parquet (ts stored as TIMESTAMP(NANOS),
+    * which Spark only reads as a raw long under `nanosAsLong`): declares
+    * the long schema and converts to a micros timestamp exactly like the
+    * batch reader (`SparkEntry.events`), so streaming queries can consume
+    * the same files as their batch twins.
+    */
+  def readNsEventStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nsSchema = StructType(eventSchema.fields.map(f =>
+      if (f.name == "ts") StructField("ts", LongType) else f))
+    spark.readStream.schema(nsSchema).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Tumbling-window count/sum per event_type — shared logic for the
     * batch oracle twin and the streaming query.
     */
   def windowedAgg(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
     events
       .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      // exact decimal sum (like every other aggregate in the engine):
+      // double summation order differs between the batch plan and the
+      // streaming state store, so a raw double sum breaks the
+      // batch/stream equivalence contract at rounding boundaries
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
@@ -113,11 +132,20 @@ object EventStreams {
           evs.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos)).foreach { e =>
             val t = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
             open match {
-              case Some(o) if t - o.end <= gapMicros =>
-                open = Some(Open(o.start, t max o.end, o.n + 1, o.sum + e.value))
-              case Some(o) =>
+              // within gap of either session bound (late arrivals are NOT
+              // dropped by flatMapGroupsWithState): merge, extending both
+              // bounds — a signed end-only check would wrongly swallow
+              // events hours older than the session
+              case Some(o) if t >= o.start - gapMicros && t <= o.end + gapMicros =>
+                open = Some(Open(t min o.start, t max o.end, o.n + 1, o.sum + e.value))
+              case Some(o) if t > o.end + gapMicros =>
                 closed += o
                 open = Some(Open(t, t, 1L, e.value))
+              case Some(o) =>
+                // too-late event predating the open session by more than
+                // the gap: emit it as its own (already-closed) session —
+                // history can't be re-spliced in a single-state model
+                closed += Open(t, t, 1L, e.value)
               case None =>
                 open = Some(Open(t, t, 1L, e.value))
             }

@@ -10,6 +10,27 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class EventStreamsSpec extends AnyFunSuite with SparkSpec {
 
+  test("canonical ns events.parquet streams directly via readNsEventStream") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    // the streaming file source wants a directory; link the canonical
+    // read-only file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-nsdir")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val streamed = EventStreams.runToMemorySink(
+      spark,
+      EventStreams.windowedAgg(
+        EventStreams.readNsEventStream(spark, dir.toString).withWatermark("ts", "1 hour")),
+      "ns_stream")
+      .collect().map(_.toSeq).toSet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = EventStreams.windowedAgg(
+      spark.read.parquet(path)
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming windowed agg over bounded input equals the batch twin") {
     // materialize sf0.001 events (ns->us converted) as a proper parquet dir
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
