@@ -365,7 +365,7 @@ object SparkEntry {
     // ---- T: word count (explode / lateral — the canonical corpus pass) ----
     "t5_wordcount" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .select(explode(graft.ops.TextAnalysis.tokens(lower(col("text")))).as("word"))
         .where(length(col("word")) > 0)
         .groupBy("word")
         .agg(count(lit(1)).as("n"))
@@ -715,7 +715,7 @@ object SparkEntry {
          FROM documents GROUP BY md5(text)""",
 
     "d4_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
                     FROM documents),
          sh AS (SELECT doc_id,
                   CASE WHEN len(w) >= 3 THEN
@@ -734,8 +734,7 @@ object SparkEntry {
 
     "t1_text_stats" ->
       """SELECT doc_id,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
          CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
          CASE WHEN length(text) = 0 THEN 0.0
               ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
@@ -744,31 +743,25 @@ object SparkEntry {
          FROM documents""",
 
     "t2_langid" ->
-      """WITH p AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS px FROM documents),
-         sc AS (SELECT doc_id, lang,
-           (length(px) - length(regexp_replace(px, ' the ', '', 'g'))) / 5
-           + (length(px) - length(regexp_replace(px, ' and ', '', 'g'))) / 5
-           + (length(px) - length(regexp_replace(px, ' of ', '', 'g'))) / 4
-           + (length(px) - length(regexp_replace(px, ' to ', '', 'g'))) / 4
-           + (length(px) - length(regexp_replace(px, ' a ', '', 'g'))) / 3 AS s_en,
-           (length(px) - length(regexp_replace(px, ' el ', '', 'g'))) / 4
-           + (length(px) - length(regexp_replace(px, ' la ', '', 'g'))) / 4
-           + (length(px) - length(regexp_replace(px, ' de ', '', 'g'))) / 4
-           + (length(px) - length(regexp_replace(px, ' que ', '', 'g'))) / 5
-           + (length(px) - length(regexp_replace(px, ' los ', '', 'g'))) / 5 AS s_es,
-           (length(px) - length(regexp_replace(px, ' le ', '', 'g'))) / 4
-           + (length(px) - length(regexp_replace(px, ' les ', '', 'g'))) / 5
-           + (length(px) - length(regexp_replace(px, ' des ', '', 'g'))) / 5
-           + (length(px) - length(regexp_replace(px, ' et ', '', 'g'))) / 4
-           + (length(px) - length(regexp_replace(px, ' une ', '', 'g'))) / 5 AS s_fr,
-           (length(px) - length(regexp_replace(px, ' der ', '', 'g'))) / 5
-           + (length(px) - length(regexp_replace(px, ' die ', '', 'g'))) / 5
-           + (length(px) - length(regexp_replace(px, ' und ', '', 'g'))) / 5
-           + (length(px) - length(regexp_replace(px, ' das ', '', 'g'))) / 5
-           + (length(px) - length(regexp_replace(px, ' ein ', '', 'g'))) / 5 AS s_de
-           FROM p)
+      """WITH d AS (SELECT doc_id, lang, text,
+           regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+         sc AS (SELECT doc_id, lang, text,
+           len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'and'))
+             + len(list_filter(w, x -> x = 'of')) + len(list_filter(w, x -> x = 'to'))
+             + len(list_filter(w, x -> x = 'a')) AS s_en,
+           len(list_filter(w, x -> x = 'el')) + len(list_filter(w, x -> x = 'la'))
+             + len(list_filter(w, x -> x = 'de')) + len(list_filter(w, x -> x = 'que'))
+             + len(list_filter(w, x -> x = 'los')) AS s_es,
+           len(list_filter(w, x -> x = 'le')) + len(list_filter(w, x -> x = 'les'))
+             + len(list_filter(w, x -> x = 'des')) + len(list_filter(w, x -> x = 'et'))
+             + len(list_filter(w, x -> x = 'une')) AS s_fr,
+           len(list_filter(w, x -> x = 'der')) + len(list_filter(w, x -> x = 'die'))
+             + len(list_filter(w, x -> x = 'und')) + len(list_filter(w, x -> x = 'das'))
+             + len(list_filter(w, x -> x = 'ein')) AS s_de
+           FROM d)
          SELECT doc_id, lang,
-           CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+           CASE WHEN text IS NULL THEN NULL
+                WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
                 WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de) THEN 'en'
                 WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de) THEN 'es'
                 WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
@@ -777,19 +770,15 @@ object SparkEntry {
          FROM sc""",
 
     "t3_quality" ->
-      """WITH b AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS px,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+      """WITH b AS (SELECT doc_id, text,
+           regexp_extract_all(lower(text), '\S+') AS w,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt
            FROM documents),
          r AS (SELECT doc_id, text, nt,
-           (length(px) - length(regexp_replace(px, ' the ', '', 'g'))) / 5
-           + (length(px) - length(regexp_replace(px, ' a ', '', 'g'))) / 3
-           + (length(px) - length(regexp_replace(px, ' and ', '', 'g'))) / 5
-           + (length(px) - length(regexp_replace(px, ' of ', '', 'g'))) / 4
-           + (length(px) - length(regexp_replace(px, ' to ', '', 'g'))) / 4
-           + (length(px) - length(regexp_replace(px, ' in ', '', 'g'))) / 4
-           + (length(px) - length(regexp_replace(px, ' is ', '', 'g'))) / 4
-           + (length(px) - length(regexp_replace(px, ' that ', '', 'g'))) / 6 AS hits,
+           len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'a'))
+             + len(list_filter(w, x -> x = 'and')) + len(list_filter(w, x -> x = 'of'))
+             + len(list_filter(w, x -> x = 'to')) + len(list_filter(w, x -> x = 'in'))
+             + len(list_filter(w, x -> x = 'is')) + len(list_filter(w, x -> x = 'that')) AS hits,
            CASE WHEN length(text) = 0 THEN 0.0
                 ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
            CASE WHEN length(text) = 0 THEN 0.0
@@ -806,7 +795,7 @@ object SparkEntry {
 
     "t5_wordcount" ->
       """SELECT word, COUNT(*) AS n FROM (
-           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+           SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
            FROM documents)
          WHERE length(word) > 0 GROUP BY word""",
 
@@ -821,8 +810,7 @@ object SparkEntry {
     "t6_curate_corpus" ->
       """WITH s AS (
            SELECT doc_id, text,
-             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio
            FROM documents),
@@ -830,7 +818,7 @@ object SparkEntry {
          ke AS (SELECT doc_id, text, n_tokens, alpha_ratio FROM (
                   SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
                   FROM q) WHERE rn = 1),
-         d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM ke),
+         d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM ke),
          sh AS (SELECT doc_id,
                   CASE WHEN len(w) >= 3 THEN
                     list_distinct(list_transform(range(1, len(w)-1),

@@ -14,8 +14,7 @@ import org.apache.spark.sql.types._
   * ch. 3). One native pass over the shingle array computes all K minhash
   * values and folds each band's slice into a 64-bit band key.
   *
-  * The equivalent higher-order-function formulation
-  * ([[graft.ops.Dedup.minhashSignature]] + band hashing) runs its lambdas
+  * A higher-order-function formulation would run its lambdas
   * interpreted — K·|shingles| boxed evals per row — and the optimizer
   * pushes such projections below repartition exchanges (they're assumed
   * cheap), serializing the CPU-heavy pass onto however few partitions the
@@ -26,6 +25,10 @@ object MinHash {
 
   /** All-in-one kernel: K minhashes over the shingles, folded into
     * `bands` keys of `rowsPerBand` values each (K = bands·rowsPerBand).
+    * Permutation i is the standard two-hash affine family
+    * h1(s) + i·h2(s) (h2 forced odd → a bijection on Z/2^64), so each
+    * shingle's bytes are hashed exactly TWICE regardless of K — not K
+    * full passes over the string.
     */
   def bandKeys(shingles: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
     val k = bands * rowsPerBand
@@ -36,11 +39,13 @@ object MinHash {
     while (j < n) {
       if (!shingles.isNullAt(j)) {
         val s = shingles.getUTF8String(j)
+        val h1 = XxHash64Function.hash(s, StringType, 0x9747b28c9747b28cL)
+        val h2 = XxHash64Function.hash(s, StringType, 0x85ebca6b85ebca6bL) | 1L
         var i = 0
+        var h = h1
         while (i < k) {
-          // per-permutation hash: xxhash64 of the shingle with seed i
-          val h = XxHash64Function.hash(s, StringType, i.toLong)
           if (h < mins(i)) mins(i) = h
+          h += h2 // = h1 + (i+1)*h2, wrapping
           i += 1
         }
       }

@@ -44,14 +44,16 @@ object ObfuscateName {
     } else {
       val first = s.substring(0, sp)
       val last = s.substring(sp + 1)
-      val keep = last.charAt(0)
+      // operate on CODE POINTS like the Python reference: a char-wise
+      // loop would half-mask surrogate pairs and emit lone surrogates
+      val keep = last.codePointAt(0)
       val sb = new java.lang.StringBuilder(s.length)
       sb.append(first).append(' ')
       var i = 0
       while (i < last.length) {
-        val c = last.charAt(i)
-        sb.append(if (c == keep || c == ' ') c else '*')
-        i += 1
+        val cp = last.codePointAt(i)
+        if (cp == keep || cp == ' ') sb.appendCodePoint(cp) else sb.append('*')
+        i += Character.charCount(cp)
       }
       UTF8String.fromString(sb.toString)
     }

@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   *      the same right row;
   *   3. keep the left rows.
   *
+  * Right-row ties: when several right rows share one (key, ts), which
+  * one is carried is NOT deterministic (the window orders by (ts, tag)
+  * only) — pre-aggregate the right side to one row per (key, ts) if that
+  * matters (see the e4 query's signups dedup).
+  *
   * Cost: ONE shuffle on the key and one sort — same shape as any
   * windowed aggregation, linear in |L|+|R|, no range explosion. Key skew
   * follows the same AQE/salting story as every other keyed op.

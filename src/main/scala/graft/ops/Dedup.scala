@@ -40,9 +40,12 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Distinct word `n`-gram shingles of lowercased text, as an array. */
+  /** Distinct word `n`-gram shingles of lowercased text, as an array.
+    * Tokenization = non-space runs (`\S+`), matching
+    * [[graft.functions.NGramShingles]] and the DuckDB oracle exactly.
+    */
   def shingles(text: Column, n: Int): Column = {
-    val words = split(trim(lower(text)), "\\s+")
+    val words = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
     // size-n+1 shingles at 0-based offsets 0..size-n (guarded by the
     // size>=n branch below, so the sequence bounds are always valid).
     val grams = transform(
@@ -168,9 +171,12 @@ object Dedup {
       .join(inv.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    // no broadcast() hint: `sizes` is corpus-sized (one row per doc) and
+    // force-broadcasting it OOMs the driver at scale; AQE still picks a
+    // broadcast when it actually fits
     inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a")), Seq("id_a"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b")), Seq("id_b"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))

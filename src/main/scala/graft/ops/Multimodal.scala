@@ -105,6 +105,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
+      .where(col("payload").isNotNull)
       .repartition(parallelism, col("media_id"))
       .mapPartitions(_.map { r =>
         MediaThumb(r.getLong(0), w, h, StubDecoder.resize(r.getAs[Array[Byte]](1), w, h))
@@ -124,6 +125,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
+      .where(col("payload").isNotNull)
       .repartition(parallelism, col("media_id"))
       .mapPartitions(_.flatMap { r =>
         val id = r.getLong(0)
@@ -140,6 +142,7 @@ object Multimodal {
     import spark.implicits._
     media
       .select(col("media_id"), col("payload"))
+      .where(col("payload").isNotNull) // null blobs: nothing to decode
       .repartition(parallelism, col("media_id"))
       .mapPartitions { rows =>
         rows.map { r =>

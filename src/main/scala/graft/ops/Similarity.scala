@@ -53,7 +53,7 @@ object Similarity {
 
   /** Deterministic mini k-means for IVF centroids: stride-sampled seeds
     * refined by `iters` Lloyd iterations, entirely as DataFrame plans
-    * (assign = broadcast join + window argmin; recenter = groupBy mean
+    * (assign = broadcast join + min_by argmin; recenter = groupBy mean
     * over element position). Each iteration is one shuffle keyed by cell.
     */
   def kmeansCentroids(
@@ -73,12 +73,15 @@ object Similarity {
 
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("v"))
     (0 until iters).foreach { _ =>
-      val wAssign = Window.partitionBy("cid").orderBy(col("d").asc, col("centroid_id").asc)
+      // argmin via min_by aggregation (map-side partial combine): a
+      // row_number window would shuffle+sort |corpus| x k replicated
+      // vector rows; this shuffles one row per vector
       val assigned = c
         .join(broadcast(centroids))
         .withColumn("d", l2sq_native(col("v"), col("cent_vec")))
-        .withColumn("rn", row_number().over(wAssign))
-        .where(col("rn") === 1)
+        .groupBy("cid")
+        .agg(first(col("v")).as("v"),
+          min_by(col("centroid_id"), struct(col("d"), col("centroid_id"))).as("centroid_id"))
         .select(col("centroid_id"), col("v"))
       // recenter: per-dimension mean via posexplode + groupBy(cell, dim)
       centroids = assigned
@@ -113,14 +116,16 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters)
 
-    // Assign every corpus vector to its nearest centroid (1 narrow pass).
-    val wAssign = Window.partitionBy("neighbor_id").orderBy(col("cdist").asc, col("centroid_id").asc)
+    // Assign every corpus vector to its nearest centroid: min_by
+    // aggregation (partial combine; one shuffled row per vector — a
+    // window argmin would shuffle k x |corpus| replicated vectors).
     val assigned = c
       .join(broadcast(centroids))
       .withColumn("cdist", l2sq_native(col("c_vec"), col("cent_vec")))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("neighbor_id"), col("c_vec"), col("centroid_id").as("cell"))
+      .groupBy("neighbor_id")
+      .agg(first(col("c_vec")).as("c_vec"),
+        min_by(col("centroid_id"), struct(col("cdist"), col("centroid_id"))).as("cell"))
+      .select(col("neighbor_id"), col("c_vec"), col("cell"))
 
     // Each query probes its nProbe nearest cells.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))

@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of trimmed text; empty input → empty array. */
+  /** Whitespace tokens: non-space runs (`\S+`), so empty input yields an
+    * empty array and trailing newlines/tabs never produce empty tokens —
+    * identical semantics in the native shingle kernel and in DuckDB's
+    * regexp_extract_all (the split-on-`\s+`-after-trim formulation
+    * differs for non-space edge whitespace: Spark trim() strips only
+    * spaces and split keeps boundary empties).
+    */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    regexp_extract_all(text, lit("\\S+"), lit(0))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -29,17 +34,17 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
 
-  /** Non-overlapping occurrences of literal `marker` in `text`
-    * (length-difference trick — identical semantics in Spark and DuckDB).
+  /** Exact token-equality count of `word` in a token array (codegen'd:
+    * size/array_remove, no lambda). The earlier space-padded
+    * length-difference trick undercounted ADJACENT markers ("the the"
+    * counted once — the regexp consumed the shared delimiter space).
     */
-  def occurrences(text: Column, marker: String): Column =
-    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) / marker.length
+  def tokenHits(toks: Column, word: String): Column =
+    size(toks) - size(array_remove(toks, word))
 
-  /** Stopword-marker score for one language: occurrences of each marker
-    * word (space-padded, lowercased search space) per 100 characters.
-    */
-  private def langScore(padded: Column, markers: Seq[String]): Column =
-    markers.map(m => occurrences(padded, s" $m ")).reduce(_ + _)
+  /** Marker score for one language: total marker-token hits. */
+  private def langScore(toks: Column, markers: Seq[String]): Column =
+    markers.map(m => tokenHits(toks, m)).reduce(_ + _)
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a"),
@@ -48,17 +53,19 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ein")
   )
 
-  /** N-gram-marker language ID: argmax of per-language stopword scores
-    * with a fixed preference order on ties; 'und' (undetermined) when no
-    * marker hits at all. Deterministic and SQL-expressible.
+  /** Marker-token language ID: argmax of per-language stopword-token
+    * counts with a fixed preference order on ties; 'und' (undetermined)
+    * when no marker hits at all; NULL text stays NULL (it is not
+    * positively "undetermined"). Deterministic and SQL-expressible.
     */
   def langId(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
-    val scores = markers.map { case (lang, ms) => lang -> langScore(padded, ms) }
+    val toks = tokens(lower(text))
+    val scores = markers.map { case (lang, ms) => lang -> langScore(toks, ms) }
     val best = scores.map(_._2).reduce(greatest(_, _))
-    scores.foldLeft(when(best === 0, "und")) { case (acc, (lang, s)) =>
-      acc.when(s === best, lang)
-    }.otherwise("und")
+    when(text.isNull, lit(null).cast("string")).otherwise(
+      scores.foldLeft(when(best === 0, "und")) { case (acc, (lang, s)) =>
+        acc.when(s === best, lang)
+      }.otherwise("und"))
   }
 
   /** Ratio of punctuation characters to total characters (0 for empty). */
@@ -75,9 +82,9 @@ object TextAnalysis {
     * used by quality classifiers (C4/Gopher-style heuristics).
     */
   def stopwordRatio(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
+    val toks = tokens(lower(text))
     val stops = Seq("the", "a", "and", "of", "to", "in", "is", "that")
-    val hits = stops.map(m => occurrences(padded, s" $m ")).reduce(_ + _)
+    val hits = stops.map(m => tokenHits(toks, m)).reduce(_ + _)
     when(tokenCount(text) === 0, 0.0).otherwise(hits.cast("double") / tokenCount(text))
   }
 
