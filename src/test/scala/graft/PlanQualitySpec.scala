@@ -45,8 +45,11 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(scanSide.nonEmpty, p)
     // the kernel must not appear in any Filter below an exchange
     val badFilter = p.linesIterator.exists(l =>
-      l.contains("Filter") && l.contains("minhash_bands"))
+      l.contains("Filter") && (l.contains("minhash_sig") || l.contains("minhash_bands")))
     assert(!badFilter, s"minhash kernel pushed into a pre-shuffle filter:\n$p")
+    // the signature table is persisted: banding and verification read the
+    // in-memory relation instead of re-running the kernel per consumer
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"), p)
   }
 
   test("x3: global top-k is TakeOrderedAndProject, not a full sort") {
