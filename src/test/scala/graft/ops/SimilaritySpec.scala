@@ -71,4 +71,41 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
     assert(ivf == bf)
   }
+
+  /** 256 vectors drawn around 16 well-separated anchor directions in 8
+    * dims (seeded, deterministic).
+    */
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(7)
+    val anchors = Array.fill(16)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 256).map { i =>
+      val a = anchors(i % 16)
+      (i.toLong, a.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("IVF recall vs brute force >= 0.9 at nProbe=4 of 16 cells") {
+    val queries = clustered.where($"vec_id" < 8)
+    val bf = Similarity.bruteForceTopK(clustered, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val ivf = Similarity.ivfTopK(clustered, queries, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = 4, kmeansIters = 1)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9")
+  }
+
+  test("IVF index builds once and serves repeated probes") {
+    val idx = Similarity.ivfBuild(clustered, "vec_id", "embedding", nCentroids = 16)
+    try {
+      val r1 = Similarity.ivfProbe(idx, clustered.where($"vec_id" < 4), "vec_id", "embedding", 3)
+      val r2 = Similarity.ivfProbe(idx, clustered.where($"vec_id" >= 4 && $"vec_id" < 8),
+        "vec_id", "embedding", 3)
+      assert(r1.select("query_id").distinct().count() == 4)
+      assert(r2.select("query_id").distinct().count() == 4)
+      // the cell assignment is materialized: same index object, same cells
+      assert(idx.cells.storageLevel.useMemory || idx.cells.storageLevel.useDisk)
+    } finally idx.unpersist()
+  }
 }
