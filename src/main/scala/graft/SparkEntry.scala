@@ -323,6 +323,23 @@ object SparkEntry {
     "d3_simhash_neardup" -> ((s, dir) =>
       graft.ops.Dedup.simhashNearDup(t(s, dir, "documents"), "doc_id", "text", 3)),
 
+    // ---- D: simhash invariant — the full pipeline (maxHamming=3) must
+    //      recover EVERY identical-text pair (they collide on all four
+    //      chunks, so candidate generation cannot miss them); text
+    //      equality filters hash-collision false positives ----
+    "d3i_simhash_exact_dups" -> ((s, dir) => {
+      // inject 50 known duplicates (id + 1e6) so the recall claim is
+      // non-vacuous even at SFs whose corpus has no natural dup texts
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val all = docs.unionByName(docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.ops.Dedup.simhashNearDup(all, "doc_id", "text", 3)
+        .join(all.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+        .join(all.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+        .where(col("text_a") === col("text_b"))
+        .select(col("id_a"), col("id_b"))
+    }),
+
     // ---- D: exact n-gram Jaccard pairs ----
     "d4_ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
@@ -360,6 +377,20 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         graft.ops.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // ---- T: fingerprint invariant — fp equality must coincide with
+    //      token-sequence equality on this corpus (no collisions, and
+    //      the chained hash is a pure function of the sequence) ----
+    "t4i_fingerprint_unique" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          concat_ws(" ", graft.ops.TextAnalysis.tokens(col("text"))).as("seq"),
+          graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("seq")).as("n_distinct_seq"),
+          countDistinct(col("fp")).as("n_distinct_fp"))
     }),
 
     // ---- T: word count (explode / lateral — the canonical corpus pass) ----
@@ -403,16 +434,42 @@ object SparkEntry {
     "v2_embed_neardup" -> ((s, dir) =>
       graft.ops.Similarity.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3)),
 
-    // ---- V: sign-LSH bucketed near-dup (approx recall; rows-only) ----
+    // ---- V: sign-LSH bucketed near-dup. Band shape follows the
+    //      threshold (the operator's own contract: lower threshold ->
+    //      widen bands / shrink bits): at cos 0.45 bit-agreement is
+    //      1-acos(0.45)/pi ~ 0.649, so 128 bands x 6 bits give recall
+    //      1-(1-0.649^6)^128 ~ 1-5e-5 per pair — and every candidate is
+    //      exact-cosine verified, so the exact-pairs oracle applies
+    //      (verified missed=0 at sf0.01 and sf0.1) ----
     "v4_lsh_neardup" -> ((s, dir) =>
       graft.ops.Similarity.lshEmbeddingNearDup(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.45,
+        bands = 128, bitsPerBand = 6)),
 
     // ---- V: IVF approximate top-k (approx; rows-only check) ----
     "v3_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.ops.Similarity.ivfTopK(
         emb, emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding", 5)
+    }),
+
+    // ---- V: IVF recall invariant — recall vs the exact brute force at
+    //      nProbe=8/16 with one Lloyd iteration; the gate (0.7) is the
+    //      measured 0.79-0.83 on this corpus minus margin. n_bf is
+    //      cross-checked against DuckDB's own brute-force top-k ----
+    "v3i_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 10 === 0)
+      val bf = graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id")
+      val ivf = graft.ops.Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+        nCentroids = 16, nProbe = 8, kmeansIters = 1)
+        .select("query_id", "neighbor_id")
+      val hit = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      bf.agg(count(lit(1)).as("n_bf"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_bf"),
+          (col("n_hit").cast("double") / col("n_bf") >= 0.7).cast("int").as("recall_ok"))
     }),
 
     // ---- E: gap sessionization ----
@@ -451,9 +508,15 @@ object SparkEntry {
     // ---- approximate distinct (HLL++; engine-specific estimate →
     //      rows-only check) ----
     "x4_approx_distinct" -> ((s, dir) => {
+      // HLL++ estimates are engine-specific; the checkable claim is the
+      // accuracy contract: within 5% of the exact distinct count
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_exact"),
+          (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+            <= countDistinct(col("l_partkey")).cast("double") * 0.05)
+            .cast("int").as("hll_within_5pct"))
     }),
 
     // ---- set operations ----
@@ -861,6 +924,46 @@ object SparkEntry {
                   WHERE i / (na.nsh + nb.nsh - i) >= 0.8)
          SELECT doc_id, n_tokens, alpha_ratio FROM ke
          WHERE doc_id NOT IN (SELECT id_b FROM dups)""",
+
+    "d3i_simhash_exact_dups" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id""",
+
+    "t4i_fingerprint_unique" ->
+      """SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT array_to_string(regexp_extract_all(text, '\S+'), ' ')) AS n_distinct_seq,
+         COUNT(DISTINCT array_to_string(regexp_extract_all(text, '\S+'), ' ')) AS n_distinct_fp
+         FROM documents""",
+
+    "v3i_ivf_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+         r AS (SELECT query_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM s)
+         SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok FROM r WHERE rank <= 5""",
+
+    "v4_lsh_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.45""",
+
+    "x4_approx_distinct" ->
+      """SELECT l_returnflag,
+         COUNT(DISTINCT l_partkey) AS n_exact,
+         CAST(1 AS INT) AS hll_within_5pct
+         FROM lineitem GROUP BY l_returnflag""",
 
     "v1_topk_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
