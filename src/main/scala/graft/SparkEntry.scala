@@ -560,13 +560,17 @@ object SparkEntry {
           col("meta.content_sha256").as("content_sha256"))
     }),
 
-    // ---- M: batched feature extraction over binary payloads
-    //      (decode kernel stubbed; rows-only check) ----
+    // ---- M: REAL image decode (javax.imageio) over synthesized PNG
+    //      payloads whose color/dims derive from md5(text) — the oracle
+    //      recomputes the expected decode results arithmetically from
+    //      the same md5, so the whole encode->decode->stats pass is
+    //      hash-checked ----
     "m2_media_features" -> ((s, dir) => {
       val media = graft.ops.Multimodal
-        .withBinaryPayload(t(s, dir, "documents"), "doc_id", "text")
-      graft.ops.Multimodal.extractFeatures(media, 32).toDF()
-        .select(col("media_id"), col("byte_len"), col("format"))
+        .syntheticPngPayload(t(s, dir, "documents"), "doc_id", "text", 32).toDF()
+      graft.ops.Multimodal.imageStats(media, 32).toDF()
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
     })
   )
 
@@ -958,6 +962,16 @@ object SparkEntry {
             * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.45""",
+
+    "m2_media_features" ->
+      """SELECT doc_id AS media_id,
+         'png' AS format,
+         8 + (('0x' || substr(md5(text), 7, 2))::INT % 9) AS width,
+         8 + (('0x' || substr(md5(text), 9, 2))::INT % 9) AS height,
+         CAST(('0x' || substr(md5(text), 1, 2))::INT AS DOUBLE) AS mean_r,
+         CAST(('0x' || substr(md5(text), 3, 2))::INT AS DOUBLE) AS mean_g,
+         CAST(('0x' || substr(md5(text), 5, 2))::INT AS DOUBLE) AS mean_b
+         FROM documents WHERE text IS NOT NULL""",
 
     "x4_approx_distinct" ->
       """SELECT l_returnflag,

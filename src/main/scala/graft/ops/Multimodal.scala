@@ -5,20 +5,20 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, plus a batched feature-extraction pass.
+  * columns with typed metadata, plus batched decode passes.
   *
-  * The Spark-side machinery here is real and tested — schema, typed
-  * metadata struct, balanced partitioning for the decode pass, and a
-  * mapPartitions kernel with the batch shape a native decoder wants. The
-  * byte→pixels/samples DECODE ITSELF IS A DETERMINISTIC STUB (this
-  * container has no image/audio codecs): [[StubDecoder.decode]] is the
-  * clearly-marked plug point where a JNI/FFmpeg/libjpeg call would go.
+  * IMAGE decode is REAL: [[ImageCodec]] (in-JDK javax.imageio) decodes
+  * PNG/JPEG payloads to pixels for the stats/feature/resize passes.
+  * Audio/video decode remains a DETERMINISTIC STUB ([[StubDecoder]] —
+  * the JDK ships no codecs for them); the mapPartitions plumbing is
+  * identical, so swapping in an FFmpeg/JNI call touches one function.
   *
-  * Scale notes: media blobs make row sizes wildly skewed, so the decode
-  * pass repartitions by a hash of the id — never range — and the kernel
-  * is iterator-to-iterator (no partition-wide materialization), keeping
-  * memory at O(1 row). Metadata-only queries never touch the blob column
-  * (parquet column pruning), which is the point of splitting metadata out.
+  * Scale notes: media blobs make row sizes wildly skewed, so every
+  * decode pass repartitions by a hash of the id — never range — and the
+  * kernels are iterator-to-iterator (no partition-wide materialization),
+  * keeping memory at O(1 row). Metadata-only queries never touch the
+  * blob column (parquet column pruning), which is the point of splitting
+  * metadata out.
   */
 object Multimodal {
 
@@ -29,12 +29,13 @@ object Multimodal {
       format: String,
       feature: Array[Float])
 
-  /** ======== STUB ========
-    * Deterministic fake decoder standing in for a real codec. Derives a
-    * fixed-length "feature vector" from the raw bytes (content-dependent,
-    * reproducible). Replace the body with the real decode + model forward
-    * pass; the surrounding plumbing (batching, partitioning, schema) is
-    * production-shaped.
+  /** ======== STUB (audio/video only) ========
+    * Deterministic fake decoder for payloads [[ImageCodec]] cannot read
+    * (the JDK has no audio/video codecs). Derives a fixed-length
+    * "feature vector" from the raw bytes (content-dependent,
+    * reproducible). Replace the body with the real demux/decode call;
+    * the surrounding plumbing (batching, partitioning, schema) is
+    * production-shaped. Image payloads never reach this path.
     */
   object StubDecoder {
     val featureDim = 8
@@ -94,12 +95,76 @@ object Multimodal {
         sha2(col(textCol).cast("binary"), 256).as("content_sha256")
       ).as("meta"))
 
+  /** Synthesized image payload: a solid-color PNG whose color and
+    * dimensions derive from md5 of a text column — REAL encoded bytes
+    * for exercising the decode passes, with analytically-predictable
+    * decode results (an oracle can recompute color/dims from the same
+    * md5). r,g,b = digest bytes 0..2; w,h = 8 + digest bytes 3,4 mod 9.
+    */
+  case class MediaPayload(media_id: Long, payload: Array[Byte])
+
+  def syntheticPngPayload(
+      df: DataFrame, idCol: String, textCol: String, parallelism: Int): Dataset[MediaPayload] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
+      .where(col("text").isNotNull)
+      .repartition(parallelism, col("media_id"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val d = md.digest(r.getString(1).getBytes("UTF-8"))
+          val rgb = ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+          val w = 8 + (d(3) & 0xff) % 9
+          val h = 8 + (d(4) & 0xff) % 9
+          MediaPayload(r.getLong(0), ImageCodec.encodePng(w, h, Array.fill(w * h)(rgb)))
+        }
+      }
+  }
+
+  /** Decoded image statistics — REAL javax.imageio decode. Rows whose
+    * payload is not a decodable image get format "bin" and null stats.
+    */
+  case class ImageStats(
+      media_id: Long, format: String,
+      width: Option[Int], height: Option[Int],
+      mean_r: Option[Double], mean_g: Option[Double], mean_b: Option[Double])
+
+  def imageStats(media: DataFrame, parallelism: Int): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .where(col("payload").isNotNull)
+      .repartition(parallelism, col("media_id"))
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        ImageCodec.decode(bytes) match {
+          case Some(d) =>
+            val (mr, mg, mb) = ImageCodec.channelMeans(d)
+            ImageStats(id, sniffImageFormat(bytes), Some(d.width), Some(d.height),
+              Some(mr), Some(mg), Some(mb))
+          case None =>
+            ImageStats(id, "bin", None, None, None, None, None)
+        }
+      })
+  }
+
+  /** Image container from magic bytes (decode-independent). */
+  private def sniffImageFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+    else "bin"
+
   /** Thumbnail row produced by [[resizePass]]. */
   case class MediaThumb(media_id: Long, w: Int, h: Int, thumb: Array[Byte])
 
-  /** Batched resize pass over image payloads (decode kernel stubbed).
-    * Same plumbing contract as [[extractFeatures]]: hash-balanced
-    * partitions, iterator-to-iterator, blob column pruned everywhere else.
+  /** Batched resize pass: REAL bilinear resize + PNG re-encode for
+    * decodable images ([[ImageCodec.resize]]); the deterministic stub
+    * handles non-image payloads. Same plumbing contract as
+    * [[extractFeatures]]: hash-balanced partitions,
+    * iterator-to-iterator, blob column pruned everywhere else.
     */
   def resizePass(media: DataFrame, w: Int, h: Int, parallelism: Int): Dataset[MediaThumb] = {
     val spark = media.sparkSession
@@ -108,7 +173,9 @@ object Multimodal {
       .where(col("payload").isNotNull)
       .repartition(parallelism, col("media_id"))
       .mapPartitions(_.map { r =>
-        MediaThumb(r.getLong(0), w, h, StubDecoder.resize(r.getAs[Array[Byte]](1), w, h))
+        val bytes = r.getAs[Array[Byte]](1)
+        val out = ImageCodec.resize(bytes, w, h).getOrElse(StubDecoder.resize(bytes, w, h))
+        MediaThumb(r.getLong(0), w, h, out)
       })
   }
 
@@ -135,7 +202,9 @@ object Multimodal {
   }
 
   /** Batched decode/feature-extract pass. Hash-repartitions for blob-size
-    * balance, then runs the (stubbed) decoder iterator-to-iterator.
+    * balance, then decodes iterator-to-iterator: images get REAL pixel
+    * features (dims, channel means, luma, aspect); non-image payloads
+    * fall back to the deterministic byte-stat stub.
     */
   def extractFeatures(media: DataFrame, parallelism: Int): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -148,7 +217,20 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          MediaFeatures(id, bytes.length, StubDecoder.sniffFormat(bytes), StubDecoder.decode(bytes))
+          ImageCodec.decode(bytes) match {
+            case Some(d) =>
+              val (mr, mg, mb) = ImageCodec.channelMeans(d)
+              val luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+              MediaFeatures(id, bytes.length, sniffImageFormat(bytes), Array(
+                d.width.toFloat, d.height.toFloat,
+                (mr / 255.0).toFloat, (mg / 255.0).toFloat, (mb / 255.0).toFloat,
+                (luma / 255.0).toFloat,
+                d.width.toFloat / d.height.toFloat,
+                bytes.length / 1024.0f))
+            case None =>
+              MediaFeatures(id, bytes.length, StubDecoder.sniffFormat(bytes),
+                StubDecoder.decode(bytes))
+          }
         }
       }
   }

@@ -41,4 +41,50 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(frames.length == 3)
     assert(new String(frames.head.frame) == "hell")
   }
+
+  // ---------------------------------------------- real image decode path
+
+  test("PNG encode/decode roundtrip is lossless (real javax.imageio)") {
+    val px = Array(0xff0000, 0x00ff00, 0x0000ff, 0x123456, 0xfedcba, 0x000000)
+    val bytes = ImageCodec.encodePng(3, 2, px)
+    val d = ImageCodec.decode(bytes).get
+    assert(d.width == 3 && d.height == 2)
+    assert(d.pixels.map(_ & 0xffffff).toSeq == px.toSeq)
+  }
+
+  test("synthetic PNG payload decodes to md5-derived dims and exact color") {
+    val docs = Seq((7L, "hello media world")).toDF("doc_id", "text")
+    val payload = Multimodal.syntheticPngPayload(docs, "doc_id", "text", 2).toDF()
+    val st = Multimodal.imageStats(payload, 2).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello media world".getBytes("UTF-8"))
+    assert(st.format == "png")
+    assert(st.width.get == 8 + (md(3) & 0xff) % 9)
+    assert(st.height.get == 8 + (md(4) & 0xff) % 9)
+    assert(st.mean_r.get == (md(0) & 0xff).toDouble) // solid color: exact
+    assert(st.mean_g.get == (md(1) & 0xff).toDouble)
+    assert(st.mean_b.get == (md(2) & 0xff).toDouble)
+  }
+
+  test("resize pass really resamples images: decoded thumb has target dims") {
+    val docs = Seq((1L, "resize me")).toDF("doc_id", "text")
+    val payload = Multimodal.syntheticPngPayload(docs, "doc_id", "text", 1).toDF()
+    val thumb = Multimodal.resizePass(payload, 5, 4, 1).collect().head
+    val d = ImageCodec.decode(thumb.thumb).get
+    assert(d.width == 5 && d.height == 4)
+    // solid-color source -> solid-color thumbnail, bit-exact
+    val src = ImageCodec.decode(
+      payload.select("payload").head().getAs[Array[Byte]](0)).get
+    assert(d.pixels.toSet == src.pixels.toSet && d.pixels.toSet.size == 1)
+  }
+
+  test("feature extraction uses real pixel features for images") {
+    val docs = Seq((1L, "feature text")).toDF("doc_id", "text")
+    val payload = Multimodal.syntheticPngPayload(docs, "doc_id", "text", 1).toDF()
+    val f = Multimodal.extractFeatures(payload, 1).collect().head
+    val st = Multimodal.imageStats(payload, 1).collect().head
+    assert(f.format == "png")
+    assert(f.feature(0) == st.width.get.toFloat && f.feature(1) == st.height.get.toFloat)
+    assert(math.abs(f.feature(2) - st.mean_r.get / 255.0) < 1e-6)
+  }
 }
