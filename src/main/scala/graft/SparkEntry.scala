@@ -50,6 +50,71 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- AIR1: the reference's three airline pipelines end-to-end
+    //      (ingest coercion -> mart -> compensation) under the driver's
+    //      oracle. venta/pasajero are shaped deterministically from
+    //      orders/customer (so DuckDB can rebuild them); vuelo comes from
+    //      literal pipe-delimited lines through the S7 split + coercion
+    //      path. Covers SRC1 coercion rules (S3 slash dates, S4 compact
+    //      timestamps, dirty-INTEGER policy), J1/J2/W1 joins + dedup,
+    //      S1 abs, S2 obfuscation, A1/A2 quota, S5 ages, S6
+    //      classification, and the SURVEY 2.8 determinism contract. ----
+    "air1_mart_pipeline" -> ((s, dir) => {
+      import graft.sources.PipeDelimitedSource.coerce
+      import org.apache.spark.sql.types._
+      val base = to_timestamp(lit("2020-10-19 00:00:00"))
+      val okey = col("o_orderkey")
+      val venta = t(s, dir, "orders").select(
+        lit("AA").as("codigo_aerolinea"),
+        concat(lit("AV"), okey % 3).as("cod_avion"),
+        concat(lit("S"), okey % 100).as("asiento"),
+        when(okey % 97 === 0, concat(lit("DX"), col("o_custkey")))
+          .otherwise(concat(lit("D"), col("o_custkey"))).as("dni"),
+        when(okey % 7 === 0, -col("o_totalprice")).otherwise(col("o_totalprice")).as("monto"),
+        col("o_orderstatus").as("estado"),
+        // compact-format roundtrip: the S4 ingest rule must re-parse its
+        // own formatted output losslessly (second granularity, UTC)
+        coerce(date_format(base + make_dt_interval(lit(0), lit(0), lit(0), okey.cast("double")),
+          "yyyyMMdd HH:mm:ss"), TimestampType).as("fecha_reserva"),
+        coerce(date_format(base + make_dt_interval(lit(0), lit(1), lit(0), okey.cast("double")),
+          "yyyyMMdd HH:mm:ss"), TimestampType).as("fecha_compra"),
+        col("o_orderpriority").as("categoria"))
+      val ck = col("c_custkey")
+      val pasajero = t(s, dir, "customer").select(
+        concat(lit("D"), ck).as("dni"),
+        concat(col("c_name"), lit(" "), col("c_mktsegment")).as("nombre_completo"),
+        concat(col("c_name"), lit("@mail.test")).as("correo_electronico"),
+        concat(lit("Calle "), col("c_nationkey")).as("direccion"),
+        // dirty-INTEGER rule: spaces and dashes stripped, sign kept
+        coerce(concat(lit("+56 9 "), ck, lit("-"), col("c_nationkey")), LongType)
+          .as("telefono"),
+        coerce(concat(lit(1940) + ck % 70, lit("/"), lit(1) + ck % 12, lit("/"),
+          lit(1) + ck % 28), DateType).as("fecha_de_nacimiento")) // S3 slash date
+      import s.implicits._
+      val vuelo = Seq(
+        "AV0|180|T9|P1|V100|08:00|10:00",
+        "AV0|180|T2|P2|V100|08:00|10:00",
+        "AV0|200|T5|P3|V200|09:00|11:00",
+        "AV1|150|T1|P4|V300|10:00|12:00",
+        "AV2|150|T3|P5|V400|11:00|13:00",
+        "AVX|100|T7|P6|V500|12:00|14:00").toDF("line")
+        .select(graft.airline.AirlineSchemas.vuelo.fields.zipWithIndex.map { case (f, i) =>
+          coerce(element_at(split(col("line"), "\\|"), i + 1), f.dataType).as(f.name)
+        }.toSeq: _*)
+      val mart = graft.airline.MartBuilder.build(venta, pasajero, vuelo)
+      graft.airline.Compensation(mart, asOfYear = 2020).select(
+        col("codigo_aerolinea"), col("cod_avion"), col("asiento"), col("dni"),
+        col("monto"), col("estado"),
+        date_format(col("fecha_reserva"), "yyyy-MM-dd HH:mm:ss").as("fecha_reserva"),
+        date_format(col("fecha_compra"), "yyyy-MM-dd HH:mm:ss").as("fecha_compra"),
+        col("categoria"), col("capacidad"), col("cod_tripulacion"), col("cod_piloto"),
+        col("cod_vuelo"), col("horario_salida"), col("horario_llegada"),
+        col("nombre_completo"), col("correo_electronico"), col("direccion"),
+        col("telefono"),
+        date_format(col("fecha_de_nacimiento"), "yyyy-MM-dd").as("fecha_de_nacimiento"),
+        col("compensacion"))
+    }),
+
     // ---- A1: grouped aggregation with arithmetic (TPC-H Q1 shape) ----
     "a1_full_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -778,6 +843,88 @@ object SparkEntry {
          CASE WHEN l_quantity - 25.0 > 0 THEN 1.0
               WHEN l_quantity - 25.0 < 0 THEN -1.0 ELSE 0.0 END AS qty_sign
          FROM lineitem""",
+
+    "air1_mart_pipeline" ->
+      """WITH venta AS (
+           SELECT 'AA' AS codigo_aerolinea,
+             'AV' || (o_orderkey % 3) AS cod_avion,
+             'S' || (o_orderkey % 100) AS asiento,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'DX' || o_custkey
+                  ELSE 'D' || o_custkey END AS dni,
+             CASE WHEN o_orderkey % 7 = 0 THEN -o_totalprice
+                  ELSE o_totalprice END AS monto,
+             o_orderstatus AS estado,
+             TIMESTAMP '2020-10-19 00:00:00' + to_seconds(o_orderkey) AS fecha_reserva,
+             TIMESTAMP '2020-10-19 01:00:00' + to_seconds(o_orderkey) AS fecha_compra,
+             o_orderpriority AS categoria
+           FROM orders),
+         pasajero AS (
+           SELECT 'D' || c_custkey AS dni,
+             c_name || ' ' || c_mktsegment AS nombre_completo,
+             c_name || '@mail.test' AS correo_electronico,
+             'Calle ' || c_nationkey AS direccion,
+             CAST('569' || c_custkey || c_nationkey AS BIGINT) AS telefono,
+             make_date(1940 + c_custkey % 70, 1 + c_custkey % 12, 1 + c_custkey % 28)
+               AS fecha_de_nacimiento
+           FROM customer),
+         vuelo(cod_avion, capacidad, cod_tripulacion, cod_piloto, cod_vuelo,
+               horario_salida, horario_llegada) AS (
+           VALUES ('AV0','180','T9','P1','V100','08:00','10:00'),
+                  ('AV0','180','T2','P2','V100','08:00','10:00'),
+                  ('AV0','200','T5','P3','V200','09:00','11:00'),
+                  ('AV1','150','T1','P4','V300','10:00','12:00'),
+                  ('AV2','150','T3','P5','V400','11:00','13:00'),
+                  ('AVX','100','T7','P6','V500','12:00','14:00')),
+         v1 AS (SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY cod_vuelo ORDER BY cod_tripulacion) AS rn FROM vuelo),
+         v2 AS (SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY cod_avion ORDER BY cod_vuelo, cod_tripulacion) AS rn2
+                FROM v1 WHERE rn = 1),
+         vd AS (SELECT cod_avion, capacidad, cod_tripulacion, cod_piloto, cod_vuelo,
+                  horario_salida, horario_llegada FROM v2 WHERE rn2 = 1),
+         mart AS (
+           SELECT v.codigo_aerolinea, v.cod_avion, v.asiento, v.dni,
+             abs(v.monto) AS monto, v.estado, v.fecha_reserva, v.fecha_compra,
+             v.categoria, f.capacidad, f.cod_tripulacion, f.cod_piloto, f.cod_vuelo,
+             f.horario_salida, f.horario_llegada,
+             CASE WHEN p.nombre_completo IS NULL THEN NULL
+               ELSE split_part(p.nombre_completo, ' ', 1) || ' ' ||
+                 regexp_replace(
+                   substr(p.nombre_completo, strpos(p.nombre_completo, ' ') + 1),
+                   '[^' || substr(substr(p.nombre_completo, strpos(p.nombre_completo, ' ') + 1), 1, 1) || ' ]',
+                   '*', 'g')
+             END AS nombre_completo,
+             p.correo_electronico, p.direccion, p.telefono, p.fecha_de_nacimiento
+           FROM venta v
+           LEFT JOIN pasajero p ON v.dni = p.dni
+           LEFT JOIN vd f ON v.cod_avion = f.cod_avion),
+         quota AS (SELECT cod_vuelo, CAST(floor(COUNT(*) / 20) AS BIGINT) * 3 AS quota_left
+                   FROM mart GROUP BY cod_vuelo),
+         aged AS (SELECT m.*, CASE WHEN fecha_de_nacimiento IS NOT NULL
+                    THEN 2020 - year(fecha_de_nacimiento) END AS anios FROM mart m),
+         ranked AS (SELECT a.*,
+             SUM(CASE WHEN anios IS NOT NULL AND (anios < 14 OR anios > 60)
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY cod_vuelo ORDER BY dni, fecha_reserva
+                     ROWS UNBOUNDED PRECEDING) AS elig_rank
+           FROM aged a),
+         fin AS (SELECT r.*, q.quota_left,
+             CASE WHEN anios IS NULL OR COALESCE(q.quota_left, 0) <= 0 THEN NULL
+                  WHEN (anios < 14 OR anios > 60) AND elig_rank <= q.quota_left THEN
+                    CASE WHEN anios < 14 THEN 'ASISTENCIA_PREFERENCIAL'
+                         ELSE 'ASIENTO_PREFERENCIAL' END
+                  WHEN anios < 14 OR anios > 60 THEN NULL
+                  ELSE 'NO APLICA' END AS compensacion
+           FROM ranked r LEFT JOIN quota q USING (cod_vuelo))
+         SELECT codigo_aerolinea, cod_avion, asiento, dni, monto, estado,
+           strftime(fecha_reserva, '%Y-%m-%d %H:%M:%S') AS fecha_reserva,
+           strftime(fecha_compra, '%Y-%m-%d %H:%M:%S') AS fecha_compra,
+           categoria, capacidad, cod_tripulacion, cod_piloto, cod_vuelo,
+           horario_salida, horario_llegada, nombre_completo, correo_electronico,
+           direccion, telefono,
+           strftime(fecha_de_nacimiento, '%Y-%m-%d') AS fecha_de_nacimiento,
+           compensacion
+         FROM fin""",
 
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_hash,
