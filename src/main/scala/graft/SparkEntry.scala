@@ -615,6 +615,32 @@ object SparkEntry {
           col("signup_value"))
     }),
 
+    // ---- E5: time-bounded stream-stream join, batch twin under the
+    //      driver (same clickAttribution plan runs in streaming with
+    //      two-sided watermarks; StreamJoinSpec proves equivalence) ----
+    "e5_click_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.streaming.EventStreams.clickAttribution(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "signup"), "7 days")
+        .select(col("click_id"), col("user_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
+    }),
+
+    // ---- E6: dedup-within-watermark, batch twin (earliest arrival
+    //      wins). event_id is unique in the source, so duplicates are
+    //      injected 10 minutes later — the dedup must drop exactly
+    //      those and keep every original row ----
+    "e6_dedup_watermark" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "user_id", "event_type", "ts", "value")
+      val dups = ev.where(col("event_id") % 50 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 10 MINUTES"))
+      graft.streaming.EventStreams.dedupBatchTwin(ev.unionByName(dups))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"))
+    }),
+
     // ---- M: multimodal binary payload + typed metadata ----
     "m1_media_meta" -> ((s, dir) => {
       graft.ops.Multimodal
@@ -672,6 +698,26 @@ object SparkEntry {
            AND l_shipdate >= TIMESTAMP '1997-01-01'""",
 
     "p2_select_star" -> "SELECT * FROM nation",
+
+    "e5_click_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, ts::TIMESTAMP AS t FROM events),
+         c AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'click'),
+         g AS (SELECT user_id, t FROM e WHERE event_type = 'signup')
+         SELECT c.event_id AS click_id, c.user_id,
+           strftime(c.t, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(g.t, '%Y-%m-%d %H:%M:%S') AS signup_ts
+         FROM c JOIN g ON c.user_id = g.user_id
+           AND c.t >= g.t AND c.t <= g.t + INTERVAL 7 DAY""",
+
+    "e6_dedup_watermark" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, ts::TIMESTAMP AS t, value FROM events),
+         d AS (SELECT event_id, user_id, event_type, t + INTERVAL 10 MINUTE AS t, value
+               FROM e WHERE event_id % 50 = 0),
+         a AS (SELECT * FROM e UNION ALL SELECT * FROM d),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY t) AS rn FROM a)
+         SELECT event_id, user_id, event_type,
+           strftime(t, '%Y-%m-%d %H:%M:%S') AS ts, value
+         FROM r WHERE rn = 1""",
 
     "j1_broadcast_join" ->
       """SELECT c_mktsegment,

@@ -207,6 +207,25 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Batch twin of [[streamingDedup]]: earliest arrival per id wins
+    * (`dropDuplicatesWithinWatermark` keeps the first-seen row; in a
+    * batch replay of the same data, first-seen = smallest event time).
+    * The extra `tieCols` give a total order when two arrivals share a
+    * timestamp, which streaming resolves by arrival order — batch must
+    * pin it explicitly to stay deterministic.
+    */
+  def dedupBatchTwin(
+      events: DataFrame,
+      idCols: Seq[String] = Seq("event_id"),
+      tsCol: String = "ts",
+      tieCols: Seq[String] = Seq.empty): DataFrame = {
+    val order = (col(tsCol).asc +: tieCols.map(col(_).asc))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCols.map(col): _*).orderBy(order: _*)
+    events.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
   /** Micro-batch sink via foreachBatch: each micro-batch lands
     * transactionally into a managed table (append). This is the hook for
     * arbitrary batch-side logic (MERGE-style upserts, multi-table

@@ -29,6 +29,19 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == Seq(1L, 2L, 3L))
   }
 
+  test("streaming dedup equals the batch twin (earliest arrival wins)") {
+    val dir = writeDupFixture()
+    val streamed = EventStreams.runToMemorySink(
+      spark, EventStreams.streamingDedup(spark, dir), "sdedup_twin",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).sortBy(_._1).toSeq
+    val twin = EventStreams.dedupBatchTwin(spark.read.parquet(dir))
+      .select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).sortBy(_._1).toSeq
+    assert(streamed == twin)
+  }
+
   test("foreachBatch sink lands micro-batches in a managed table") {
     val dir = writeDupFixture()
     spark.sql("DROP TABLE IF EXISTS stream_landing")
