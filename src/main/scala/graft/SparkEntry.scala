@@ -584,6 +584,36 @@ object SparkEntry {
             .cast("int").as("hll_within_5pct"))
     }),
 
+    // ---- X11: bucketed co-located join — both sides written bucketed
+    //      on the key, so the join itself plans with ZERO exchanges
+    //      (write-once, join-many; asserted in PlanQualitySpec) ----
+    "x11_bucketed_join" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.sources.Bucketing.writeBucketed(
+        t(s, dir, "orders").select(col("o_custkey").as("k"), col("o_totalprice")),
+        s"bkt_orders$suffix", "k", 8)
+      graft.sources.Bucketing.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey").as("k"), col("c_mktsegment")),
+        s"bkt_customer$suffix", "k", 8)
+      graft.sources.Bucketing
+        .bucketedJoin(s, s"bkt_orders$suffix", s"bkt_customer$suffix", "k")
+        .groupBy("c_mktsegment")
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- X12: salted hot-key join — result must equal the plain join
+    //      (the salt spreads hot keys across tasks without changing
+    //      semantics) ----
+    "x12_salted_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      graft.ops.Skew
+        .saltedJoinHotKeys(o, c, "c_custkey", hotKeys = Seq(1L, 2L, 3L), buckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+
     // ---- set operations ----
     "x5_setops" -> ((s, dir) => {
       val hi = t(s, dir, "orders").where(col("o_totalprice") > 400000.0)
@@ -810,6 +840,20 @@ object SparkEntry {
          SELECT c_custkey,
            fn || ' ' || regexp_replace(ln, '[^' || substr(ln,1,1) || ' ]', '*', 'g') AS masked
          FROM u""",
+
+    "x11_bucketed_join" ->
+      """SELECT c_mktsegment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+
+    "x12_salted_join" ->
+      """SELECT c_mktsegment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
 
     "x1_distinct_agg" ->
       """SELECT l_returnflag,

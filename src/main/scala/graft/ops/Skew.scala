@@ -47,8 +47,9 @@ object Skew {
       buckets: Int): DataFrame = {
     val isHot = col(key).isin(hotKeys: _*)
     val hotJoined = saltedJoin(large.where(isHot), small.where(isHot), key, buckets)
-    val coldJoined = large.where(!isHot || col(key).isNull)
-      .join(small.where(!isHot), Seq(key))
+    // inner join: null keys never match, so the cold side can drop them
+    // up front (`!isHot` is NULL — excluded — for null keys)
+    val coldJoined = large.where(!isHot).join(small.where(!isHot), Seq(key))
     hotJoined.unionByName(coldJoined)
   }
 }

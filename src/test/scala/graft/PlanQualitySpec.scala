@@ -52,6 +52,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"), p)
   }
 
+  test("x11: bucketed join plans with no exchange below the join") {
+    val p = plan("x11_bucketed_join")
+    // the only Exchange allowed is the final aggregation's — the join
+    // reads co-located buckets on both sides
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"bucketed join leaked a shuffle:\n$p")
+  }
+
   test("x3: global top-k is TakeOrderedAndProject, not a full sort") {
     val p = plan("x3_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
