@@ -27,22 +27,37 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.1.2", "", "built-in")
 
+  /** Arity guard: SQL callers get a clean AnalysisException instead of
+    * a NoSuchElementException from naive Seq indexing.
+    */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> n.toString,
+            "actualNum" -> es.length.toString, "docroot" -> ""))
+      build(es)
+    }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("obfuscate_name",
       info("obfuscate_name", "obfuscate_name(str) - reference S2 name mask"),
-      (es: Seq[Expression]) => ObfuscateNameExpr(es.head)),
+      arity("obfuscate_name", 1)(es => ObfuscateNameExpr(es.head))),
     ("simhash64",
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash signature"),
-      (es: Seq[Expression]) => SimHash64Expr(es.head)),
+      arity("simhash64", 1)(es => SimHash64Expr(es.head))),
     ("vec_dot",
       info("vec_dot", "vec_dot(a, b) - fused double dot product over array<float|double>"),
-      (es: Seq[Expression]) => VectorKernelExpr(es(0), es(1), "dot")),
+      arity("vec_dot", 2)(es => VectorKernelExpr(es(0), es(1), "dot"))),
     ("vec_cosine",
       info("vec_cosine", "vec_cosine(a, b) - fused cosine similarity; NULL for zero norms"),
-      (es: Seq[Expression]) => VectorKernelExpr(es(0), es(1), "cosine")),
+      arity("vec_cosine", 2)(es => VectorKernelExpr(es(0), es(1), "cosine"))),
     ("vec_l2sq",
       info("vec_l2sq", "vec_l2sq(a, b) - fused squared L2 distance"),
-      (es: Seq[Expression]) => VectorKernelExpr(es(0), es(1), "l2Sq"))
+      arity("vec_l2sq", 2)(es => VectorKernelExpr(es(0), es(1), "l2Sq")))
   )
 
   /** Register the functions on an already-built session. */

@@ -214,7 +214,7 @@ object SparkEntry {
       // explicit-dedup-policy lesson applied here).
       val w = Window.partitionBy("l_orderkey").orderBy(
         col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc,
-        col("l_extendedprice").asc)
+        col("l_extendedprice").asc, col("l_quantity").asc)
       t(s, dir, "lineitem")
         .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
@@ -801,7 +801,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
              ROW_NUMBER() OVER (PARTITION BY l_orderkey
-               ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS rn
+               ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity) AS rn
            FROM lineitem) WHERE rn = 1""",
 
     "s1_scalar_transforms" ->
@@ -838,7 +838,8 @@ object SparkEntry {
          u AS (SELECT c_custkey, split_part(f,' ',1) AS fn,
                       substr(f, strpos(f,' ')+1) AS ln FROM t)
          SELECT c_custkey,
-           fn || ' ' || regexp_replace(ln, '[^' || substr(ln,1,1) || ' ]', '*', 'g') AS masked
+           fn || ' ' || array_to_string(list_transform(split(ln, ''),
+             c -> CASE WHEN c = substr(ln,1,1) OR c = ' ' THEN c ELSE '*' END), '') AS masked
          FROM u""",
 
     "x11_bucketed_join" ->

@@ -28,7 +28,10 @@ object NGramShingles {
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   def shingleKernel(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString.toLowerCase
+    // Locale.ROOT: the default locale would make 'I' lowercase to
+    // dotless-i on Turkish JVMs, silently diverging from Spark's
+    // locale-independent lower() (used by the HOF twin and the oracles)
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     // manual trim+split on whitespace runs (regex-\s semantics)
     val tokens = new scala.collection.mutable.ArrayBuffer[String](64)
     var i = 0

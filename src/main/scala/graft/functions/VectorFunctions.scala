@@ -4,15 +4,17 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` / `array<double>` embedding columns,
-  * composed from higher-order built-ins (`zip_with` + `aggregate`) so it
-  * stays codegen'd and SQL-expressible — the DuckDB oracle can reproduce
-  * every result bit-for-bit (all arithmetic in double, sequential
-  * left-to-right accumulation in both engines).
+  * composed from higher-order built-ins (`zip_with` + `aggregate`).
+  * SQL-expressible — the DuckDB oracle reproduces every result
+  * bit-for-bit (all arithmetic in double, sequential left-to-right
+  * accumulation in both engines) — which is why these formulations
+  * define the reference SEMANTICS.
   *
-  * For the 100 TB path these are the per-row kernels of
-  * [[graft.ops.Similarity]]; they are O(dim) with no allocation beyond the
-  * zipped array. A custom fused Catalyst expression (single loop, no
-  * intermediate array) is the next optimization step if profiling demands.
+  * NOT the hot path: higher-order-function lambdas run INTERPRETED
+  * (no whole-stage codegen) and the optimizer may push them below
+  * exchanges. The fused native kernels in [[VectorKernels]] are the
+  * 100 TB executors of the same semantics (bit-identical results,
+  * ~100x faster per row); [[graft.ops.Similarity]] uses those.
   */
 object VectorFunctions {
 

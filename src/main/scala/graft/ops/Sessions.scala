@@ -40,7 +40,10 @@ object Sessions {
       count(lit(1)).as("n_events"),
       min(col(tsCol)).as("session_start"),
       max(col(tsCol)).as("session_end"))
-    val aggs = valueCol.map(v => round(sum(col(v)), 4).as("session_value")).toSeq ++ base
+    // exact decimal sum (engine convention): raw double sums are
+    // accumulation-order-dependent and cannot hash-match an oracle
+    val aggs = valueCol.map(v =>
+      sum(col(v).cast("decimal(18,2)")).cast("double").as("session_value")).toSeq ++ base
     assign(events, userCol, tsCol, gapSeconds)
       .groupBy(col(userCol), col("session_seq"))
       .agg(aggs.head, aggs.tail: _*)

@@ -1,4 +1,4 @@
-package tmp
+package tools
 
 /** Prints condensed physical plans for the headline queries — the
   * "is this the plan I'd want at 100 TB" audit.

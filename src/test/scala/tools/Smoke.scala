@@ -1,4 +1,4 @@
-package tmp
+package tools
 
 object Smoke {
   def main(args: Array[String]): Unit = {

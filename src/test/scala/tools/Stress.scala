@@ -1,4 +1,4 @@
-package tmp
+package tools
 
 /** 10x-scale stress run of the shuffle-heavy relational queries (6M-row
   * lineitem) — empirical backing for the SCALING.md linear-scaling claims.

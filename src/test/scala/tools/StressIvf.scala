@@ -1,4 +1,4 @@
-package tmp
+package tools
 
 import org.apache.spark.sql.functions._
 

@@ -1,4 +1,4 @@
-package tmp
+package tools
 
 /** Throwaway verification driver: exercises the airline pipeline
   * (ingest → mart → compensation) through the public API on inline rows
