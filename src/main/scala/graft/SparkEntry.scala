@@ -444,6 +444,22 @@ object SparkEntry {
         graft.ops.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // ---- T: Gopher-style repetition metrics (dup-word fraction,
+    //      top-word share) ----
+    "t7_repetition" -> ((s, dir) =>
+      graft.ops.TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- T: PII redaction — emails/phones injected deterministically,
+    //      masked with the shared Java/RE2 regex subset so the oracle
+    //      reproduces the redacted text byte-for-byte ----
+    "t8_pii_redaction" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" Contact: user"), col("doc_id"),
+          lit("@example.com or +1 555 000 "), lpad(col("doc_id"), 4, "0")).as("text"))
+      withPii.select(col("doc_id"),
+        graft.ops.TextAnalysis.redactPii(col("text")).as("redacted"))
+    }),
+
     // ---- T: fingerprint invariant — fp equality must coincide with
     //      token-sequence equality on this corpus (no collisions, and
     //      the chained hash is a pure function of the sequence) ----
@@ -1179,6 +1195,29 @@ object SparkEntry {
          COUNT(DISTINCT array_to_string(regexp_extract_all(text, '\S+'), ' ')) AS n_distinct_seq,
          COUNT(DISTINCT array_to_string(regexp_extract_all(text, '\S+'), ' ')) AS n_distinct_fp
          FROM documents""",
+
+    "t7_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+                    FROM documents),
+         c AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word),
+         a AS (SELECT doc_id, SUM(n) AS n_words, COUNT(*) AS n_distinct_words,
+                 MAX(n) AS top_freq FROM c GROUP BY doc_id)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+           ROUND(1.0 - CAST(n_distinct_words AS DOUBLE) / n_words, 6) AS dup_word_frac,
+           ROUND(CAST(top_freq AS DOUBLE) / n_words, 6) AS top_word_frac
+         FROM a""",
+
+    "t8_pii_redaction" ->
+      """WITH p AS (SELECT doc_id,
+           text || ' Contact: user' || doc_id || '@example.com or +1 555 000 '
+             || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS text
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+         FROM p""",
 
     "v3i_ivf_recall" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),

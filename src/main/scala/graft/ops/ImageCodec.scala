@@ -15,6 +15,12 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // ImageIO defaults to a FILE-backed stream cache — a temp file created
+  // and deleted per encode/decode call, which serializes a parallel
+  // decode pass on filesystem metadata ops. In-memory payloads need no
+  // cache at all.
+  ImageIO.setUseCache(false)
+
   /** Decoded raster: width, height, ARGB pixels row-major. */
   final case class Decoded(width: Int, height: Int, pixels: Array[Int])
 

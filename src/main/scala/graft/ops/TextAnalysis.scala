@@ -105,10 +105,47 @@ object TextAnalysis {
     * two documents share a fingerprint iff their token sequences are
     * identical (unlike a set-based signature this is order-sensitive).
     * Chaining instead of a polynomial multiply keeps it safe under Spark
-    * 4's default ANSI overflow checking. One narrow codegen'd pass.
+    * 4's default ANSI overflow checking. Runs as a native codegen kernel
+    * ([[graft.functions.Fingerprint]]) — the equivalent HOF formulation
+    * `aggregate(tokens(text), 0L, (acc, t) => xxhash64(acc, t))` is
+    * value-identical but interpreted (see TextAnalysisSpec parity test).
     */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+    graft.functions.Fingerprint.fingerprint(text)
+
+  /** PII redaction: emails, then phone-like digit runs, masked with
+    * fixed placeholders. Patterns stay inside the regex subset shared by
+    * Java's engine and RE2, so warehouse-side SQL (the oracle, or a
+    * downstream DuckDB/BigQuery consumer) reproduces the result exactly.
+    * One codegen'd regexp pass per pattern — linear, no shuffle.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>")
+  }
+
+  /** Word-repetition metrics (Gopher-style repetition filters, Rae et
+    * al. 2021 §A1): per document, the duplicate-word fraction
+    * (1 − distinct/total) and the top single word's frequency share.
+    * Relational formulation — explode + two hash aggregations with
+    * map-side partial combine — so it scales with corpus word mass, not
+    * document count × vocabulary.
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("word"))
+    words
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("n")).as("top_freq"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        round(lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        round(col("top_freq").cast("double") / col("n_words"), 6).as("top_word_frac"))
+  }
 
   /** Convenience: full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {

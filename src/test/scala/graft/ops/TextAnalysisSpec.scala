@@ -41,6 +41,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(fp("a b c") != fp("a b"))
   }
 
+  test("native fingerprint kernel equals the HOF xxhash chain") {
+    val hof = (s: String) => one[Long](
+      aggregate(TextAnalysis.tokens(col("t")), lit(0L), (acc, t) => xxhash64(acc, t)), s)
+    val native = (s: String) => one[Long](TextAnalysis.fingerprint(col("t")), s)
+    for (s <- Seq("a b c", "  leading and   multi  spaces ", "single",
+                  "tab\tand\nnewline", "", "año café 東京"))
+      assert(native(s) == hof(s), s"mismatch for <$s>")
+  }
+
+  test("PII redaction masks emails and phone runs, leaves prose intact") {
+    val r = (s: String) => one[String](TextAnalysis.redactPii(col("t")), s)
+    assert(r("mail bob.smith+x@corp.example.org now") == "mail <EMAIL> now")
+    assert(r("call +1 (555) 123-4567 today") == "call <PHONE> today")
+    assert(r("no pii here at all") == "no pii here at all")
+  }
+
   test("quality score is in [0,1] and favors clean prose") {
     val q = (s: String) => one[Double](TextAnalysis.qualityScore(col("t")), s)
     val clean = q("the quick brown fox jumps over the lazy dog and runs to the house in the field")
