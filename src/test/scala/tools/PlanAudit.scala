@@ -9,7 +9,8 @@ object PlanAudit {
     val dir = "/root/testdata/sf0.01"
     val interesting = Seq("a1_full_agg", "p1_projection_filter", "j1_broadcast_join",
       "j2_multi_join", "j3_decorrelated_quota", "w1_window_dedup", "d2_minhash_neardup",
-      "v1_topk_cosine", "e1_sessionize")
+      "v1_topk_cosine", "v3_ivf_topk", "e1_sessionize", "air1_mart_pipeline",
+      "x11_bucketed_join", "x12_salted_join", "t7_repetition")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = graft.SparkEntry.queries(name)(spark, dir)
