@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ObfuscateNameExpr, SimHash64Expr, VectorKernelExpr}
+import graft.functions.{FingerprintExpr, MinHashSigExpr, ObfuscateNameExpr, SigOverlapExpr, SimHash64Expr, VectorKernelExpr}
 
 /** Catalyst extension point: registers graft's native expressions as SQL
   * functions, so the engine surface is reachable from `spark.sql(...)` as
@@ -57,8 +57,26 @@ object GraftExtensions {
       arity("vec_cosine", 2)(es => VectorKernelExpr(es(0), es(1), "cosine"))),
     ("vec_l2sq",
       info("vec_l2sq", "vec_l2sq(a, b) - fused squared L2 distance"),
-      arity("vec_l2sq", 2)(es => VectorKernelExpr(es(0), es(1), "l2Sq")))
+      arity("vec_l2sq", 2)(es => VectorKernelExpr(es(0), es(1), "l2Sq"))),
+    ("fingerprint",
+      info("fingerprint", "fingerprint(str) - chained-xxhash64 token-sequence fingerprint"),
+      arity("fingerprint", 1)(es => FingerprintExpr(es.head))),
+    ("sig_overlap",
+      info("sig_overlap", "sig_overlap(a, b) - fraction of agreeing minhash positions (estimated Jaccard)"),
+      arity("sig_overlap", 2)(es => SigOverlapExpr(es(0), es(1)))),
+    ("minhash_sig",
+      info("minhash_sig", "minhash_sig(array<string>, k) - K-value minhash signature; k must be a literal"),
+      arity("minhash_sig", 2)(es => MinHashSigExpr(es.head, litInt("minhash_sig", "k", es(1)))))
   )
+
+  /** Extract a literal INT argument (codegen-time config, not data). */
+  private def litInt(fn: String, arg: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_2140",
+      messageParameters = Map(
+        "statement" -> s"$fn($arg) requires an INT literal, got ${other.sql}"))
+  }
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -23,4 +23,23 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     GraftExtensions.register(spark)
     assert(spark.sql("SELECT vec_cosine(array(0.0F), array(1.0F)) AS c").head().isNullAt(0))
   }
+
+  test("round-2 kernels callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT fingerprint('a b c') AS fp,
+                sig_overlap(minhash_sig(array('a','b','c'), 16),
+                            minhash_sig(array('a','b','c'), 16)) AS same,
+                sig_overlap(minhash_sig(array('a','b'), 16),
+                            minhash_sig(array('x','y'), 16)) AS diff""").head()
+    assert(r.getAs[Long]("fp") != 0L)
+    assert(r.getAs[Double]("same") == 1.0)
+    assert(r.getAs[Double]("diff") < 0.5)
+  }
+
+  test("wrong arity raises a clean AnalysisException") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT obfuscate_name()").head())
+    assert(e.getMessage.contains("obfuscate_name"))
+  }
 }
