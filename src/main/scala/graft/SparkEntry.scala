@@ -405,6 +405,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // ---- D: cluster-level dedup — connected components over the
+    //      near-dup pairs (cluster_id = smallest reachable doc id);
+    //      oracle recomputes components with a recursive transitive
+    //      closure over the same exact-Jaccard pairs ----
+    "d6_dedup_clusters" -> ((s, dir) => {
+      val pairs = graft.ops.Dedup.minhashNearDup(t(s, dir, "documents"), "doc_id", "text", 0.8)
+      graft.ops.Dedup.connectedComponents(pairs)
+    }),
+
     // ---- D: exact n-gram Jaccard pairs ----
     "d4_ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
@@ -1060,6 +1069,31 @@ object SparkEntry {
          SELECT id_a, id_b, ROUND(i / (na.n + nb.n - i), 6) AS jaccard
          FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
          WHERE i / (na.n + nb.n - i) >= 0.8""",
+
+    "d6_dedup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(w)-1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS s
+                FROM d),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+                   GROUP BY x.doc_id, y.doc_id),
+         p AS (SELECT id_a, id_b
+               FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+               WHERE i / (na.n + nb.n - i) >= 0.8),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+         SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         FROM reach GROUP BY src""",
 
     "d4_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w

@@ -209,6 +209,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ------------------------------------------------ duplicate clustering
+
+  /** Connected components over near-duplicate pairs: every doc that
+    * appears in some pair gets a `cluster_id` = the smallest doc id
+    * reachable through pair edges. This is the principled cluster-level
+    * dedup (keep one representative per CLUSTER) on top of any pair
+    * source ([[minhashNearDup]], [[simhashNearDup]],
+    * [[graft.ops.Similarity.lshEmbeddingNearDup]]).
+    *
+    * Algorithm: iterative min-label propagation (the DataFrame-native
+    * equivalent of GraphX's connectedComponents) — per iteration one
+    * join + one partial-combine aggregation, shuffled on doc id, state
+    * persisted and the previous iteration unpersisted. Iterations ≤
+    * graph diameter; near-dup clusters are shallow (duplicates of a
+    * common source), so convergence is fast. The driver-side loop holds
+    * only a changed-row COUNT per iteration — no row data.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .persist(MEMORY_AND_DISK)
+
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("improved"))
+        .persist(MEMORY_AND_DISK)
+      changed = next.where(col("improved")).count()
+      labels.unpersist()
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** SimHash near-duplicate pairs: signature via [[graft.functions.SimHash]],

@@ -41,6 +41,15 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("connected components: chains merge, separate clusters stay apart") {
+    // 1-2, 2-3, 3-4 chain (diameter 3) plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("ngram jaccard matches hand-computed similarity") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
