@@ -87,4 +87,61 @@ object KernelProperties extends Properties("graft.kernels") {
       val b = new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
       SimHash.compute(a) == SimHash.compute(b)
     }
+
+  property("split signature -> bands equals the fused band kernel") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier)) { xs =>
+      val a = new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+      val fused = MinHash.bandKeys(a, 8, 4)
+      val split = MinHash.bandsKernel(MinHash.sigKernel(a, 32), 8)
+      (0 until 8).forall(i => fused.getLong(i) == split.getLong(i))
+    }
+
+  property("sig_overlap: 1 on self, 0..1 always, symmetric") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier), Gen.nonEmptyListOf(Gen.identifier)) { (xs, ys) =>
+      val a = MinHash.sigKernel(new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any]), 64)
+      val b = MinHash.sigKernel(new GenericArrayData(ys.map(UTF8String.fromString).toArray[Any]), 64)
+      val self = MinHash.overlapFrac(a, a)
+      val ab = MinHash.overlapFrac(a, b)
+      self == 1.0 && ab == MinHash.overlapFrac(b, a) && ab >= 0.0 && ab <= 1.0
+    }
+
+  property("sig_overlap estimates Jaccard: supersets agree at least on shared mins") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier)) { xs =>
+      // identical sets -> overlap exactly 1; disjoint alphabet suffix -> < 1 allowed
+      val a = MinHash.sigKernel(new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any]), 64)
+      val b = MinHash.sigKernel(new GenericArrayData(xs.reverse.map(UTF8String.fromString).toArray[Any]), 64)
+      MinHash.overlapFrac(a, b) == 1.0 // order-invariance of the signature
+    }
+
+  property("fingerprint: order-sensitive, whitespace-run-invariant") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier)) { xs =>
+      val one = Fingerprint.fingerprintKernel(UTF8String.fromString(xs.mkString(" ")))
+      val multi = Fingerprint.fingerprintKernel(UTF8String.fromString(xs.mkString("  ") + "\n"))
+      val rev = Fingerprint.fingerprintKernel(UTF8String.fromString(xs.reverse.mkString(" ")))
+      Prop(one == multi) && Prop(xs == xs.reverse || one != rev)
+    }
+
+  private def centArr(cents: Seq[(Long, Array[Float])]): GenericArrayData =
+    new GenericArrayData(cents.map { case (id, v) =>
+      org.apache.spark.sql.catalyst.InternalRow(id,
+        new GenericArrayData(v.map(x => x: Any)))
+    }.toArray[Any])
+
+  property("nearest_cell picks the argmin cell; ties break to smaller id") =
+    forAll(Gen.choose(-5.0f, 5.0f), Gen.choose(-5.0f, 5.0f)) { (x, y) =>
+      val vec = new GenericArrayData(Array[Any](x, y))
+      // two identical centroids (ids 7, 3) plus a far one (id 1)
+      val cents = centArr(Seq(
+        (7L, Array(x, y)), (3L, Array(x, y)), (1L, Array(x + 100f, y + 100f))))
+      IvfCells.nearestCell(vec, cents, true, true) == 3L
+    }
+
+  property("top_cells returns distinct cells ordered by distance then id") =
+    forAll(Gen.choose(-5.0f, 5.0f)) { x =>
+      val vec = new GenericArrayData(Array[Any](x))
+      val cents = centArr(Seq(
+        (1L, Array(x + 3f)), (2L, Array(x + 1f)), (3L, Array(x + 2f))))
+      val got = IvfCells.topCells(vec, cents, 2, true, true)
+      got.numElements() == 2 && got.getLong(0) == 2L && got.getLong(1) == 3L
+    }
 }
