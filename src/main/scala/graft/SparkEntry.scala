@@ -524,17 +524,22 @@ object SparkEntry {
     "v2_embed_neardup" -> ((s, dir) =>
       graft.ops.Similarity.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3)),
 
-    // ---- V: sign-LSH bucketed near-dup. Band shape follows the
-    //      threshold (the operator's own contract: lower threshold ->
-    //      widen bands / shrink bits): at cos 0.45 bit-agreement is
-    //      1-acos(0.45)/pi ~ 0.649, so 128 bands x 6 bits give recall
-    //      1-(1-0.649^6)^128 ~ 1-5e-5 per pair — and every candidate is
-    //      exact-cosine verified, so the exact-pairs oracle applies
-    //      (verified missed=0 at sf0.01 and sf0.1) ----
-    "v4_lsh_neardup" -> ((s, dir) =>
+    // ---- V: sign-LSH bucketed near-dup at its designed operating
+    //      point (high cosine, 64 bands x 8 bits). The corpus has no
+    //      natural pairs at >= 0.8, so 50 duplicates are injected as
+    //      POSITIVELY SCALED copies (x1.1): scaling preserves every
+    //      hyperplane sign exactly, so LSH recall on them is 1.0 by
+    //      construction (not probabilistically) and the exact-pairs
+    //      oracle applies deterministically ----
+    "v4_lsh_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val dup = emb.where(col("vec_id") < 50).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.1)).as("embedding"))
       graft.ops.Similarity.lshEmbeddingNearDup(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 0.45,
-        bands = 128, bitsPerBand = 6)),
+        emb.unionByName(dup), "vec_id", "embedding", 0.8)
+    }),
 
     // ---- V: IVF approximate top-k (approx; rows-only check) ----
     "v3_ivf_topk" -> ((s, dir) => {
@@ -1266,13 +1271,18 @@ object SparkEntry {
          SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok FROM r WHERE rank <= 5""",
 
     "v4_lsh_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+                    FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 1000000,
+                      list_transform(embedding, x -> x::DOUBLE * 1.1)
+                    FROM embeddings WHERE vec_id < 50),
          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-           / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
-            * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos
+           list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i] * b.embedding[i]))
+           / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i] * a.embedding[i])))
+            * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i] * b.embedding[i])))) AS cos
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.45""",
+         SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.8""",
 
     "m2_media_features" ->
       """SELECT doc_id AS media_id,
