@@ -234,9 +234,18 @@ object Dedup {
       .distinct()
       .persist(MEMORY_AND_DISK)
 
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
+    // seed with the 2-hop minimum in ONE plan: near-dup components are
+    // shallow (stars/short chains around a common source), so most of
+    // the graph converges before the loop even starts — each avoided
+    // round is a join+agg job AND a codegen compilation
+    val oneHop = edges
+      .join(edges.select(col("src").as("dst"), col("dst").as("hop2")), Seq("dst"))
+      .select(col("src"), col("hop2").as("dst"))
+      .unionByName(edges)
+    var labels = oneHop
+      .groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("id"), col("label"))
       .persist(MEMORY_AND_DISK)
 
     var iter = 0
