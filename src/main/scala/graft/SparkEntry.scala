@@ -510,6 +510,23 @@ object SparkEntry {
     "t6_curate_corpus" -> ((s, dir) =>
       graft.ops.Corpus.curate(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- D: benchmark decontamination — train docs sharing any word
+    //      8-gram with the eval slice are flagged; copies of eval docs
+    //      are injected so contamination exists by construction ----
+    "d7_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val ev = docs.where(col("doc_id") < 20)
+      val train = docs.where(col("doc_id") >= 20)
+        .unionByName(ev.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.ops.Corpus.decontaminate(train, ev, "doc_id", "text", 8)
+    }),
+
+    // ---- T: cluster-based curation — near-dup removal per connected
+    //      component (keep each cluster's min id), the principled
+    //      variant of t6's greedy pairwise drop ----
+    "t9_curate_clustered" -> ((s, dir) =>
+      graft.ops.Corpus.curateClustered(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- V: brute-force exact top-k cosine ----
     // 10% of the corpus as queries (self-kNN slice) — the many-query
     // regime ANN indexing exists for; v3 runs the same workload on the
@@ -1299,6 +1316,60 @@ object SparkEntry {
          COUNT(DISTINCT l_partkey) AS n_exact,
          CAST(1 AS INT) AS hll_within_5pct
          FROM lineitem GROUP BY l_returnflag""",
+
+    "d7_decontaminate" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 8 THEN
+                    list_distinct(list_transform(range(1, len(w)-6),
+                      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+                           w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))
+                  ELSE [array_to_string(w, ' ')] END AS s
+                FROM d),
+         ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 20),
+         tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 20
+                UNION ALL
+                SELECT doc_id + 1000000, unnest(s) FROM sh WHERE doc_id < 20)
+         SELECT tr.doc_id, COUNT(DISTINCT tr.g) AS n_shared_ngrams
+         FROM tr JOIN ev ON tr.g = ev.g
+         GROUP BY tr.doc_id""",
+
+    "t9_curate_clustered" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, text,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio
+           FROM documents),
+         q AS (SELECT * FROM s WHERE n_tokens >= 10 AND alpha_ratio >= 0.5),
+         ke AS (SELECT doc_id, text, n_tokens, alpha_ratio FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                  FROM q) WHERE rn = 1),
+         d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM ke),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(w)-1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS sset
+                FROM d),
+         inv AS (SELECT doc_id, unnest(sset) AS g FROM sh),
+         sz AS (SELECT doc_id, len(sset) AS nsh FROM sh),
+         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+                   GROUP BY x.doc_id, y.doc_id),
+         p AS (SELECT id_a, id_b FROM inter
+               JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+               WHERE i / (na.nsh + nb.nsh - i) >= 0.8),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         cc AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+                FROM reach GROUP BY src),
+         drops AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+         SELECT doc_id, n_tokens, alpha_ratio FROM ke
+         WHERE doc_id NOT IN (SELECT doc_id FROM drops)""",
 
     "v1_topk_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),

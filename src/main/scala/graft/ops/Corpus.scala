@@ -58,4 +58,63 @@ object Corpus {
       .join(dropIds, Seq(idCol), "left_anti")
       .select(id, col("n_tokens"), col("alpha_ratio"))
   }
+
+  /** Cluster-based curation: same gate + exact dedup as [[curate]], but
+    * near-duplicates are removed per CONNECTED COMPONENT (keep the
+    * smallest id of each near-dup cluster) instead of greedily per pair
+    * — the principled policy [[curate]]'s scaladoc contrasts itself
+    * against (A~B, B~C keeps A only, never both dropped).
+    */
+  def curateClustered(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 10,
+      minAlphaRatio: Double = 0.5,
+      jaccardThreshold: Double = 0.8,
+      n: Int = 3): DataFrame = {
+    val id = col(idCol)
+    val text = col(textCol)
+    val gated = docs.select(
+        id, text,
+        TextAnalysis.tokenCount(text).cast("long").as("n_tokens"),
+        TextAnalysis.alphaRatio(text).as("alpha_ratio"))
+      .where(col("n_tokens") >= minTokens && col("alpha_ratio") >= minAlphaRatio)
+    val w = Window.partitionBy(md5(text)).orderBy(id.asc)
+    val exactKept = gated.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+
+    val pairs = Dedup.minhashNearDup(exactKept, idCol, textCol, jaccardThreshold, n)
+    val dropIds = Dedup.connectedComponents(pairs)
+      .where(col("doc_id") =!= col("cluster_id")) // keep each cluster's min
+      .select(col("doc_id").as(idCol))
+
+    exactKept
+      .join(dropIds, Seq(idCol), "left_anti")
+      .select(id, col("n_tokens"), col("alpha_ratio"))
+  }
+
+  /** Benchmark decontamination (the standard pre-training hygiene pass):
+    * flag every training doc sharing at least one word `n`-gram with an
+    * evaluation set. The eval shingle set is tiny and broadcasts; the
+    * train side streams through one shingle pass + one inverted join —
+    * no train-train comparison, linear in corpus size.
+    *
+    * @return (idCol, n_shared_ngrams) — contaminated train docs only
+    */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val tg = train.select(col(idCol),
+      explode(graft.functions.NGramShingles.ngram_shingles(col(textCol), n)).as("g"))
+    val eg = eval
+      .select(explode(graft.functions.NGramShingles.ngram_shingles(col(textCol), n)).as("g"))
+      .distinct()
+    tg.join(broadcast(eg), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"))
+  }
 }

@@ -29,4 +29,23 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(out == Seq(0L, 3L))
   }
+
+  test("clustered curation keeps exactly one doc per near-dup cluster") {
+    val out = Corpus.curateClustered(docs, "doc_id", "text", minTokens = 10,
+      minAlphaRatio = 0.5, jaccardThreshold = 0.55)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(0L, 3L))
+  }
+
+  test("decontamination flags train docs sharing an n-gram with eval") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon zeta suffix here"), // contaminated
+      (2L, "totally unrelated content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == 4L) // 4 shared trigrams of the 6-word eval phrase
+  }
 }
