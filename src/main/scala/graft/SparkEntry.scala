@@ -474,6 +474,7 @@ object SparkEntry {
     //      the chained hash is a pure function of the sequence) ----
     "t4i_fingerprint_unique" -> ((s, dir) => {
       t(s, dir, "documents")
+        .where(col("text").isNotNull) // NULL text: fp NULL but seq '' — keep the invariant total
         .select(
           concat_ws(" ", graft.ops.TextAnalysis.tokens(col("text"))).as("seq"),
           graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -621,14 +622,16 @@ object SparkEntry {
     //      rows-only check) ----
     "x4_approx_distinct" -> ((s, dir) => {
       // HLL++ estimates are engine-specific; the checkable claim is the
-      // accuracy contract: within 5% of the exact distinct count
+      // accuracy contract. Gate at 10% = 2x the estimator's default 5%
+      // relative standard deviation — a zero-margin 5% gate would fail
+      // on a perfectly healthy estimator at some scale factor
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           countDistinct(col("l_partkey")).as("n_exact"),
           (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
-            <= countDistinct(col("l_partkey")).cast("double") * 0.05)
-            .cast("int").as("hll_within_5pct"))
+            <= countDistinct(col("l_partkey")).cast("double") * 0.10)
+            .cast("int").as("hll_within_10pct"))
     }),
 
     // ---- X11: bucketed co-located join — both sides written bucketed
@@ -736,7 +739,9 @@ object SparkEntry {
     "m2_media_features" -> ((s, dir) => {
       val media = graft.ops.Multimodal
         .syntheticPngPayload(t(s, dir, "documents"), "doc_id", "text", 32).toDF()
-      graft.ops.Multimodal.imageStats(media, 32).toDF()
+      // parallelism 0: the payload pass already hash-balanced on
+      // media_id — don't shuffle the blobs a second time
+      graft.ops.Multimodal.imageStats(media, 0).toDF()
         .select(col("media_id"), col("format"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
     })
@@ -1250,7 +1255,7 @@ object SparkEntry {
       """SELECT COUNT(*) AS n_docs,
          COUNT(DISTINCT array_to_string(regexp_extract_all(text, '\S+'), ' ')) AS n_distinct_seq,
          COUNT(DISTINCT array_to_string(regexp_extract_all(text, '\S+'), ' ')) AS n_distinct_fp
-         FROM documents""",
+         FROM documents WHERE text IS NOT NULL""",
 
     "t7_repetition" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word
@@ -1314,7 +1319,7 @@ object SparkEntry {
     "x4_approx_distinct" ->
       """SELECT l_returnflag,
          COUNT(DISTINCT l_partkey) AS n_exact,
-         CAST(1 AS INT) AS hll_within_5pct
+         CAST(1 AS INT) AS hll_within_10pct
          FROM lineitem GROUP BY l_returnflag""",
 
     "d7_decontaminate" ->

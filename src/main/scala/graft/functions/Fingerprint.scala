@@ -18,9 +18,6 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Fingerprint {
 
-  private def isSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
-
   /** Kernel: split on whitespace runs (regex `\S+` semantics), chain
     * acc → xxhash64(acc, token) starting from 0.
     */
@@ -30,9 +27,9 @@ object Fingerprint {
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && isSpace(s.charAt(i))) i += 1
+      while (i < len && NGramShingles.isSpace(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !isSpace(s.charAt(i))) i += 1
+      while (i < len && !NGramShingles.isSpace(s.charAt(i))) i += 1
       if (i > start) {
         val h1 = XxHash64Function.hash(acc, LongType, 42L)
         acc = XxHash64Function.hash(

@@ -24,7 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NGramShingles {
 
-  private def isSpace(c: Char): Boolean =
+  /** Java regex whitespace class — shared by every whitespace-tokenizing
+    * kernel so their token boundaries can never drift apart.
+    */
+  private[functions] def isSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   def shingleKernel(text: UTF8String, n: Int): ArrayData = {

@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val sigSlot = new CacheSlot
+  private val labelSlot = new CacheSlot
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on document content: canonical representative = lowest
@@ -120,8 +123,9 @@ object Dedup {
       bands: Int = 32): DataFrame = {
     require(k % bands == 0, "bands must divide k")
 
-    val sigs = minhashSignatures(df, idCol, textCol, n, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded cache: a new call releases the previous call's signature
+    // table (corpus-sized), so repeated invocations don't accumulate
+    val sigs = sigSlot.persist(minhashSignatures(df, idCol, textCol, n, k))
 
     // posexplode_outer, NOT posexplode: the non-outer Generate adds an
     // implicit `size(bands)>0` filter that predicate pushdown moves below
@@ -224,7 +228,9 @@ object Dedup {
     * persisted and the previous iteration unpersisted. Iterations ≤
     * graph diameter; near-dup clusters are shallow (duplicates of a
     * common source), so convergence is fast. The driver-side loop holds
-    * only a changed-row COUNT per iteration — no row data.
+    * only a changed-row COUNT per iteration — no row data. Throws if
+    * `maxIter` rounds don't converge — wrong cluster ids must never be
+    * returned silently.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -248,6 +254,7 @@ object Dedup {
       .select(col("src").as("id"), col("label"))
       .persist(MEMORY_AND_DISK)
 
+    var persisted = labels // the currently-cached round state
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -260,12 +267,23 @@ object Dedup {
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (col("nmin") < col("label")).as("improved"))
         .persist(MEMORY_AND_DISK)
-      changed = next.where(col("improved")).count()
-      labels.unpersist()
+      changed = next.where(col("improved")).count() // materialize BEFORE releasing the old round
+      persisted.unpersist(blocking = false)
+      persisted = next
       labels = next.select("id", "label")
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0) {
+      persisted.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(graph radius exceeds the 2-hop seed + round budget); " +
+          "raise maxIter rather than consuming non-minimal cluster ids")
+    }
+    // hand the converged state to the bounded slot: the NEXT call
+    // releases it instead of caches accumulating per invocation
+    labelSlot.register(persisted)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

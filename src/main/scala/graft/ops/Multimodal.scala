@@ -95,6 +95,14 @@ object Multimodal {
         sha2(col(textCol).cast("binary"), 256).as("content_sha256")
       ).as("meta"))
 
+  /** Hash-balance on media_id when `parallelism > 0`; `parallelism <=
+    * 0` trusts the input's existing partitioning (the convention every
+    * decode pass follows, so chained passes repartition ONCE — blob
+    * rows are the most expensive thing in the pipeline to move).
+    */
+  private def balanced(media: DataFrame, parallelism: Int): DataFrame =
+    if (parallelism > 0) media.repartition(parallelism, col("media_id")) else media
+
   /** Synthesized image payload: a solid-color PNG whose color and
     * dimensions derive from md5 of a text column — REAL encoded bytes
     * for exercising the decode passes, with analytically-predictable
@@ -107,9 +115,8 @@ object Multimodal {
       df: DataFrame, idCol: String, textCol: String, parallelism: Int): Dataset[MediaPayload] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
-      .where(col("text").isNotNull)
-      .repartition(parallelism, col("media_id"))
+    balanced(df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
+      .where(col("text").isNotNull), parallelism)
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
@@ -133,9 +140,8 @@ object Multimodal {
   def imageStats(media: DataFrame, parallelism: Int): Dataset[ImageStats] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id"), col("payload"))
-      .where(col("payload").isNotNull)
-      .repartition(parallelism, col("media_id"))
+    balanced(media.select(col("media_id"), col("payload"))
+      .where(col("payload").isNotNull), parallelism)
       .mapPartitions(_.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -169,9 +175,8 @@ object Multimodal {
   def resizePass(media: DataFrame, w: Int, h: Int, parallelism: Int): Dataset[MediaThumb] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id"), col("payload"))
-      .where(col("payload").isNotNull)
-      .repartition(parallelism, col("media_id"))
+    balanced(media.select(col("media_id"), col("payload"))
+      .where(col("payload").isNotNull), parallelism)
       .mapPartitions(_.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
         val out = ImageCodec.resize(bytes, w, h).getOrElse(StubDecoder.resize(bytes, w, h))
@@ -191,9 +196,8 @@ object Multimodal {
       media: DataFrame, frameSize: Int, stride: Int, parallelism: Int): Dataset[MediaFrame] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id"), col("payload"))
-      .where(col("payload").isNotNull)
-      .repartition(parallelism, col("media_id"))
+    balanced(media.select(col("media_id"), col("payload"))
+      .where(col("payload").isNotNull), parallelism)
       .mapPartitions(_.flatMap { r =>
         val id = r.getLong(0)
         StubDecoder.sampleFrames(r.getAs[Array[Byte]](1), frameSize, stride)
@@ -209,10 +213,9 @@ object Multimodal {
   def extractFeatures(media: DataFrame, parallelism: Int): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media
+    balanced(media
       .select(col("media_id"), col("payload"))
-      .where(col("payload").isNotNull) // null blobs: nothing to decode
-      .repartition(parallelism, col("media_id"))
+      .where(col("payload").isNotNull), parallelism) // null blobs: nothing to decode
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)

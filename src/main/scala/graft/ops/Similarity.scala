@@ -117,6 +117,8 @@ object Similarity {
     * made IVF slower than brute force (round-1 verdict): the index is a
     * materialized artifact, not a per-query subplan.
     */
+  private val oneShotCentSlot = new CacheSlot
+
   def ivfBuild(
       corpus: DataFrame,
       idCol: String,
@@ -127,11 +129,16 @@ object Similarity {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val par = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters)
-    // centArr is one row — always persist so the centroid subtree (a
-    // corpus pass) runs once even when both build and probe read it
-    val centArr = centroids
+    // centArr is one row but must cache either way so the centroid
+    // subtree (a corpus pass) runs once for build AND probe. A
+    // user-managed index (persist=true) owns it via IvfIndex.unpersist;
+    // the one-shot path (persist=false) parks it in a bounded slot that
+    // the next one-shot call releases — no per-call accumulation.
+    val centArrPlan = centroids
       .agg(collect_list(struct(col("centroid_id"), col("cent_vec"))).as("cents"))
-      .persist(MEMORY_AND_DISK)
+    val centArr =
+      if (persist) centArrPlan.persist(MEMORY_AND_DISK)
+      else oneShotCentSlot.persist(centArrPlan)
     val assigned = corpus.repartition(par, col(idCol))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .crossJoin(broadcast(centArr))

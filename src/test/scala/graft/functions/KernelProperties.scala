@@ -105,13 +105,23 @@ object KernelProperties extends Properties("graft.kernels") {
       self == 1.0 && ab == MinHash.overlapFrac(b, a) && ab >= 0.0 && ab <= 1.0
     }
 
-  property("sig_overlap estimates Jaccard: supersets agree at least on shared mins") =
+  property("signature is order-invariant over the element list") =
     forAll(Gen.nonEmptyListOf(Gen.identifier)) { xs =>
-      // identical sets -> overlap exactly 1; disjoint alphabet suffix -> < 1 allowed
       val a = MinHash.sigKernel(new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any]), 64)
       val b = MinHash.sigKernel(new GenericArrayData(xs.reverse.map(UTF8String.fromString).toArray[Any]), 64)
-      MinHash.overlapFrac(a, b) == 1.0 // order-invariance of the signature
+      MinHash.overlapFrac(a, b) == 1.0
     }
+
+  property("sig_overlap estimates true Jaccard within sampling error") = {
+    // fixed sets with known overlap: |A∩B| = 50, |A∪B| = 150, j = 1/3.
+    // k=256 positions -> sd = sqrt(j(1-j)/k) ~ 0.029; 5 sd tolerance on a
+    // DETERMINISTIC estimate (fixed hash family), so this cannot flake.
+    val a = (0 until 100).map(i => s"tok$i")
+    val b = (50 until 150).map(i => s"tok$i")
+    val sa = MinHash.sigKernel(new GenericArrayData(a.map(UTF8String.fromString).toArray[Any]), 256)
+    val sb = MinHash.sigKernel(new GenericArrayData(b.map(UTF8String.fromString).toArray[Any]), 256)
+    Prop(math.abs(MinHash.overlapFrac(sa, sb) - 1.0 / 3.0) < 0.15)
+  }
 
   property("fingerprint: order-sensitive, whitespace-run-invariant") =
     forAll(Gen.nonEmptyListOf(Gen.identifier)) { xs =>
