@@ -177,10 +177,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Persist an IVF index as TABLES — the cluster-scale materialization:
+    * `cells` is written bucketed (and sorted) by `cell`, so a filter on
+    * probed cell ids prunes to exactly those buckets at scan time
+    * (`SelectedBucketsCount` in the plan) and a shuffle-join on `cell`
+    * never exchanges the corpus side. The one-row centroid array lands
+    * as a plain table.
+    */
+  def ivfWrite(
+      index: IvfIndex,
+      tablePrefix: String,
+      numBuckets: Int = 16): Unit = {
+    graft.sources.Bucketing.writeBucketed(
+      index.cells, s"${tablePrefix}_cells", "cell", numBuckets, sortCols = Seq("cell"))
+    index.centroidArr.write.mode("overwrite").saveAsTable(s"${tablePrefix}_cents")
+  }
+
+  /** Reopen a written index; [[ivfProbe]] works on it unchanged. */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, tablePrefix: String): IvfIndex =
+    IvfIndex(spark.table(s"${tablePrefix}_cells"), spark.table(s"${tablePrefix}_cents"))
+
   /** IVF (inverted-file) approximate top-k: [[ivfBuild]] + [[ivfProbe]]
     * in one call, for the one-shot case (cell assignment is consumed
     * once, so it is not cached). Hold the [[IvfIndex]] yourself when
-    * probing more than once.
+    * probing more than once, or [[ivfWrite]] it for reuse across jobs.
     */
   def ivfTopK(
       corpus: DataFrame,

@@ -96,6 +96,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9")
   }
 
+  test("written IVF index: probe matches in-memory; cell filter prunes buckets") {
+    val idx = Similarity.ivfBuild(clustered, "vec_id", "embedding", nCentroids = 16)
+    try {
+      val mem = Similarity.ivfProbe(idx, clustered.where($"vec_id" < 4), "vec_id", "embedding", 3)
+        .collect().map(_.toSeq).toSet
+      Similarity.ivfWrite(idx, "ivf_spec", numBuckets = 8)
+      val loaded = Similarity.ivfLoad(spark, "ivf_spec")
+      val disk = Similarity.ivfProbe(loaded, clustered.where($"vec_id" < 4), "vec_id", "embedding", 3)
+        .collect().map(_.toSeq).toSet
+      assert(disk == mem)
+      // the cluster-scale point: a probed-cell filter reads ONLY those
+      // cells' buckets (autoBucketedScan turns bucketed reads off for
+      // filter-only plans unless told otherwise)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val plan = loaded.cells.where($"cell".isin(1L, 2L))
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("SelectedBucketsCount"), plan)
+      } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    } finally {
+      idx.unpersist()
+      spark.sql("DROP TABLE IF EXISTS ivf_spec_cells")
+      spark.sql("DROP TABLE IF EXISTS ivf_spec_cents")
+    }
+  }
+
   test("IVF index builds once and serves repeated probes") {
     val idx = Similarity.ivfBuild(clustered, "vec_id", "embedding", nCentroids = 16)
     try {
