@@ -16,10 +16,24 @@ import org.apache.spark.storage.StorageLevel
 final class CacheSlot {
   private val ref = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
+  /** Spark's CacheManager keys entries by canonicalized-plan equality,
+    * not object identity: persisting a plan equal to the occupant's is
+    * a no-op (one shared entry), and unpersisting the old handle would
+    * delete that SHARED entry — evicting the cache we just "added". So
+    * the previous occupant is only released when its plan genuinely
+    * differs from the new one.
+    */
+  private def release(prev: DataFrame, next: DataFrame): Unit =
+    if (prev != null && (prev ne next) &&
+      !prev.queryExecution.analyzed.sameResult(next.queryExecution.analyzed))
+      // the occupant may belong to an already-stopped session (slots are
+      // JVM-global; test suites cycle sessions) — releasing it is then
+      // moot, not an error
+      try prev.unpersist(blocking = false) catch { case _: Exception => () }
+
   def persist(df: DataFrame): DataFrame = {
     val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-    val prev = ref.getAndSet(cached)
-    if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
+    release(ref.getAndSet(cached), cached)
     cached
   }
 
@@ -29,8 +43,7 @@ final class CacheSlot {
     * final state.
     */
   def register(df: DataFrame): DataFrame = {
-    val prev = ref.getAndSet(df)
-    if (prev != null && (prev ne df)) prev.unpersist(blocking = false)
+    release(ref.getAndSet(df), df)
     df
   }
 

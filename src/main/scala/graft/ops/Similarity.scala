@@ -109,6 +109,8 @@ object Similarity {
     def unpersist(): Unit = { cells.unpersist(); centroidArr.unpersist() }
   }
 
+  private val oneShotCentSlot = new CacheSlot
+
   /** Build the IVF index: pick centroids (deterministic sample, optional
     * Lloyd refinement), then assign every corpus vector to its nearest
     * cell in ONE narrow codegen pass — the centroid set collapses to a
@@ -117,8 +119,6 @@ object Similarity {
     * made IVF slower than brute force (round-1 verdict): the index is a
     * materialized artifact, not a per-query subplan.
     */
-  private val oneShotCentSlot = new CacheSlot
-
   def ivfBuild(
       corpus: DataFrame,
       idCol: String,
@@ -190,7 +190,7 @@ object Similarity {
       numBuckets: Int = 16): Unit = {
     graft.sources.Bucketing.writeBucketed(
       index.cells, s"${tablePrefix}_cells", "cell", numBuckets, sortCols = Seq("cell"))
-    index.centroidArr.write.mode("overwrite").saveAsTable(s"${tablePrefix}_cents")
+    graft.sources.Bucketing.replaceTable(index.centroidArr, s"${tablePrefix}_cents")
   }
 
   /** Reopen a written index; [[ivfProbe]] works on it unchanged. */

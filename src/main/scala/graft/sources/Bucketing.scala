@@ -17,6 +17,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** A crashed earlier run can leave an orphaned table LOCATION with no
+    * catalog entry; CREATE TABLE then fails even in overwrite mode —
+    * drop the entry and clear the leftover directory first.
+    */
+  def clearStaleTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val catalog = org.apache.spark.sql.graft.shims.sessionState(spark).catalog
+    val loc = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Replace a plain managed table, robust to orphaned locations. */
+  def replaceTable(df: DataFrame, table: String): Unit = {
+    clearStaleTable(df.sparkSession, table)
+    df.write.mode("overwrite").saveAsTable(table)
+  }
+
   /** Write `df` as a bucketed (and optionally sorted) managed table. */
   def writeBucketed(
       df: DataFrame,
@@ -24,16 +43,7 @@ object Bucketing {
       bucketCol: String,
       numBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
-    val spark = df.sparkSession
-    // a crashed earlier run can leave an orphaned table LOCATION with no
-    // catalog entry; CREATE TABLE then fails even in overwrite mode —
-    // drop the entry and clear the leftover directory first
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val catalog = org.apache.spark.sql.graft.shims.sessionState(spark).catalog
-    val loc = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(
-      org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    clearStaleTable(df.sparkSession, table)
     val w = df.write.mode("overwrite").bucketBy(numBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
