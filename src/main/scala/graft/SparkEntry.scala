@@ -50,6 +50,17 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- M: REAL audio decode (javax.sound.sampled) over synthesized
+    //      PCM-16 WAV payloads; RMS of a +-A square wave is exactly A,
+    //      so the oracle recomputes every stat from the same md5 ----
+    "m3_audio_features" -> ((s, dir) => {
+      val media = graft.ops.Multimodal
+        .syntheticWavPayload(t(s, dir, "documents"), "doc_id", "text", 32).toDF()
+      graft.ops.Multimodal.audioStats(media, 0).toDF()
+        .select(col("media_id"), col("format"), col("sample_rate"),
+          col("n_samples"), col("rms"))
+    }),
+
     // ---- AIR1: the reference's three airline pipelines end-to-end
     //      (ingest coercion -> mart -> compensation) under the driver's
     //      oracle. venta/pasajero are shaped deterministically from
@@ -1314,6 +1325,14 @@ object SparkEntry {
          CAST(('0x' || substr(md5(text), 1, 2))::INT AS DOUBLE) AS mean_r,
          CAST(('0x' || substr(md5(text), 3, 2))::INT AS DOUBLE) AS mean_g,
          CAST(('0x' || substr(md5(text), 5, 2))::INT AS DOUBLE) AS mean_b
+         FROM documents WHERE text IS NOT NULL""",
+
+    "m3_audio_features" ->
+      """SELECT doc_id AS media_id,
+         'wav' AS format,
+         8000 + 1000 * (('0x' || substr(md5(text), 15, 2))::INT % 8) AS sample_rate,
+         CAST(400 + 2 * ('0x' || substr(md5(text), 13, 2))::INT AS BIGINT) AS n_samples,
+         CAST(127 * (1 + ('0x' || substr(md5(text), 11, 2))::INT) AS DOUBLE) AS rms
          FROM documents WHERE text IS NOT NULL""",
 
     "x4_approx_distinct" ->

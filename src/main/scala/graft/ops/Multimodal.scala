@@ -7,11 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus batched decode passes.
   *
-  * IMAGE decode is REAL: [[ImageCodec]] (in-JDK javax.imageio) decodes
-  * PNG/JPEG payloads to pixels for the stats/feature/resize passes.
-  * Audio/video decode remains a DETERMINISTIC STUB ([[StubDecoder]] —
-  * the JDK ships no codecs for them); the mapPartitions plumbing is
-  * identical, so swapping in an FFmpeg/JNI call touches one function.
+  * IMAGE decode is REAL ([[ImageCodec]], in-JDK javax.imageio: pixels,
+  * stats, bilinear resize) and AUDIO decode is REAL ([[AudioCodec]],
+  * in-JDK javax.sound.sampled: WAV/PCM to samples). Video demux remains
+  * the one DETERMINISTIC STUB ([[StubDecoder]] — the JDK ships no video
+  * containers/codecs); the mapPartitions plumbing is identical across
+  * all three, so swapping in an FFmpeg/JNI call touches one function.
   *
   * Scale notes: media blobs make row sizes wildly skewed, so every
   * decode pass repartitions by a hash of the id — never range — and the
@@ -29,9 +30,9 @@ object Multimodal {
       format: String,
       feature: Array[Float])
 
-  /** ======== STUB (audio/video only) ========
-    * Deterministic fake decoder for payloads [[ImageCodec]] cannot read
-    * (the JDK has no audio/video codecs). Derives a fixed-length
+  /** ======== STUB (video / unknown formats only) ========
+    * Deterministic fake decoder for payloads [[ImageCodec]] and
+    * [[AudioCodec]] cannot read. Derives a fixed-length
     * "feature vector" from the raw bytes (content-dependent,
     * reproducible). Replace the body with the real demux/decode call;
     * the surrounding plumbing (batching, partitioning, schema) is
@@ -152,6 +153,55 @@ object Multimodal {
               Some(mr), Some(mg), Some(mb))
           case None =>
             ImageStats(id, "bin", None, None, None, None, None)
+        }
+      })
+  }
+
+  /** Synthesized audio payload: a mono PCM-16 square wave whose
+    * amplitude, length, and sample rate derive from md5 of a text
+    * column — REAL RIFF/WAVE bytes with analytically-predictable decode
+    * results (RMS of a ±A square wave is exactly A). amplitude = 127 ·
+    * (1 + digest byte 5), max 32512 < Short.MaxValue; n_samples = 400 + 2·(digest byte 6); rate =
+    * 8000 + 1000·(digest byte 7 mod 8).
+    */
+  def syntheticWavPayload(
+      df: DataFrame, idCol: String, textCol: String, parallelism: Int): Dataset[MediaPayload] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    balanced(df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
+      .where(col("text").isNotNull), parallelism)
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val d = md.digest(r.getString(1).getBytes("UTF-8"))
+          val amp = (127 * (1 + (d(5) & 0xff))).toShort // ≤ 32512: never overflows Short
+          val n = 400 + 2 * (d(6) & 0xff)
+          val rate = 8000 + 1000 * ((d(7) & 0xff) % 8)
+          val samples = Array.tabulate(n)(i => if (i % 2 == 0) amp else (-amp).toShort)
+          MediaPayload(r.getLong(0), AudioCodec.encodeWavPcm16(rate, samples))
+        }
+      }
+  }
+
+  /** Decoded audio statistics — REAL javax.sound.sampled decode. */
+  case class AudioStats(
+      media_id: Long, format: String,
+      sample_rate: Option[Int], n_samples: Option[Long], rms: Option[Double])
+
+  def audioStats(media: DataFrame, parallelism: Int): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    balanced(media.select(col("media_id"), col("payload"))
+      .where(col("payload").isNotNull), parallelism)
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        AudioCodec.decode(bytes) match {
+          case Some(p) =>
+            AudioStats(id, StubDecoder.sniffFormat(bytes),
+              Some(p.sampleRate), Some(p.samples.length.toLong), Some(AudioCodec.rms(p.samples)))
+          case None =>
+            AudioStats(id, StubDecoder.sniffFormat(bytes), None, None, None)
         }
       })
   }

@@ -87,4 +87,24 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(f.feature(0) == st.width.get.toFloat && f.feature(1) == st.height.get.toFloat)
     assert(math.abs(f.feature(2) - st.mean_r.get / 255.0) < 1e-6)
   }
+
+  test("WAV encode/decode roundtrip is lossless (real javax.sound.sampled)") {
+    val samples = Array[Short](100, -100, 32512, -32512, 0, 7)
+    val bytes = AudioCodec.encodeWavPcm16(16000, samples)
+    val p = AudioCodec.decode(bytes).get
+    assert(p.sampleRate == 16000 && p.channels == 1)
+    assert(p.samples.toSeq == samples.toSeq)
+  }
+
+  test("synthetic WAV payload decodes to md5-derived rate, length, exact RMS") {
+    val docs = Seq((5L, "audio sample text")).toDF("doc_id", "text")
+    val payload = Multimodal.syntheticWavPayload(docs, "doc_id", "text", 1).toDF()
+    val st = Multimodal.audioStats(payload, 1).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("audio sample text".getBytes("UTF-8"))
+    assert(st.format == "wav")
+    assert(st.sample_rate.get == 8000 + 1000 * ((md(7) & 0xff) % 8))
+    assert(st.n_samples.get == 400L + 2 * (md(6) & 0xff))
+    assert(st.rms.get == (127 * (1 + (md(5) & 0xff))).toDouble) // square wave: exact
+  }
 }
