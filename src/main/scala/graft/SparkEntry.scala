@@ -645,6 +645,34 @@ object SparkEntry {
             .cast("int").as("hll_within_10pct"))
     }),
 
+    // ---- E7: a REAL Structured Streaming execution under the
+    //      driver's oracle — the canonical events parquet read as a
+    //      bounded stream (AvailableNow), watermarked tumbling-window
+    //      aggregation, memory sink; the oracle is the same SQL that
+    //      checks the batch twin (e2) ----
+    "e7_streaming_hourly" -> ((s, dir) => {
+      val stream = graft.streaming.EventStreams
+        .readNsEventStream(s, s"$dir/events.parquet")
+        .withWatermark("ts", "1 hour")
+      graft.streaming.EventStreams.runToMemorySink(
+        s, graft.streaming.EventStreams.windowedAgg(stream, "1 hour"),
+        "e7_sink")
+    }),
+
+    // ---- E8: streaming session_window sessionization, same harness;
+    //      session starts/counts/sums must equal the batch gap-session
+    //      oracle (session_window's end = last+gap, so only the start
+    //      crosses the engine boundary) ----
+    "e8_streaming_sessions" -> ((s, dir) => {
+      val stream = graft.streaming.EventStreams
+        .readNsEventStream(s, s"$dir/events.parquet")
+        .withWatermark("ts", "1 hour")
+      graft.streaming.EventStreams.runToMemorySink(
+        s, graft.streaming.EventStreams.sessionAgg(stream, "1 hour"),
+        "e8_sink")
+        .select("user_id", "session_start", "n_events", "session_value")
+    }),
+
     // ---- X11: bucketed co-located join — both sides written bucketed
     //      on the key, so the join itself plans with ZERO exchanges
     //      (write-once, join-many; asserted in PlanQualitySpec) ----
@@ -811,6 +839,29 @@ object SparkEntry {
          SELECT event_id, user_id, event_type,
            strftime(t, '%Y-%m-%d %H:%M:%S') AS ts, value
          FROM r WHERE rn = 1""",
+
+    "e7_streaming_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+
+    "e8_streaming_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, value, ts::TIMESTAMP AS t FROM events),
+         x AS (SELECT user_id, value, t,
+           CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                  OR epoch_us(t) - epoch_us(lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)) > 3600000000
+                THEN 1 ELSE 0 END AS st
+           FROM e),
+         sq AS (SELECT user_id, value, t,
+           CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY t
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM x)
+         SELECT user_id,
+           strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         FROM sq GROUP BY user_id, session_seq""",
 
     "j1_broadcast_join" ->
       """SELECT c_mktsegment,

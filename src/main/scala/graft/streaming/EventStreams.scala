@@ -44,8 +44,15 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val nsSchema = StructType(eventSchema.fields.map(f =>
       if (f.name == "ts") StructField("ts", LongType) else f))
-    spark.readStream.schema(nsSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // the file stream source wants a DIRECTORY; a single-file path (the
+    // canonical layout: <sfDir>/events.parquet) streams via its parent
+    // plus a glob filter
+    val f = new java.io.File(path)
+    val reader = spark.readStream.schema(nsSchema)
+    val stream =
+      if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else reader.parquet(path)
+    stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** Tumbling-window count/sum per event_type — shared logic for the
