@@ -848,13 +848,13 @@ object SparkEntry {
 
     "e8_streaming_sessions" ->
       """WITH e AS (SELECT user_id, event_id, value, ts::TIMESTAMP AS t FROM events),
-         x AS (SELECT user_id, value, t,
+         x AS (SELECT user_id, event_id, value, t,
            CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
                   OR epoch_us(t) - epoch_us(lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)) > 3600000000
                 THEN 1 ELSE 0 END AS st
            FROM e),
          sq AS (SELECT user_id, value, t,
-           CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY t
+           CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY t, event_id
              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
            FROM x)
          SELECT user_id,

@@ -42,7 +42,8 @@ object AudioCodec {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16) None
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
         else {
           val raw = in.readAllBytes()
           val bb = java.nio.ByteBuffer.wrap(raw).order(

@@ -257,8 +257,9 @@ object Multimodal {
 
   /** Batched decode/feature-extract pass. Hash-repartitions for blob-size
     * balance, then decodes iterator-to-iterator: images get REAL pixel
-    * features (dims, channel means, luma, aspect); non-image payloads
-    * fall back to the deterministic byte-stat stub.
+    * features (dims, channel means, luma, aspect), audio payloads REAL
+    * sample features (rate, length, RMS, channels, duration); only
+    * undecodable payloads fall back to the deterministic byte-stat stub.
     */
   def extractFeatures(media: DataFrame, parallelism: Int): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -280,9 +281,17 @@ object Multimodal {
                 (luma / 255.0).toFloat,
                 d.width.toFloat / d.height.toFloat,
                 bytes.length / 1024.0f))
-            case None =>
-              MediaFeatures(id, bytes.length, StubDecoder.sniffFormat(bytes),
-                StubDecoder.decode(bytes))
+            case None => AudioCodec.decode(bytes) match {
+              case Some(p) =>
+                MediaFeatures(id, bytes.length, StubDecoder.sniffFormat(bytes), Array(
+                  p.sampleRate / 1000.0f, p.samples.length.toFloat,
+                  (AudioCodec.rms(p.samples) / 32768.0).toFloat, p.channels.toFloat,
+                  p.samples.length.toFloat / math.max(p.sampleRate, 1), 0f, 0f,
+                  bytes.length / 1024.0f))
+              case None =>
+                MediaFeatures(id, bytes.length, StubDecoder.sniffFormat(bytes),
+                  StubDecoder.decode(bytes))
+            }
           }
         }
       }

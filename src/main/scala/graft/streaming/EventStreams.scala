@@ -46,12 +46,17 @@ object EventStreams {
       if (f.name == "ts") StructField("ts", LongType) else f))
     // the file stream source wants a DIRECTORY; a single-file path (the
     // canonical layout: <sfDir>/events.parquet) streams via its parent
-    // plus a glob filter
-    val f = new java.io.File(path)
+    // plus a glob filter. Resolved through the Hadoop FS so URI-schemed
+    // paths (file:/, hdfs://, s3a://) and bare relative names work; the
+    // literal file name is glob-escaped.
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val reader = spark.readStream.schema(nsSchema)
     val stream =
-      if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
-      else reader.parquet(path)
+      if (fs.isFile(hp)) {
+        val escaped = hp.getName.replaceAll("([\\[\\]{}*?\\\\])", "\\\\$1")
+        reader.option("pathGlobFilter", escaped).parquet(hp.getParent.toString)
+      } else reader.parquet(path)
     stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 

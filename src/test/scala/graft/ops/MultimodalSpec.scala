@@ -107,4 +107,15 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(st.n_samples.get == 400L + 2 * (md(6) & 0xff))
     assert(st.rms.get == (127 * (1 + (md(5) & 0xff))).toDouble) // square wave: exact
   }
+
+  test("feature extraction uses real sample features for audio") {
+    val docs = Seq((9L, "audio feature doc")).toDF("doc_id", "text")
+    val payload = Multimodal.syntheticWavPayload(docs, "doc_id", "text", 1).toDF()
+    val f = Multimodal.extractFeatures(payload, 1).collect().head
+    val st = Multimodal.audioStats(payload, 1).collect().head
+    assert(f.format == "wav")
+    assert(f.feature(0) == st.sample_rate.get / 1000.0f)
+    assert(f.feature(1) == st.n_samples.get.toFloat)
+    assert(math.abs(f.feature(2) - st.rms.get / 32768.0) < 1e-6)
+  }
 }
