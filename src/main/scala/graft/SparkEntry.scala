@@ -539,6 +539,10 @@ object SparkEntry {
     "t9_curate_clustered" -> ((s, dir) =>
       graft.ops.Corpus.curateClustered(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- T: deterministic content-stable train/val/test split ----
+    "t10_split" -> ((s, dir) =>
+      graft.ops.Corpus.assignSplit(t(s, dir, "documents"), "doc_id", 90, 5)),
+
     // ---- V: brute-force exact top-k cosine ----
     // 10% of the corpus as queries (self-kNN slice) — the many-query
     // regime ANN indexing exists for; v3 runs the same workload on the
@@ -1445,6 +1449,13 @@ object SparkEntry {
          drops AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
          SELECT doc_id, n_tokens, alpha_ratio FROM ke
          WHERE doc_id NOT IN (SELECT doc_id FROM drops)""",
+
+    "t10_split" ->
+      """SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents""",
 
     "v1_topk_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),

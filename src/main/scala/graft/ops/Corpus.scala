@@ -94,6 +94,29 @@ object Corpus {
       .select(id, col("n_tokens"), col("alpha_ratio"))
   }
 
+  /** Deterministic train/val/test assignment: bucket 0-99 from the
+    * first 8 md5 hex digits of the id, split by cumulative percentage.
+    * Content-stable (the same id lands in the same split on any engine,
+    * any run, any partitioning — md5 is portable, unlike engine hash
+    * functions), which is what makes the split auditable by warehouse
+    * SQL and reproducible across reshards.
+    */
+  def assignSplit(
+      docs: DataFrame,
+      idCol: String,
+      trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct < 100, "need a non-empty test split")
+    val bucket = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100).as("bucket")
+    docs.select(col(idCol), bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("bucket")
+  }
+
   /** Benchmark decontamination (the standard pre-training hygiene pass):
     * flag every training doc sharing at least one word `n`-gram with an
     * evaluation set. The eval shingle set is tiny and broadcasts; the

@@ -48,4 +48,19 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(out.keySet == Set(1L))
     assert(out(1L) == 4L) // 4 shared trigrams of the 6-word eval phrase
   }
+
+  test("split assignment is content-stable and respects percentages") {
+    val big = spark.range(10000).toDF("doc_id")
+    val out = Corpus.assignSplit(big, "doc_id", 90, 5)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5 buckets are uniform: each split within 2% absolute of target
+    assert(math.abs(counts("train") / 10000.0 - 0.90) < 0.02, counts)
+    assert(math.abs(counts("val") / 10000.0 - 0.05) < 0.02, counts)
+    assert(math.abs(counts("test") / 10000.0 - 0.05) < 0.02, counts)
+    // stable across invocations and independent of row order
+    val again = Corpus.assignSplit(big.orderBy(org.apache.spark.sql.functions.rand(1)),
+      "doc_id", 90, 5)
+    assert(out.exceptAll(again).count() == 0)
+  }
 }
