@@ -49,8 +49,15 @@ object Corpus {
     val exactKept = gated.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn")
 
+    // LSH pairs are computed on the ORIGINAL corpus and then restricted
+    // to surviving docs: near-duplicate similarity is a pairwise
+    // property (a kept pair's Jaccard, bands, and verification do not
+    // depend on other docs), so the result is identical — and the plan
+    // equals every other consumer's (d2, d6, t11), letting them share
+    // ONE cached signature table instead of each building their own.
     val pairs =
-      if (useLsh) Dedup.minhashNearDup(exactKept, idCol, textCol, jaccardThreshold, n)
+      if (useLsh) restrictPairs(
+        Dedup.minhashNearDup(docs, idCol, textCol, jaccardThreshold, n), exactKept, idCol)
       else Dedup.ngramJaccardPairs(exactKept, idCol, textCol, jaccardThreshold, n)
     val dropIds = pairs.select(col("id_b").as(idCol)).distinct()
 
@@ -84,7 +91,8 @@ object Corpus {
     val exactKept = gated.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn")
 
-    val pairs = Dedup.minhashNearDup(exactKept, idCol, textCol, jaccardThreshold, n)
+    val pairs = restrictPairs(
+      Dedup.minhashNearDup(docs, idCol, textCol, jaccardThreshold, n), exactKept, idCol)
     val dropIds = Dedup.connectedComponents(pairs)
       .where(col("doc_id") =!= col("cluster_id")) // keep each cluster's min
       .select(col("doc_id").as(idCol))
@@ -92,6 +100,14 @@ object Corpus {
     exactKept
       .join(dropIds, Seq(idCol), "left_anti")
       .select(id, col("n_tokens"), col("alpha_ratio"))
+  }
+
+  /** Keep only pairs whose BOTH endpoints survive in `kept`. */
+  private def restrictPairs(pairs: DataFrame, kept: DataFrame, idCol: String): DataFrame = {
+    val ids = kept.select(col(idCol))
+    pairs
+      .join(ids.withColumnRenamed(idCol, "id_a"), Seq("id_a"), "left_semi")
+      .join(ids.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_semi")
   }
 
   /** Deterministic train/val/test assignment: bucket 0-99 from the
