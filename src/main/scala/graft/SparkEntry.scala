@@ -550,8 +550,12 @@ object SparkEntry {
     "t11_prepare_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val eval = docs.where(col("doc_id") < 20)
+      // pairCorpus = the RAW table read (no projection — plan equality
+      // is exact): the signature plan then equals d2/d6/t6/t9's and all
+      // five share one cached signature table
       val curated = graft.ops.Corpus
-        .curateClustered(docs.where(col("doc_id") >= 20), "doc_id", "text")
+        .curateClustered(docs.where(col("doc_id") >= 20), "doc_id", "text",
+          pairCorpus = Some(t(s, dir, "documents")))
         .select("doc_id")
       val keptDocs = docs.join(curated, Seq("doc_id"))
       val contaminated = graft.ops.Corpus

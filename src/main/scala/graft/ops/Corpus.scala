@@ -72,6 +72,13 @@ object Corpus {
     * — the principled policy [[curate]]'s scaladoc contrasts itself
     * against (A~B, B~C keeps A only, never both dropped).
     */
+  /** @param pairCorpus corpus to compute near-dup pairs on (defaults
+    *        to `docs`). Pass the UNFILTERED parent table when `docs` is
+    *        a slice of it: restriction to surviving ids is exact either
+    *        way (similarity is pairwise), and the unfiltered plan then
+    *        equals every other consumer's, sharing one cached signature
+    *        table.
+    */
   def curateClustered(
       docs: DataFrame,
       idCol: String,
@@ -79,7 +86,8 @@ object Corpus {
       minTokens: Int = 10,
       minAlphaRatio: Double = 0.5,
       jaccardThreshold: Double = 0.8,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      pairCorpus: Option[DataFrame] = None): DataFrame = {
     val id = col(idCol)
     val text = col(textCol)
     val gated = docs.select(
@@ -92,7 +100,8 @@ object Corpus {
       .where(col("rn") === 1).drop("rn")
 
     val pairs = restrictPairs(
-      Dedup.minhashNearDup(docs, idCol, textCol, jaccardThreshold, n), exactKept, idCol)
+      Dedup.minhashNearDup(pairCorpus.getOrElse(docs), idCol, textCol, jaccardThreshold, n),
+      exactKept, idCol)
     val dropIds = Dedup.connectedComponents(pairs)
       .where(col("doc_id") =!= col("cluster_id")) // keep each cluster's min
       .select(col("doc_id").as(idCol))
