@@ -22,8 +22,19 @@ object Bench {
     // per-query timings incomparable across runs.
     spark.range(1000).selectExpr("sum(id)").collect()
     try SparkEntry.queries("a1_full_agg")(spark, sfDir).count() catch { case _: Throwable => }
+    // Per-query Spark JOB counts: iterative operators (connected
+    // components) cost one job per round plus actions — the count makes
+    // a round-reduction provable in the bench output instead of arguing
+    // from wall-clock on a possibly-loaded machine.
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    })
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val j0 = jobCounter.get()
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -31,10 +42,20 @@ object Bench {
           -1L
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $sec%8.2fs  rows=$n")
-      name -> sec
+      // listener events are async: wait (outside the timed window) until
+      // the counter stabilizes so the delta is attributable to this query
+      val jobs = {
+        var prev = -1L
+        var cur = jobCounter.get()
+        while (cur != prev) { Thread.sleep(20); prev = cur; cur = jobCounter.get() }
+        cur - j0
+      }
+      System.err.println(f"[bench] $name%-22s $sec%8.2fs  rows=$n jobs=$jobs")
+      (name, sec, jobs)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val js = results.map { case (k, _, j) => s"\"" + k + "\":" + j }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // failed queries must be visible in the machine-readable line, not
@@ -45,7 +66,7 @@ object Bench {
     } + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -809,6 +809,20 @@ object SparkEntry {
       graft.ops.Multimodal.imageStats(media, 0).toDF()
         .select(col("media_id"), col("format"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+
+    // ---- M: REAL video demux (pure-JVM RIFF/AVI walk) + REAL per-frame
+    //      decode over synthesized motion-PNG AVIs whose frame count,
+    //      dims, and per-frame colors derive from md5(text) — the oracle
+    //      recomputes every decoded frame row arithmetically, so
+    //      container parsing, frame chunking, AND pixel decode are all
+    //      hash-checked ----
+    "m4_video_frames" -> ((s, dir) => {
+      val media = graft.ops.Multimodal
+        .syntheticAviPayload(t(s, dir, "documents"), "doc_id", "text", 32).toDF()
+      graft.ops.Multimodal.videoFrameStats(media, 0).toDF()
+        .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
     })
   )
 
@@ -1446,7 +1460,7 @@ object SparkEntry {
          ke AS (SELECT doc_id, text, n_tokens, alpha_ratio FROM (
                   SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
                   FROM q) WHERE rn = 1),
-         d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM ke),
+         d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
          sh AS (SELECT doc_id,
                   CASE WHEN len(w) >= 3 THEN
                     list_distinct(list_transform(range(1, len(w)-1),
@@ -1468,7 +1482,10 @@ object SparkEntry {
            SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
          cc AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
                 FROM reach GROUP BY src),
-         drops AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+         kl AS (SELECT cc.doc_id, cc.cluster_id,
+                       MIN(cc.doc_id) OVER (PARTITION BY cc.cluster_id) AS keep_id
+                FROM cc JOIN ke ON cc.doc_id = ke.doc_id),
+         drops AS (SELECT doc_id FROM kl WHERE doc_id <> keep_id)
          SELECT doc_id, n_tokens, alpha_ratio FROM ke
          WHERE doc_id NOT IN (SELECT doc_id FROM drops)""",
 
@@ -1491,7 +1508,7 @@ object SparkEntry {
          ke AS (SELECT doc_id, text FROM (
                   SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
                   FROM q) WHERE rn = 1),
-         d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM ke),
+         d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
          sh AS (SELECT doc_id,
                   CASE WHEN len(w) >= 3 THEN
                     list_distinct(list_transform(range(1, len(w)-1),
@@ -1513,8 +1530,11 @@ object SparkEntry {
            SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
          cc AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
                 FROM reach GROUP BY src),
+         kl AS (SELECT cc.doc_id,
+                       MIN(cc.doc_id) OVER (PARTITION BY cc.cluster_id) AS keep_id
+                FROM cc JOIN ke ON cc.doc_id = ke.doc_id),
          kept AS (SELECT ke.doc_id, ke.text FROM ke
-                  WHERE ke.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)),
+                  WHERE ke.doc_id NOT IN (SELECT doc_id FROM kl WHERE doc_id <> keep_id)),
          w8 AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
                 FROM documents),
          sh8 AS (SELECT doc_id,
@@ -1616,6 +1636,19 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          sha256(text) AS content_sha256
-         FROM documents"""
+         FROM documents""",
+
+    "m4_video_frames" ->
+      """WITH f AS (
+           SELECT doc_id, md5(text) AS h,
+                  CAST(unnest(range(0, 2 + (('0x' || substr(md5(text), 17, 2))::INT % 4))) AS INT) AS frame_idx
+           FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id AS media_id, frame_idx,
+           8 + (('0x' || substr(h, 7, 2))::INT % 9) AS width,
+           8 + (('0x' || substr(h, 9, 2))::INT % 9) AS height,
+           CAST((('0x' || substr(h, 1, 2))::INT + frame_idx) % 256 AS DOUBLE) AS mean_r,
+           CAST((('0x' || substr(h, 3, 2))::INT + 2 * frame_idx) % 256 AS DOUBLE) AS mean_g,
+           CAST((('0x' || substr(h, 5, 2))::INT + 3 * frame_idx) % 256 AS DOUBLE) AS mean_b
+         FROM f"""
   )
 }

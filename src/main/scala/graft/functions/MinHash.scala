@@ -52,9 +52,15 @@ object MinHash {
   }
 
   /** Fold a K-value signature into `bands` 64-bit band keys of
-    * K/bands rows each (xxhash64 chain, seed 42).
+    * K/bands rows each (xxhash64 chain, seed 42). `bands` must divide
+    * the signature length — silent integer-division truncation would
+    * drop trailing signature positions and weaken LSH recall without
+    * any visible failure.
     */
   def foldBands(mins: Array[Long], bands: Int): Array[Long] = {
+    require(mins.length % bands == 0,
+      s"bands ($bands) must divide the signature length (${mins.length}); " +
+        "truncating would silently drop signature positions")
     val rowsPerBand = mins.length / bands
     val keys = new Array[Long](bands)
     var b = 0

@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   *      of every n-gram-Jaccard pair ≥ threshold.
   *
   * The near-dup step defaults to [[Dedup.minhashNearDup]] — the
-  * LSH-bounded 100 TB path. Its output contract equals the exact
-  * inverted-index pairs ([[Dedup.ngramJaccardPairs]], available via
-  * `useLsh = false`): every candidate is verified with exact Jaccard,
-  * and candidate-recall at the threshold is 1-(1-t^r)^b ≈ 1-5e-8 for
-  * t=0.8, so the pipeline stays SQL-expressible and oracle-checkable.
+  * LSH-bounded 100 TB path. NOTE for callers upgrading from v0.1: this
+  * default CHANGED from exact inverted-index pairs to LSH; pass
+  * `useLsh = false` to keep the old plan. The output contract is meant
+  * to be identical ([[Dedup.ngramJaccardPairs]] equivalence): every
+  * candidate is verified with exact Jaccard, and candidate-recall at
+  * the threshold is 1-(1-t^r)^b ≈ 1-5e-8 for t=0.8 — but that equality
+  * is PROBABILISTIC (a near-threshold pair can miss all bands with
+  * p≈5e-8). It is verified exhaustively against the exact oracle at
+  * sf0.01/sf0.1; re-verify at each new scale rather than assuming it.
   *
   * Greedy-by-id is deterministic and single-pass; it is NOT a transitive
   * clustering (A~B, B~C with A≁C still drops both B and C). That is the
@@ -68,16 +72,26 @@ object Corpus {
 
   /** Cluster-based curation: same gate + exact dedup as [[curate]], but
     * near-duplicates are removed per CONNECTED COMPONENT (keep the
-    * smallest id of each near-dup cluster) instead of greedily per pair
-    * — the principled policy [[curate]]'s scaladoc contrasts itself
-    * against (A~B, B~C keeps A only, never both dropped).
-    */
-  /** @param pairCorpus corpus to compute near-dup pairs on (defaults
+    * smallest surviving id of each near-dup cluster) instead of greedily
+    * per pair — the principled policy [[curate]]'s scaladoc contrasts
+    * itself against (A~B, B~C keeps A only, never both dropped).
+    *
+    * Cluster membership is a property of the CORPUS, not of the gate:
+    * components are computed over the full near-dup pair graph of
+    * `pairCorpus` (so a chain A~X~C still links A and C when X itself
+    * was gated out or exact-deduped away), then each cluster keeps its
+    * smallest SURVIVING doc. Besides being the more aggressive — and for
+    * training-data dedup, safer — policy, this makes the component
+    * computation independent of this call's gate parameters: every
+    * consumer of the same corpus (cluster listing, curation, the
+    * capstone pipeline) shares ONE converged label table
+    * ([[Dedup.connectedComponents]] memoizes it by pair-plan equality,
+    * exactly like the shared signature table).
+    *
+    * @param pairCorpus corpus to compute near-dup pairs on (defaults
     *        to `docs`). Pass the UNFILTERED parent table when `docs` is
-    *        a slice of it: restriction to surviving ids is exact either
-    *        way (similarity is pairwise), and the unfiltered plan then
-    *        equals every other consumer's, sharing one cached signature
-    *        table.
+    *        a slice of it — the unfiltered plan then equals every other
+    *        consumer's, sharing the cached signature AND label tables.
     */
   def curateClustered(
       docs: DataFrame,
@@ -99,11 +113,17 @@ object Corpus {
     val exactKept = gated.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn")
 
-    val pairs = restrictPairs(
-      Dedup.minhashNearDup(pairCorpus.getOrElse(docs), idCol, textCol, jaccardThreshold, n),
-      exactKept, idCol)
-    val dropIds = Dedup.connectedComponents(pairs)
-      .where(col("doc_id") =!= col("cluster_id")) // keep each cluster's min
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashNearDup(pairCorpus.getOrElse(docs), idCol, textCol, jaccardThreshold, n))
+    // labels restricted to survivors; keep each cluster's smallest
+    // surviving id, drop the rest (docs in no pair have no label row and
+    // survive untouched)
+    val keptLabels = labels
+      .join(exactKept.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
+    val dropIds = keptLabels
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("cluster_id"))))
+      .where(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id").as(idCol))
 
     exactKept

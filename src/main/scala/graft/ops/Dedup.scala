@@ -26,7 +26,6 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   private val sigSlot = new CacheSlot
-  private val labelSlot = new CacheSlot
 
   // ---------------------------------------------------------------- exact
 
@@ -107,9 +106,11 @@ object Dedup {
     * [[minhashSignatures]] (persisted for the query's lifetime); the only
     * corpus-wide shuffle is the band-bucket join on uniform 64-bit keys;
     * candidate docs are pruned out of the signature table with a
-    * broadcast semi-join; and a signature-estimated-Jaccard pre-filter
-    * (margin 4σ below the threshold, so a true pair at j=threshold is
-    * rejected with p≈3e-5) refutes most false-positive bucket collisions
+    * semi-join (AQE broadcasts it when it fits; no static hint, so a
+    * duplicate-heavy corpus can't OOM the driver); and a
+    * signature-estimated-Jaccard pre-filter
+    * (margin 6σ below the threshold, so a true pair at j=threshold is
+    * rejected with p≈1e-9) refutes most false-positive bucket collisions
     * BEFORE any shingle array is compared — `array_intersect` runs only
     * on pairs whose signatures already look like duplicates.
     */
@@ -139,14 +140,26 @@ object Dedup {
     val cand = bucketCandidates(banded, Seq("band_idx", "band_key"))
 
     // Prune the signature table down to docs that appear in some
-    // candidate pair — at corpus scale a vanishing fraction — so the
-    // pair joins below never shuffle full-corpus shingle arrays.
+    // candidate pair so the pair joins below never shuffle full-corpus
+    // shingle arrays. NO broadcast hint: candidate ids are a vanishing
+    // fraction of a clean corpus but corpus-sized on a duplicate-heavy
+    // crawl (the realistic worst case for dedup), and a forced broadcast
+    // then OOMs the driver. AQE still picks broadcast when it fits —
+    // same reasoning as ngramJaccardPairs below.
     val candIds = cand
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
-    val needed = sigs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val needed = sigs.join(candIds, Seq("doc_id"), "left_semi")
 
-    val margin = 4.0 * math.sqrt(threshold * (1.0 - threshold) / k)
+    // 6σ below threshold: a TRUE pair sitting exactly at j=threshold is
+    // pre-filtered away with p≈1e-9 (vs ≈3e-5 at 4σ) — the wider margin
+    // costs almost nothing because exact verification follows, and it
+    // keeps the "LSH output == exact pairs" contract (asserted by the
+    // d2/t6/t9/t11 oracles) safe even for corpora with MANY pairs near
+    // the threshold. NOTE: that contract is still probabilistic
+    // (banding miss ≈ 5e-8 per pair at j=0.8); it is verified
+    // exhaustively at sf0.01/sf0.1 — re-verify when changing k/bands.
+    val margin = 6.0 * math.sqrt(threshold * (1.0 - threshold) / k)
     cand
       .join(needed.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(needed.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -222,23 +235,53 @@ object Dedup {
     * source ([[minhashNearDup]], [[simhashNearDup]],
     * [[graft.ops.Similarity.lshEmbeddingNearDup]]).
     *
-    * Algorithm: iterative min-label propagation (the DataFrame-native
-    * equivalent of GraphX's connectedComponents) — per iteration one
-    * join + one partial-combine aggregation, shuffled on doc id, state
-    * persisted and the previous iteration unpersisted. Iterations ≤
-    * graph diameter; near-dup clusters are shallow (duplicates of a
-    * common source), so convergence is fast. The driver-side loop holds
-    * only a changed-row COUNT per iteration — no row data. Throws if
-    * `maxIter` rounds don't converge — wrong cluster ids must never be
+    * Algorithm: min-label propagation accelerated with POINTER DOUBLING
+    * (label ← label-of-label each round, the Shiloach–Vishkin/hash-to-min
+    * shortcut): one neighbor-min join+agg extends reach by a hop, then
+    * composing the label map with itself folds chains in half, so reach
+    * grows GEOMETRICALLY — O(log diameter) rounds instead of O(diameter).
+    * Each round is two shuffle-joins + one partial-combine agg on doc id,
+    * state persisted and the previous round released. The driver-side
+    * loop holds only a changed-row COUNT per round — no row data. Throws
+    * if `maxIter` rounds don't converge — wrong cluster ids must never be
     * returned silently.
+    *
+    * The CONVERGED label table is memoized per pair-plan (canonicalized
+    * plan equality, same mechanism as the shared signature table): every
+    * consumer of the same pair source (cluster listing, clustered
+    * curation, the capstone pipeline) pays for one convergence, not one
+    * each. The memo holds one entry — a different pair plan evicts it.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    cachedLabels(pairs) match {
+      case Some(hit) => return hit
+      case None => ()
+    }
+    // One convergence at a time: concurrent callers with the SAME pair
+    // plan (Verify submits queries from a thread pool) would otherwise
+    // each converge — tripling the work — and evicting each other's
+    // memo entry. Serializing turns the followers into memo hits.
+    ccLock.synchronized {
+      cachedLabels(pairs) match {
+        case Some(hit) => hit
+        case None => converge(pairs, maxIter)
+      }
+    }
+  }
+
+  private def converge(pairs: DataFrame, maxIter: Int): DataFrame = {
+    import org.apache.spark.sql.graft.shims.releaseCheckpoint
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // localCheckpoint (not persist) for every loop-carried table: the
+    // doubling round references the label table FOUR times, so keeping
+    // lineage would grow the logical plan ~4^rounds — plan stringification
+    // alone then OOMs the driver. Checkpointing truncates each round to a
+    // leaf; blocks of the retired round are released explicitly.
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // seed with the 2-hop minimum in ONE plan: near-dup components are
     // shallow (stars/short chains around a common source), so most of
@@ -248,44 +291,89 @@ object Dedup {
       .join(edges.select(col("src").as("dst"), col("dst").as("hop2")), Seq("dst"))
       .select(col("src"), col("hop2").as("dst"))
       .unionByName(edges)
-    var labels = oneHop
+    var state = oneHop
       .groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("label"))
       .select(col("src").as("id"), col("label"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    def labels = state.select("id", "label")
 
-    var persisted = labels // the currently-cached round state
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
+      // hop: pull the minimum label across one edge
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nmin"))
-      val next = labels
+      val stepped = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (col("nmin") < col("label")).as("improved"))
-        .persist(MEMORY_AND_DISK)
-      changed = next.where(col("improved")).count() // materialize BEFORE releasing the old round
-      persisted.unpersist(blocking = false)
-      persisted = next
-      labels = next.select("id", "label")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(MEMORY_AND_DISK) // read twice by the doubling self-join
+      // double: label ← label(label) — composing the label map with
+      // itself folds chains in half, the geometric-convergence step.
+      // Labels are always ids of nodes in the same component (min over
+      // reachable ids), so the lookup stays inside the label table; the
+      // left join guards root rows whose label is their own id.
+      // Monotone: label(label(v)) ≤ label(v).
+      val next = stepped.as("s")
+        .join(stepped.select(col("id").as("label"), col("label").as("label2")).as("p"),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
+        .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
+        .select(col("id"), col("label"), (col("label") < col("prev")).as("improved"))
+        .localCheckpoint(true)
+      changed = next.where(col("improved")).count()
+      stepped.unpersist(blocking = false)
+      releaseCheckpoint(state) // retire the previous round's blocks
+      state = next
       iter += 1
     }
-    edges.unpersist()
+    lastConvergenceRounds = iter
     if (changed > 0) {
-      persisted.unpersist(blocking = false)
+      releaseCheckpoint(state)
+      releaseCheckpoint(edges)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
-          "(graph radius exceeds the 2-hop seed + round budget); " +
+          "(graph radius exceeds the 2-hop seed + doubling budget); " +
           "raise maxIter rather than consuming non-minimal cluster ids")
     }
-    // hand the converged state to the bounded slot: the NEXT call
-    // releases it instead of caches accumulating per invocation
-    labelSlot.register(persisted)
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    releaseCheckpoint(edges)
+    val out = state.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // Memoize the converged labels against this pair plan (one entry —
+    // N calls hold ONE converged table, not N). The EVICTED entry's
+    // blocks are NOT released eagerly: an in-flight query may still be
+    // reading them, and a checkpoint has no lineage to recompute from —
+    // an eager release surfaces as CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    // mid-query. Dropping the reference is enough: the ContextCleaner
+    // unpersists the blocks once every reader's plan is garbage.
+    labelMemo.set((pairs, out, state))
+    out
   }
+
+  private val ccLock = new Object
+
+  /** (pair-plan key, converged labels, checkpointed state) of the most
+    * recent convergence; see [[connectedComponents]]. One entry —
+    * plan-keyed, session-checked.
+    */
+  private val labelMemo =
+    new java.util.concurrent.atomic.AtomicReference[(DataFrame, DataFrame, DataFrame)]()
+
+  /** Rounds the last [[connectedComponents]] convergence took (0 when
+    * the 2-hop seed already converged everything; memo hits don't
+    * update it). Observability/test hook, driver-side only.
+    */
+  @volatile var lastConvergenceRounds: Int = -1
+
+  private def cachedLabels(pairs: DataFrame): Option[DataFrame] =
+    Option(labelMemo.get()).collect {
+      case (key, labels, _)
+        if (key.sparkSession eq pairs.sparkSession) &&
+          !pairs.sparkSession.sparkContext.isStopped &&
+          key.queryExecution.analyzed.sameResult(pairs.queryExecution.analyzed) => labels
+    }
 
   // -------------------------------------------------------------- SimHash
 

@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus batched decode passes.
   *
   * IMAGE decode is REAL ([[ImageCodec]], in-JDK javax.imageio: pixels,
-  * stats, bilinear resize) and AUDIO decode is REAL ([[AudioCodec]],
-  * in-JDK javax.sound.sampled: WAV/PCM to samples). Video demux remains
-  * the one DETERMINISTIC STUB ([[StubDecoder]] — the JDK ships no video
-  * containers/codecs); the mapPartitions plumbing is identical across
-  * all three, so swapping in an FFmpeg/JNI call touches one function.
+  * stats, bilinear resize), AUDIO decode is REAL ([[AudioCodec]],
+  * in-JDK javax.sound.sampled: WAV/PCM to samples), and VIDEO demux is
+  * REAL ([[VideoCodec]], pure-JVM RIFF/AVI parsing; MJPG/MPNG frame
+  * chunks decode through ImageCodec). Only payloads none of the three
+  * codecs recognize fall through to the deterministic byte-stat
+  * [[StubDecoder]]; the mapPartitions plumbing is identical everywhere,
+  * so swapping in an FFmpeg/JNI call for other codecs touches one
+  * function.
   *
   * Scale notes: media blobs make row sizes wildly skewed, so every
   * decode pass repartitions by a hash of the id — never range — and the
@@ -49,10 +52,16 @@ object Multimodal {
       }
       f
     }
-    /** Sniff a media "format" from magic bytes (deterministic stub). */
+    /** Sniff a media container from magic bytes (real magic-byte logic,
+      * shared by the real decode paths): RIFF files split by subtype
+      * fourcc (WAVE → wav, `AVI ` → avi).
+      */
     def sniffFormat(bytes: Array[Byte]): String =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
-      else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "wav"
+      else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
+        val sub = new String(bytes, 8, 4, "US-ASCII")
+        if (sub == "AVI ") "avi" else if (sub == "WAVE") "wav" else "riff"
+      } else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "riff"
       else "bin"
 
     /** ======== STUB ======== image resize: real impl would decode,
@@ -71,10 +80,10 @@ object Multimodal {
       out
     }
 
-    /** ======== STUB ======== video frame sampling: real impl would
-      * demux and decode every `stride`-th frame. The stub treats the
-      * payload as fixed-size pseudo-frames and returns every stride-th
-      * slice — the iterator/batch plumbing is what's real.
+    /** ======== STUB ======== pseudo-frame sampling for UNRECOGNIZED
+      * payloads only (AVI payloads demux for real through
+      * [[VideoCodec.demuxAvi]] — see [[frameSamplePass]]): treats the
+      * payload as fixed-size slices and returns every stride-th one.
       */
     def sampleFrames(bytes: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
       bytes.grouped(frameSize).zipWithIndex
@@ -183,6 +192,71 @@ object Multimodal {
       }
   }
 
+  /** Synthesized video payload: a REAL RIFF/AVI container (MPNG codec —
+    * motion-PNG, each `00dc` chunk one standalone PNG) whose frame
+    * count, dimensions, and per-frame solid colors derive from md5 of a
+    * text column, so an external oracle recomputes every decoded value
+    * arithmetically. Dims reuse the image derivation (w,h from digest
+    * bytes 3,4); n_frames = 2 + digest byte 8 mod 4; frame i color
+    * r,g,b = (digest bytes 0,1,2 + i·(1,2,3)) mod 256. PNG frames are
+    * lossless, so decoded channel means equal the synthesized colors
+    * EXACTLY — the property the oracle hash-match needs (JPEG frames
+    * would decode ±2 through quantization; the demux path is identical,
+    * see the MJPG round-trip spec).
+    */
+  def syntheticAviPayload(
+      df: DataFrame, idCol: String, textCol: String, parallelism: Int): Dataset[MediaPayload] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    balanced(df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
+      .where(col("text").isNotNull), parallelism)
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val d = md.digest(r.getString(1).getBytes("UTF-8"))
+          val w = 8 + (d(3) & 0xff) % 9
+          val h = 8 + (d(4) & 0xff) % 9
+          val nFrames = 2 + (d(8) & 0xff) % 4
+          val frames = (0 until nFrames).map { i =>
+            val rgb = ((((d(0) & 0xff) + i) % 256) << 16) |
+              ((((d(1) & 0xff) + 2 * i) % 256) << 8) |
+              (((d(2) & 0xff) + 3 * i) % 256)
+            ImageCodec.encodePng(w, h, Array.fill(w * h)(rgb))
+          }
+          MediaPayload(r.getLong(0), VideoCodec.muxAvi(w, h, 12, "MPNG", frames))
+        }
+      }
+  }
+
+  /** Per-frame decoded video statistics — REAL demux
+    * ([[VideoCodec.demuxAvi]]) + REAL per-frame image decode
+    * ([[ImageCodec]]). One row per frame; payloads that are not a
+    * well-formed AVI produce no rows (they belong to the image/audio
+    * passes). Iterator flatMap: memory stays at one decoded frame.
+    */
+  case class VideoFrameStats(
+      media_id: Long, frame_idx: Int,
+      width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  def videoFrameStats(media: DataFrame, parallelism: Int): Dataset[VideoFrameStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    balanced(media.select(col("media_id"), col("payload"))
+      .where(col("payload").isNotNull), parallelism)
+      .mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        VideoCodec.demuxAvi(r.getAs[Array[Byte]](1)).iterator.flatMap { stream =>
+          stream.frames.iterator.zipWithIndex.flatMap { case (frame, i) =>
+            ImageCodec.decode(frame).map { dec =>
+              val (mr, mg, mb) = ImageCodec.channelMeans(dec)
+              VideoFrameStats(id, i, dec.width, dec.height, mr, mg, mb)
+            }
+          }
+        }
+      })
+  }
+
   /** Decoded audio statistics — REAL javax.sound.sampled decode. */
   case class AudioStats(
       media_id: Long, format: String,
@@ -237,10 +311,13 @@ object Multimodal {
   /** Sampled-frame row produced by [[frameSamplePass]]. */
   case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** Frame-sampling pass over video payloads (demux/decode stubbed).
-    * One input row fans out to 0..n frame rows — iterator flatMap keeps
-    * memory at one frame, and the output is ready for a per-frame
-    * feature pass.
+  /** Frame-sampling pass over video payloads: AVI containers demux for
+    * REAL ([[VideoCodec.demuxAvi]] — every `stride`-th encoded frame
+    * chunk is emitted, `frame_idx` = its index IN THE STREAM); payloads
+    * no codec recognizes fall back to the deterministic byte-slice stub
+    * (`frameSize`-byte pseudo-frames). One input row fans out to 0..n
+    * frame rows — iterator flatMap keeps memory at one frame, and the
+    * output is ready for a per-frame decode/feature pass.
     */
   def frameSamplePass(
       media: DataFrame, frameSize: Int, stride: Int, parallelism: Int): Dataset[MediaFrame] = {
@@ -250,8 +327,15 @@ object Multimodal {
       .where(col("payload").isNotNull), parallelism)
       .mapPartitions(_.flatMap { r =>
         val id = r.getLong(0)
-        StubDecoder.sampleFrames(r.getAs[Array[Byte]](1), frameSize, stride)
-          .iterator.zipWithIndex.map { case (f, i) => MediaFrame(id, i, f) }
+        val bytes = r.getAs[Array[Byte]](1)
+        VideoCodec.demuxAvi(bytes) match {
+          case Some(stream) =>
+            stream.frames.iterator.zipWithIndex
+              .collect { case (f, i) if i % stride == 0 => MediaFrame(id, i, f) }
+          case None =>
+            StubDecoder.sampleFrames(bytes, frameSize, stride)
+              .iterator.zipWithIndex.map { case (f, i) => MediaFrame(id, i, f) }
+        }
       })
   }
 

@@ -166,8 +166,19 @@ object Similarity {
       .select(col("query_id"), col("q_vec"),
         explode(graft.functions.IvfCells.top_cells(col("q_vec"), col("cents"), nProbe)).as("cell"))
 
+    // The probes side carries nProbe rows per query INCLUDING the full
+    // q_vec, so it grows linearly with the query set — broadcast it only
+    // when the optimizer's size estimate fits the session broadcast
+    // threshold; a big query set falls back to a shuffle join on `cell`
+    // (the cells side of a written index is bucketed by cell, so that
+    // join never re-shuffles the corpus).
+    val bcThreshold = org.apache.spark.sql.graft.shims
+      .sessionState(queries.sparkSession).conf.autoBroadcastJoinThreshold
+    val probesSize = probes.queryExecution.optimizedPlan.stats.sizeInBytes
+    val probesSide =
+      if (bcThreshold > 0 && probesSize <= bcThreshold) broadcast(probes) else probes
     val scored = index.cells
-      .join(broadcast(probes), Seq("cell"))
+      .join(probesSide, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine_native(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -235,8 +246,11 @@ object Similarity {
       .withColumn("keys", graft.functions.SignBands.sign_bands(col("vec"), bands, bitsPerBand))
       .select(col("doc_id"), explode(col("keys")).as("band_key"))
     val candidates = Dedup.bucketCandidates(banded, Seq("band_key"))
-    val vecs = base.join(broadcast(
-      candidates.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()),
+    // no broadcast hint on the candidate-id set: tiny for a clean corpus
+    // but corpus-sized on a duplicate-heavy one — AQE broadcasts when it
+    // actually fits (same policy as Dedup.minhashNearDup).
+    val vecs = base.join(
+      candidates.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
     candidates
       .join(vecs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("vec", "vec_a"), Seq("id_a"))

@@ -18,36 +18,61 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** A crashed earlier run can leave an orphaned table LOCATION with no
-    * catalog entry; CREATE TABLE then fails even in overwrite mode —
-    * drop the entry and clear the leftover directory first.
+    * catalog entry; CREATE TABLE then fails even in overwrite mode.
+    * Clear the DEFAULT location only when no catalog entry exists: a
+    * live entry is removed through the catalog (so a table created at a
+    * custom/external LOCATION never has an unrelated default-path
+    * directory deleted out from under it), and dropping a MANAGED table
+    * deletes its own data as part of the drop.
     */
   def clearStaleTable(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val catalog = org.apache.spark.sql.graft.shims.sessionState(spark).catalog
-    val loc = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(
-      org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val existed = catalog.tableExists(ident)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    if (!existed) {
+      val loc = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
   }
 
-  /** Replace a plain managed table, robust to orphaned locations. */
-  def replaceTable(df: DataFrame, table: String): Unit = {
-    clearStaleTable(df.sparkSession, table)
-    df.write.mode("overwrite").saveAsTable(table)
+  /** Write to a staging table, then swap: the live table (a
+    * write-once/join-many artifact) is only dropped AFTER the full new
+    * write has succeeded, so a crash mid-write leaves the previous
+    * version intact. ALTER TABLE RENAME preserves the bucket spec and
+    * moves the managed location.
+    */
+  private def writeThenSwap(df: DataFrame, table: String)(
+      write: (org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row], String) => Unit): Unit = {
+    val spark = df.sparkSession
+    val staging = table + "__staging"
+    clearStaleTable(spark, staging) // leftovers from a previously crashed swap
+    write(df.write.mode("overwrite"), staging)
+    clearStaleTable(spark, table)
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
   }
 
-  /** Write `df` as a bucketed (and optionally sorted) managed table. */
+  /** Replace a plain managed table, robust to orphaned locations and
+    * atomic w.r.t. a crash mid-write (stage-then-swap).
+    */
+  def replaceTable(df: DataFrame, table: String): Unit =
+    writeThenSwap(df, table)((w, t) => w.saveAsTable(t))
+
+  /** Write `df` as a bucketed (and optionally sorted) managed table;
+    * stage-then-swap like [[replaceTable]].
+    */
   def writeBucketed(
       df: DataFrame,
       table: String,
       bucketCol: String,
       numBuckets: Int,
-      sortCols: Seq[String] = Nil): Unit = {
-    clearStaleTable(df.sparkSession, table)
-    val w = df.write.mode("overwrite").bucketBy(numBuckets, bucketCol)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(table)
-  }
+      sortCols: Seq[String] = Nil): Unit =
+    writeThenSwap(df, table) { (w0, t) =>
+      val w = w0.bucketBy(numBuckets, bucketCol)
+      (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+        .saveAsTable(t)
+    }
 
   /** Join two tables previously bucketed on the same key/count — planner
     * elides both exchanges (sort-merge over co-located buckets).

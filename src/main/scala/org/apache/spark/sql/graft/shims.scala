@@ -22,4 +22,18 @@ object shims {
   /** Session state of a classic SparkSession (for FunctionRegistry). */
   def sessionState(spark: SparkSession): SessionState =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState
+
+  /** Release the cached blocks behind a `localCheckpoint`ed Dataset.
+    * Checkpoint blocks live on the backing RDD, not in the CacheManager,
+    * so `Dataset.unpersist` can't free them and the ContextCleaner only
+    * gets to them after a GC notices the RDD is unreachable — too lazy
+    * for an iterative algorithm that retires a round per loop step.
+    * No-op for plans that aren't a checkpoint leaf.
+    */
+  def releaseCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        try l.rdd.unpersist(blocking = false) catch { case _: Exception => () }
+      case _ => ()
+    }
 }

@@ -52,6 +52,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"), p)
   }
 
+  test("d2/v4: candidate-id pruning joins carry no static broadcast hint") {
+    // a forced broadcast of the candidate set OOMs the driver on a
+    // duplicate-heavy corpus (candidates ≈ corpus); the decision belongs
+    // to AQE at runtime. Guard both LSH pipelines.
+    for (q <- Seq("d2_minhash_neardup", "v4_lsh_neardup")) {
+      val opt = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.toString
+      assert(!opt.contains("strategy=broadcast"), s"$q still hints broadcast:\n$opt")
+    }
+  }
+
   test("x11: bucketed join plans with no exchange below the join") {
     val p = plan("x11_bucketed_join")
     // the only Exchange allowed is the final aggregation's — the join

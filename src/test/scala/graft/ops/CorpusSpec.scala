@@ -37,6 +37,25 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(0L, 3L))
   }
 
+  test("clustered curation links components THROUGH gated-out docs") {
+    // X (doc 1) fails the token gate but is a near-dup bridge between A
+    // (doc 0) and C (doc 2): jaccard(A,X)=jaccard(C,X)=0.7, while
+    // jaccard(A,C)=7/13≈0.538 < 0.55. Cluster membership is a corpus
+    // property: {A,X,C} is ONE cluster, so of the surviving docs {A,C}
+    // only the smallest id A is kept. (Restricting pairs to survivors
+    // first — the old policy — would have kept both.)
+    val bridged = Seq(
+      (0L, "alpha beta gamma common body text shared phrase continues across nine words"),
+      (1L, "common body text shared phrase continues across nine words"), // 9 tokens: gated out
+      (2L, "common body text shared phrase continues across nine words delta epsilon zeta"),
+      (3L, "entirely unrelated content concerning distributed query planners and shuffles today")
+    ).toDF("doc_id", "text")
+    val out = Corpus.curateClustered(bridged, "doc_id", "text", minTokens = 10,
+      minAlphaRatio = 0.5, jaccardThreshold = 0.55)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(0L, 3L))
+  }
+
   test("decontamination flags train docs sharing an n-gram with eval") {
     val eval = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val train = Seq(

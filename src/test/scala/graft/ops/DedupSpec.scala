@@ -50,6 +50,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: pointer doubling converges a deep chain in O(log d) rounds") {
+    // path 0-1-2-...-40: diameter 40. Plain min-label propagation after
+    // the 2-hop seed would need ~38 rounds; doubling must fold it into
+    // far fewer — maxIter=8 both proves the geometric convergence and
+    // guards against a regression to linear propagation.
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, maxIter = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 41 && cc.values.forall(_ == 0L), cc)
+    assert(Dedup.lastConvergenceRounds <= 8)
+  }
+
+  test("connected components: converged labels are memoized per pair plan") {
+    def pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val first = Dedup.connectedComponents(pairs)
+    first.collect()
+    // a structurally-equal (but fresh) pair plan must hit the memo:
+    // the SAME DataFrame comes back, no re-convergence
+    assert(Dedup.connectedComponents(pairs) eq first)
+    // a different pair plan must miss and evict
+    val other = Dedup.connectedComponents(Seq((5L, 6L)).toDF("id_a", "id_b"))
+    assert(!(other eq first))
+    assert(other.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(5L -> 5L, 6L -> 5L))
+  }
+
   test("ngram jaccard matches hand-computed similarity") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
