@@ -395,7 +395,11 @@ object SparkEntry {
     "d2_minhash_neardup" -> ((s, dir) =>
       graft.ops.Dedup.minhashNearDup(t(s, dir, "documents"), "doc_id", "text", 0.8)),
 
-    // ---- D: SimHash near-dup (approx; rows-only check) ----
+    // ---- D: SimHash near-dup — EXACT oracle: simhash uses
+    //      self-contained FNV-1a/64 token hashing, which DuckDB
+    //      recomputes bit-for-bit (HUGEINT modular multiply), and the
+    //      pigeonhole candidates are provably complete for hamming<=3,
+    //      so the output equals the all-pairs hamming filter ----
     "d3_simhash_neardup" -> ((s, dir) =>
       graft.ops.Dedup.simhashNearDup(t(s, dir, "documents"), "doc_id", "text", 3)),
 
@@ -622,6 +626,31 @@ object SparkEntry {
           (col("n_hit").cast("double") / col("n_bf") >= 0.7).cast("int").as("recall_ok"))
     }),
 
+    // ---- V: the WRITTEN index path — ivfBuild → ivfWrite (cells
+    //      bucketed+sorted by cell, centroid array as a table) →
+    //      ivfLoad → ivfProbe, with the same recall gate as v3i. This
+    //      is the cluster-scale artifact flow: build once, write once,
+    //      probe many times from co-located buckets (bucket pruning on
+    //      the probed cells, no corpus shuffle). ----
+    "v5_ivf_disk_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 10 === 0)
+      val idx = graft.ops.Similarity.ivfBuild(
+        emb, "vec_id", "embedding", nCentroids = 16, kmeansIters = 1, persist = false)
+      graft.ops.Similarity.ivfWrite(idx, "graft_v5_index")
+      val loaded = graft.ops.Similarity.ivfLoad(s, "graft_v5_index")
+      val ivf = graft.ops.Similarity
+        .ivfProbe(loaded, q, "vec_id", "embedding", 5, nProbe = 8)
+        .select("query_id", "neighbor_id")
+      val bf = graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id")
+      val hit = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      bf.agg(count(lit(1)).as("n_bf"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_bf"),
+          (col("n_hit").cast("double") / col("n_bf") >= 0.7).cast("int").as("recall_ok"))
+    }),
+
     // ---- E: gap sessionization ----
     "e1_sessionize" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -828,8 +857,10 @@ object SparkEntry {
 
   // ===================================================================
   // DuckDB oracles — names/aliases must match the Spark output exactly.
-  // Omitted for approximate / engine-specific-hash operators
-  // (d2, d3, t4, v3, v4, m2, x4) → driver records a rows-only check.
+  // Omitted only for the two genuinely engine-specific demos (t4
+  // xxhash64 fingerprints, v3 IVF cell assignment) → driver records a
+  // rows-only check there; each is pinned by a green invariant twin
+  // (t4i collision-freedom, v3i/v5 recall gates).
   // ===================================================================
 
   def oracleSql: Map[String, String] = Map(
@@ -1224,6 +1255,45 @@ object SparkEntry {
          SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
          FROM reach GROUP BY src""",
 
+    // simhash64 recomputed EXACTLY: per-token FNV-1a/64 as a byte fold
+    // (UBIGINT xor + HUGEINT modular multiply emulate the wrapping
+    // 64-bit arithmetic), per-bit +/-1 votes, two's-complement signature,
+    // then the all-pairs hamming<=3 filter — which the engine's
+    // pigeonhole candidate generation provably equals.
+    "d3_simhash_neardup" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tk
+           FROM documents WHERE text IS NOT NULL),
+         hashes AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(14695981039346656037::UBIGINT,
+                 list_transform(range(octet_length(encode(tk))),
+                   i -> ('0x' || substr(hex(encode(tk)), CAST(2*i+1 AS INT), 2))::UBIGINT)),
+               (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+                              % 18446744073709551616 AS UBIGINT)) AS h
+           FROM tok),
+         votes AS (
+           SELECT doc_id, k,
+             SUM(CASE WHEN (h >> CAST(k AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM hashes, range(64) t(k)
+           GROUP BY doc_id, k),
+         sig0 AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN
+               CASE WHEN k = 63 THEN -9223372036854775808
+                    ELSE (1::BIGINT << CAST(k AS INT)) END
+               ELSE 0 END) AS BIGINT) AS sig
+           FROM votes GROUP BY doc_id),
+         sigs AS (
+           SELECT d.doc_id, COALESCE(s.sig, 0) AS sig
+           FROM documents d LEFT JOIN sig0 s USING (doc_id)
+           WHERE d.text IS NOT NULL)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
+
     "d4_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
                     FROM documents),
@@ -1383,6 +1453,20 @@ object SparkEntry {
          FROM p""",
 
     "v3i_ivf_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+         r AS (SELECT query_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM s)
+         SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok FROM r WHERE rank <= 5""",
+
+    // identical gate to v3i: the oracle recomputes the brute-force
+    // top-k count; recall_ok asserts the disk-index probe ≥ 0.7
+    "v5_ivf_disk_index" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
          s AS (SELECT query_id, c.vec_id AS neighbor_id,
            list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE))

@@ -81,4 +81,64 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("obfuscate_name"), p)
     assert(p.contains("*(1)"), s"no whole-stage codegen span:\n$p")
   }
+
+  // ------------------------------------------------- post-AQE runtime plans
+  // The 100 TB story leans on AQE (partition coalescing, skew-join
+  // splitting). These tests EXECUTE and then assert the shape of the
+  // final adaptive plan, not the static one.
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE coalesces the over-provisioned shuffle at runtime") {
+    // 32 shuffle partitions on toy data: a fixed-partition engine would
+    // run 32 near-empty reducers; AQE must fold them after the map stage
+    withConf("spark.sql.shuffle.partitions" -> "32") {
+      val df = SparkEntry.queries("x1_distinct_agg")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("AQEShuffleRead"), p)
+      assert(p.contains("coalesced"), s"no runtime partition coalescing:\n$p")
+    }
+  }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, concat_ws, length, lit, reverse, sha2, sum, when}
+    // one celebrity key carrying ~100x the median partition, thresholds
+    // lowered to make toy sizes eligible; broadcast disabled so the join
+    // stays sort-merge (the skew-split target)
+    withConf(
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB") {
+      // payload must be INCOMPRESSIBLE (sha2 of the row id, repeated) —
+      // shuffle blocks are compressed, and a constant pad deflates the
+      // hot partition below every skew threshold
+      val digest = sha2(concat_ws("", $"id".cast("string")), 256)
+      val large = spark.range(0, 120000).select(
+        when($"id" % 6 =!= 0, lit(0L)).otherwise($"id").as("k"),
+        concat(digest, reverse(digest), digest, reverse(digest)).as("payload"))
+      val small = spark.range(0, 2000).select($"id".as("k"), ($"id" * 2).as("w"))
+      // aggregate INSIDE the asserted plan: collect() of the raw join
+      // would haul the hot partition to the driver, and a detached
+      // count() would execute a different QueryExecution than the one
+      // inspected — the sum keeps payload flowing through the join
+      // shuffle while returning one row
+      val joined = large.join(small, Seq("k")).agg(sum(length($"payload")))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("skew=true"), s"no runtime skew split:\n$p")
+    }
+  }
 }
