@@ -26,6 +26,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   private val sigSlot = new CacheSlot
+  private val pairSlot = new CacheSlot
 
   // ---------------------------------------------------------------- exact
 
@@ -160,7 +161,7 @@ object Dedup {
     // (banding miss ≈ 5e-8 per pair at j=0.8); it is verified
     // exhaustively at sf0.01/sf0.1 — re-verify when changing k/bands.
     val margin = 6.0 * math.sqrt(threshold * (1.0 - threshold) / k)
-    cand
+    val pairs = cand
       .join(needed.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(needed.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b")), Seq("id_b"))
       // cheap signature pre-filter first (left-to-right short-circuit),
@@ -172,6 +173,13 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    // The verified pair table is a few rows per duplicate cluster —
+    // nothing next to the corpus — while producing it costs the banding
+    // shuffle + candidate joins. Sessions fan it out to several consumers
+    // (pair listing, clustering, curation, decontamination pipelines), so
+    // park it in a bounded slot like the signature table: equal plans
+    // share one cached copy, a different corpus evicts it.
+    pairSlot.persist(pairs)
   }
 
   /** Distinct candidate (id_a, id_b) pairs (id_a < id_b) from bucket
