@@ -42,14 +42,11 @@ object Bench {
           -1L
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events are async: wait (outside the timed window) until
-      // the counter stabilizes so the delta is attributable to this query
-      val jobs = {
-        var prev = -1L
-        var cur = jobCounter.get()
-        while (cur != prev) { Thread.sleep(20); prev = cur; cur = jobCounter.get() }
-        cur - j0
-      }
+      // listener events are async: drain the bus (outside the timed
+      // window) so the delta is attributable to this query even when a
+      // loaded dispatch thread lags
+      org.apache.spark.graft.sparkShims.drainListenerBus(spark.sparkContext)
+      val jobs = jobCounter.get() - j0
       System.err.println(f"[bench] $name%-22s $sec%8.2fs  rows=$n jobs=$jobs")
       (name, sec, jobs)
     }

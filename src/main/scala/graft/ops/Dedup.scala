@@ -261,35 +261,48 @@ object Dedup {
     * each. The memo holds one entry — a different pair plan evicts it.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    cachedLabels(pairs) match {
+    cachedLabels(pairs, maxIter) match {
       case Some(hit) => return hit
       case None => ()
     }
     // One convergence at a time: concurrent callers with the SAME pair
     // plan (Verify submits queries from a thread pool) would otherwise
     // each converge — tripling the work — and evicting each other's
-    // memo entry. Serializing turns the followers into memo hits.
+    // memo entry. Serializing turns the followers into memo hits. A
+    // caller with a DIFFERENT pair plan also waits here (and evicts the
+    // single memo entry): the deliberate trade is bounded memory — one
+    // cached label table, one convergence in flight — for cross-plan
+    // concurrency this workload doesn't have.
     ccLock.synchronized {
-      cachedLabels(pairs) match {
+      cachedLabels(pairs, maxIter) match {
         case Some(hit) => hit
         case None => converge(pairs, maxIter)
       }
     }
   }
 
+  /** Round-state materialization: a RELIABLE checkpoint when the session
+    * has a checkpoint directory (survives executor loss — required with
+    * dynamic allocation; set `sparkContext.setCheckpointDir` on
+    * clusters), else a localCheckpoint (executor-resident blocks; right
+    * for local mode, unsafe under decommission). Either way the plan
+    * truncates to a leaf, which is the point — the doubling self-join
+    * would otherwise grow the logical plan ~4^rounds.
+    */
+  private def checkpointed(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   private def converge(pairs: DataFrame, maxIter: Int): DataFrame = {
     import org.apache.spark.sql.graft.shims.releaseCheckpoint
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // localCheckpoint (not persist) for every loop-carried table: the
-    // doubling round references the label table FOUR times, so keeping
-    // lineage would grow the logical plan ~4^rounds — plan stringification
-    // alone then OOMs the driver. Checkpointing truncates each round to a
-    // leaf; blocks of the retired round are released explicitly.
+    // checkpoint (not persist) for every loop-carried table — see
+    // [[checkpointed]]; blocks of the retired round are released
+    // explicitly as the loop advances.
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = fwd
+    val edges = checkpointed(fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     // seed with the 2-hop minimum in ONE plan: near-dup components are
     // shallow (stars/short chains around a common source), so most of
@@ -299,11 +312,10 @@ object Dedup {
       .join(edges.select(col("src").as("dst"), col("dst").as("hop2")), Seq("dst"))
       .select(col("src"), col("hop2").as("dst"))
       .unionByName(edges)
-    var state = oneHop
+    var state = checkpointed(oneHop
       .groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("label"))
-      .select(col("src").as("id"), col("label"))
-      .localCheckpoint(true)
+      .select(col("src").as("id"), col("label")))
     def labels = state.select("id", "label")
 
     var iter = 0
@@ -325,13 +337,12 @@ object Dedup {
       // reachable ids), so the lookup stays inside the label table; the
       // left join guards root rows whose label is their own id.
       // Monotone: label(label(v)) ≤ label(v).
-      val next = stepped.as("s")
+      val next = checkpointed(stepped.as("s")
         .join(stepped.select(col("id").as("label"), col("label").as("label2")).as("p"),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
         .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
-        .select(col("id"), col("label"), (col("label") < col("prev")).as("improved"))
-        .localCheckpoint(true)
+        .select(col("id"), col("label"), (col("label") < col("prev")).as("improved")))
       changed = next.where(col("improved")).count()
       stepped.unpersist(blocking = false)
       releaseCheckpoint(state) // retire the previous round's blocks
@@ -356,18 +367,20 @@ object Dedup {
     // an eager release surfaces as CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
     // mid-query. Dropping the reference is enough: the ContextCleaner
     // unpersists the blocks once every reader's plan is garbage.
-    labelMemo.set((pairs, out, state))
+    labelMemo.set(MemoEntry(pairs, out, iter))
     out
   }
 
   private val ccLock = new Object
 
-  /** (pair-plan key, converged labels, checkpointed state) of the most
-    * recent convergence; see [[connectedComponents]]. One entry —
-    * plan-keyed, session-checked.
+  /** The most recent convergence: pair-plan key, converged labels (a
+    * projection over the checkpointed state), and the rounds it took;
+    * see [[connectedComponents]]. One entry — plan-keyed,
+    * session-checked.
     */
+  private final case class MemoEntry(key: DataFrame, labels: DataFrame, rounds: Int)
   private val labelMemo =
-    new java.util.concurrent.atomic.AtomicReference[(DataFrame, DataFrame, DataFrame)]()
+    new java.util.concurrent.atomic.AtomicReference[MemoEntry]()
 
   /** Rounds the last [[connectedComponents]] convergence took (0 when
     * the 2-hop seed already converged everything; memo hits don't
@@ -375,10 +388,16 @@ object Dedup {
     */
   @volatile var lastConvergenceRounds: Int = -1
 
-  private def cachedLabels(pairs: DataFrame): Option[DataFrame] =
+  /** Memo hit requires the caller's round budget to COVER the recorded
+    * convergence — a maxIter smaller than the rounds actually used must
+    * keep its contract (converge within budget or throw) rather than
+    * silently ride a cheaper earlier call's result.
+    */
+  private def cachedLabels(pairs: DataFrame, maxIter: Int): Option[DataFrame] =
     Option(labelMemo.get()).collect {
-      case (key, labels, _)
-        if (key.sparkSession eq pairs.sparkSession) &&
+      case MemoEntry(key, labels, rounds)
+        if rounds <= maxIter &&
+          (key.sparkSession eq pairs.sparkSession) &&
           !pairs.sparkSession.sparkContext.isStopped &&
           key.queryExecution.analyzed.sameResult(pairs.queryExecution.analyzed) => labels
     }

@@ -58,11 +58,10 @@ object Multimodal {
       */
     def sniffFormat(bytes: Array[Byte]): String =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
-      else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
-        val sub = new String(bytes, 8, 4, "US-ASCII")
+      else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
+        val sub = if (bytes.length >= 12) new String(bytes, 8, 4, "US-ASCII") else ""
         if (sub == "AVI ") "avi" else if (sub == "WAVE") "wav" else "riff"
-      } else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "riff"
-      else "bin"
+      } else "bin"
 
     /** ======== STUB ======== image resize: real impl would decode,
       * bilinear-resample to (w,h), re-encode. The stub derives a
@@ -80,15 +79,6 @@ object Multimodal {
       out
     }
 
-    /** ======== STUB ======== pseudo-frame sampling for UNRECOGNIZED
-      * payloads only (AVI payloads demux for real through
-      * [[VideoCodec.demuxAvi]] — see [[frameSamplePass]]): treats the
-      * payload as fixed-size slices and returns every stride-th one.
-      */
-    def sampleFrames(bytes: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
-      bytes.grouped(frameSize).zipWithIndex
-        .collect { case (f, i) if i % stride == 0 => f }
-        .toSeq
   }
 
   /** Attach an opaque binary payload + typed metadata to a table. In
@@ -328,14 +318,14 @@ object Multimodal {
       .mapPartitions(_.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        VideoCodec.demuxAvi(bytes) match {
-          case Some(stream) =>
-            stream.frames.iterator.zipWithIndex
-              .collect { case (f, i) if i % stride == 0 => MediaFrame(id, i, f) }
-          case None =>
-            StubDecoder.sampleFrames(bytes, frameSize, stride)
-              .iterator.zipWithIndex.map { case (f, i) => MediaFrame(id, i, f) }
+        // both branches index by PRE-sampling position (0, stride, 2·stride…)
+        // so frame_idx means "position in the stream" regardless of payload
+        val frames = VideoCodec.demuxAvi(bytes) match {
+          case Some(stream) => stream.frames.iterator
+          case None => bytes.grouped(frameSize)
         }
+        frames.zipWithIndex
+          .collect { case (f, i) if i % stride == 0 => MediaFrame(id, i, f) }
       })
   }
 

@@ -167,18 +167,16 @@ object Similarity {
         explode(graft.functions.IvfCells.top_cells(col("q_vec"), col("cents"), nProbe)).as("cell"))
 
     // The probes side carries nProbe rows per query INCLUDING the full
-    // q_vec, so it grows linearly with the query set — broadcast it only
-    // when the optimizer's size estimate fits the session broadcast
-    // threshold; a big query set falls back to a shuffle join on `cell`
-    // (the cells side of a written index is bucketed by cell, so that
-    // join never re-shuffles the corpus).
-    val bcThreshold = org.apache.spark.sql.graft.shims
-      .sessionState(queries.sparkSession).conf.autoBroadcastJoinThreshold
-    val probesSize = probes.queryExecution.optimizedPlan.stats.sizeInBytes
-    val probesSide =
-      if (bcThreshold > 0 && probesSize <= bcThreshold) broadcast(probes) else probes
+    // q_vec, so it grows linearly with the query set — NO static
+    // broadcast hint: a pre-execution size estimate can't see the
+    // explode fan-out (SizeInBytesOnly stats scale width, not the ×nProbe
+    // row count), so a hint picked from it force-broadcasts exactly the
+    // oversized sets it shouldn't. AQE decides from RUNTIME sizes:
+    // small probe sets still broadcast, large ones fall back to a
+    // shuffle join on `cell` (which a written index serves bucket-pruned,
+    // never re-shuffling the corpus).
     val scored = index.cells
-      .join(probesSide, Seq("cell"))
+      .join(probes, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine_native(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)

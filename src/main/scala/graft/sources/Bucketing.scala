@@ -37,20 +37,36 @@ object Bucketing {
     }
   }
 
-  /** Write to a staging table, then swap: the live table (a
-    * write-once/join-many artifact) is only dropped AFTER the full new
-    * write has succeeded, so a crash mid-write leaves the previous
-    * version intact. ALTER TABLE RENAME preserves the bucket spec and
-    * moves the managed location.
+  /** Write to a staging table, then swap via retire-rename: the full new
+    * write lands in `<table>__staging` first, the live table is RENAMED
+    * to `<table>__old` (never dropped while it is the only complete
+    * copy), the staging copy takes the live name, and only then is the
+    * retired copy dropped. A crash at ANY step leaves at least one
+    * complete copy on disk: before the first rename readers still see
+    * the old table; between the renames the old data survives under the
+    * retired name and the next call restores it before re-staging.
+    * ALTER TABLE RENAME preserves the bucket spec and moves the managed
+    * location.
     */
   private def writeThenSwap(df: DataFrame, table: String)(
       write: (org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row], String) => Unit): Unit = {
     val spark = df.sparkSession
     val staging = table + "__staging"
-    clearStaleTable(spark, staging) // leftovers from a previously crashed swap
+    val retired = table + "__old"
+    val catalog = org.apache.spark.sql.graft.shims.sessionState(spark).catalog
+    def exists(t: String) =
+      catalog.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(t))
+    // recovery: a retired copy with no live table means a previous swap
+    // crashed between its renames — put the survivor back first
+    if (!exists(table) && exists(retired))
+      spark.sql(s"ALTER TABLE `$retired` RENAME TO `$table`")
+    clearStaleTable(spark, retired) // entry AND any orphaned location:
+    clearStaleTable(spark, staging) // both renames below need clear paths
     write(df.write.mode("overwrite"), staging)
-    clearStaleTable(spark, table)
+    if (exists(table)) spark.sql(s"ALTER TABLE `$table` RENAME TO `$retired`")
+    else clearStaleTable(spark, table) // clear an orphaned location only
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `$retired`")
   }
 
   /** Replace a plain managed table, robust to orphaned locations and

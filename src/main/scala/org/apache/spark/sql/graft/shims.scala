@@ -23,12 +23,15 @@ object shims {
   def sessionState(spark: SparkSession): SessionState =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState
 
-  /** Release the cached blocks behind a `localCheckpoint`ed Dataset.
-    * Checkpoint blocks live on the backing RDD, not in the CacheManager,
-    * so `Dataset.unpersist` can't free them and the ContextCleaner only
-    * gets to them after a GC notices the RDD is unreachable — too lazy
-    * for an iterative algorithm that retires a round per loop step.
-    * No-op for plans that aren't a checkpoint leaf.
+  /** Release the cached blocks behind a checkpointed Dataset (local or
+    * reliable). Checkpoint blocks live on the backing RDD, not in the
+    * CacheManager, so `Dataset.unpersist` can't free them and the
+    * ContextCleaner only gets to them after a GC notices the RDD is
+    * unreachable — too lazy for an iterative algorithm that retires a
+    * round per loop step. For reliable checkpoints this frees the cached
+    * blocks; the files are the ContextCleaner's
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints`). No-op for
+    * plans that aren't a checkpoint leaf.
     */
   def releaseCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
     df.queryExecution.analyzed match {

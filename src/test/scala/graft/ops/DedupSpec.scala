@@ -76,6 +76,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       Map(5L -> 5L, 6L -> 5L))
   }
 
+  test("connected components: reliable checkpoints when a checkpoint dir is set") {
+    // the cluster path (dynamic allocation survives executor loss only
+    // with reliable checkpoints); local mode covers the mechanics
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val cc = Dedup.connectedComponents(
+        Seq((100L, 101L), (101L, 102L)).toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc == Map(100L -> 100L, 101L -> 100L, 102L -> 100L))
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("ngram jaccard matches hand-computed similarity") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
