@@ -151,6 +151,20 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(mr - 128) <= 3 && math.abs(mg - 128) <= 3 && math.abs(mb - 128) <= 3)
   }
 
+  test("AVI chunk padding: odd-length frames roundtrip byte-exact") {
+    // RIFF pads odd chunks to even boundaries — the classic demux bug is
+    // reading the pad byte into the next chunk id
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4), Array[Byte](5, 6, 7, 8, 9))
+    val s = VideoCodec.demuxAvi(VideoCodec.muxAvi(2, 2, 10, "MJPG", frames)).get
+    assert(s.frames.length == 3)
+    assert(s.frames.zip(frames).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("AVI with zero frames demuxes to an empty stream, not an error") {
+    val s = VideoCodec.demuxAvi(VideoCodec.muxAvi(4, 4, 10, "MPNG", Seq.empty)).get
+    assert(s.frames.isEmpty && s.width == 4 && s.height == 4)
+  }
+
   test("demux rejects malformed payloads instead of throwing") {
     assert(VideoCodec.demuxAvi("not a riff file at all".getBytes).isEmpty)
     assert(VideoCodec.demuxAvi(Array[Byte]()).isEmpty)
