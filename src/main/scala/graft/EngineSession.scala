@@ -24,6 +24,10 @@ object EngineSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // reliable-checkpoint files (iterative operators with a checkpoint
+      // dir set) must be GC-collectable — the Spark default leaves them
+      // on disk for the application's lifetime
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -288,10 +288,23 @@ object Dedup {
     * for local mode, unsafe under decommission). Either way the plan
     * truncates to a leaf, which is the point — the doubling self-join
     * would otherwise grow the logical plan ~4^rounds.
+    *
+    * The reliable path persists BEFORE checkpointing: an unpersisted
+    * `checkpoint(eager=true)` runs the plan twice (the eager action,
+    * then the checkpoint-write job recomputing every partition), and
+    * these are exactly the plans the loop exists to not recompute. The
+    * transient cache is dropped once the files are written — the
+    * checkpoint FILES are the round state from then on, and
+    * [[org.apache.spark.sql.graft.shims.releaseCheckpoint]] deletes
+    * them when the loop retires the round.
     */
   private def checkpointed(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = cached.checkpoint(true)
+      cached.unpersist(blocking = false)
+      out
+    } else df.localCheckpoint(true)
 
   private def converge(pairs: DataFrame, maxIter: Int): DataFrame = {
     import org.apache.spark.sql.graft.shims.releaseCheckpoint

@@ -167,16 +167,19 @@ object Similarity {
         explode(graft.functions.IvfCells.top_cells(col("q_vec"), col("cents"), nProbe)).as("cell"))
 
     // The probes side carries nProbe rows per query INCLUDING the full
-    // q_vec, so it grows linearly with the query set — NO static
-    // broadcast hint: a pre-execution size estimate can't see the
-    // explode fan-out (SizeInBytesOnly stats scale width, not the ×nProbe
-    // row count), so a hint picked from it force-broadcasts exactly the
-    // oversized sets it shouldn't. AQE decides from RUNTIME sizes:
-    // small probe sets still broadcast, large ones fall back to a
+    // q_vec, so it grows linearly with the query set. The broadcast
+    // decision must be made from RUNTIME sizes: every static estimate of
+    // this plan is fan-out-blind (Generate stats scale width, not the
+    // ×nProbe row count), and that bites BOTH ways — a forced hint OR
+    // the planner's own static JoinSelection can broadcast a multi-GB
+    // probe set it estimated small. Repartitioning the (tiny relative to
+    // the corpus) probes side on the join key inserts the shuffle stage
+    // AQE needs: its materialized size then drives the decision — small
+    // probe sets convert to broadcast at runtime, large ones stay a
     // shuffle join on `cell` (which a written index serves bucket-pruned,
     // never re-shuffling the corpus).
     val scored = index.cells
-      .join(probes, Seq("cell"))
+      .join(probes.repartition(col("cell")), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine_native(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -6,11 +6,17 @@ import org.apache.spark.SparkContext
   * [[org.apache.spark.sql.graft.shims]]).
   */
 object sparkShims {
-  /** Block until the listener bus has delivered every queued event.
-    * Needed to attribute async listener counts (e.g. per-query job
-    * counts in the bench) deterministically — a sleep-until-stable poll
-    * misattributes trailing events whenever dispatch pauses longer than
-    * the poll interval, i.e. exactly on loaded machines.
+  /** Block until the listener bus has delivered every queued event, up
+    * to `timeoutMillis`. Needed to attribute async listener counts
+    * (e.g. per-query job counts in the bench) deterministically — a
+    * sleep-until-stable poll misattributes trailing events whenever
+    * dispatch pauses longer than the poll interval, i.e. exactly on
+    * loaded machines. A drain that exceeds the (generous) timeout
+    * degrades to possible misattribution rather than aborting the
+    * caller: the no-arg `waitUntilEmpty()` would THROW after a
+    * hard-coded 10 s.
     */
-  def drainListenerBus(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+  def drainListenerBus(sc: SparkContext, timeoutMillis: Long = 60000L): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMillis)
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }

@@ -23,20 +23,29 @@ object shims {
   def sessionState(spark: SparkSession): SessionState =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState
 
-  /** Release the cached blocks behind a checkpointed Dataset (local or
-    * reliable). Checkpoint blocks live on the backing RDD, not in the
-    * CacheManager, so `Dataset.unpersist` can't free them and the
-    * ContextCleaner only gets to them after a GC notices the RDD is
-    * unreachable — too lazy for an iterative algorithm that retires a
-    * round per loop step. For reliable checkpoints this frees the cached
-    * blocks; the files are the ContextCleaner's
-    * (`spark.cleaner.referenceTracking.cleanCheckpoints`). No-op for
-    * plans that aren't a checkpoint leaf.
+  /** Release the storage behind a checkpointed Dataset — blocks for a
+    * localCheckpoint, FILES for a reliable checkpoint. Checkpoint state
+    * lives on the backing RDD, not in the CacheManager, so
+    * `Dataset.unpersist` can't free it, and the ContextCleaner only gets
+    * to it after a GC notices the RDD is unreachable (files additionally
+    * require `spark.cleaner.referenceTracking.cleanCheckpoints=true`,
+    * default FALSE) — both too lazy for an iterative algorithm that
+    * retires a round per loop step. ONLY call this for state with no
+    * other readers: a checkpoint has no lineage to recompute from, so
+    * releasing under an in-flight consumer is fatal. No-op for plans
+    * that aren't a checkpoint leaf.
     */
   def releaseCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        try l.rdd.unpersist(blocking = false) catch { case _: Exception => () }
+        try {
+          l.rdd.unpersist(blocking = false)
+          l.rdd.getCheckpointFile.foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            fs.delete(p, true); ()
+          }
+        } catch { case _: Exception => () }
       case _ => ()
     }
 }

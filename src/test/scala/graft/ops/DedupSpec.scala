@@ -79,13 +79,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
   test("connected components: reliable checkpoints when a checkpoint dir is set") {
     // the cluster path (dynamic allocation survives executor loss only
     // with reliable checkpoints); local mode covers the mechanics
-    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
-    spark.sparkContext.setCheckpointDir(dir)
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
     try {
       val cc = Dedup.connectedComponents(
         Seq((100L, 101L), (101L, 102L)).toDF("id_a", "id_b")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(cc == Map(100L -> 100L, 101L -> 100L, 102L -> 100L))
+      // retired rounds' checkpoint FILES must be deleted as the loop
+      // advances (Spark's cleaner ignores them by default) — only the
+      // final, memoized state may remain on disk
+      import scala.jdk.CollectionConverters._
+      val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("rdd-")).toSeq
+      assert(rddDirs.size == 1, s"leaked checkpoint dirs: $rddDirs")
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
