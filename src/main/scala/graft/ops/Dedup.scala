@@ -343,7 +343,13 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist(MEMORY_AND_DISK) // read twice by the doubling self-join
+        .persist(MEMORY_AND_DISK)
+      // MATERIALIZE before the doubling self-join reads it twice: fanning
+      // out over a lazily-populated cache degrades GEOMETRICALLY as a
+      // component's converged rows (duplicate join keys) grow — measured
+      // ×4 per round on a path graph, turning O(log d) rounds into
+      // minutes — while two scans of a populated cache are constant-time.
+      stepped.count()
       // double: label ← label(label) — composing the label map with
       // itself folds chains in half, the geometric-convergence step.
       // Labels are always ids of nodes in the same component (min over
