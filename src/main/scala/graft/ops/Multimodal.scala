@@ -308,6 +308,12 @@ object Multimodal {
     * (`frameSize`-byte pseudo-frames). One input row fans out to 0..n
     * frame rows — iterator flatMap keeps memory at one frame, and the
     * output is ready for a per-frame decode/feature pass.
+    *
+    * BREAKING (since the real-demux rewrite): the stub path's `frame_idx`
+    * is the PRE-sampling stream position (0, stride, 2·stride, …), not the
+    * dense post-sampling index (0, 1, 2, …) it used to be — both branches
+    * now agree that `frame_idx` means "position in the stream". Consumers
+    * using `frame_idx` as a dense array index must rank by it instead.
     */
   def frameSamplePass(
       media: DataFrame, frameSize: Int, stride: Int, parallelism: Int): Dataset[MediaFrame] = {

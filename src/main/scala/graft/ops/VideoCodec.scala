@@ -176,42 +176,57 @@ object VideoCodec {
       var height = 0
       var fps = 0
       var codec = ""
+      // stream index of the first `vids` strl, in hdrl declaration order —
+      // frame chunk ids are "{NN}dc"/"{NN}db" where NN is that index, so an
+      // AVI listing audio first (video = stream 01) still demuxes its video
+      var strhSeen = 0
+      var videoStream = -1
       val frames = Vector.newBuilder[Array[Byte]]
 
       def walk(end: Int, inMovi: Boolean): Unit = {
         while (r.pos + 8 <= end) {
           val id = r.fourcc()
           val size = r.u32()
-          val next = r.pos + size.toInt + (size.toInt & 1)
-          if (next > end) throw new IllegalArgumentException("chunk overruns parent")
+          // size is unsigned 32-bit: bound it as a Long BEFORE any .toInt —
+          // a crafted size >= 2^31 narrows negative, putting `next` at or
+          // before this header and looping the walk forever
+          if (size > (end - r.pos).toLong)
+            throw new IllegalArgumentException("chunk overruns parent")
+          val sz = size.toInt
+          // pad byte may be absent only when the chunk ends flush with its
+          // parent; next >= r.pos so the walk always moves forward
+          val next = math.min(end, r.pos + sz + (sz & 1))
           id match {
             case "LIST" =>
               val kind = r.fourcc()
               walk(next, inMovi || kind == "movi")
             case "avih" =>
-              val a = new Reader(r.slice(size.toInt))
+              val a = new Reader(r.slice(sz))
               val usPerFrame = a.u32()
               a.skip(28)
               width = a.u32().toInt
               height = a.u32().toInt
               if (fps == 0 && usPerFrame > 0) fps = (1000000L / usPerFrame).toInt
             case "strh" =>
-              val s = new Reader(r.slice(size.toInt))
+              val s = new Reader(r.slice(sz))
               val typ = s.fourcc()
               val handler = s.fourcc()
-              if (typ == "vids" && codec.isEmpty) {
+              if (typ == "vids" && videoStream < 0) {
+                videoStream = strhSeen
                 codec = handler
                 s.skip(12)
                 val scale = s.u32()
                 val rate = s.u32()
                 if (scale > 0 && rate > 0) fps = (rate / scale).toInt
               }
+              strhSeen += 1
             case f if inMovi && f.length == 4 &&
                 (f.endsWith("dc") || f.endsWith("db")) && f.take(2).forall(_.isDigit) =>
-              if (f.take(2) == "00") frames += r.slice(size.toInt)
-              else r.skip(size.toInt)
+              val target = if (videoStream < 0) 0 else videoStream
+              if (f.take(2).toInt == target) frames += r.slice(sz)
+              else r.skip(sz)
             case _ =>
-              r.skip(size.toInt)
+              r.skip(sz)
           }
           r.pos = next
         }

@@ -40,6 +40,9 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     // 17 bytes -> 5 frames (4,4,4,4,1) -> sampled idx 0,2,4 -> 3 frames
     assert(frames.length == 3)
     assert(new String(frames.head.frame) == "hell")
+    // frame_idx is the PRE-sampling stream position on the stub path too —
+    // same semantics as the AVI branch (see frameSamplePass scaladoc)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
   }
 
   // ---------------------------------------------- real image decode path
@@ -175,6 +178,60 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val avi = VideoCodec.muxAvi(4, 4, 10, "MPNG",
       Seq(ImageCodec.encodePng(4, 4, Array.fill(16)(0))))
     assert(VideoCodec.demuxAvi(avi.take(avi.length / 2)).isEmpty)
+  }
+
+  test("demux terminates on crafted chunk sizes >= 2^31 (no infinite loop)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def u32(v: Long) = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v.toInt).array()
+    // a size field of 0xFFFFFFF8 narrows to -8: `next` then lands exactly at
+    // the chunk header and the walk re-reads it forever unless the size is
+    // validated as an unsigned Long first. ~28 bytes is all it takes.
+    val body = "AVI ".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++ u32(0xFFFFFFF8L) ++ Array.fill[Byte](8)(0)
+    val riff = "RIFF".getBytes("US-ASCII") ++ u32(body.length.toLong) ++ body
+    assert(VideoCodec.demuxAvi(riff).isEmpty)
+    // odd variant: 0xFFFFFFFF narrows to -1, pad bit makes next == pos
+    val body2 = "AVI ".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++ u32(0xFFFFFFFFL) ++ Array.fill[Byte](8)(0)
+    val riff2 = "RIFF".getBytes("US-ASCII") ++ u32(body2.length.toLong) ++ body2
+    assert(VideoCodec.demuxAvi(riff2).isEmpty)
+  }
+
+  test("audio-listed-first AVI: frames come from the vids stream, not stream 00") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    def u32(v: Long) = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v.toInt).array()
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      fcc(id) ++ u32(body.length.toLong) ++ body ++
+        (if ((body.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(kind: String, body: Array[Byte]) = chunk("LIST", fcc(kind) ++ body)
+    def strhBody(typ: String, handler: String, scale: Int, rate: Int) = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(fcc(typ)); b.put(fcc(handler)); b.position(b.position() + 12)
+      b.putInt(scale); b.putInt(rate); b.array()
+    }
+    val avihBody = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(100000); b.position(32); b.putInt(6); b.putInt(2)
+      b.array()
+    }
+    // stream 00 = audio, stream 01 = video: a common third-party layout
+    val hdrl = list("hdrl", chunk("avih", avihBody) ++
+      list("strl", chunk("strh", strhBody("auds", "NONE", 1, 8000))) ++
+      list("strl", chunk("strh", strhBody("vids", "MPNG", 1, 25))))
+    val png1 = ImageCodec.encodePng(6, 2, Array.fill(12)(0x102030))
+    val png2 = ImageCodec.encodePng(6, 2, Array.fill(12)(0x405060))
+    val movi = list("movi",
+      chunk("00wb", Array[Byte](1, 2, 3, 4)) ++ // audio data, must be skipped
+        chunk("01dc", png1) ++
+        chunk("00dc", Array[Byte](9, 9)) ++     // stream-00 chunk: NOT video here
+        chunk("01dc", png2))
+    val avi = chunk("RIFF", fcc("AVI ") ++ hdrl ++ movi)
+    val s = VideoCodec.demuxAvi(avi).get
+    assert(s.fourcc == "MPNG" && s.fps == 25 && s.width == 6 && s.height == 2)
+    assert(s.frames.length == 2)
+    assert(s.frames.head.sameElements(png1) && s.frames(1).sameElements(png2))
+    assert(ImageCodec.decode(s.frames.head).get.width == 6)
   }
 
   test("synthetic AVI payload decodes to md5-derived frames, dims, exact colors") {
