@@ -461,7 +461,8 @@ object SparkEntry {
         qualityScore(col("text")).as("quality_score"))
     }),
 
-    // ---- T: order-sensitive fingerprint (xxhash64 chain; rows-only) ----
+    // ---- T: order-sensitive fingerprint (FNV-1a/64 over the
+    //      space-joined token stream; DuckDB recomputes it bit-for-bit) ----
     "t4_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -857,10 +858,9 @@ object SparkEntry {
 
   // ===================================================================
   // DuckDB oracles — names/aliases must match the Spark output exactly.
-  // Omitted only for the two genuinely engine-specific demos (t4
-  // xxhash64 fingerprints, v3 IVF cell assignment) → driver records a
-  // rows-only check there; each is pinned by a green invariant twin
-  // (t4i collision-freedom, v3i/v5 recall gates).
+  // Omitted only for the one genuinely engine-specific demo (v3 IVF
+  // cell assignment) → driver records a rows-only check there; it is
+  // pinned by the green v3i/v5 recall gates.
   // ===================================================================
 
   def oracleSql: Map[String, String] = Map(
@@ -1422,6 +1422,32 @@ object SparkEntry {
                     SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id""",
+
+    // the engine's FNV-1a/64 fingerprint recomputed EXACTLY over the
+    // space-joined token sequence: byte fold with UBIGINT xor + HUGEINT
+    // modular multiply (wrapping 64-bit arithmetic), then a
+    // two's-complement reinterpret to BIGINT — the d3 simhash recipe
+    "t4_fingerprint" ->
+      """WITH seqd AS (
+           SELECT doc_id, array_to_string(regexp_extract_all(text, '\S+'), ' ') AS seq
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(14695981039346656037::UBIGINT,
+                 list_transform(range(octet_length(encode(seq))),
+                   i -> ('0x' || substr(hex(encode(seq)), CAST(2*i+1 AS INT), 2))::UBIGINT)),
+               (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+                              % 18446744073709551616 AS UBIGINT)) AS u
+           FROM seqd WHERE seq IS NOT NULL),
+         f AS (
+           SELECT doc_id,
+             CAST(CAST(u AS HUGEINT)
+               - CASE WHEN u >= 9223372036854775808::UBIGINT
+                      THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS fingerprint
+           FROM h)
+         SELECT d.doc_id, f.fingerprint
+         FROM seqd d LEFT JOIN f USING (doc_id)""",
 
     "t4i_fingerprint_unique" ->
       """SELECT COUNT(*) AS n_docs,

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorKernels.cosine_native
@@ -9,13 +8,14 @@ import graft.functions.VectorKernels.cosine_native
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Two tiers:
-  *   - [[bruteForceTopK]]: exact top-k by cosine. The query set is
-  *     broadcast; the corpus streams through one narrow pass computing
-  *     |Q|·dim work per row, then a per-query top-k. This is the correct
-  *     baseline and the oracle for the approximate tier. At 100 TB the
-  *     scan dominates and parallelizes perfectly; the ranking shuffle
-  *     carries only |Q|·|corpus| (id, score) pairs — for small |Q| that is
-  *     the floor of any exact method.
+  *   - [[bruteForceTopK]]: exact top-k by cosine. The corpus streams
+  *     through one pass computing |Q|·dim work per row; a bounded-heap
+  *     partial aggregate ([[graft.functions.TopKByScore]]) folds each
+  *     partition's scored pairs down to k entries per query BEFORE the
+  *     exchange, so the only shuffle carries ≈ partitions·|Q|·k rows —
+  *     never the |Q|·|corpus| scored-pair set. This is the correct
+  *     baseline and the oracle for the approximate tier; at 100 TB the
+  *     scan dominates and parallelizes perfectly.
   *   - [[ivfTopK]]: IVF-style two-stage search. A deterministic centroid
   *     sample partitions the corpus into `nCentroids` Voronoi cells
   *     (one broadcast-join pass); queries probe only their `nProbe`
@@ -24,10 +24,37 @@ import graft.functions.VectorKernels.cosine_native
   */
 object Similarity {
 
+  /** Rank scored (query_id, neighbor_id, cosine) rows down to the top k
+    * per query — shared tail of the exact and IVF paths. NOT a window:
+    * `row_number()` would shuffle every scored pair to sort each query's
+    * group; the [[graft.functions.TopKByScore]] bounded-heap aggregate
+    * runs in ObjectHashAggregate partial mode map-side, so the exchange
+    * carries at most k entries per (input partition × query). Order and
+    * tie-break (cosine DESC, neighbor_id ASC) are identical to the
+    * window formulation — results are bit-for-bit the same.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score(col("cosine"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(
+        col("query_id"),
+        col("col.neighbor_id").as("neighbor_id"),
+        round(col("col.cosine"), 6).as("cosine"),
+        (col("pos") + 1).as("rank"))
+
   /** Exact top-k neighbors by cosine for each query vector.
     *
+    * No broadcast hint on the query side: AQE decides from runtime sizes
+    * (small query sets become a broadcast nested-loop join, large ones a
+    * partitioned cartesian — the same policy as every other join here).
+    * A forced `broadcast(q)` dies at the driver exactly when the query
+    * set grows to the many-query regime this operator exists for.
+    *
     * @param corpus  (idCol, vecCol) table to search
-    * @param queries (idCol, vecCol) query vectors (small; broadcast)
+    * @param queries (idCol, vecCol) query vectors
     * @return (query_id, neighbor_id, cosine, rank) — rank 1..k, self-match
     *         excluded, deterministic tie-break by neighbor id
     */
@@ -38,17 +65,17 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // spread the corpus across the full thread count before the O(|Q|·n)
+    // scoring pass; at cluster scale the scan's file splits already give
+    // this and the repartition is one narrow-ish linear pass, never the
+    // bottleneck next to the scoring itself
     val par = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val c = corpus.repartition(par, col(idCol))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c
-      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine_native(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic mini k-means for IVF centroids: stride-sampled seeds
@@ -182,11 +209,7 @@ object Similarity {
       .join(probes.repartition(col("cell")), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine_native(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Persist an IVF index as TABLES — the cluster-scale materialization:
@@ -262,9 +285,13 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥
-    * threshold. Exact all-pairs — O(n²·dim) compute but only the
-    * broadcast side is replicated; this is the exact/oracle variant,
-    * [[lshEmbeddingNearDup]] is the corpus-scale path.
+    * threshold. Exact all-pairs — O(n²·dim) compute; this is the
+    * exact/oracle variant, [[lshEmbeddingNearDup]] is the corpus-scale
+    * path. No broadcast hint: when one side fits, the planner/AQE
+    * broadcasts it; when the corpus outgrows the threshold the join
+    * degrades to a partitioned cartesian (each task pairs one a-block
+    * with one b-block — exactly the B×B chunked-pair schedule) instead
+    * of OOMing the driver on a forced corpus broadcast.
     */
   def embeddingNearDup(
       embeddings: DataFrame,
@@ -275,7 +302,7 @@ object Similarity {
     val a = embeddings.repartition(par, col(idCol))
       .select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", cosine_native(col("vec_a"), col("vec_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

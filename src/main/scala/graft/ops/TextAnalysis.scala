@@ -100,15 +100,17 @@ object TextAnalysis {
         least(stopwordRatio(text) * 4.0, lit(1.0)) * 0.1,
       6)
 
-  /** Order-sensitive document fingerprint: a chained hash over whitespace
-    * tokens — each step hashes (accumulator, next token) with xxhash64, so
-    * two documents share a fingerprint iff their token sequences are
-    * identical (unlike a set-based signature this is order-sensitive).
-    * Chaining instead of a polynomial multiply keeps it safe under Spark
-    * 4's default ANSI overflow checking. Runs as a native codegen kernel
-    * ([[graft.functions.Fingerprint]]) — the equivalent HOF formulation
-    * `aggregate(tokens(text), 0L, (acc, t) => xxhash64(acc, t))` is
-    * value-identical but interpreted (see TextAnalysisSpec parity test).
+  /** Order-sensitive document fingerprint: FNV-1a/64 over the
+    * whitespace-normalized token stream (tokens joined by single
+    * spaces), so two documents share a fingerprint iff their token
+    * SEQUENCES are identical — unlike a set-based signature this is
+    * order-sensitive, and unlike raw-text hashing it ignores whitespace
+    * layout. FNV-1a is self-contained byte arithmetic any warehouse
+    * recomputes bit-for-bit (the oracle does, via UBIGINT xor +
+    * HUGEINT modular multiply — same recipe as simhash), which makes
+    * the fingerprint a PORTABLE contract, not an engine artifact. Runs
+    * as a native codegen kernel ([[graft.functions.Fingerprint]]); see
+    * TextAnalysisSpec for the independent-reimplementation parity test.
     */
   def fingerprint(text: Column): Column =
     graft.functions.Fingerprint.fingerprint(text)

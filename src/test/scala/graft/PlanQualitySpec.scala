@@ -62,6 +62,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("v1: exact top-k ranks via partial bounded-heap agg, no scored-pair window shuffle") {
+    val p = plan("v1_topk_cosine")
+    // the old shape shuffled every scored (query, neighbor) pair through a
+    // row_number window; the aggregate must fold map-side BEFORE the
+    // exchange so the shuffle carries ≤ k entries per (partition × query)
+    assert(!p.contains("Window"), s"scored-pair window shuffle is back:\n$p")
+    assert(p.contains("partial_top_k_by_score"), s"no map-side partial top-k:\n$p")
+    // partial agg feeds the exchange, not the other way around
+    val partialIdx = p.indexOf("partial_top_k_by_score")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      s"partial top-k is not below the exchange:\n$p")
+  }
+
+  test("v1/v2: no static broadcast hint — the planner/AQE owns the decision") {
+    for (q <- Seq("v1_topk_cosine", "v2_embed_neardup")) {
+      val opt = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.toString
+      assert(!opt.contains("strategy=broadcast"), s"$q still hints broadcast:\n$opt")
+    }
+  }
+
   test("x11: bucketed join plans with no exchange below the join") {
     val p = plan("x11_bucketed_join")
     // the only Exchange allowed is the final aggregation's — the join

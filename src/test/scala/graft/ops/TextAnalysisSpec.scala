@@ -41,13 +41,26 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(fp("a b c") != fp("a b"))
   }
 
-  test("native fingerprint kernel equals the HOF xxhash chain") {
-    val hof = (s: String) => one[Long](
-      aggregate(TextAnalysis.tokens(col("t")), lit(0L), (acc, t) => xxhash64(acc, t)), s)
+  test("native fingerprint kernel equals an independent FNV-1a/64 reimplementation") {
+    // reference path: regex-tokenize, join with spaces, fold UTF-8 bytes —
+    // structurally unlike the kernel's single byte-scan, so a kernel bug
+    // (boundary handling, multi-byte chars, separator fold) can't cancel out
+    def ref(s: String): Long = {
+      val seq = "\\S+".r.findAllIn(s).mkString(" ")
+      var h = 0xcbf29ce484222325L
+      for (b <- seq.getBytes("UTF-8")) { h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
     val native = (s: String) => one[Long](TextAnalysis.fingerprint(col("t")), s)
     for (s <- Seq("a b c", "  leading and   multi  spaces ", "single",
                   "tab\tand\nnewline", "", "año café 東京"))
-      assert(native(s) == hof(s), s"mismatch for <$s>")
+      assert(native(s) == ref(s), s"mismatch for <$s>")
+  }
+
+  test("fingerprint hashes token boundaries: [ab,c] differs from [a,bc]") {
+    val fp = (s: String) => one[Long](TextAnalysis.fingerprint(col("t")), s)
+    assert(fp("ab c") != fp("a bc"))
+    assert(fp("a b") == fp("  a \t b "), "whitespace layout must not matter")
   }
 
   test("PII redaction masks emails and phone runs, leaves prose intact") {
