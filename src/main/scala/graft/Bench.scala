@@ -27,14 +27,27 @@ object Bench {
     // a round-reduction provable in the bench output instead of arguing
     // from wall-clock on a possibly-loaded machine.
     val jobCounter = new java.util.concurrent.atomic.AtomicLong()
+    // Executor-CPU nanos per query (summed over completed stages): wall
+    // time on a shared box is load-dominated — the round-3 recording had
+    // 9x wall outliers that a rerun on an idle machine erased — while
+    // CPU totals are stable across load, so verdicts can compare cpu
+    // instead of wall noise.
+    val cpuCounter = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobCounter.incrementAndGet(); ()
+      }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) cpuCounter.addAndGet(m.executorCpuTime)
+        ()
       }
     })
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val j0 = jobCounter.get()
+      val c0 = cpuCounter.get()
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -47,14 +60,17 @@ object Bench {
       // loaded dispatch thread lags
       org.apache.spark.graft.sparkShims.drainListenerBus(spark.sparkContext)
       val jobs = jobCounter.get() - j0
-      System.err.println(f"[bench] $name%-22s $sec%8.2fs  rows=$n jobs=$jobs")
-      (name, sec, jobs)
+      val cpu = (cpuCounter.get() - c0) / 1e9
+      System.err.println(f"[bench] $name%-22s $sec%8.2fs  cpu=$cpu%8.2fs rows=$n jobs=$jobs")
+      (name, sec, jobs, cpu)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val js = results.map { case (k, _, j) => s"\"" + k + "\":" + j }
-      .mkString("{", ",", "}")
+    def numMap(pairs: Seq[(String, Any)]): String =
+      pairs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = numMap(results.map { case (k, v, _, _) => k -> v })
+    val js = numMap(results.map { case (k, _, j, _) => k -> j })
+    val cs = numMap(results.map { case (k, _, _, c) => k -> f"$c%.3f" })
     val total = results.map(_._2).sum
+    val totalCpu = results.map(_._4).sum
     // failed queries must be visible in the machine-readable line, not
     // just stderr — a time-to-exception would otherwise read as a speedup
     def jstr(s: String) = "\"" + s.flatMap {
@@ -63,7 +79,16 @@ object Bench {
     } + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$js,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$totalCpu,"queries":$qs,"jobs":$js,"cpu":$cs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    // Belt and braces for the driver's tail capture: the round-3 artifact
+    // was truncated mid-line on a loaded box ("parsed": null), losing the
+    // per-query map. The file copy survives any stdout truncation.
+    try {
+      new java.io.File("target").mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json)
+      System.err.println("[bench] full JSON also at target/bench.json")
+    } catch { case _: Exception => () }
+    println(json)
     spark.stop()
   }
 }

@@ -258,7 +258,18 @@ object Dedup {
     * plan equality, same mechanism as the shared signature table): every
     * consumer of the same pair source (cluster listing, clustered
     * curation, the capstone pipeline) pays for one convergence, not one
-    * each. The memo holds one entry — a different pair plan evicts it.
+    * each. The memo is a small LRU ([[labelMemoMax]] entries), so a
+    * workload alternating between a few corpora (pipeline A, pipeline B,
+    * back to A) keeps every one a memo hit instead of thrashing a single
+    * slot.
+    *
+    * Checkpoint-file hygiene: an EVICTED entry's reliable-checkpoint
+    * files are reclaimed by the ContextCleaner only when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * ([[graft.EngineSession]] sets it; the Spark default is FALSE). A
+    * caller constructing its own SparkSession with a checkpoint dir
+    * should set it too, or evicted label checkpoints accumulate on disk
+    * for the application lifetime.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     cachedLabels(pairs, maxIter) match {
@@ -267,12 +278,11 @@ object Dedup {
     }
     // One convergence at a time: concurrent callers with the SAME pair
     // plan (Verify submits queries from a thread pool) would otherwise
-    // each converge — tripling the work — and evicting each other's
-    // memo entry. Serializing turns the followers into memo hits. A
-    // caller with a DIFFERENT pair plan also waits here (and evicts the
-    // single memo entry): the deliberate trade is bounded memory — one
-    // cached label table, one convergence in flight — for cross-plan
-    // concurrency this workload doesn't have.
+    // each converge — tripling the work. Serializing turns the followers
+    // into memo hits. A caller with a DIFFERENT pair plan also waits
+    // here: the deliberate trade is bounded memory — a few cached label
+    // tables, one convergence in flight — for cross-plan concurrency
+    // this workload doesn't have.
     ccLock.synchronized {
       cachedLabels(pairs, maxIter) match {
         case Some(hit) => hit
@@ -379,27 +389,63 @@ object Dedup {
     }
     releaseCheckpoint(edges)
     val out = state.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-    // Memoize the converged labels against this pair plan (one entry —
-    // N calls hold ONE converged table, not N). The EVICTED entry's
-    // blocks are NOT released eagerly: an in-flight query may still be
-    // reading them, and a checkpoint has no lineage to recompute from —
-    // an eager release surfaces as CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
-    // mid-query. Dropping the reference is enough: the ContextCleaner
-    // unpersists the blocks once every reader's plan is garbage.
-    labelMemo.set(MemoEntry(pairs, out, iter))
+    // Memoize the converged labels against this pair plan (bounded LRU —
+    // N calls across a few corpora hold a few converged tables, not N).
+    // An EVICTED entry's blocks are NOT released eagerly: an in-flight
+    // query may still be reading them, and a checkpoint has no lineage
+    // to recompute from — an eager release surfaces as
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND mid-query. Dropping the
+    // reference is enough: the ContextCleaner unpersists the blocks
+    // (and, with cleanCheckpoints=true, deletes the files) once every
+    // reader's plan is garbage.
+    memoPut(MemoEntry(pairs, out, iter))
     out
   }
 
   private val ccLock = new Object
 
-  /** The most recent convergence: pair-plan key, converged labels (a
+  /** A memoized convergence: pair-plan key, converged labels (a
     * projection over the checkpointed state), and the rounds it took;
-    * see [[connectedComponents]]. One entry — plan-keyed,
-    * session-checked.
+    * see [[connectedComponents]]. Plan-keyed, session-checked.
     */
   private final case class MemoEntry(key: DataFrame, labels: DataFrame, rounds: Int)
+
+  /** LRU depth: covers a handful of alternating corpora (the capstone +
+    * a second pipeline + ad-hoc queries) without holding unbounded
+    * converged state. Deliberately small — each entry pins a
+    * corpus-sized checkpoint.
+    */
+  private val labelMemoMax = 4
+
+  /** Most-recently-used first. Mutated only via [[memoPut]]/[[memoHit]]
+    * (atomic immutable-list swaps); entries from stopped sessions are
+    * dropped on the next put.
+    */
   private val labelMemo =
-    new java.util.concurrent.atomic.AtomicReference[MemoEntry]()
+    new java.util.concurrent.atomic.AtomicReference[List[MemoEntry]](Nil)
+
+  private def sameKey(a: DataFrame, b: DataFrame): Boolean =
+    (a.sparkSession eq b.sparkSession) &&
+      a.queryExecution.analyzed.sameResult(b.queryExecution.analyzed)
+
+  private def memoPut(e: MemoEntry): Unit = {
+    labelMemo.updateAndGet { old =>
+      val kept = old.filterNot(x =>
+        x.key.sparkSession.sparkContext.isStopped || sameKey(x.key, e.key))
+      (e :: kept).take(labelMemoMax)
+    }
+    ()
+  }
+
+  /** Find a usable entry and move it to the front (LRU touch). */
+  private def memoHit(pairs: DataFrame, maxIter: Int): Option[MemoEntry] = {
+    if (pairs.sparkSession.sparkContext.isStopped) return None
+    val hit = labelMemo.get().find(x => x.rounds <= maxIter && sameKey(x.key, pairs))
+    hit.foreach { e =>
+      labelMemo.updateAndGet(old => e :: old.filterNot(_ eq e)); ()
+    }
+    hit
+  }
 
   /** Rounds the last [[connectedComponents]] convergence took (0 when
     * the 2-hop seed already converged everything; memo hits don't
@@ -413,13 +459,7 @@ object Dedup {
     * silently ride a cheaper earlier call's result.
     */
   private def cachedLabels(pairs: DataFrame, maxIter: Int): Option[DataFrame] =
-    Option(labelMemo.get()).collect {
-      case MemoEntry(key, labels, rounds)
-        if rounds <= maxIter &&
-          (key.sparkSession eq pairs.sparkSession) &&
-          !pairs.sparkSession.sparkContext.isStopped &&
-          key.queryExecution.analyzed.sameResult(pairs.queryExecution.analyzed) => labels
-    }
+    memoHit(pairs, maxIter).map(_.labels)
 
   // -------------------------------------------------------------- SimHash
 

@@ -62,18 +62,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.lastConvergenceRounds <= 8)
   }
 
-  test("connected components: converged labels are memoized per pair plan") {
+  test("connected components: converged labels are memoized per pair plan (LRU)") {
     def pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    def pairsB = Seq((5L, 6L)).toDF("id_a", "id_b")
     val first = Dedup.connectedComponents(pairs)
     first.collect()
     // a structurally-equal (but fresh) pair plan must hit the memo:
     // the SAME DataFrame comes back, no re-convergence
     assert(Dedup.connectedComponents(pairs) eq first)
-    // a different pair plan must miss and evict
-    val other = Dedup.connectedComponents(Seq((5L, 6L)).toDF("id_a", "id_b"))
+    // a different pair plan misses (fresh convergence) but does NOT
+    // evict — the memo is a small LRU, not a single slot
+    val other = Dedup.connectedComponents(pairsB)
     assert(!(other eq first))
     assert(other.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(5L -> 5L, 6L -> 5L))
+    // ALTERNATING corpora both stay memo hits: A, B, A, B pays for two
+    // convergences total, not four (the round-3 single-slot memo
+    // re-converged on every alternation)
+    assert(Dedup.connectedComponents(pairs) eq first)
+    assert(Dedup.connectedComponents(pairsB) eq other)
   }
 
   test("connected components: reliable checkpoints when a checkpoint dir is set") {

@@ -30,6 +30,42 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("loaded IVF index: probe join reads co-located buckets, never exchanges the corpus") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.range(0, 2000).select(
+      $"id".as("vec_id"),
+      expr("transform(sequence(0, 15), d -> cast(sin(xxhash64(id, d)) as float))").as("embedding"))
+    val idx = graft.ops.Similarity.ivfBuild(emb, "vec_id", "embedding",
+      nCentroids = 8, persist = false)
+    // numBuckets == shuffle partitions so the probe-side repartition lands
+    // directly on the bucket layout
+    graft.ops.Similarity.ivfWrite(idx, "ivf_probe_spec",
+      numBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val loaded = graft.ops.Similarity.ivfLoad(spark, "ivf_probe_spec")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle join — the property under test is that the
+      // bucketed corpus side never needs an exchange even then
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val probed = graft.ops.Similarity.ivfProbe(
+        loaded, emb.where($"vec_id" % 10 === 0), "vec_id", "embedding", 5, nProbe = 2)
+      assert(probed.select("query_id").distinct().count() == 200)
+      val p = probed.queryExecution.executedPlan.toString
+      // exactly two shuffles — probes repartitioned on cell, top-k agg on
+      // query_id; a third would mean the corpus side shuffled
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 2, s"corpus-side shuffle leaked:\n$p")
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), s"cells scan is not bucket-aware:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS ivf_probe_spec_cells")
+      spark.sql("DROP TABLE IF EXISTS ivf_probe_spec_cents")
+    }
+  }
+
   test("replaceTable never loses the only complete copy: crash-window recovery") {
     val t = "swap_recovery_t"
     spark.sql(s"DROP TABLE IF EXISTS `$t`")
