@@ -79,9 +79,14 @@ object Similarity {
   }
 
   /** Deterministic mini k-means for IVF centroids: stride-sampled seeds
-    * refined by `iters` Lloyd iterations, entirely as DataFrame plans
-    * (assign = broadcast join + min_by argmin; recenter = groupBy mean
-    * over element position). Each iteration is one shuffle keyed by cell.
+    * refined by `iters` Lloyd iterations, entirely as DataFrame plans.
+    * Assign is one narrow codegen pass (the centroid set collapses to a
+    * single broadcast array row); recenter is a grouped element-wise
+    * vector mean via [[graft.functions.VectorSum]] — a partial-combining
+    * aggregate whose exchange carries one dim-length accumulator per
+    * (partition × cell), NOT the corpus×dim row blow-up a
+    * posexplode + groupBy(cell, dim) formulation would shuffle. Each
+    * iteration is therefore one narrow pass + one cells×dim shuffle.
     */
   def kmeansCentroids(
       corpus: DataFrame,
@@ -110,15 +115,15 @@ object Similarity {
         .select(
           graft.functions.IvfCells.nearest_cell(col("v"), col("cents")).as("centroid_id"),
           col("v"))
-      // recenter: per-dimension mean via posexplode + groupBy(cell, dim)
+      // recenter: element-wise sum/count per cell in one partial-combined
+      // aggregation (map-side fold to a dim-length accumulator per cell)
       centroids = assigned
-        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("centroid_id", "dim")
-        .agg(avg(col("x")).as("m"))
         .groupBy("centroid_id")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .agg(
+          graft.functions.VectorSum.vector_sum(col("v")).as("vsum"),
+          count(col("v")).as("n"))
         .select(col("centroid_id"),
-          transform(col("dm"), e => e.getField("m").cast("float")).as("cent_vec"))
+          transform(col("vsum"), x => (x / col("n")).cast("float")).as("cent_vec"))
     }
     centroids
   }
