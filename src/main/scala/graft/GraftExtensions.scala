@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FingerprintExpr, MinHashSigExpr, ObfuscateNameExpr, SigOverlapExpr, SimHash64Expr, VectorKernelExpr}
+import graft.functions.{FingerprintExpr, MinHashSigExpr, ObfuscateNameExpr, SigOverlapExpr, SimHash64Expr, TopKByScore, VectorKernelExpr, VectorSum}
 
 /** Catalyst extension point: registers graft's native expressions as SQL
   * functions, so the engine surface is reachable from `spark.sql(...)` as
@@ -59,8 +59,15 @@ object GraftExtensions {
       info("vec_l2sq", "vec_l2sq(a, b) - fused squared L2 distance"),
       arity("vec_l2sq", 2)(es => VectorKernelExpr(es(0), es(1), "l2Sq"))),
     ("fingerprint",
-      info("fingerprint", "fingerprint(str) - chained-xxhash64 token-sequence fingerprint"),
+      info("fingerprint", "fingerprint(str) - FNV-1a/64 token-sequence fingerprint (warehouse-recomputable)"),
       arity("fingerprint", 1)(es => FingerprintExpr(es.head))),
+    ("vector_sum",
+      info("vector_sum", "vector_sum(array<float|double>) - grouped element-wise vector sum (partial-combining aggregate)"),
+      arity("vector_sum", 1)(es => VectorSum(es.head))),
+    ("top_k_by_score",
+      info("top_k_by_score",
+        "top_k_by_score(score, id, k) - bounded-heap top-k per group as array<struct<neighbor_id,cosine>>, (score DESC, id ASC); k must be a literal"),
+      arity("top_k_by_score", 3)(es => TopKByScore(es(0), es(1), es(2)))),
     ("sig_overlap",
       info("sig_overlap", "sig_overlap(a, b) - fraction of agreeing minhash positions (estimated Jaccard)"),
       arity("sig_overlap", 2)(es => SigOverlapExpr(es(0), es(1)))),

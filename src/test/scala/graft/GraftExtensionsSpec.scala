@@ -37,6 +37,22 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Double]("diff") < 0.5)
   }
 
+  test("round-4 aggregates callable from spark.sql") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((0L, 1L, 0.5, Seq(1.0, 2.0)), (0L, 2L, 0.9, Seq(3.0, 4.0)),
+        (1L, 3L, 0.1, Seq(5.0, 6.0)))
+      .toDF("g", "id", "score", "v").createOrReplaceTempView("vs_sql")
+    val r = spark.sql(
+      """SELECT g,
+                vector_sum(v) AS s,
+                top_k_by_score(score, id, 1) AS tk
+         FROM vs_sql GROUP BY g ORDER BY g""").collect()
+    assert(r(0).getSeq[Double](1) == Seq(4.0, 6.0))
+    assert(r(0).getSeq[org.apache.spark.sql.Row](2).head.getLong(0) == 2L) // best id
+    assert(r(1).getSeq[Double](1) == Seq(5.0, 6.0))
+  }
+
   test("wrong arity raises a clean AnalysisException") {
     GraftExtensions.register(spark)
     val e = intercept[Exception](spark.sql("SELECT obfuscate_name()").head())
