@@ -260,6 +260,14 @@ object Similarity {
     * cosine verifies. Linear in corpus + candidate volume, never all-pairs.
     * Recall for cos ≥ 0.9 at 64 bands × 8 bits ≈ 1 − 1e-15; lower the
     * threshold → widen bands/shrink bits (bit-agreement p = 1 − θ/π).
+    *
+    * Tuning for corpus size: random-pair collisions per band ≈
+    * n²/2^(bitsPerBand+1), so bitsPerBand should grow ~2·log2(n) to keep
+    * candidate volume (the verify-join input) near-linear in n — 8 bits
+    * suits 10³–10⁴ vectors (`tools.ProfileV4`: 518k candidates from
+    * 2050 vectors is the dominant cost at sf0.1), 16–24 bits the
+    * 10⁶–10⁹ regime. Recall lost to longer bands is bought back with
+    * more bands (cost is linear in bands, quadratic-ish in band width).
     */
   def lshEmbeddingNearDup(
       embeddings: DataFrame,
