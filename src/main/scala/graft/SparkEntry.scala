@@ -474,6 +474,12 @@ object SparkEntry {
     "t7_repetition" -> ((s, dir) =>
       graft.ops.TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- T: per-document top-5 TF-IDF terms (smoothed idf; weight
+    //      rounded before ranking so the rank order is cross-engine
+    //      deterministic) ----
+    "t12_tfidf" -> ((s, dir) =>
+      graft.ops.TextAnalysis.tfidf(t(s, dir, "documents"), "doc_id", "text", 5)),
+
     // ---- T: PII redaction — emails/phones injected deterministically,
     //      masked with the shared Java/RE2 regex subset so the oracle
     //      reproduces the redacted text byte-for-byte ----
@@ -1454,6 +1460,21 @@ object SparkEntry {
          COUNT(DISTINCT array_to_string(regexp_extract_all(text, '\S+'), ' ')) AS n_distinct_seq,
          COUNT(DISTINCT array_to_string(regexp_extract_all(text, '\S+'), ' ')) AS n_distinct_fp
          FROM documents WHERE text IS NOT NULL""",
+
+    "t12_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+                    FROM documents),
+         tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+         df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+         x AS (SELECT doc_id, word, tf, df,
+                 ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+               FROM tf JOIN df USING (word) CROSS JOIN n),
+         r AS (SELECT doc_id, word, tf, df, tfidf,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, word ASC) AS INT) AS rank
+               FROM x)
+         SELECT doc_id, word, tf, df, tfidf, rank FROM r WHERE rank <= 5""",
 
     "t7_repetition" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word

@@ -149,6 +149,42 @@ object TextAnalysis {
         round(col("top_freq").cast("double") / col("n_words"), 6).as("top_word_frac"))
   }
 
+  /** Per-document top-N terms by TF-IDF (smoothed idf:
+    * `ln((N+1)/(df+1)) + 1`, sklearn's convention) — the classic
+    * keyword/topical-signature extractor for corpus curation and
+    * near-topic grouping.
+    *
+    * Distributed shape: one explode + (doc, word) hash-agg for tf (cost
+    * tracks corpus word mass, map-side combined); df derives from the tf
+    * table with a word-keyed agg; the document count N joins back as a
+    * single broadcast row (no collect). The per-doc top-N is a
+    * `row_number` filter, which Catalyst rewrites to partial+final
+    * WindowGroupLimit — each map task keeps only N candidates per doc
+    * before the shuffle.
+    *
+    * Cross-engine determinism: the weight is ROUNDED to 6 decimals
+    * BEFORE ranking, and ties break on the word itself, so the (score,
+    * word) rank order is identical in any engine whose `ln` is within
+    * ~1e-10 of correctly rounded (all mainstream libms).
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String, topN: Int): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.where(col(textCol).isNotNull).agg(count(lit(1)).as("n_docs"))
+    val weighted = tf.join(dfreq, Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("word").asc)
+    weighted
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topN)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
   /** Convenience: full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -63,6 +63,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(fp("a b") == fp("  a \t b "), "whitespace layout must not matter")
   }
 
+  test("tfidf: hand-computed weights, smoothed idf, deterministic rank") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana APPLE"),
+      (1L, "banana cherry"),
+      (2L, "apple")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(4))).toMap
+    // N=3; df(apple)=2, df(banana)=2, df(cherry)=1
+    // idf = ln((3+1)/(df+1)) + 1; doc0 apple: tf=2 (case-folded)
+    assert(out(0L)._1 == "apple")
+    assert(out(0L)._2 == math.rint(2 * (math.log(4.0 / 3.0) + 1) * 1e6) / 1e6)
+    assert(out(1L)._1 == "cherry") // rarer beats more frequent banana
+    assert(out(2L)._1 == "apple")
+  }
+
+  test("tfidf: top-N filter compiles to partial+final WindowGroupLimit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = TextAnalysis.tfidf(docs, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(p).length == 2, p)
+  }
+
   test("PII redaction masks emails and phone runs, leaves prose intact") {
     val r = (s: String) => one[String](TextAnalysis.redactPii(col("t")), s)
     assert(r("mail bob.smith+x@corp.example.org now") == "mail <EMAIL> now")
