@@ -480,6 +480,14 @@ object SparkEntry {
     "t12_tfidf" -> ((s, dir) =>
       graft.ops.TextAnalysis.tfidf(t(s, dir, "documents"), "doc_id", "text", 5)),
 
+    // ---- T: deterministic stratified corpus mixing by language
+    //      (keep all en, 60% de/fr/es, 30% zh; md5-bucket content-stable) ----
+    "t13_corpus_mix" -> ((s, dir) =>
+      graft.ops.Corpus.sampleStratified(
+        t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 10000, "de" -> 6000, "fr" -> 6000, "es" -> 6000, "zh" -> 3000))
+        .select("doc_id", "lang", "source")),
+
     // ---- T: PII redaction — emails/phones injected deterministically,
     //      masked with the shared Java/RE2 regex subset so the oracle
     //      reproduces the redacted text byte-for-byte ----
@@ -1460,6 +1468,15 @@ object SparkEntry {
          COUNT(DISTINCT array_to_string(regexp_extract_all(text, '\S+'), ' ')) AS n_distinct_seq,
          COUNT(DISTINCT array_to_string(regexp_extract_all(text, '\S+'), ' ')) AS n_distinct_fp
          FROM documents WHERE text IS NOT NULL""",
+
+    "t13_corpus_mix" ->
+      """WITH b AS (SELECT doc_id, lang, source,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+           FROM documents)
+         SELECT doc_id, lang, source FROM b
+         WHERE bucket < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 6000
+                                  WHEN 'fr' THEN 6000 WHEN 'es' THEN 6000
+                                  WHEN 'zh' THEN 3000 ELSE 0 END""",
 
     "t12_tfidf" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word

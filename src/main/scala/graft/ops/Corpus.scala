@@ -162,6 +162,37 @@ object Corpus {
       .drop("bucket")
   }
 
+  /** Deterministic stratified corpus mixing — the domain-reweighting
+    * pass of a training-data pipeline (e.g. keep all English, half the
+    * German, a third of the Chinese). Per-stratum keep rates are BASIS
+    * POINTS (0..10000); a document survives iff its md5 bucket
+    * (0..9999, from the id — same portable content-stable mechanics as
+    * [[assignSplit]]) falls below its stratum's rate. Strata absent
+    * from the map keep `defaultBps`.
+    *
+    * Scale shape: one narrow md5 projection + a broadcast join against
+    * the (tiny) weights table — no shuffle of the corpus, and the same
+    * document survives identically on any engine, any partitioning, any
+    * resharding (warehouse SQL can audit the exact kept set).
+    */
+  def sampleStratified(
+      docs: DataFrame,
+      idCol: String,
+      strataCol: String,
+      bpsByStratum: Map[String, Int],
+      defaultBps: Int = 0): DataFrame = {
+    require((bpsByStratum.values ++ Seq(defaultBps)).forall(b => b >= 0 && b <= 10000),
+      "keep rates are basis points in [0, 10000]")
+    val spark = docs.sparkSession
+    val weights = spark.createDataFrame(bpsByStratum.toSeq)
+      .toDF(strataCol, "keep_bps")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10000
+    docs.join(broadcast(weights), Seq(strataCol), "left")
+      .where(bucket < coalesce(col("keep_bps"), lit(defaultBps)))
+      .drop("keep_bps")
+  }
+
   /** Benchmark decontamination (the standard pre-training hygiene pass):
     * flag every training doc sharing at least one word `n`-gram with an
     * evaluation set. The eval shingle set is tiny and broadcasts; the

@@ -82,4 +82,22 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       "doc_id", 90, 5)
     assert(out.exceptAll(again).count() == 0)
   }
+
+  test("stratified mixing keeps per-stratum fractions, content-stable") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(10000).select(
+      $"id".as("doc_id"),
+      when($"id" % 3 === 0, "en").when($"id" % 3 === 1, "de").otherwise("xx").as("lang"))
+    val out = Corpus.sampleStratified(docs, "doc_id", "lang",
+      Map("en" -> 10000, "de" -> 5000), defaultBps = 0)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") == 3334L) // 10000 bps keeps every en doc
+    assert(counts.get("xx").isEmpty) // unmapped stratum -> defaultBps 0 drops all
+    assert(math.abs(counts("de") / 3333.0 - 0.5) < 0.03, counts) // md5 uniformity
+    // content-stable: same kept set regardless of row order
+    val again = Corpus.sampleStratified(docs.orderBy(rand(7)), "doc_id", "lang",
+      Map("en" -> 10000, "de" -> 5000), defaultBps = 0)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+  }
 }
