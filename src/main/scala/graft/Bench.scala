@@ -68,7 +68,10 @@ object Bench {
       pairs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = numMap(results.map { case (k, v, _, _) => k -> v })
     val js = numMap(results.map { case (k, _, j, _) => k -> j })
-    val cs = numMap(results.map { case (k, _, _, c) => k -> f"$c%.3f" })
+    // rint/1000, NOT f"%.3f": the f-interpolator formats with the JVM
+    // default locale, so a comma-decimal locale would emit "57,600" and
+    // corrupt the JSON; Double.toString is locale-independent
+    val cs = numMap(results.map { case (k, _, _, c) => k -> math.rint(c * 1000) / 1000 })
     val total = results.map(_._2).sum
     val totalCpu = results.map(_._4).sum
     // failed queries must be visible in the machine-readable line, not

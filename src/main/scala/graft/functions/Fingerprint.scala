@@ -31,6 +31,14 @@ object Fingerprint {
     * byte-level scanning can never split a multi-byte UTF-8 sequence
     * (continuation bytes are ≥ 0x80). Empty/all-space text hashes to
     * the FNV offset basis.
+    *
+    * Regex-dialect caveat (applies to EVERY `\S+`-tokenized oracle in
+    * this engine, not just the fingerprint): Java's `\s` includes
+    * vertical tab (0x0B); RE2 — DuckDB's engine — does not. A document
+    * containing 0x0B tokenizes differently in the two engines. The
+    * kernel sides with Java/Spark (`TextAnalysis.tokens` is Spark
+    * `regexp_extract_all`, Java dialect); corpora with vertical tabs
+    * should normalize them out before fingerprint/oracle comparison.
     */
   def fingerprintKernel(text: UTF8String): Long = {
     val bytes = text.getBytes

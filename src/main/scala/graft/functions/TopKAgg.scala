@@ -27,9 +27,30 @@ final class TopKBuffer(val k: Int) {
   val scores: Array[Double] = new Array[Double](k)
   val ids: Array[Long] = new Array[Long](k)
 
+  /** Score comparison with Spark's window sort semantics
+    * (`nanSafeCompareDoubles`): NaN ranks GREATER than every value
+    * (so `ORDER BY score DESC` puts it first) and -0.0 == 0.0. Raw
+    * `>`/`==` would silently drop or misplace NaN scores depending on
+    * arrival order — the aggregate must stay bit-identical to the
+    * window formulation even on NaN inputs.
+    */
+  @inline private def scoreCmp(s1: Double, s2: Double): Int =
+    if (s1 == s2) 0
+    else {
+      val n1 = java.lang.Double.isNaN(s1)
+      val n2 = java.lang.Double.isNaN(s2)
+      if (n1 && n2) 0
+      else if (n1) 1
+      else if (n2) -1
+      else if (s1 > s2) 1
+      else -1
+    }
+
   /** True if (s1, i1) ranks strictly better than (s2, i2). */
-  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = scoreCmp(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   def insert(score: Double, id: Long): Unit = {
     if (size == k) {

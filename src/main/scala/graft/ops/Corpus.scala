@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -146,14 +146,21 @@ object Corpus {
     * functions), which is what makes the split auditable by warehouse
     * SQL and reproducible across reshards.
     */
+  /** The portable content-stable bucket shared by [[assignSplit]] and
+    * [[sampleStratified]] (and mirrored by their warehouse oracles):
+    * first 8 md5 hex digits of the stringified id, mod `buckets`. ONE
+    * definition — the split and the sampler must never drift apart.
+    */
+  private def md5Bucket(id: Column, buckets: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
   def assignSplit(
       docs: DataFrame,
       idCol: String,
       trainPct: Int = 90,
       valPct: Int = 5): DataFrame = {
     require(trainPct + valPct < 100, "need a non-empty test split")
-    val bucket = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100).as("bucket")
+    val bucket = md5Bucket(col(idCol), 100).as("bucket")
     docs.select(col(idCol), bucket)
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
@@ -186,10 +193,8 @@ object Corpus {
     val spark = docs.sparkSession
     val weights = spark.createDataFrame(bpsByStratum.toSeq)
       .toDF(strataCol, "keep_bps")
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") % 10000
     docs.join(broadcast(weights), Seq(strataCol), "left")
-      .where(bucket < coalesce(col("keep_bps"), lit(defaultBps)))
+      .where(md5Bucket(col(idCol), 10000) < coalesce(col("keep_bps"), lit(defaultBps)))
       .drop("keep_bps")
   }
 

@@ -442,7 +442,11 @@ object Dedup {
     if (pairs.sparkSession.sparkContext.isStopped) return None
     val hit = labelMemo.get().find(x => x.rounds <= maxIter && sameKey(x.key, pairs))
     hit.foreach { e =>
-      labelMemo.updateAndGet(old => e :: old.filterNot(_ eq e)); ()
+      // re-cap on touch: a concurrent memoPut may have evicted e between
+      // the read and this update — re-prepending without the take would
+      // resurrect it and grow the list past the cap
+      labelMemo.updateAndGet(old =>
+        (e :: old.filterNot(_ eq e)).take(labelMemoMax)); ()
     }
     hit
   }

@@ -31,19 +31,40 @@ object Similarity {
     * runs in ObjectHashAggregate partial mode map-side, so the exchange
     * carries at most k entries per (input partition × query). Order and
     * tie-break (cosine DESC, neighbor_id ASC) are identical to the
-    * window formulation — results are bit-for-bit the same.
+    * window formulation — results are bit-for-bit the same (including
+    * NaN scores, which rank first like the window's DESC sort).
+    *
+    * The aggregate is long-keyed; integral neighbor ids up-cast to
+    * BIGINT for the heap and cast back so the output schema keeps the
+    * caller's id type. Non-integral ids (strings, decimals) keep the
+    * original contract via the window formulation — correctness over
+    * the shuffle saving for the uncommon id shape.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored
-      .groupBy("query_id")
-      .agg(graft.functions.TopKAgg
-        .top_k_by_score(col("cosine"), col("neighbor_id"), k).as("tk"))
-      .select(col("query_id"), posexplode(col("tk")))
-      .select(
-        col("query_id"),
-        col("col.neighbor_id").as("neighbor_id"),
-        round(col("col.cosine"), 6).as("cosine"),
-        (col("pos") + 1).as("rank"))
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = scored.schema("neighbor_id").dataType
+    idType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        scored
+          .groupBy("query_id")
+          .agg(graft.functions.TopKAgg
+            .top_k_by_score(col("cosine"), col("neighbor_id").cast("long"), k).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")))
+          .select(
+            col("query_id"),
+            col("col.neighbor_id").cast(idType).as("neighbor_id"),
+            round(col("col.cosine"), 6).as("cosine"),
+            (col("pos") + 1).as("rank"))
+      case _ =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+        scored
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+    }
+  }
 
   /** Exact top-k neighbors by cosine for each query vector.
     *
@@ -87,6 +108,12 @@ object Similarity {
     * (partition × cell), NOT the corpus×dim row blow-up a
     * posexplode + groupBy(cell, dim) formulation would shuffle. Each
     * iteration is therefore one narrow pass + one cells×dim shuffle.
+    *
+    * Null-element caveat: `vector_sum` skips null ELEMENTS (they add 0)
+    * and the mean divides by the cell's vector count, so a dimension
+    * that is null in some vectors averages lower than a per-dim
+    * non-null mean would. Embedding columns are null-element-free by
+    * construction (decoders emit dense arrays); pass them that way.
     */
   def kmeansCentroids(
       corpus: DataFrame,

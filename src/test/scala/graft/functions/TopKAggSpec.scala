@@ -60,6 +60,25 @@ class TopKAggSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L), (1L, 3L)))
   }
 
+  test("NaN scores rank first, exactly like the window's DESC sort, regardless of arrival order") {
+    // Spark sorts doubles NaN-greatest: a NaN cosine outranks every real
+    // score under ORDER BY score DESC. The bounded heap must agree even
+    // when the NaN arrives after the buffer is full (raw > / == both
+    // return false for NaN — the bug shape this test pins).
+    val nan = Double.NaN
+    for (order <- Seq(
+        Seq((0L, 1L, 0.9), (0L, 2L, 0.8), (0L, 3L, nan)),   // NaN last
+        Seq((0L, 3L, nan), (0L, 1L, 0.9), (0L, 2L, 0.8)))) { // NaN first
+      val df = order.toDF("g", "id", "score").repartition(1)
+      val a = viaAgg(df, 2).orderBy("rank").collect()
+        .map(r => (r.getLong(1), r.getInt(3))).toSeq
+      val w = viaWindow(df, 2).orderBy("rank").collect()
+        .map(r => (r.getLong(1), r.getInt(3))).toSeq
+      assert(a == w, s"agg $a vs window $w for input order $order")
+      assert(a.head._1 == 3L, s"NaN row must rank first: $a")
+    }
+  }
+
   test("buffer never holds more than k entries and serde round-trips") {
     val buf = new TopKBuffer(3)
     for (i <- 0 until 100) buf.insert(i.toDouble % 10, i.toLong)

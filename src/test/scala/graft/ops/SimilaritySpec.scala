@@ -41,6 +41,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(_.getAs[Long]("neighbor_id") != 0L))
   }
 
+  test("brute-force top-k keeps non-long id types (int id, string id)") {
+    import org.apache.spark.sql.functions.col
+    val base = Seq(
+      (1, "a", Seq(1.0f, 0.0f)),
+      (2, "b", Seq(0.9f, 0.1f)),
+      (3, "c", Seq(0.0f, 1.0f)))
+    // int ids: aggregate path with up-cast, schema keeps IntegerType
+    val ints = base.map { case (i, _, v) => (i, v) }.toDF("vec_id", "embedding")
+    val outI = Similarity.bruteForceTopK(ints, ints.where($"vec_id" === 1), "vec_id", "embedding", 1)
+    assert(outI.schema("neighbor_id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(outI.collect().map(r => r.getInt(1)).toSeq == Seq(2))
+    // string ids: window fallback preserves the original contract
+    val strs = base.map { case (_, s, v) => (s, v) }.toDF("vec_id", "embedding")
+    val outS = Similarity.bruteForceTopK(strs, strs.where(col("vec_id") === "a"), "vec_id", "embedding", 1)
+    assert(outS.collect().map(_.getString(1)).toSeq == Seq("b"))
+  }
+
   test("embedding near-dup finds only the close pair") {
     val pairs = Similarity.embeddingNearDup(corpus, "vec_id", "embedding", 0.99)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
