@@ -28,22 +28,37 @@ object SignBands {
   /** Plane matrix cache (plane-major, flat): hashing per (plane, dim) per
     * ROW would dominate the kernel (65M hash calls for 2k×64-dim at
     * 64×8 bits); the matrix is deterministic, so build it once per
-    * executor and key it by (planes, dim).
+    * executor and key it by (planes, dim). BOUNDED (access-order LRU,
+    * 8 entries): a long-lived executor scoring corpora of varying
+    * dimension or band shape must not accumulate plane matrices
+    * (512 planes × 768 dims ≈ 3 MB each) for the process lifetime.
+    * Rebuilding on a miss is cheap (one hash per cell) relative to any
+    * kernel pass that needed the matrix.
     */
+  private val planeCacheMax = 8
   private val planeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+    new java.util.LinkedHashMap[(Int, Int), Array[Double]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Int), Array[Double]]): Boolean =
+        size() > planeCacheMax
+    }
 
-  private def planes(nPlanes: Int, dim: Int): Array[Double] =
-    planeCache.computeIfAbsent((nPlanes, dim), { case (p, d) =>
-      val m = new Array[Double](p * d)
+  private def planes(nPlanes: Int, dim: Int): Array[Double] = planeCache.synchronized {
+    val key = (nPlanes, dim)
+    val hit = planeCache.get(key)
+    if (hit != null) hit
+    else {
+      val m = new Array[Double](nPlanes * dim)
       var plane = 0
-      while (plane < p) {
+      while (plane < nPlanes) {
         var i = 0
-        while (i < d) { m(plane * d + i) = rademacher(plane, i); i += 1 }
+        while (i < dim) { m(plane * dim + i) = rademacher(plane, i); i += 1 }
         plane += 1
       }
+      planeCache.put(key, m)
       m
-    })
+    }
+  }
 
   def bandKeys(vec: ArrayData, bands: Int, bitsPerBand: Int, vecIsFloat: Boolean): ArrayData = {
     val dim = vec.numElements()

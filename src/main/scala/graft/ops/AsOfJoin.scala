@@ -51,6 +51,14 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!rightCols.contains(key), "rightCols must not repeat the key")
     require(!leftCols.exists(Set("_ts", "_tag", "_r")), "reserved column name in left input")
+    // the right side is rebuilt around the same scratch columns — a data
+    // column named _ts/_tag/_r would be silently overwritten, and a
+    // rightCols name colliding with a left column would emit duplicate
+    // output columns (ambiguous downstream); reject both loudly
+    require(!right.columns.exists(Set("_ts", "_tag", "_r")),
+      "reserved column name (_ts/_tag/_r) in right input")
+    require(!rightCols.exists(leftCols.toSet),
+      s"rightCols collide with left columns: ${rightCols.filter(leftCols.toSet).mkString(", ")}")
 
     // one atomic struct of the carried columns; NULL only for left rows
     val rStructType = org.apache.spark.sql.types.StructType(

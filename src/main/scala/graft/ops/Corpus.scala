@@ -31,6 +31,30 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** The shared gate + exact-dedup head of [[curate]] and
+    * [[curateClustered]]: quality thresholds (token count, alphabetic
+    * density), then keep the smallest id per exact-text (md5) group.
+    * ONE definition — the two curation policies must gate identical
+    * survivor sets.
+    */
+  private def gateAndExactDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int,
+      minAlphaRatio: Double): DataFrame = {
+    val id = col(idCol)
+    val text = col(textCol)
+    val gated = docs.select(
+        id, text,
+        TextAnalysis.tokenCount(text).cast("long").as("n_tokens"),
+        TextAnalysis.alphaRatio(text).as("alpha_ratio"))
+      .where(col("n_tokens") >= minTokens && col("alpha_ratio") >= minAlphaRatio)
+    val w = Window.partitionBy(md5(text)).orderBy(id.asc)
+    gated.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+  }
+
   def curate(
       docs: DataFrame,
       idCol: String,
@@ -41,17 +65,7 @@ object Corpus {
       n: Int = 3,
       useLsh: Boolean = true): DataFrame = {
     val id = col(idCol)
-    val text = col(textCol)
-
-    val gated = docs.select(
-        id, text,
-        TextAnalysis.tokenCount(text).cast("long").as("n_tokens"),
-        TextAnalysis.alphaRatio(text).as("alpha_ratio"))
-      .where(col("n_tokens") >= minTokens && col("alpha_ratio") >= minAlphaRatio)
-
-    val w = Window.partitionBy(md5(text)).orderBy(id.asc)
-    val exactKept = gated.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1).drop("rn")
+    val exactKept = gateAndExactDedup(docs, idCol, textCol, minTokens, minAlphaRatio)
 
     // LSH pairs are computed on the ORIGINAL corpus and then restricted
     // to surviving docs: near-duplicate similarity is a pairwise
@@ -103,15 +117,7 @@ object Corpus {
       n: Int = 3,
       pairCorpus: Option[DataFrame] = None): DataFrame = {
     val id = col(idCol)
-    val text = col(textCol)
-    val gated = docs.select(
-        id, text,
-        TextAnalysis.tokenCount(text).cast("long").as("n_tokens"),
-        TextAnalysis.alphaRatio(text).as("alpha_ratio"))
-      .where(col("n_tokens") >= minTokens && col("alpha_ratio") >= minAlphaRatio)
-    val w = Window.partitionBy(md5(text)).orderBy(id.asc)
-    val exactKept = gated.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1).drop("rn")
+    val exactKept = gateAndExactDedup(docs, idCol, textCol, minTokens, minAlphaRatio)
 
     val labels = Dedup.connectedComponents(
       Dedup.minhashNearDup(pairCorpus.getOrElse(docs), idCol, textCol, jaccardThreshold, n))

@@ -39,10 +39,13 @@ object ImageCodec {
       }
     } catch { case _: Exception => None }
 
-  /** Encode ARGB pixels as PNG (lossless). */
+  /** Encode ARGB pixels as PNG (lossless, ALPHA PRESERVED — an RGB
+    * buffer here would silently force alpha to 0xFF and break the
+    * decode(encodePng(px)) == px invariant for any non-opaque raster).
+    */
   def encodePng(width: Int, height: Int, argb: Array[Int]): Array[Byte] = {
     require(argb.length == width * height, "pixel count must be width*height")
-    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_ARGB)
     img.setRGB(0, 0, width, height, argb, 0, width)
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
@@ -50,15 +53,19 @@ object ImageCodec {
   }
 
   /** Decode, bilinear-resample to (w, h), re-encode as PNG. None if the
-    * payload is not a decodable image.
+    * payload is not a decodable image. Alpha flows through: the draw
+    * uses AlphaComposite.Src (straight replacement, no compositing), so
+    * transparent sources resample their stored RGB instead of
+    * compositing to black against the empty destination.
     */
   def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
     decode(bytes).map { d =>
-      val src = new BufferedImage(d.width, d.height, BufferedImage.TYPE_INT_RGB)
+      val src = new BufferedImage(d.width, d.height, BufferedImage.TYPE_INT_ARGB)
       src.setRGB(0, 0, d.width, d.height, d.pixels, 0, d.width)
-      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
       val g = dst.createGraphics()
       try {
+        g.setComposite(java.awt.AlphaComposite.Src)
         g.setRenderingHint(
           java.awt.RenderingHints.KEY_INTERPOLATION,
           java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)

@@ -121,7 +121,11 @@ object Multimodal {
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val d = md.digest(r.getString(1).getBytes("UTF-8"))
-          val rgb = ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+          // OPAQUE pixels (alpha 0xFF): encodePng preserves alpha, and a
+          // zero-alpha raster interpolates to nothing in any resampler
+          // (premultiplied-alpha arithmetic) — synthetic images model
+          // photos, which are opaque
+          val rgb = 0xff000000 | ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
           val w = 8 + (d(3) & 0xff) % 9
           val h = 8 + (d(4) & 0xff) % 9
           MediaPayload(r.getLong(0), ImageCodec.encodePng(w, h, Array.fill(w * h)(rgb)))
@@ -208,7 +212,9 @@ object Multimodal {
           val h = 8 + (d(4) & 0xff) % 9
           val nFrames = 2 + (d(8) & 0xff) % 4
           val frames = (0 until nFrames).map { i =>
-            val rgb = ((((d(0) & 0xff) + i) % 256) << 16) |
+            // opaque, like the image payloads — see syntheticPngPayload
+            val rgb = 0xff000000 |
+              ((((d(0) & 0xff) + i) % 256) << 16) |
               ((((d(1) & 0xff) + 2 * i) % 256) << 8) |
               (((d(2) & 0xff) + 3 * i) % 256)
             ImageCodec.encodePng(w, h, Array.fill(w * h)(rgb))
@@ -270,11 +276,17 @@ object Multimodal {
       })
   }
 
-  /** Image container from magic bytes (decode-independent). */
+  /** Image container from magic bytes (decode-independent). Covers the
+    * full ImageIO-decodable set ([[ImageCodec.decode]]): PNG, JPEG, GIF,
+    * BMP — a payload that decodes must never be labeled "bin".
+    */
   private def sniffImageFormat(bytes: Array[Byte]): String =
     if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
       bytes(2) == 'N' && bytes(3) == 'G') "png"
     else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8') "gif"
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
     else "bin"
 
   /** Thumbnail row produced by [[resizePass]]. */
@@ -317,6 +329,10 @@ object Multimodal {
     */
   def frameSamplePass(
       media: DataFrame, frameSize: Int, stride: Int, parallelism: Int): Dataset[MediaFrame] = {
+    // fail on the driver, not as an ArithmeticException (i % 0) or
+    // grouped(0) error repeated across every executor task
+    require(frameSize > 0, s"frameSize must be positive, got $frameSize")
+    require(stride > 0, s"stride must be positive, got $stride")
     val spark = media.sparkSession
     import spark.implicits._
     balanced(media.select(col("media_id"), col("payload"))

@@ -34,6 +34,11 @@ object Similarity {
     * window formulation — results are bit-for-bit the same (including
     * NaN scores, which rank first like the window's DESC sort).
     *
+    * Null-cosine rows (zero-norm or null vectors) NEVER rank, in either
+    * branch — the aggregate skips null scores by construction and the
+    * window branch filters them, so the two paths agree even when a
+    * query has fewer than k real-scored candidates.
+    *
     * The aggregate is long-keyed; integral neighbor ids up-cast to
     * BIGINT for the heap and cast back so the output schema keeps the
     * caller's id type. Non-integral ids (strings, decimals) keep the
@@ -59,6 +64,7 @@ object Similarity {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
         scored
+          .where(col("cosine").isNotNull) // match the aggregate branch
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= k)
           .select(col("query_id"), col("neighbor_id"),
@@ -121,14 +127,22 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int = 2): DataFrame = {
-    // seed = the k ids with the smallest xxhash64(id): a deterministic
+    // seed = the k rows with the smallest xxhash64(id): a deterministic
     // uniform sample for ANY id type/distribution (dense, sparse, string),
     // planned as a distributed partial top-k — no count() action, no
-    // density assumption
+    // density assumption. The seed rows are re-keyed to DENSE BIGINT
+    // cell ids (row_number over the deterministic hash order): cell ids
+    // are an internal coordinate, and tying them to the seed doc's id
+    // type would make the whole IVF path reject non-BIGINT id columns
+    // (the centroid-struct kernels are long-keyed) while bruteForceTopK
+    // accepts them.
+    val seedW = org.apache.spark.sql.expressions.Window
+      .orderBy(xxhash64(col("centroid_id")).asc, col("centroid_id").asc)
     var centroids = corpus
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
       .orderBy(xxhash64(col("centroid_id")).asc, col("centroid_id").asc)
       .limit(k)
+      .select(row_number().over(seedW).cast("long").as("centroid_id"), col("cent_vec"))
 
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("v"))
     (0 until iters).foreach { _ =>

@@ -55,6 +55,14 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(d.pixels.map(_ & 0xffffff).toSeq == px.toSeq)
   }
 
+  test("PNG round-trip preserves alpha, including semi-transparent pixels") {
+    // an RGB-typed encode buffer would force alpha to 0xFF and silently
+    // break decode(encodePng(px)) == px for any non-opaque raster
+    val px = Array(0x80ff0000, 0xff112233, 0x7f123456, 0xff000000)
+    val d = ImageCodec.decode(ImageCodec.encodePng(2, 2, px)).get
+    assert(d.pixels.toSeq == px.toSeq)
+  }
+
   test("synthetic PNG payload decodes to md5-derived dims and exact color") {
     val docs = Seq((7L, "hello media world")).toDF("doc_id", "text")
     val payload = Multimodal.syntheticPngPayload(docs, "doc_id", "text", 2).toDF()
