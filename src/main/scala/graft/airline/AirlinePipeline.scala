@@ -46,20 +46,14 @@ object AirlinePipeline {
       spark.table(s"${LakePrefix}pasajero"),
       spark.table(s"${LakePrefix}vuelo"))
 
-  /** Staged overwrite: write to a stage table, then swap — never read and
-    * truncate the same table in one job.
-    */
-  private def replaceTable(spark: SparkSession, df: DataFrame, table: String): Unit = {
-    df.write.mode("overwrite").saveAsTable(s"${table}_stage")
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"ALTER TABLE ${table}_stage RENAME TO $table")
-  }
-
   def run(spark: SparkSession, dataDir: String, asOfYear: Int): Unit = {
     ingest(spark, dataDir)
     buildMart(spark).write.mode("overwrite").saveAsTable(s"${LakePrefix}schema_prod")
     val compensated = Compensation(spark.table(s"${LakePrefix}schema_prod"), asOfYear)
-    replaceTable(spark, compensated, s"${LakePrefix}schema_prod")
+    // crash-safe retire-rename swap (never read and truncate the same
+    // table in one job; at least one complete copy exists at every step
+    // — a local DROP-then-RENAME would delete the only copy first)
+    graft.sources.Bucketing.replaceTable(compensated, s"${LakePrefix}schema_prod")
   }
 
   def main(args: Array[String]): Unit = {

@@ -47,6 +47,21 @@ object MartBuilder {
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
   }
 
+  /** One passenger row per `dni` — the same cardinality guard
+    * [[dedupFlightsForJoin]] gives the vuelo side: the reference's Beam
+    * `AsDict` collapses duplicate keys nondeterministically
+    * (dict-constructor last-wins over an unordered collection,
+    * datalake_to_mart.py:76), so duplicate dni rows here would fan out
+    * the fact table and double-count every per-flight quota downstream.
+    * Deterministic total order over the remaining columns picks the
+    * survivor.
+    */
+  def dedupPassengersForJoin(pasajero: DataFrame): DataFrame = {
+    val others = pasajero.columns.filterNot(_ == "dni").sorted.map(col(_).asc)
+    val w = Window.partitionBy("dni").orderBy(others.toSeq: _*)
+    pasajero.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+  }
+
   /** Full mart: takes the three lake tables, returns the 21-column mart
     * (compensacion NULL). Join semantics are left-outer — a venta row with
     * an unknown dni/cod_avion survives with null dim columns
@@ -54,7 +69,7 @@ object MartBuilder {
     */
   def build(venta: DataFrame, pasajero: DataFrame, vuelo: DataFrame): DataFrame = {
     val joined = venta
-      .join(broadcast(pasajero), Seq("dni"), "left")
+      .join(broadcast(dedupPassengersForJoin(pasajero)), Seq("dni"), "left")
       .join(broadcast(dedupFlightsForJoin(vuelo)), Seq("cod_avion"), "left")
       .withColumn("monto", abs(col("monto")))
       .withColumn("nombre_completo", obfuscate_name(col("nombre_completo")))

@@ -54,11 +54,15 @@ object PipeDelimitedSource {
         // Dirty-integer policy: strip everything but digits; a leading
         // '-' (after trim) keeps the sign. `+56 9 4365-7435` -> 56943657435,
         // `-1 234` -> -1234, no digits at all -> null.
+        // try_cast, not cast: under Spark 4's default ANSI mode a plain
+        // cast THROWS on overflow (a 20+-digit dirty phone field would
+        // kill the ingest job on one cell) — the documented policy is
+        // null-on-malformed
         val digits = regexp_replace(nonEmpty, "[^0-9]", "")
         val signed = concat(when(nonEmpty.startsWith("-"), lit("-")).otherwise(lit("")), digits)
-        when(length(digits) > 0, signed.cast(dt)).otherwise(lit(null).cast(dt))
+        when(length(digits) > 0, signed.try_cast(dt)).otherwise(lit(null).cast(dt))
       case DoubleType | FloatType =>
-        nonEmpty.cast(dt)
+        nonEmpty.try_cast(dt)
       case DateType =>
         // Reference semantics: slash-formatted dates are reformatted to
         // dashes before load (S3). try_* variants keep the permissive
@@ -68,7 +72,7 @@ object PipeDelimitedSource {
         // Compact `yyyyMMdd HH:mm:ss` (S4) or already-ISO.
         when(nonEmpty.rlike("^[0-9]{8} "), try_to_timestamp(nonEmpty, lit("yyyyMMdd HH:mm:ss")))
           .otherwise(try_to_timestamp(nonEmpty))
-      case other => nonEmpty.cast(other)
+      case other => nonEmpty.try_cast(other)
     }
   }
 }

@@ -132,6 +132,10 @@ object EventStreams {
     import org.apache.spark.sql.streaming.GroupState
 
     val out = events
+      // Ev's fields are non-nullable primitives: a null user_id/ts row
+      // would kill the whole query at decode (sessionization is
+      // undefined without a key and an event time — drop, don't crash)
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("ts"), col("value")).as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Open, (Long, Long, Long, Long, Double)](
@@ -140,6 +144,16 @@ object EventStreams {
         (user: Long, evs: Iterator[Ev], state: GroupState[Open]) =>
           val gapMicros = gapSeconds * 1000000L
           var open = state.getOption
+          // running chain of too-late events (predating the open session
+          // by more than the gap): they arrive sorted within the batch,
+          // so ONE open late chain merges consecutive late events that
+          // fall within a gap of each other — emitting each as its own
+          // singleton would fragment a genuine late session. Residual
+          // divergence from the batch twin: a late chain is never
+          // re-spliced into the open session even if a bridging event
+          // later closes the time hole — O(1) state can't re-open
+          // emitted history; the guarantee is per-batch greedy merging.
+          var lateOpen: Option[Open] = None
           val closed = scala.collection.mutable.ArrayBuffer.empty[Open]
           evs.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos)).foreach { e =>
             val t = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
@@ -153,15 +167,21 @@ object EventStreams {
               case Some(o) if t > o.end + gapMicros =>
                 closed += o
                 open = Some(Open(t, t, 1L, e.value))
-              case Some(o) =>
-                // too-late event predating the open session by more than
-                // the gap: emit it as its own (already-closed) session —
-                // history can't be re-spliced in a single-state model
-                closed += Open(t, t, 1L, e.value)
+              case Some(_) =>
+                lateOpen match {
+                  case Some(lo) if t >= lo.start - gapMicros && t <= lo.end + gapMicros =>
+                    lateOpen = Some(Open(t min lo.start, t max lo.end, lo.n + 1, lo.sum + e.value))
+                  case Some(lo) =>
+                    closed += lo
+                    lateOpen = Some(Open(t, t, 1L, e.value))
+                  case None =>
+                    lateOpen = Some(Open(t, t, 1L, e.value))
+                }
               case None =>
                 open = Some(Open(t, t, 1L, e.value))
             }
           }
+          lateOpen.foreach(closed += _)
           if (state.hasTimedOut) {
             open.foreach(closed += _)
             open = None
@@ -225,6 +245,14 @@ object EventStreams {
     * The extra `tieCols` give a total order when two arrivals share a
     * timestamp, which streaming resolves by arrival order — batch must
     * pin it explicitly to stay deterministic.
+    *
+    * Equivalence contract: the twin matches the streaming result iff
+    * every duplicate pair lies within the watermark horizon of each
+    * other — that is the only guarantee `dropDuplicatesWithinWatermark`
+    * itself makes (state for an id is evicted once the watermark passes
+    * it, so duplicates farther apart than the horizon are BOTH emitted
+    * by streaming, while this global dedup keeps one). Size the
+    * watermark to the maximum duplicate spread, not just arrival skew.
     */
   def dedupBatchTwin(
       events: DataFrame,
@@ -238,16 +266,46 @@ object EventStreams {
       .where(col("__rn") === 1).drop("__rn")
   }
 
-  /** Micro-batch sink via foreachBatch: each micro-batch lands
-    * transactionally into a managed table (append). This is the hook for
-    * arbitrary batch-side logic (MERGE-style upserts, multi-table
-    * fan-out) that the declarative sinks can't express.
+  /** Micro-batch sink via foreachBatch, IDEMPOTENT under replay:
+    * foreachBatch is at-least-once (a crash between the batch write and
+    * the checkpoint commit redelivers the same micro-batch), so a plain
+    * append would duplicate rows. Each batch lands in its own
+    * `_batch_id` partition with dynamic partition overwrite — a
+    * redelivered batch overwrites its previous partition instead of
+    * appending a second copy. This is the hook for arbitrary batch-side
+    * logic (MERGE-style upserts, multi-table fan-out) that the
+    * declarative sinks can't express.
     */
   def runToTable(df: DataFrame, table: String): Unit = {
     val q = df.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").saveAsTable(table)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          val tagged = batch.withColumn("_batch_id", lit(batchId))
+          if (!spark.catalog.tableExists(table)) {
+            // a crashed earlier run can leave an orphaned LOCATION with no
+            // catalog entry; CREATE would refuse it
+            graft.sources.Bucketing.clearStaleTable(spark, table)
+            tagged.write.partitionBy("_batch_id").saveAsTable(table)
+          } else {
+            // positional insert: _batch_id was appended last, matching the
+            // partition-column-last layout saveAsTable created
+            tagged.write.mode("overwrite").insertInto(table)
+            // a partition overwrite replaces files in place. This refresh
+            // covers the micro-batch session; OTHER sessions (foreachBatch
+            // runs in an isolated clone) that read the table before a
+            // replay must REFRESH TABLE themselves or their cached file
+            // listing hits FILE_NOT_EXIST — the standard contract for any
+            // overwritten table.
+            spark.catalog.refreshTable(table)
+          }
+        } finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -58,6 +58,23 @@ class MartBuilderSpec extends AnyFunSuite with SparkSpec {
     assert(d.where($"cod_avion" === "127").head().getAs[String]("cod_vuelo") == "LA8888")
   }
 
+  test("J1 policy: duplicate dni never fans out the fact table") {
+    // the reference's AsDict collapses duplicate keys nondeterministically;
+    // the engine must pick deterministically and keep fact cardinality
+    val dupped = pasajero.unionByName(Seq(
+      ("11111111-1", "A Different Name", "zz@gmail.com", "aaa street 1", 56900000000L, "1950-01-01"))
+      .toDF("dni", "nombre_completo", "correo_electronico", "direccion", "telefono", "fecha_de_nacimiento")
+      .withColumn("fecha_de_nacimiento", to_date(col("fecha_de_nacimiento"))))
+    val m = MartBuilder.build(venta, dupped, vuelo)
+    assert(m.count() == 4) // unchanged: one dim row per dni joined
+    // deterministic survivor: smallest by the sorted-columns total order —
+    // correo_electronico sorts first alphabetically, "nn@..." < "zz@...",
+    // so the original row wins regardless of union order
+    val kept = m.where($"dni" === "11111111-1" && $"cod_avion" === "126")
+      .head().getAs[String]("nombre_completo")
+    assert(kept == "Lane W**** *****")
+  }
+
   test("J1 left-outer: unknown dni keeps fact row with null dim columns") {
     val miss = mart.where($"dni" === "99999999-9").collect()
     assert(miss.length == 1)

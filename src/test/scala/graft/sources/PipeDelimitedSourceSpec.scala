@@ -44,6 +44,18 @@ class PipeDelimitedSourceSpec extends AnyFunSuite with SparkSpec {
       Long.box(56943657435L), Long.box(-1234L)))
   }
 
+  test("dirty INTEGER overflow -> null, not an ANSI ArithmeticException") {
+    // two concatenated phone numbers strip to 20+ digits — over Long
+    // range; a plain ANSI cast would kill the whole ingest on one cell
+    val path = write(
+      "1-1|A|a@x|s|+56 9 1111 1111 / +56 9 2222 2222|1990/01/01\r\n" +
+      "2-2|B|b@x|s|+56943657435|1990/01/01")
+    val df = PipeDelimitedSource.read(spark, path, AirlineSchemas.pasajero)
+    val tel = df.orderBy("dni").collect().map(r =>
+      if (r.isNullAt(4)) null else Long.box(r.getLong(4)))
+    assert(tel.toSeq == Seq(null, Long.box(56943657435L)))
+  }
+
   test("compact timestamps and ISO both coerce") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

@@ -42,11 +42,21 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == twin)
   }
 
-  test("foreachBatch sink lands micro-batches in a managed table") {
+  test("foreachBatch sink lands micro-batches in a managed table, idempotent under replay") {
     val dir = writeDupFixture()
     spark.sql("DROP TABLE IF EXISTS stream_landing")
     EventStreams.runToTable(
       EventStreams.streamingDedup(spark, dir), "stream_landing")
+    assert(spark.table("stream_landing").count() == 3)
+    // replay the same micro-batch (no checkpoint -> batch ids restart at
+    // 0): the batch-id partition overwrite must land the SAME rows, not
+    // append a second copy — foreachBatch is at-least-once
+    EventStreams.runToTable(
+      EventStreams.streamingDedup(spark, dir), "stream_landing")
+    // this session read the table before the replay; the overwrite
+    // replaced files in place, so refresh the cached listing (see
+    // runToTable scaladoc — standard overwritten-table contract)
+    spark.catalog.refreshTable("stream_landing")
     assert(spark.table("stream_landing").count() == 3)
     spark.sql("DROP TABLE stream_landing")
   }
