@@ -1,20 +1,12 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // default to every core (the driver may not set SPARK_GRAFT_CPUS)
+    // default to every core (the driver may not set SPARK_GRAFT_CPUS);
+    // ONE session bootstrap (EngineSession) — see Verify
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")
-    val shufflePartitions =
-      if (cpus == "*") Runtime.getRuntime.availableProcessors().toString else cpus
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = EngineSession.local(cpus, "graft-bench",
+      Map("spark.sql.legacy.parquet.nanosAsLong" -> "true"))
     // Warm the JVM/codegen/FS paths so the first measured query isn't
     // charged for session bring-up (~5s of JIT + parquet footer reads).
     // Fixed, named warm-up query (the sorted-first one): an arbitrary
@@ -65,7 +57,7 @@ object Bench {
       (name, sec, jobs, cpu)
     }
     def numMap(pairs: Seq[(String, Any)]): String =
-      pairs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      pairs.map { case (k, v) => JsonUtil.quote(k) + ":" + v }.mkString("{", ",", "}")
     val qs = numMap(results.map { case (k, v, _, _) => k -> v })
     val js = numMap(results.map { case (k, _, j, _) => k -> j })
     // rint/1000, NOT f"%.3f": the f-interpolator formats with the JVM
@@ -76,11 +68,8 @@ object Bench {
     val totalCpu = results.map(_._4).sum
     // failed queries must be visible in the machine-readable line, not
     // just stderr — a time-to-exception would otherwise read as a speedup
-    def jstr(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
-    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+    val errJson = errors
+      .map { case (k, v) => s"${JsonUtil.quote(k)}:${JsonUtil.quote(v)}" }
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$totalCpu,"queries":$qs,"jobs":$js,"cpu":$cs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
     // Belt and braces for the driver's tail capture: the round-3 artifact

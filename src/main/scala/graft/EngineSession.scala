@@ -13,11 +13,20 @@ import org.apache.spark.sql.SparkSession
   *     oracle bit-for-bit.
   */
 object EngineSession {
-  /** Standard local session. `cores` defaults to all available. */
-  def local(cores: String = "*", appName: String = "graft"): SparkSession = {
-    val shufflePartitions =
-      if (cores == "*") Runtime.getRuntime.availableProcessors().toString else cores
-    val spark = SparkSession
+  /** Standard local session. `cores` defaults to all available.
+    * `extraConfs` layers caller-specific settings (e.g. the ns-parquet
+    * legacy flag) on the shared base — Verify/Bench build through here
+    * so there is ONE session bootstrap, not three drifting copies.
+    */
+  def local(
+      cores: String = "*",
+      appName: String = "graft",
+      extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    // `cores` is a master THREAD spec — "4,3" (local[N,maxFailures]) is
+    // legal — so only its leading integer may size shuffle partitions
+    val shufflePartitions = "^[0-9]+".r.findFirstIn(cores)
+      .getOrElse(Runtime.getRuntime.availableProcessors().toString)
+    val base = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -30,7 +39,7 @@ object EngineSession {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = extraConfs.foldLeft(base)((b, kv) => b.config(kv._1, kv._2)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark) // SQL surface: obfuscate_name, vec_*, ...
     spark

@@ -76,13 +76,17 @@ object GraftExtensions {
       arity("minhash_sig", 2)(es => MinHashSigExpr(es.head, litInt("minhash_sig", "k", es(1)))))
   )
 
-  /** Extract a literal INT argument (codegen-time config, not data). */
+  /** Extract a literal INT argument (codegen-time config, not data).
+    * NON_FOLDABLE_ARGUMENT is a live Spark 4.1.2 error class — a retired
+    * class id would make the error path itself die with INTERNAL_ERROR
+    * instead of the intended message.
+    */
   private def litInt(fn: String, arg: String, e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
-    case other => throw new org.apache.spark.sql.AnalysisException(
-      errorClass = "_LEGACY_ERROR_TEMP_2140",
+    case _ => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
       messageParameters = Map(
-        "statement" -> s"$fn($arg) requires an INT literal, got ${other.sql}"))
+        "funcName" -> s"`$fn`", "paramName" -> s"`$arg`", "paramType" -> "\"INT\""))
   }
 
   /** Register the functions on an already-built session. */

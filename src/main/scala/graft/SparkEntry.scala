@@ -36,6 +36,24 @@ object SparkEntry {
     t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Shared recall gate for the IVF checks (v3i in-memory, v5 written
+    * index): (n_bf, recall_ok) where recall_ok asserts the approximate
+    * result recovers ≥ 0.7 of the exact top-k pairs. ONE definition —
+    * the two gates must enforce the same contract, and the oracle
+    * recomputes n_bf independently.
+    */
+  private def recallGate(
+      bf0: org.apache.spark.sql.DataFrame,
+      approx0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bf = bf0.select("query_id", "neighbor_id")
+    val approx = approx0.select("query_id", "neighbor_id")
+    val hit = bf.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+    bf.agg(count(lit(1)).as("n_bf"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_bf"),
+        (col("n_hit").cast("double") / col("n_bf") >= 0.7).cast("int").as("recall_ok"))
+  }
+
   /** Exact-decimal sum of a double column, returned as double. */
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
@@ -629,16 +647,10 @@ object SparkEntry {
     "v3i_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") % 10 === 0)
-      val bf = graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
-        .select("query_id", "neighbor_id")
-      val ivf = graft.ops.Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
-        nCentroids = 16, nProbe = 8, kmeansIters = 1)
-        .select("query_id", "neighbor_id")
-      val hit = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
-      bf.agg(count(lit(1)).as("n_bf"))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .select(col("n_bf"),
-          (col("n_hit").cast("double") / col("n_bf") >= 0.7).cast("int").as("recall_ok"))
+      recallGate(
+        graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+        graft.ops.Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+          nCentroids = 16, nProbe = 8, kmeansIters = 1))
     }),
 
     // ---- V: the WRITTEN index path — ivfBuild → ivfWrite (cells
@@ -654,16 +666,9 @@ object SparkEntry {
         emb, "vec_id", "embedding", nCentroids = 16, kmeansIters = 1, persist = false)
       graft.ops.Similarity.ivfWrite(idx, "graft_v5_index")
       val loaded = graft.ops.Similarity.ivfLoad(s, "graft_v5_index")
-      val ivf = graft.ops.Similarity
-        .ivfProbe(loaded, q, "vec_id", "embedding", 5, nProbe = 8)
-        .select("query_id", "neighbor_id")
-      val bf = graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
-        .select("query_id", "neighbor_id")
-      val hit = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
-      bf.agg(count(lit(1)).as("n_bf"))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .select(col("n_bf"),
-          (col("n_hit").cast("double") / col("n_bf") >= 0.7).cast("int").as("recall_ok"))
+      recallGate(
+        graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+        graft.ops.Similarity.ivfProbe(loaded, q, "vec_id", "embedding", 5, nProbe = 8))
     }),
 
     // ---- E: gap sessionization ----
@@ -876,6 +881,22 @@ object SparkEntry {
   // cell assignment) → driver records a rows-only check there; it is
   // pinned by the green v3i/v5 recall gates.
   // ===================================================================
+
+  /** Recomputes the brute-force top-k count (n_bf) exactly; recall_ok is
+    * asserted by the engine side ([[recallGate]]) and pinned to 1 here.
+    * Shared by v3i AND v5 — same gate, same oracle.
+    */
+  private val ivfRecallOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
+       s AS (SELECT query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+         FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+       r AS (SELECT query_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         FROM s)
+       SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok FROM r WHERE rank <= 5"""
 
   def oracleSql: Map[String, String] = Map(
     "a1_full_agg" ->
@@ -1516,31 +1537,11 @@ object SparkEntry {
              '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
          FROM p""",
 
-    "v3i_ivf_recall" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
-         s AS (SELECT query_id, c.vec_id AS neighbor_id,
-           list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE))
-           / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
-            * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
-           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
-         r AS (SELECT query_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-           FROM s)
-         SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok FROM r WHERE rank <= 5""",
-
-    // identical gate to v3i: the oracle recomputes the brute-force
-    // top-k count; recall_ok asserts the disk-index probe ≥ 0.7
-    "v5_ivf_disk_index" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
-         s AS (SELECT query_id, c.vec_id AS neighbor_id,
-           list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE))
-           / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
-            * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
-           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
-         r AS (SELECT query_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-           FROM s)
-         SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok FROM r WHERE rank <= 5""",
+    // ONE oracle for both recall gates (v3i in-memory, v5 written index)
+    // — they enforce the same contract via the shared recallGate helper,
+    // and a drift between two copies would gate different invariants
+    "v3i_ivf_recall" -> ivfRecallOracle,
+    "v5_ivf_disk_index" -> ivfRecallOracle,
 
     "v4_lsh_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding

@@ -1,23 +1,17 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    // default to every core (the driver may not set SPARK_GRAFT_CPUS)
+    // default to every core (the driver may not set SPARK_GRAFT_CPUS);
+    // ONE session bootstrap (EngineSession) — a local builder here would
+    // silently drop the SQL-function registration and checkpoint-cleaner
+    // conf the factory centralizes
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")
-    val shufflePartitions =
-      if (cpus == "*") Runtime.getRuntime.availableProcessors().toString else cpus
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = EngineSession.local(cpus, "graft-verify",
+      Map("spark.sql.legacy.parquet.nanosAsLong" -> "true"))
     new java.io.File(outDir).mkdirs()
     // Submit queries concurrently (Spark's scheduler interleaves jobs) —
     // most of these are small; serial execution leaves the cluster idle
@@ -38,20 +32,9 @@ object Verify {
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${JsonUtil.quote(k)}: ${JsonUtil.quote(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
