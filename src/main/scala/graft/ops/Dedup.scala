@@ -27,6 +27,8 @@ object Dedup {
 
   private val sigSlot = new CacheSlot
   private val pairSlot = new CacheSlot
+  private val candSlot = new CacheSlot
+  private val shingleSlot = new CacheSlot
 
   // ---------------------------------------------------------------- exact
 
@@ -138,7 +140,15 @@ object Dedup {
       posexplode_outer(graft.functions.MinHash.bands_from_sig(col("sig"), bands))
         .as(Seq("band_idx", "band_key")))
 
-    val cand = bucketCandidates(banded, Seq("band_idx", "band_key"))
+    // The candidate table is consumed THREE times in the pairs plan
+    // below (the pair join itself, plus twice through `needed`'s
+    // semi-join pruning) and Spark does not share common subplans within
+    // one action — unpersisted, the bucket self-join + distinct (the
+    // single most expensive stage of this pipeline) runs three times.
+    // Bounded slot, same discipline as the signature table: LSH keeps
+    // candidate volume near-linear in the corpus, and MEMORY_AND_DISK
+    // spills rather than OOMs on a duplicate-heavy crawl.
+    val cand = candSlot.persist(bucketCandidates(banded, Seq("band_idx", "band_key")))
 
     // Prune the signature table down to docs that appear in some
     // candidate pair so the pair joins below never shuffle full-corpus
@@ -214,9 +224,14 @@ object Dedup {
       threshold: Double,
       n: Int = 3): DataFrame = {
     val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sh = df.repartition(par, col(idCol))
+    // The shingle table fans out to FOUR consumers (both inverted-index
+    // join sides and both size lookups); the two `sizes` branches join on
+    // different keys, so exchange reuse cannot dedupe them and each
+    // re-runs the shingle kernel over the corpus. One bounded cached
+    // copy = one kernel pass.
+    val sh = shingleSlot.persist(df.repartition(par, col(idCol))
       .select(col(idCol).as("doc_id"),
-        graft.functions.NGramShingles.ngram_shingles(col(textCol), n).as("sh"))
+        graft.functions.NGramShingles.ngram_shingles(col(textCol), n).as("sh")))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val inter = inv.as("x")

@@ -183,6 +183,7 @@ object Similarity {
   }
 
   private val oneShotCentSlot = new CacheSlot
+  private val lshCandSlot = new CacheSlot
 
   /** Build the IVF index: pick centroids (deterministic sample, optional
     * Lloyd refinement), then assign every corpus vector to its nearest
@@ -323,7 +324,12 @@ object Similarity {
     val banded = base
       .withColumn("keys", graft.functions.SignBands.sign_bands(col("vec"), bands, bitsPerBand))
       .select(col("doc_id"), explode(col("keys")).as("band_key"))
-    val candidates = Dedup.bucketCandidates(banded, Seq("band_key"))
+    // Consumed twice below (the verify join and the semi-join pruning of
+    // `vecs`); the bucket self-join + distinct is the pipeline's most
+    // expensive stage and Spark shares no common subplans within an
+    // action — one bounded cached copy halves it. Same slot discipline
+    // as the minhash signature/pair tables.
+    val candidates = lshCandSlot.persist(Dedup.bucketCandidates(banded, Seq("band_key")))
     // no broadcast hint on the candidate-id set: tiny for a clean corpus
     // but corpus-sized on a duplicate-heavy one — AQE broadcasts when it
     // actually fits (same policy as Dedup.minhashNearDup).
