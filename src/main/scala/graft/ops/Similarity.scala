@@ -296,33 +296,64 @@ object Similarity {
     ivfProbe(ivfBuild(corpus, idCol, vecCol, nCentroids, kmeansIters, persist = false),
       queries, idCol, vecCol, k, nProbe)
 
+  /** Band count so a pair at exactly `threshold` cosine is missed with
+    * probability ≤ `missTarget`: bit-agreement p = 1 − acos(θ)/π
+    * (Charikar 2002), a band matches with p^bits, and
+    * (1 − p^bits)^bands ≤ missTarget solves to
+    * bands = ⌈ln(missTarget)/ln(1 − p^bits)⌉. Pairs ABOVE the threshold
+    * are missed strictly less often; identical-direction vectors
+    * (cos = 1) collide in every band deterministically.
+    */
+  def autoBands(
+      threshold: Double,
+      bitsPerBand: Int,
+      missTarget: Double = 1e-5): Int = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val bandMatch = math.pow(p, bitsPerBand.toDouble)
+    val b = math.ceil(math.log(missTarget) / math.log1p(-bandMatch))
+    require(b <= 4096.0,
+      f"recall target needs $b%.0f bands of $bitsPerBand bits at threshold=" +
+        f"$threshold%.2f — shrink bitsPerBand for low thresholds (band-match " +
+        f"probability p^bits = $bandMatch%.2e is too small)")
+    math.max(b.toInt, 1)
+  }
+
   /** LSH-bucketed embedding near-dup — the 100 TB path for high-cosine
     * pair mining. Sign-LSH band keys (random hyperplanes, native kernel)
     * bucket the corpus; candidate pairs form only inside buckets; exact
     * cosine verifies. Linear in corpus + candidate volume, never all-pairs.
-    * Recall for cos ≥ 0.9 at 64 bands × 8 bits ≈ 1 − 1e-15; lower the
-    * threshold → widen bands/shrink bits (bit-agreement p = 1 − θ/π).
     *
-    * Tuning for corpus size: random-pair collisions per band ≈
-    * n²/2^(bitsPerBand+1), so bitsPerBand should grow ~2·log2(n) to keep
-    * candidate volume (the verify-join input) near-linear in n — 8 bits
-    * suits 10³–10⁴ vectors (`tools.ProfileV4`: 518k candidates from
-    * 2050 vectors is the dominant cost at sf0.1), 16–24 bits the
-    * 10⁶–10⁹ regime. Recall lost to longer bands is bought back with
-    * more bands (cost is linear in bands, quadratic-ish in band width).
+    * The two knobs decompose cleanly:
+    *   - `bitsPerBand` controls FALSE-POSITIVE volume: random-pair
+    *     collisions per band ≈ n²/2^(bitsPerBand+1), so bits should grow
+    *     ~2·log2(n) to keep the verify-join input near-linear in the
+    *     corpus. The 16-bit default keeps random collisions negligible
+    *     through ~10⁵ vectors; raise toward 24–32 for 10⁷–10⁹ (each step
+    *     of +2 bits costs ~×1.25 bands via [[autoBands]]).
+    *   - `bands` controls RECALL: the default (0 = auto) derives the
+    *     count from the threshold so a pair exactly AT the threshold is
+    *     missed with p ≤ 1e-5 (445 bands at θ=0.8×16 bits, 132 at θ=0.9,
+    *     58 at θ=0.95); banding cost is linear in bands.
+    * The previous fixed default (64 bands × 8 bits) made ~25% of ALL
+    * pairs candidates at n≈2000 (tools.ProfileV4: 518k candidate pairs,
+    * 14+ executor-CPU-s in the candidate join alone) — false-positive
+    * volume, not recall, is what the defaults must manage as n grows.
     */
   def lshEmbeddingNearDup(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bands: Int = 64,
-      bitsPerBand: Int = 8): DataFrame = {
+      bands: Int = 0,
+      bitsPerBand: Int = 16): DataFrame = {
+    val nBands = if (bands > 0) bands else autoBands(threshold, bitsPerBand)
     val par = embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val base = embeddings.where(col(vecCol).isNotNull).repartition(par, col(idCol))
       .select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
     val banded = base
-      .withColumn("keys", graft.functions.SignBands.sign_bands(col("vec"), bands, bitsPerBand))
+      .withColumn("keys", graft.functions.SignBands.sign_bands(col("vec"), nBands, bitsPerBand))
       .select(col("doc_id"), explode(col("keys")).as("band_key"))
     // Consumed twice below (the verify join and the semi-join pruning of
     // `vecs`); the bucket self-join + distinct is the pipeline's most

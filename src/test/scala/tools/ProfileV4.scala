@@ -32,14 +32,17 @@ object ProfileV4 {
     val emb = emb0.unionByName(dup).persist()
     time("warm / corpus") { emb.count() }
 
+    // mirror the operator's auto-banding (θ=0.8 × 16 bits → ~445 bands)
+    val nBands = graft.ops.Similarity.autoBands(0.8, 16)
+    println(s"[profile-v4] auto bands = $nBands x 16 bits")
     val base = emb.where(col("embedding").isNotNull).repartition(32, col("vec_id"))
       .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
     time("sign_bands kernel") {
-      base.select(graft.functions.SignBands.sign_bands(col("vec"), 64, 8).as("k"))
+      base.select(graft.functions.SignBands.sign_bands(col("vec"), nBands, 16).as("k"))
         .select(sum(size(col("k")))).collect(); 2050L
     }
     val banded = base
-      .withColumn("keys", graft.functions.SignBands.sign_bands(col("vec"), 64, 8))
+      .withColumn("keys", graft.functions.SignBands.sign_bands(col("vec"), nBands, 16))
       .select(col("doc_id"), explode(col("keys")).as("band_key"))
     time("banded explode") { banded.count() }
     // same shape as Dedup.bucketCandidates (private): in-bucket (a<b) pairs
