@@ -723,13 +723,14 @@ object SparkEntry {
     // ---- E7: a REAL Structured Streaming execution under the
     //      driver's oracle — the canonical events parquet read as a
     //      bounded stream (AvailableNow), watermarked tumbling-window
-    //      aggregation, memory sink; the oracle is the same SQL that
-    //      checks the batch twin (e2) ----
+    //      aggregation, result distributed-written per trigger (the
+    //      memory sink would hold it driver-side); the oracle is the
+    //      same SQL that checks the batch twin (e2) ----
     "e7_streaming_hourly" -> ((s, dir) => {
       val stream = graft.streaming.EventStreams
         .readNsEventStream(s, s"$dir/events.parquet")
         .withWatermark("ts", "1 hour")
-      graft.streaming.EventStreams.runToMemorySink(
+      graft.streaming.EventStreams.runToCompleteTable(
         s, graft.streaming.EventStreams.windowedAgg(stream, "1 hour"),
         "e7_sink")
     }),
@@ -742,7 +743,7 @@ object SparkEntry {
       val stream = graft.streaming.EventStreams
         .readNsEventStream(s, s"$dir/events.parquet")
         .withWatermark("ts", "1 hour")
-      graft.streaming.EventStreams.runToMemorySink(
+      graft.streaming.EventStreams.runToCompleteTable(
         s, graft.streaming.EventStreams.sessionAgg(stream, "1 hour"),
         "e8_sink")
         .select("user_id", "session_start", "n_events", "session_value")

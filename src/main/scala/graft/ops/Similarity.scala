@@ -102,7 +102,13 @@ object Similarity {
     val scored = c
       .join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine_native(col("q_vec"), col("c_vec")))
-    rankTopK(scored, k)
+    // The output is tiny (|Q|·k rows) but costs the full |Q|·|corpus|
+    // scoring pass, and it is THE exact baseline: recall gates consume
+    // it twice per gate (count + semi-join) and several gates share one
+    // (corpus, queries) pair across separate actions, where exchange
+    // reuse can't help. One bounded cached copy serves them all; a
+    // different corpus/query plan evicts it.
+    bfSlot.persist(rankTopK(scored, k))
   }
 
   /** Deterministic mini k-means for IVF centroids: stride-sampled seeds
@@ -184,6 +190,7 @@ object Similarity {
 
   private val oneShotCentSlot = new CacheSlot
   private val lshCandSlot = new CacheSlot
+  private val bfSlot = new CacheSlot
 
   /** Build the IVF index: pick centroids (deterministic sample, optional
     * Lloyd refinement), then assign every corpus vector to its nearest

@@ -312,9 +312,47 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Run a COMPLETE-mode streaming aggregation to completion with the
+    * result distributed-written per micro-batch: foreachBatch overwrites
+    * a managed table with each trigger's full aggregation state, the
+    * last trigger wins, and the returned DataFrame scans the table's
+    * files. The memory sink alternative collects every result row into
+    * DRIVER memory and re-ships it to executors as one giant
+    * LocalTableScan task when consumed (a 100 MB task at 1M events,
+    * growing linearly with the result) — this runner keeps the result on
+    * executors end-to-end, so the streaming harness scales with the
+    * cluster like every batch query. Complete mode re-emits the whole
+    * state each trigger, so the per-batch overwrite is idempotent under
+    * replay by construction.
+    */
+  def runToCompleteTable(spark: SparkSession, df: DataFrame, table: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        if (!s.catalog.tableExists(table)) {
+          // a crashed earlier run can leave an orphaned LOCATION with no
+          // catalog entry; CREATE would refuse it (same guard as the
+          // Append runner above)
+          graft.sources.Bucketing.clearStaleTable(s, table)
+        }
+        batch.write.mode("overwrite").saveAsTable(table)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // each overwrite replaces files in place; CALLER-session caches
+    // (this runner may be rerun over an existing table) hold the old
+    // file listing until refreshed
+    spark.catalog.refreshTable(table)
+    spark.table(table)
+  }
+
   /** Run a streaming query to completion against bounded input via the
     * memory sink, returning the materialized result table. Used by tests
-    * to prove streaming/batch equivalence.
+    * to prove streaming/batch equivalence on SMALL inputs; for anything
+    * result-heavy use [[runToCompleteTable]] — the memory sink is
+    * driver-resident by design.
     */
   def runToMemorySink(spark: SparkSession, df: DataFrame, name: String,
                       mode: OutputMode = OutputMode.Complete()): DataFrame = {

@@ -49,4 +49,32 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == expected)
     assert(streamed.nonEmpty)
   }
+
+  test("runToCompleteTable equals the memory sink and survives a rerun") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchInput = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ctbl").toString
+    batchInput.write.mode("overwrite").parquet(dir)
+
+    val viaMemory = EventStreams.runToMemorySink(
+      spark, EventStreams.streamingWindowedAgg(spark, dir), "ctbl_mem")
+      .collect().map(_.toSeq).toSet
+    val viaTable = EventStreams.runToCompleteTable(
+      spark, EventStreams.streamingWindowedAgg(spark, dir), "ctbl_out")
+      .collect().map(_.toSeq).toSet
+    assert(viaTable == viaMemory && viaTable.nonEmpty)
+
+    // the result is a real distributed scan, not a driver-resident
+    // LocalTableScan re-shipped inside the task
+    val plan = spark.table("ctbl_out").queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), plan)
+
+    // rerun overwrites in place (fresh checkpoint => full replay): the
+    // managed table must come back identical, not doubled
+    val rerun = EventStreams.runToCompleteTable(
+      spark, EventStreams.streamingWindowedAgg(spark, dir), "ctbl_out")
+      .collect().map(_.toSeq).toSet
+    assert(rerun == viaMemory)
+  }
 }
