@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FingerprintExpr, MinHashSigExpr, ObfuscateNameExpr, SigOverlapExpr, SimHash64Expr, TopKByScore, VectorKernelExpr, VectorSum}
+import graft.functions.{AdcScoreExpr, FingerprintExpr, MinHashSigExpr, ObfuscateNameExpr, PqEncodeExpr, PqLutExpr, SigOverlapExpr, SimHash64Expr, TopKByScore, VectorKernelExpr, VectorSum}
 
 /** Catalyst extension point: registers graft's native expressions as SQL
   * functions, so the engine surface is reachable from `spark.sql(...)` as
@@ -68,6 +68,20 @@ object GraftExtensions {
       info("top_k_by_score",
         "top_k_by_score(score, id, k) - bounded-heap top-k per group as array<struct<neighbor_id,cosine>>, (score DESC, id ASC); k must be a literal"),
       arity("top_k_by_score", 3)(es => TopKByScore(es(0), es(1), es(2)))),
+    ("pq_encode",
+      info("pq_encode",
+        "pq_encode(vec, cents, m, ksub) - product-quantization codes (array<smallint>); m/ksub must be literals"),
+      arity("pq_encode", 4)(es => PqEncodeExpr(es(0), es(1),
+        litInt("pq_encode", "m", es(2)), litInt("pq_encode", "ksub", es(3))))),
+    ("pq_lut",
+      info("pq_lut",
+        "pq_lut(vec, cents, m, ksub) - ADC lookup table of partial dots (array<double>, length m*ksub)"),
+      arity("pq_lut", 4)(es => PqLutExpr(es(0), es(1),
+        litInt("pq_lut", "m", es(2)), litInt("pq_lut", "ksub", es(3))))),
+    ("adc_score",
+      info("adc_score",
+        "adc_score(lut, codes) - asymmetric-distance approximate dot product (m adds per pair)"),
+      arity("adc_score", 2)(es => AdcScoreExpr(es(0), es(1)))),
     ("sig_overlap",
       info("sig_overlap", "sig_overlap(a, b) - fraction of agreeing minhash positions (estimated Jaccard)"),
       arity("sig_overlap", 2)(es => SigOverlapExpr(es(0), es(1)))),

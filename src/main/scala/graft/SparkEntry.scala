@@ -671,6 +671,25 @@ object SparkEntry {
         graft.ops.Similarity.ivfProbe(loaded, q, "vec_id", "embedding", 5, nProbe = 8))
     }),
 
+    // ---- V: product-quantization ANN (Jégou et al. 2011) — corpus
+    //      compressed to m SMALLINT codes + one norm per vector, scored
+    //      by ADC (m adds per pair vs dim multiply-adds), exact-refined
+    //      over the top `refine` candidates. The SAME recall gate and
+    //      oracle as v3i/v5: brute-force count cross-checked by DuckDB,
+    //      recall >= 0.7 asserted by the engine. Operating point chosen
+    //      by measurement on this (weakly clustered) corpus: m=16 x
+    //      ksub=64 with refine=100 gives recall 1.000 at sf0.01 and
+    //      0.986 at sf0.1 (tools.CheckV6); the 8x32/refine=50 point
+    //      sits at 0.53-0.77 — too close to the gate ----
+    "v6_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 10 === 0)
+      recallGate(
+        graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+        graft.ops.Similarity.pqTopK(emb, q, "vec_id", "embedding", 5,
+          m = 16, ksub = 64, iters = 1, refine = 100))
+    }),
+
     // ---- E: gap sessionization ----
     "e1_sessionize" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -1543,6 +1562,7 @@ object SparkEntry {
     // and a drift between two copies would gate different invariants
     "v3i_ivf_recall" -> ivfRecallOracle,
     "v5_ivf_disk_index" -> ivfRecallOracle,
+    "v6_pq_recall" -> ivfRecallOracle,
 
     "v4_lsh_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding

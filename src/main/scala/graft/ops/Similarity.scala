@@ -191,6 +191,7 @@ object Similarity {
   private val oneShotCentSlot = new CacheSlot
   private val lshCandSlot = new CacheSlot
   private val bfSlot = new CacheSlot
+  private val pqCentSlot = new CacheSlot
 
   /** Build the IVF index: pick centroids (deterministic sample, optional
     * Lloyd refinement), then assign every corpus vector to its nearest
@@ -302,6 +303,137 @@ object Similarity {
       kmeansIters: Int = 0): DataFrame =
     ivfProbe(ivfBuild(corpus, idCol, vecCol, nCentroids, kmeansIters, persist = false),
       queries, idCol, vecCol, k, nProbe)
+
+  // ------------------------------------------------------------------ PQ
+
+  /** A trained product-quantization codebook: `cents` is ONE row holding
+    * all m·ksub sub-centroids as the same array<struct<id, vec>> layout
+    * the IVF kernels use, with `id = sub*ksub + code`. Broadcast-joined
+    * wherever vectors are encoded or queries build their ADC tables.
+    */
+  final case class PqCodebook(cents: DataFrame, m: Int, ksub: Int) {
+    def unpersist(): Unit = cents.unpersist()
+  }
+
+  /** Train a PQ codebook: an independent [[kmeansCentroids]] run per
+    * subspace over the sliced corpus (deterministic hash-sampled seeds +
+    * `iters` Lloyd rounds), sub-centroid ids remapped to the flat
+    * `sub*ksub + code` space. Training is m small k-means jobs over
+    * narrow slices — a build-once cost, like the IVF index; the slices
+    * are planned with `size(vec)/m`, so no driver-side action reads the
+    * dimension. Vector length must be divisible by m (enforced per-row
+    * by the kernels' null contract).
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 4,
+      ksub: Int = 32,
+      iters: Int = 1,
+      persist: Boolean = true): PqCodebook = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(m > 0 && ksub > 0, s"m and ksub must be positive, got m=$m ksub=$ksub")
+    val subLen = floor(size(col(vecCol)) / m).cast("int")
+    val books = (0 until m).map { sub =>
+      val sliced = corpus
+        .where(col(vecCol).isNotNull)
+        .select(col(idCol), slice(col(vecCol), lit(sub) * subLen + 1, subLen).as("__sub"))
+      kmeansCentroids(sliced, idCol, "__sub", ksub, iters)
+        // kmeansCentroids emits dense ids 1..ksub; code = id-1
+        .select((lit(sub.toLong * ksub) + col("centroid_id") - 1).as("centroid_id"),
+          col("cent_vec"))
+    }.reduce(_ unionByName _)
+    val plan = books.agg(collect_list(struct(col("centroid_id"), col("cent_vec"))).as("cents"))
+    // one row, but the subtree is m k-means passes over the corpus —
+    // cache it so encode and every query-side LUT build reuse one run
+    val cents =
+      if (persist) plan.persist(MEMORY_AND_DISK) else pqCentSlot.persist(plan)
+    PqCodebook(cents, m, ksub)
+  }
+
+  /** Compress the corpus to PQ codes: ONE narrow codegen pass (the
+    * codebook collapses to a broadcast single-row cross join — the
+    * corpus never shuffles), emitting m SMALLINT codes + the true norm
+    * per vector. This is the scan-side artifact: at 100 TB the scoring
+    * join reads m bytes + 8 per vector instead of dim×4, and the stored
+    * norm keeps cosine exact up to the quantized dot product.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: PqCodebook): DataFrame = {
+    import graft.functions.VectorKernels.dot_native
+    val par = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    corpus.repartition(par, col(idCol))
+      .crossJoin(broadcast(cb.cents))
+      .select(
+        col(idCol).as("neighbor_id"),
+        graft.functions.PqKernels.pq_encode(col(vecCol), col("cents"), cb.m, cb.ksub).as("codes"),
+        sqrt(dot_native(col(vecCol), col(vecCol))).as("norm"))
+  }
+
+  /** PQ approximate top-k by cosine — the compressed-corpus ANN tier.
+    *
+    * Scoring is asymmetric distance computation: each query builds one
+    * m·ksub lookup table ([[graft.functions.PqKernels.pq_lut]], ksub·dim
+    * multiplies ONCE per query), then every (query, corpus row) pair
+    * costs m array adds instead of dim multiply-adds — with the corpus
+    * side reading only codes+norm, never raw vectors. Cosine uses the
+    * stored true corpus norm, so the only approximation is the quantized
+    * dot product. The ranking tail is the same bounded-heap partial
+    * aggregate as [[bruteForceTopK]] — the exchange carries ≈
+    * partitions·|Q|·k rows.
+    *
+    * `refine` > k adds the standard re-rank stage: ADC ranks down to
+    * `refine` candidates per query, then exact cosine re-scores only
+    * those |Q|·refine pairs against the raw vectors (an id-keyed join
+    * AQE sizes — the candidate side is tiny). With refine ≥ |corpus| the
+    * result equals [[bruteForceTopK]] bit-for-bit (spec-pinned); at
+    * refine = 10·k recall is near-exact at a fraction of the exact
+    * tier's score cost. Zero-norm / null vectors never rank, matching
+    * the exact tier's contract.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 4,
+      ksub: Int = 32,
+      iters: Int = 1,
+      refine: Int = 0): DataFrame = {
+    import graft.functions.VectorKernels.{cosine_native, dot_native}
+    val cb = pqTrain(corpus, idCol, vecCol, m, ksub, iters, persist = false)
+    val enc = pqEncode(corpus, idCol, vecCol, cb)
+    val q = queries
+      .crossJoin(broadcast(cb.cents))
+      .select(
+        col(idCol).as("query_id"),
+        graft.functions.PqKernels.pq_lut(col(vecCol), col("cents"), m, ksub).as("lut"),
+        sqrt(dot_native(col(vecCol), col(vecCol))).as("qnorm"))
+    // same join shape as bruteForceTopK: no broadcast hint, AQE decides
+    // (small query sets → BNLJ, large → partitioned cartesian)
+    val scored = enc
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        when(col("norm") > 0d && col("qnorm") > 0d,
+          graft.functions.PqKernels.adc_score(col("lut"), col("codes")) /
+            (col("norm") * col("qnorm"))))
+    if (refine <= k) rankTopK(scored, k)
+    else {
+      val cand = rankTopK(scored, refine).select("query_id", "neighbor_id")
+      val cvecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      val qvecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      val exact = cand
+        .join(cvecs, Seq("neighbor_id"))
+        .join(qvecs, Seq("query_id"))
+        .withColumn("cosine", cosine_native(col("q_vec"), col("c_vec")))
+      rankTopK(exact, k)
+    }
+  }
 
   /** Band count so a pair at exactly `threshold` cosine is missed with
     * probability ≤ `missTarget`: bit-agreement p = 1 − acos(θ)/π

@@ -139,6 +139,68 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- PQ
+
+  /** Hand-built m=2, ksub=2, dim=4 codebook: sub0 {0:[1,0], 1:[0,1]},
+    * sub1 {2:[1,1], 3:[-1,0]} (flat id = sub*ksub + code).
+    */
+  private lazy val tinyCodebook = Seq(
+    (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+    (2L, Seq(1.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f))
+  ).toDF("centroid_id", "cent_vec")
+    .agg(collect_list(struct($"centroid_id", $"cent_vec")).as("cents"))
+
+  test("pq_encode picks the nearest sub-centroid per subspace") {
+    val codes = Seq(Tuple1(Seq(0.9f, 0.1f, -2.0f, 0.1f))).toDF("v")
+      .crossJoin(tinyCodebook)
+      .select(graft.functions.PqKernels.pq_encode($"v", $"cents", 2, 2))
+      .head().getSeq[Short](0)
+    // sub0 slice [0.9,0.1] → [1,0] (code 0); sub1 slice [-2,0.1] → [-1,0] (code 1)
+    assert(codes == Seq(0.toShort, 1.toShort))
+  }
+
+  test("adc_score over pq_lut equals the exact dot with the reconstructed vector") {
+    val r = Seq(Tuple1(Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("q")
+      .crossJoin(tinyCodebook)
+      .select(graft.functions.PqKernels.pq_lut($"q", $"cents", 2, 2).as("lut"))
+      .withColumn("codes", typedLit(Seq(0.toShort, 1.toShort)))
+      .select(graft.functions.PqKernels.adc_score($"lut", $"codes"))
+      .head().getDouble(0)
+    // reconstruction [1,0,-1,0]: dot([1,2,3,4], .) = 1 - 3 = -2
+    assert(r == -2.0)
+  }
+
+  test("pq kernels: length not divisible by m is null, not wrong") {
+    val out = Seq(Tuple1(Seq(1.0f, 2.0f, 3.0f))).toDF("v")
+      .crossJoin(tinyCodebook)
+      .select(
+        graft.functions.PqKernels.pq_encode($"v", $"cents", 2, 2).as("c"),
+        graft.functions.PqKernels.pq_lut($"v", $"cents", 2, 2).as("l"))
+      .head()
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
+  test("PQ top-k with full refine equals brute force bit-for-bit") {
+    val queries = clustered.where($"vec_id" < 8)
+    val bf = Similarity.bruteForceTopK(clustered, queries, "vec_id", "embedding", 5)
+      .collect().map(_.toSeq).toSet
+    val pq = Similarity.pqTopK(clustered, queries, "vec_id", "embedding", 5,
+      m = 4, ksub = 16, iters = 1, refine = 256)
+      .collect().map(_.toSeq).toSet
+    assert(pq == bf)
+  }
+
+  test("PQ top-k recall vs brute force >= 0.9 at refine = 4k") {
+    val queries = clustered.where($"vec_id" < 8)
+    val bf = Similarity.bruteForceTopK(clustered, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val pq = Similarity.pqTopK(clustered, queries, "vec_id", "embedding", 5,
+      m = 4, ksub = 16, iters = 1, refine = 20)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val recall = pq.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"PQ recall $recall < 0.9")
+  }
+
   test("IVF index builds once and serves repeated probes") {
     val idx = Similarity.ivfBuild(clustered, "vec_id", "embedding", nCentroids = 16)
     try {
