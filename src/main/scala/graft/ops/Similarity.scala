@@ -315,14 +315,24 @@ object Similarity {
     def unpersist(): Unit = cents.unpersist()
   }
 
-  /** Train a PQ codebook: an independent [[kmeansCentroids]] run per
-    * subspace over the sliced corpus (deterministic hash-sampled seeds +
-    * `iters` Lloyd rounds), sub-centroid ids remapped to the flat
-    * `sub*ksub + code` space. Training is m small k-means jobs over
-    * narrow slices — a build-once cost, like the IVF index; the slices
-    * are planned with `size(vec)/m`, so no driver-side action reads the
-    * dimension. Vector length must be divisible by m (enforced per-row
-    * by the kernels' null contract).
+  /** Train a PQ codebook: k-means per subspace, run JOINTLY — all m
+    * sub-codebooks train in one plan, not m separate k-means jobs.
+    *
+    * Seeds: the ksub hash-smallest corpus rows (the same deterministic
+    * uniform sample rule as [[kmeansCentroids]]), each exploded into its
+    * m subvectors — so subspace s seeds with slice s of seed row c,
+    * exactly what m independent runs over the sliced corpus would pick
+    * (they share the id order). Each Lloyd round is then:
+    *   - assign: ONE narrow [[graft.functions.PqKernels.pq_encode]] pass
+    *     over the broadcast codebook — all m sub-assignments per row in
+    *     one kernel call, the corpus never shuffles;
+    *   - recenter: posexplode codes to (sub, code, subvec) rows and one
+    *     partial-combined [[graft.functions.VectorSum]] aggregation —
+    *     a single m·n-row exchange of subDim-length slices (the same
+    *     total float volume as one corpus copy), not m jobs.
+    * The slices are planned with `size(vec)/m`, so no driver-side action
+    * reads the dimension. Vector length must be divisible by m (enforced
+    * per-row by the kernels' null contract).
     */
   def pqTrain(
       corpus: DataFrame,
@@ -335,18 +345,44 @@ object Similarity {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     require(m > 0 && ksub > 0, s"m and ksub must be positive, got m=$m ksub=$ksub")
     val subLen = floor(size(col(vecCol)) / m).cast("int")
-    val books = (0 until m).map { sub =>
-      val sliced = corpus
-        .where(col(vecCol).isNotNull)
-        .select(col(idCol), slice(col(vecCol), lit(sub) * subLen + 1, subLen).as("__sub"))
-      kmeansCentroids(sliced, idCol, "__sub", ksub, iters)
-        // kmeansCentroids emits dense ids 1..ksub; code = id-1
-        .select((lit(sub.toLong * ksub) + col("centroid_id") - 1).as("centroid_id"),
-          col("cent_vec"))
-    }.reduce(_ unionByName _)
-    val plan = books.agg(collect_list(struct(col("centroid_id"), col("cent_vec"))).as("cents"))
-    // one row, but the subtree is m k-means passes over the corpus —
-    // cache it so encode and every query-side LUT build reuse one run
+    val subCol = col("sub").cast("int")
+
+    val seedW = org.apache.spark.sql.expressions.Window
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+    var centroids = corpus
+      .where(col(vecCol).isNotNull)
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+      .limit(ksub)
+      .select(row_number().over(seedW).cast("long").as("code"), col(vecCol))
+      .select(explode(expr(s"sequence(0, ${m - 1})")).as("sub"), col("code"), col(vecCol))
+      .select((col("sub").cast("long") * ksub + col("code") - 1).as("centroid_id"),
+        slice(col(vecCol), subCol * subLen + 1, subLen).as("cent_vec"))
+
+    val c = corpus.where(col(vecCol).isNotNull).select(col(vecCol).as("v"))
+    (0 until iters).foreach { _ =>
+      val centArr = centroids
+        .agg(collect_list(struct(col("centroid_id"), col("cent_vec"))).as("cents"))
+      val recoded = c
+        .crossJoin(broadcast(centArr))
+        .select(col("v"),
+          graft.functions.PqKernels.pq_encode(col("v"), col("cents"), m, ksub).as("codes"))
+        .where(col("codes").isNotNull)
+        .select(col("v"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .select((col("sub").cast("long") * ksub + col("code")).as("centroid_id"),
+          slice(col("v"), subCol * floor(size(col("v")) / m).cast("int") + 1,
+            floor(size(col("v")) / m).cast("int")).as("subvec"))
+      centroids = recoded
+        .groupBy("centroid_id")
+        .agg(
+          graft.functions.VectorSum.vector_sum(col("subvec")).as("vsum"),
+          count(col("subvec")).as("n"))
+        .select(col("centroid_id"),
+          transform(col("vsum"), x => (x / col("n")).cast("float")).as("cent_vec"))
+    }
+    val plan = centroids
+      .agg(collect_list(struct(col("centroid_id"), col("cent_vec"))).as("cents"))
+    // one row, but the subtree holds the full training lineage — cache
+    // it so encode and every query-side LUT build reuse one run
     val cents =
       if (persist) plan.persist(MEMORY_AND_DISK) else pqCentSlot.persist(plan)
     PqCodebook(cents, m, ksub)
