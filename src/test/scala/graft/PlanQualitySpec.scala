@@ -76,6 +76,29 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       s"partial top-k is not below the exchange:\n$p")
   }
 
+  test("v6: PQ scoring is kernel ADC + partial bounded-heap, never a window") {
+    // assert on pqTopK directly — inside the v6 gate the baseline/PQ
+    // subtrees hide behind cached InMemoryRelations
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.ops.Similarity.pqTopK(
+      emb, emb.where(org.apache.spark.sql.functions.col("vec_id") % 10 === 0),
+      "vec_id", "embedding", 5, m = 16, ksub = 64, iters = 1, refine = 100)
+      .queryExecution.executedPlan.toString
+    // corpus side carries codes (pq_encode project), queries carry the
+    // LUT (pq_lut), pairs score via adc_score — all codegen kernels
+    assert(p.contains("pq_encode"), s"corpus not PQ-encoded:\n$p")
+    assert(p.contains("pq_lut"), s"query LUT missing:\n$p")
+    assert(p.contains("adc_score"), s"ADC scoring missing:\n$p")
+    // both ranking stages (ADC candidates, exact refine) fold map-side;
+    // neither may regress to a scored-pair window shuffle. (The ksub-row
+    // seed sampler legitimately uses a row_number window — only a window
+    // PARTITIONED BY query_id is the bad shape.)
+    val scoredWindow = p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("query_id"))
+    assert(!scoredWindow, s"scored-pair window shuffle in the PQ path:\n$p")
+    assert(p.contains("partial_top_k_by_score"), s"no map-side partial top-k:\n$p")
+  }
+
   test("v1/v2: no static broadcast hint — the planner/AQE owns the decision") {
     for (q <- Seq("v1_topk_cosine", "v2_embed_neardup")) {
       val opt = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.toString
