@@ -458,6 +458,23 @@ object Similarity {
         when(col("norm") > 0d && col("qnorm") > 0d,
           graft.functions.PqKernels.adc_score(col("lut"), col("codes")) /
             (col("norm") * col("qnorm"))))
+    refineExact(scored, corpus, queries, idCol, vecCol, k, refine)
+  }
+
+  /** Shared ADC ranking tail: rank approximate scores straight to k, or
+    * (refine > k) rank to `refine` candidates and exact-cosine re-score
+    * only those |Q|·refine pairs against the raw vectors — an id-keyed
+    * join AQE sizes; the candidate side is tiny next to the corpus.
+    */
+  private def refineExact(
+      scored: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      refine: Int): DataFrame = {
+    import graft.functions.VectorKernels.cosine_native
     if (refine <= k) rankTopK(scored, k)
     else {
       val cand = rankTopK(scored, refine).select("query_id", "neighbor_id")
@@ -469,6 +486,67 @@ object Similarity {
         .withColumn("cosine", cosine_native(col("q_vec"), col("c_vec")))
       rankTopK(exact, k)
     }
+  }
+
+  /** IVF-PQ approximate top-k — the full IVFADC composition (Jégou et
+    * al. 2011): IVF cells PRUNE (each query scores only its nProbe
+    * nearest cells ≈ nProbe/nCentroids of the corpus), PQ codes
+    * COMPRESS (the scoring join reads m codes + a norm per vector, m
+    * adds per pair), and the exact refine re-rank restores precision
+    * over the |Q|·refine survivors. This is the operating point where
+    * the approximate tier beats the fused exact kernel on CPU even at
+    * low dim — pruning cuts the pair count where ADC alone only cuts
+    * the per-pair arithmetic.
+    *
+    * The probes side carries each query's ADC table (m·ksub doubles —
+    * 8 KB at 16×64) through the cell join; keep ksub moderate when
+    * nProbe is large, or pre-write the encoded cells bucketed by cell
+    * ([[ivfWrite]]-style) so only the probe side ever shuffles.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      ksub: Int = 32,
+      iters: Int = 1,
+      refine: Int = 0): DataFrame = {
+    import graft.functions.VectorKernels.dot_native
+    val idx = ivfBuild(corpus, idCol, vecCol, nCentroids, iters, persist = false)
+    val cb = pqTrain(corpus, idCol, vecCol, m, ksub, iters, persist = false)
+    val pqc = cb.cents.select(col("cents").as("pq_cents"))
+    // one narrow pass: cell id + codes + norm per corpus vector
+    val enc = idx.cells
+      .crossJoin(broadcast(pqc))
+      .select(col("neighbor_id"), col("cell"),
+        graft.functions.PqKernels.pq_encode(col("c_vec"), col("pq_cents"), m, ksub).as("codes"),
+        sqrt(dot_native(col("c_vec"), col("c_vec"))).as("norm"))
+    // LUT/norm computed BEFORE the probe-cell explode (once per query,
+    // not once per probe row)
+    val qlut = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(pqc))
+      .select(col("query_id"), col("q_vec"),
+        graft.functions.PqKernels.pq_lut(col("q_vec"), col("pq_cents"), m, ksub).as("lut"),
+        sqrt(dot_native(col("q_vec"), col("q_vec"))).as("qnorm"))
+    val probes = qlut
+      .crossJoin(broadcast(idx.centroidArr))
+      .select(col("query_id"), col("lut"), col("qnorm"),
+        explode(graft.functions.IvfCells.top_cells(col("q_vec"), col("cents"), nProbe)).as("cell"))
+    // same policy as ivfProbe: repartition the probe side so AQE sizes
+    // the join from runtime data
+    val scored = enc
+      .join(probes.repartition(col("cell")), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        when(col("norm") > 0d && col("qnorm") > 0d,
+          graft.functions.PqKernels.adc_score(col("lut"), col("codes")) /
+            (col("norm") * col("qnorm"))))
+    refineExact(scored, corpus, queries, idCol, vecCol, k, refine)
   }
 
   /** Band count so a pair at exactly `threshold` cosine is missed with

@@ -201,6 +201,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.9, s"PQ recall $recall < 0.9")
   }
 
+  test("IVF-PQ with full probing and full refine equals brute force bit-for-bit") {
+    val queries = clustered.where($"vec_id" < 8)
+    val bf = Similarity.bruteForceTopK(clustered, queries, "vec_id", "embedding", 5)
+      .collect().map(_.toSeq).toSet
+    val ivfpq = Similarity.ivfPqTopK(clustered, queries, "vec_id", "embedding", 5,
+      nCentroids = 4, nProbe = 4, m = 4, ksub = 16, iters = 1, refine = 256)
+      .collect().map(_.toSeq).toSet
+    assert(ivfpq == bf)
+  }
+
+  test("IVF-PQ recall vs brute force >= 0.85 at nProbe=8/16, refine=4k") {
+    val queries = clustered.where($"vec_id" < 8)
+    val bf = Similarity.bruteForceTopK(clustered, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val ivfpq = Similarity.ivfPqTopK(clustered, queries, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = 8, m = 4, ksub = 16, iters = 1, refine = 20)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val recall = ivfpq.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.85, s"IVF-PQ recall $recall < 0.85")
+  }
+
   test("IVF index builds once and serves repeated probes") {
     val idx = Similarity.ivfBuild(clustered, "vec_id", "embedding", nCentroids = 16)
     try {

@@ -27,6 +27,15 @@ object CheckV6 {
         val q = emb.where(col("vec_id") % 10 === 0)
         val bf = graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
           .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+        for ((np, refine) <- Seq((8, 100), (12, 100), (8, 200))) {
+          val t1 = System.nanoTime()
+          val ivfpq = graft.ops.Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 5,
+            nCentroids = 16, nProbe = np, m = 16, ksub = 64, iters = 1, refine = refine)
+            .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+          val recall = ivfpq.intersect(bf).size.toDouble / bf.size
+          println(f"[check-v6] $dir ivfpq nProbe=$np%2d refine=$refine%3d " +
+            f"recall=$recall%.3f ${(System.nanoTime() - t1) / 1e9}%6.2fs")
+        }
         for ((m, ksub, refine) <- Seq((8, 32, 50), (8, 32, 100), (8, 64, 50),
             (16, 32, 50), (8, 32, 200), (16, 64, 100))) {
           val t1 = System.nanoTime()

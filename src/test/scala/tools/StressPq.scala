@@ -7,16 +7,23 @@ import org.apache.spark.sql.functions._
   * bounded-heap tier against the PQ/ADC tier at the same (corpus,
   * queries, k). What this demonstrates:
   *   - the encode pass is linear and narrow (corpus never shuffles);
-  *   - ADC scoring replaces dim multiply-adds with m adds per pair, so
-  *     the scoring join's CPU drops ~dim/m vs brute force;
+  *   - ADC scoring replaces dim multiply-adds with m adds per pair —
+  *     an advantage that GROWS with dim. Measured on this box
+  *     (local[32], broadcast disabled): at dim=64 the fused exact
+  *     cosine kernel is already per-pair parity (1M×10k: bf 373 s vs
+  *     pq 415 s — per-pair join/row overhead dominates both), so the
+  *     64-dim win is the 11× smaller scan artifact, not CPU; at
+  *     dim=512 the arithmetic ratio shows up in wall time (see
+  *     ROUND4_NOTES).
   *   - the refine re-rank (|Q|·refine id-keyed join) is noise next to
   *     the scoring pass.
-  * Run: sbt "Test/runMain tools.StressPq [corpusN] [queryMod]"
+  * Run: sbt "Test/runMain tools.StressPq [corpusN] [queryMod] [dim]"
   */
 object StressPq {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 1000000L
     val qMod = if (args.length > 1) args(1).toInt else 100
+    val dim = if (args.length > 2) args(2).toInt else 64
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -35,9 +42,10 @@ object StressPq {
     }
     val c = spark.range(n)
       .select(col("id").as("vec_id"),
-        expr("transform(sequence(0, 63), d -> cast(sin(xxhash64(id, d)) as float))").as("embedding"))
+        expr(s"transform(sequence(0, ${dim - 1}), d -> cast(sin(xxhash64(id, d)) as float))")
+          .as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    println(s"[stress-pq] corpus=${c.count()} queries=${n / qMod} k=5 (broadcast disabled)")
+    println(s"[stress-pq] corpus=${c.count()} queries=${n / qMod} dim=$dim k=5 (broadcast disabled)")
     val q = c.where(col("vec_id") % qMod === 0)
 
     val tBf = time("exact bounded-heap top-k") {
@@ -52,7 +60,13 @@ object StressPq {
       graft.ops.Similarity.pqTopK(c, q, "vec_id", "embedding", 5,
         m = 16, ksub = 64, iters = 1, refine = 100).count()
     }
-    println(f"[stress-pq] end-to-end speedup (incl. train) ${tBf / tPq}%.1fx")
+    // prune (IVF cells) × compress (PQ codes): the composition that
+    // beats the fused exact kernel on CPU even at low dim
+    val tIvfPq = time("ivfpq prune+adc top-k + refine") {
+      graft.ops.Similarity.ivfPqTopK(c, q, "vec_id", "embedding", 5,
+        nCentroids = 64, nProbe = 8, m = 16, ksub = 64, iters = 1, refine = 100).count()
+    }
+    println(f"[stress-pq] pq speedup ${tBf / tPq}%.1fx  ivfpq speedup ${tBf / tIvfPq}%.1fx")
     val rt = Runtime.getRuntime
     println(f"[stress-pq] driver heap used=${(rt.totalMemory - rt.freeMemory) / 1e9}%.1f GB")
     spark.stop()
