@@ -7,20 +7,30 @@ import graft.functions.VectorKernels.cosine_native
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two tiers:
+  * Four tiers, composing two orthogonal levers — PRUNING (score fewer
+  * pairs) and COMPRESSION (score each pair cheaper):
   *   - [[bruteForceTopK]]: exact top-k by cosine. The corpus streams
   *     through one pass computing |Q|·dim work per row; a bounded-heap
   *     partial aggregate ([[graft.functions.TopKByScore]]) folds each
   *     partition's scored pairs down to k entries per query BEFORE the
   *     exchange, so the only shuffle carries ≈ partitions·|Q|·k rows —
   *     never the |Q|·|corpus| scored-pair set. This is the correct
-  *     baseline and the oracle for the approximate tier; at 100 TB the
+  *     baseline and the oracle for the approximate tiers; at 100 TB the
   *     scan dominates and parallelizes perfectly.
-  *   - [[ivfTopK]]: IVF-style two-stage search. A deterministic centroid
-  *     sample partitions the corpus into `nCentroids` Voronoi cells
-  *     (one broadcast-join pass); queries probe only their `nProbe`
-  *     nearest cells, cutting scanned candidates to ≈ nProbe/nCentroids
-  *     of the corpus — the standard recall/throughput trade.
+  *   - [[ivfTopK]]: IVF pruning. A deterministic centroid sample
+  *     partitions the corpus into `nCentroids` Voronoi cells (one
+  *     broadcast-join pass); queries probe only their `nProbe` nearest
+  *     cells, cutting scanned candidates to ≈ nProbe/nCentroids of the
+  *     corpus — the standard recall/throughput trade. [[ivfWrite]]
+  *     persists the cells bucketed by cell id for probe-pruned scans.
+  *   - [[pqTopK]]: PQ compression (Jégou et al. 2011). The corpus
+  *     compresses to m SMALLINT codes + a stored norm; scoring is
+  *     asymmetric distance computation (m adds per pair against a
+  *     per-query lookup table) with an exact re-rank of the top
+  *     `refine` candidates.
+  *   - [[ivfPqTopK]]: both levers — the IVFADC composition. Cells
+  *     prune the pair count, codes compress the scan, refine restores
+  *     precision.
   */
 object Similarity {
 
@@ -525,22 +535,26 @@ object Similarity {
       .select(col("neighbor_id"), col("cell"),
         graft.functions.PqKernels.pq_encode(col("c_vec"), col("pq_cents"), m, ksub).as("codes"),
         sqrt(dot_native(col("c_vec"), col("c_vec"))).as("norm"))
-    // LUT/norm computed BEFORE the probe-cell explode (once per query,
-    // not once per probe row)
-    val qlut = queries
+    // The ADC table is m·ksub doubles (8 KB at 16×64) — 32× the raw
+    // query vector. So the probe exchange carries q_vec and the LUT is
+    // built AFTER the repartition, once per (query, probe-cell) row:
+    // nProbe redundant ksub·dim-multiply LUT builds per query (trivial)
+    // in exchange for an nProbe·(lutBytes−vecBytes) cut in shuffled
+    // bytes per query — the right trade at any scale, decisive at 100 TB.
+    // The repartition also gives AQE a materialized stage to size the
+    // join from (same policy as ivfProbe).
+    val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .crossJoin(broadcast(pqc))
+      .crossJoin(broadcast(idx.centroidArr))
       .select(col("query_id"), col("q_vec"),
+        explode(graft.functions.IvfCells.top_cells(col("q_vec"), col("cents"), nProbe)).as("cell"))
+      .repartition(col("cell"))
+      .crossJoin(broadcast(pqc))
+      .select(col("query_id"), col("cell"),
         graft.functions.PqKernels.pq_lut(col("q_vec"), col("pq_cents"), m, ksub).as("lut"),
         sqrt(dot_native(col("q_vec"), col("q_vec"))).as("qnorm"))
-    val probes = qlut
-      .crossJoin(broadcast(idx.centroidArr))
-      .select(col("query_id"), col("lut"), col("qnorm"),
-        explode(graft.functions.IvfCells.top_cells(col("q_vec"), col("cents"), nProbe)).as("cell"))
-    // same policy as ivfProbe: repartition the probe side so AQE sizes
-    // the join from runtime data
     val scored = enc
-      .join(probes.repartition(col("cell")), Seq("cell"))
+      .join(probes, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         when(col("norm") > 0d && col("qnorm") > 0d,

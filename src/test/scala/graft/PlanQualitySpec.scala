@@ -99,6 +99,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_top_k_by_score"), s"no map-side partial top-k:\n$p")
   }
 
+  test("v7: the probe exchange carries q_vec; ADC tables build above the shuffle") {
+    // the LUT is m·ksub doubles (8 KB at 16×64) vs a 256 B query vector —
+    // shuffling luts instead of vectors multiplies probe exchange volume
+    // ~32×. pq_lut must sit ABOVE the cell repartition (plan prints
+    // top-down: the project line comes before its child exchange).
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.ops.Similarity.ivfPqTopK(
+      emb, emb.where(org.apache.spark.sql.functions.col("vec_id") % 10 === 0),
+      "vec_id", "embedding", 5, nCentroids = 16, nProbe = 12,
+      m = 16, ksub = 64, iters = 1, refine = 100)
+      .queryExecution.executedPlan.toString
+    // the plan prints top-down, left (corpus) subtree before right
+    // (probes): the corpus side's own cell exchange comes first, so the
+    // shape to require is a cell exchange BELOW the lut projection —
+    // i.e. another "Exchange hashpartitioning(cell" after pq_lut's line
+    val lutIdx = p.indexOf("pq_lut")
+    assert(lutIdx >= 0, p)
+    assert(p.indexOf("Exchange hashpartitioning(cell", lutIdx) > 0,
+      s"pq_lut was pushed below the probe exchange (lut shuffles instead of q_vec):\n$p")
+  }
+
   test("v1/v2: no static broadcast hint — the planner/AQE owns the decision") {
     for (q <- Seq("v1_topk_cosine", "v2_embed_neardup")) {
       val opt = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.toString

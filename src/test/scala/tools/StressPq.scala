@@ -48,25 +48,38 @@ object StressPq {
     println(s"[stress-pq] corpus=${c.count()} queries=${n / qMod} dim=$dim k=5 (broadcast disabled)")
     val q = c.where(col("vec_id") % qMod === 0)
 
-    val tBf = time("exact bounded-heap top-k") {
-      graft.ops.Similarity.bruteForceTopK(c, q, "vec_id", "embedding", 5).count()
+    // optional 4th arg restricts to one tier (bf|pq|ivfpq), e.g. to
+    // re-time a single stage after a plan change
+    val only = args.drop(3).headOption
+    def stage(name: String)(body: => Double): Double =
+      if (only.forall(_ == name)) body else 0.0
+
+    val tBf = stage("bf") {
+      time("exact bounded-heap top-k") {
+        graft.ops.Similarity.bruteForceTopK(c, q, "vec_id", "embedding", 5).count()
+      }
     }
-    // build once: codebook + encoded corpus held like an IVF index
-    val cb = graft.ops.Similarity.pqTrain(c, "vec_id", "embedding", m = 16, ksub = 64, iters = 1)
-    val enc = graft.ops.Similarity.pqEncode(c, "vec_id", "embedding", cb)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("pq train+encode (build once)") { enc.count() }
-    val tPq = time("pq adc top-k + exact refine") {
-      graft.ops.Similarity.pqTopK(c, q, "vec_id", "embedding", 5,
-        m = 16, ksub = 64, iters = 1, refine = 100).count()
+    val tPq = stage("pq") {
+      // build once: codebook + encoded corpus held like an IVF index
+      val cb = graft.ops.Similarity.pqTrain(c, "vec_id", "embedding", m = 16, ksub = 64, iters = 1)
+      val enc = graft.ops.Similarity.pqEncode(c, "vec_id", "embedding", cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("pq train+encode (build once)") { enc.count() }
+      time("pq adc top-k + exact refine") {
+        graft.ops.Similarity.pqTopK(c, q, "vec_id", "embedding", 5,
+          m = 16, ksub = 64, iters = 1, refine = 100).count()
+      }
     }
-    // prune (IVF cells) × compress (PQ codes): the composition that
-    // beats the fused exact kernel on CPU even at low dim
-    val tIvfPq = time("ivfpq prune+adc top-k + refine") {
-      graft.ops.Similarity.ivfPqTopK(c, q, "vec_id", "embedding", 5,
-        nCentroids = 64, nProbe = 8, m = 16, ksub = 64, iters = 1, refine = 100).count()
+    // prune (IVF cells) × compress (PQ codes): pruning is what buys
+    // wall time at low dim, ADC what bounds the per-pair arithmetic
+    val tIvfPq = stage("ivfpq") {
+      time("ivfpq prune+adc top-k + refine") {
+        graft.ops.Similarity.ivfPqTopK(c, q, "vec_id", "embedding", 5,
+          nCentroids = 64, nProbe = 8, m = 16, ksub = 64, iters = 1, refine = 100).count()
+      }
     }
-    println(f"[stress-pq] pq speedup ${tBf / tPq}%.1fx  ivfpq speedup ${tBf / tIvfPq}%.1fx")
+    if (only.isEmpty)
+      println(f"[stress-pq] pq speedup ${tBf / tPq}%.1fx  ivfpq speedup ${tBf / tIvfPq}%.1fx")
     val rt = Runtime.getRuntime
     println(f"[stress-pq] driver heap used=${(rt.totalMemory - rt.freeMemory) / 1e9}%.1f GB")
     spark.stop()
