@@ -236,6 +236,20 @@ object SparkEntry {
                GROUP BY r_name""")
     }),
 
+    // ---- SRC3: JSONL corpus roundtrip — write documents as JSON-Lines
+    //      (the LLM-corpus interchange format), read back with the
+    //      EXPLICIT parquet schema (no inference pass) through the
+    //      PERMISSIVE corrupt-line-quarantine path; the oracle is the
+    //      original table, so the check is byte-exact roundtrip ----
+    "src3_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_src3_jsonl").getAbsolutePath
+      graft.sources.JsonLinesSource.write(docs, path)
+      graft.sources.JsonLinesSource.read(s, path, docs.schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // ---- W1/F1: ranking window dedup ----
     "w1_window_dedup" -> ((s, dir) => {
       // l_linenumber is not unique per order in this synthetic data — add
@@ -505,6 +519,29 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "lang",
         Map("en" -> 10000, "de" -> 6000, "fr" -> 6000, "es" -> 6000, "zh" -> 3000))
         .select("doc_id", "lang", "source")),
+
+    // ---- T: paragraph-level exact dedup — multi-paragraph docs are
+    //      constructed by appending a SHARED paragraph (text of doc
+    //      id%25) to every doc, so cross-doc duplicate paragraphs exist
+    //      by construction (and docs 0..24 carry a within-doc dup);
+    //      first corpus-wide occurrence by (doc_id, pos) survives ----
+    "t14_paragraph_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val shared = d.select((col("doc_id")).as("k"), col("text").as("shared_text"))
+        .where(col("k") < 25)
+      val multi = d.withColumn("k", col("doc_id") % 25)
+        .join(shared, Seq("k"))
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n\n"), col("shared_text")).as("text"))
+      graft.ops.Corpus.dedupParagraphs(multi, "doc_id", "text")
+    }),
+
+    // ---- T: deterministic sequence packing — docs laid head-to-tail in
+    //      content-stable (md5-shard, doc_id) order and cut into
+    //      256-token sequences; the oracle recomputes the exact layout ----
+    "t15_pack_sequences" -> ((s, dir) =>
+      graft.ops.Corpus.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", seqLen = 256, shards = 8)),
 
     // ---- T: PII redaction — emails/phones injected deterministically,
     //      masked with the shared Java/RE2 regex subset so the oracle
@@ -1052,6 +1089,9 @@ object SparkEntry {
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
 
+    "src3_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
     "w1_window_dedup" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
@@ -1533,6 +1573,36 @@ object SparkEntry {
          WHERE bucket < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 6000
                                   WHEN 'fr' THEN 6000 WHEN 'es' THEN 6000
                                   WHEN 'zh' THEN 3000 ELSE 0 END""",
+
+    "t14_paragraph_dedup" ->
+      """WITH multi AS (
+           SELECT d.doc_id, d.text || chr(10) || chr(10) || s.text AS text
+           FROM documents d JOIN documents s ON s.doc_id = d.doc_id % 25),
+         p AS (SELECT doc_id,
+             unnest(string_split(text, chr(10)||chr(10))) AS para,
+             unnest(range(len(string_split(text, chr(10)||chr(10))))) AS pos
+           FROM multi),
+         k AS (SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+           FROM p)
+         SELECT doc_id,
+           string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text,
+           COUNT(*) AS n_kept
+         FROM k WHERE rn = 1 GROUP BY doc_id""",
+
+    "t15_pack_sequences" ->
+      """WITH b AS (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           FROM documents WHERE text IS NOT NULL),
+         o AS (SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+           FROM b)
+         SELECT doc_id, shard, n_tokens, tok_offset,
+           tok_offset // 256 AS seq_first,
+           (tok_offset + GREATEST(n_tokens, 1) - 1) // 256 AS seq_last
+         FROM o""",
 
     "t12_tfidf" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word

@@ -204,6 +204,93 @@ object Corpus {
       .drop("keep_bps")
   }
 
+  /** Paragraph-level exact deduplication — the line/paragraph pass of a
+    * training-data pipeline (C4, RefinedWeb; Lee et al. 2021 ch. 3
+    * motivates why sub-document dedup matters beyond whole-doc): split
+    * each document on `sep`, keep only the FIRST corpus-wide occurrence
+    * of every distinct paragraph (ordered by (id, position) — fully
+    * deterministic), and reassemble each document from its surviving
+    * paragraphs in their original order. Documents whose every paragraph
+    * was seen earlier disappear (the standard drop-empty-docs policy).
+    *
+    * Scale shape: paragraphs shuffle ONCE on `md5(para)` — a fixed-width
+    * uniform key, the same mechanics as [[Dedup.exact]], so boilerplate
+    * paragraphs repeated millions of times hash to one partition's
+    * groups without dragging their text through a sort on the string
+    * itself; the first-occurrence filter is a rank-1 window
+    * (WindowGroupLimit cuts each group to 1 row map-side before the
+    * exchange); reassembly is one groupBy on the doc id. Linear in
+    * corpus size — no all-pairs stage anywhere.
+    *
+    * @return (idCol, textCol [reassembled], n_kept) — docs with ≥1
+    *         surviving paragraph only
+    */
+  def dedupParagraphs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val id = col(idCol)
+    val paras = docs
+      .where(col(textCol).isNotNull)
+      .select(id, posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+    val w = Window.partitionBy(md5(col("para"))).orderBy(id.asc, col("pos").asc)
+    paras
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(id)
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))), x => x("para")),
+          sep).as(textCol),
+        count(lit(1)).as("n_kept"))
+  }
+
+  /** Deterministic fixed-length sequence packing — the batch-assembly
+    * pass of an LLM training pipeline: documents are laid head-to-tail
+    * in a content-stable order and cut into `seqLen`-token training
+    * sequences. Emits, per document, its token offset and the first/last
+    * sequence ids it lands in (seq_first < seq_last ⇔ the document
+    * crosses a sequence boundary — the standard concat-then-slice
+    * packing, not per-doc padding).
+    *
+    * The corpus packs independently within `shards` content-stable
+    * shards (md5 buckets of the id — the same portable mechanics as
+    * [[assignSplit]]): the running-offset window is partitioned by
+    * shard, so the cumulative sum parallelizes across shards instead of
+    * serializing the corpus through one global ordering. Set
+    * shards ≫ executor count at cluster scale — each shard is one
+    * window partition. Within a shard the layout is fully deterministic
+    * (ordered by id): the same corpus packs identically on any engine,
+    * any partitioning, any reshard, and warehouse SQL can audit the
+    * exact layout.
+    *
+    * Empty documents (0 tokens) occupy no token span; they are assigned
+    * the sequence their offset falls in (seq_first = seq_last).
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int = 2048,
+      shards: Int = 256): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val id = col(idCol)
+    val base = docs.where(col(textCol).isNotNull).select(
+      id,
+      md5Bucket(id, shards).as("shard"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(id.asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_first", expr(s"tok_offset div $seqLen"))
+      .withColumn("seq_last",
+        expr(s"(tok_offset + greatest(n_tokens, 1) - 1) div $seqLen"))
+  }
+
   /** Benchmark decontamination (the standard pre-training hygiene pass):
     * flag every training doc sharing at least one word `n`-gram with an
     * evaluation set. The eval shingle set is tiny and broadcasts; the

@@ -100,4 +100,69 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       Map("en" -> 10000, "de" -> 5000), defaultBps = 0)
     assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
   }
+
+  test("paragraph dedup keeps first corpus-wide occurrence, reassembles in order") {
+    val pd = Seq(
+      (0L, "alpha one\n\nshared boilerplate\n\nalpha two"),
+      (1L, "beta one\n\nshared boilerplate"),        // loses the shared para to doc 0
+      (2L, "shared boilerplate"),                    // fully consumed -> disappears
+      (3L, "gamma\n\ngamma"),                        // within-doc dup: pos 1 dropped
+      (4L, "delta only")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupParagraphs(pd, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(0L) == ("alpha one\n\nshared boilerplate\n\nalpha two", 3L))
+    assert(out(1L) == ("beta one", 1L))
+    assert(!out.contains(2L)) // every paragraph seen earlier -> dropped
+    assert(out(3L) == ("gamma", 1L))
+    assert(out(4L) == ("delta only", 1L))
+  }
+
+  test("paragraph dedup is deterministic under row-order shuffling") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(2000).select(
+      $"id".as("doc_id"),
+      concat(lit("unique para "), $"id", lit("\n\nshared para "), $"id" % 40).as("text"))
+    val a = Corpus.dedupParagraphs(docs, "doc_id", "text")
+    val b = Corpus.dedupParagraphs(docs.orderBy(rand(3)), "doc_id", "text")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // each of the 40 shared paras survives exactly once, in its smallest doc
+    assert(a.where($"n_kept" === 2).count() == 40)
+    assert(a.agg(sum($"n_kept")).head.getLong(0) == 2000L + 40L)
+  }
+
+  test("sequence packing lays docs head-to-tail and marks boundary crossings") {
+    // one shard so offsets are a simple running sum in doc_id order
+    val docs = Seq(
+      (0L, "w1 w2 w3 w4"),      // 4 tokens, offset 0, seqs 0..0
+      (1L, "w1 w2 w3"),         // 3 tokens, offset 4, crosses 4..6 -> seq 0 (L=6: 4..6 spans 0,1)
+      (2L, ""),                 // 0 tokens, offset 7 -> seq 1..1 (empty: first==last)
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8") // 8 tokens, offset 7, spans seqs 1..2
+    ).toDF("doc_id", "text")
+    val out = Corpus.packSequences(docs, "doc_id", "text", seqLen = 6, shards = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(0L) == ((4L, 0L, 0L, 0L)))  // (n_tokens, offset, first, last)
+    assert(out(1L) == ((3L, 4L, 0L, 1L)))  // tokens 4,5,6: crosses the L=6 boundary
+    assert(out(2L) == ((0L, 7L, 1L, 1L)))  // empty doc occupies no span
+    assert(out(3L) == ((8L, 7L, 1L, 2L)))
+  }
+
+  test("sequence packing is content-stable across row order and partitioning") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(5000).select(
+      $"id".as("doc_id"),
+      concat_ws(" ", array_repeat(lit("tok"), ($"id" % 37 + 1).cast("int"))).as("text"))
+    val a = Corpus.packSequences(docs, "doc_id", "text", seqLen = 128, shards = 16)
+    val b = Corpus.packSequences(docs.repartition(13).orderBy(rand(9)),
+      "doc_id", "text", seqLen = 128, shards = 16)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // within every shard, offsets reconstruct the exact running sum
+    val bad = a.withColumn("expected",
+        coalesce(sum($"n_tokens").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"shard")
+            .orderBy($"doc_id").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .where($"tok_offset" =!= $"expected")
+    assert(bad.count() == 0)
+  }
 }
