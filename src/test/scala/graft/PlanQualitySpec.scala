@@ -173,6 +173,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("t14: paragraph dedup cuts groups map-side; exactly two data exchanges") {
+    val p = plan("t14_paragraph_dedup")
+    // first-occurrence filter must be a partial+final WindowGroupLimit
+    // (each md5(para) group collapses to 1 row BEFORE the exchange)
+    assert("WindowGroupLimit".r.findAllIn(p).length == 2, p)
+    // the whole pipeline is: explode -> group-limit exchange on md5 ->
+    // reassembly exchange on doc id. Anything more is a leak.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    // reassembly aggregates fold map-side too
+    assert(p.contains("partial_collect_list"), p)
+  }
+
+  test("t15: sequence packing is one narrow pass + one shard exchange") {
+    val p = plan("t15_pack_sequences")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    // only (doc_id, text) leave the scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{concat, concat_ws, length, lit, reverse, sha2, sum, when}
