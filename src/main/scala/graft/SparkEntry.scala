@@ -543,6 +543,22 @@ object SparkEntry {
       graft.ops.Corpus.packSequences(
         t(s, dir, "documents"), "doc_id", "text", seqLen = 256, shards = 8)),
 
+    // ---- D: repeated-substring spans (ExactSubstr-style, char-level) —
+    //      docs are augmented with a shared tail (text of doc id%30) so
+    //      ≥40-char cross-doc repeats exist by construction (docs 0..29
+    //      additionally self-repeat); each gram's first corpus-wide
+    //      occurrence stays un-flagged (keep-first), later occurrences
+    //      merge into maximal spans ----
+    "t16_repeated_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val shared = d.where(col("doc_id") < 30)
+        .select(col("doc_id").as("k"), col("text").as("stext"))
+      val aug = d.withColumn("k", col("doc_id") % 30)
+        .join(shared, Seq("k"))
+        .select(col("doc_id"), concat(col("text"), lit(" "), col("stext")).as("text"))
+      graft.ops.Dedup.repeatedSpans(aug, "doc_id", "text", minLen = 40)
+    }),
+
     // ---- T: PII redaction — emails/phones injected deterministically,
     //      masked with the shared Java/RE2 regex subset so the oracle
     //      reproduces the redacted text byte-for-byte ----
@@ -1573,6 +1589,32 @@ object SparkEntry {
          WHERE bucket < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 6000
                                   WHEN 'fr' THEN 6000 WHEN 'es' THEN 6000
                                   WHEN 'zh' THEN 3000 ELSE 0 END""",
+
+    "t16_repeated_spans" ->
+      """WITH aug AS (
+           SELECT d.doc_id, d.text || ' ' || s.text AS text
+           FROM documents d JOIN documents s ON s.doc_id = d.doc_id % 30),
+         g AS (SELECT doc_id,
+             unnest(range(length(text) - 39)) AS pos,
+             unnest(list_transform(range(length(text) - 39),
+               i -> substr(text, (i + 1)::INT, 40))) AS gram
+           FROM aug WHERE length(text) >= 40),
+         r AS (SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+           FROM g),
+         d2 AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+         m AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+                  THEN 1 ELSE 0 END AS brk
+           FROM d2),
+         i AS (SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+           FROM m)
+         SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 40 AS BIGINT) AS span_end
+         FROM i GROUP BY doc_id, island""",
 
     "t14_paragraph_dedup" ->
       """WITH multi AS (

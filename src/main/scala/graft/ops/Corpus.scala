@@ -235,7 +235,8 @@ object Corpus {
       .where(col(textCol).isNotNull)
       .select(id, posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "para")))
-    val w = Window.partitionBy(md5(col("para"))).orderBy(id.asc, col("pos").asc)
+    // 16-byte binary digest (not hex) — the group key rides the exchange
+    val w = Window.partitionBy(unhex(md5(col("para")))).orderBy(id.asc, col("pos").asc)
     paras
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)

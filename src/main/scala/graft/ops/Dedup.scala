@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
@@ -42,6 +43,98 @@ object Dedup {
     df.select(md5(col(textCol)).as("text_hash"), col(idCol))
       .groupBy("text_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Repeated-substring span detection — the character-level dedup tier
+    * (the distributed re-expression of ExactSubstr, Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better": their
+    * single-node suffix array becomes a gram-hash shuffle). A character
+    * position is DUPLICATED when some `minLen`-gram covering it occurs
+    * at another (doc, pos) — equivalently, when it lies inside some
+    * repeated substring of length ≥ minLen. Keep-first semantics: each
+    * distinct gram's first occurrence (smallest (doc, pos)) is NOT
+    * duplicated, so one copy of every repeated passage survives —
+    * matching [[Corpus.dedupParagraphs]]'s contract at character
+    * granularity. Emits maximal merged spans per document.
+    *
+    * Scale shape: positions explode ONE narrow int-sequence generator
+    * (never an array of gram strings — the gram is substring'd and
+    * md5-hashed AFTER the explode, so no wide intermediate row exists);
+    * the occurrence rank shuffles (gk, doc, pos) rows on the fixed-width
+    * md5 key — corpus text never crosses the exchange; span merging is
+    * one doc-keyed window + an exchange-free groupBy on the same key.
+    * Two exchanges total, both uniform. The ×textLen row fan-out is the
+    * honest cost of exact substring dedup; cut it with a larger stride
+    * only if approximate coverage is acceptable.
+    *
+    * @return (idCol, span_start, span_end) — 0-based char offsets,
+    *         end exclusive; spans of the SECOND-and-later occurrences only
+    */
+  def repeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 50): DataFrame = {
+    require(minLen > 0, s"minLen must be positive, got $minLen")
+    val id = col(idCol)
+    val L = minLen
+    val dupPos = docs
+      .where(col(textCol).isNotNull && length(col(textCol)) >= L)
+      .select(id, col(textCol).as("txt"),
+        explode(sequence(lit(0), length(col(textCol)) - L)).as("pos"))
+      .select(id, col("pos").cast("long").as("pos"),
+        // 16-byte binary digest, not the 32-char hex string — the gram
+        // key is most of every shuffled row's width
+        unhex(md5(col("txt").substr(col("pos") + 1, lit(L)))).as("gk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("gk")).orderBy(id.asc, col("pos").asc)))
+      .where(col("rn") > 1)
+      .select(id, col("pos"))
+    // island merge: a new span starts when this gram's window no longer
+    // touches the previous one (pos > prev + L); islands then group to
+    // (min, max+L). The groupBy key includes the window's partition key,
+    // so it reuses the window exchange.
+    val byDoc = Window.partitionBy(id).orderBy(col("pos").asc)
+    dupPos
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull
+          || col("pos") > lag(col("pos"), 1).over(byDoc) + L, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(id, col("island"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + L).as("span_end"))
+      .drop("island")
+  }
+
+  /** Cut the [[repeatedSpans]] out of each document: the surviving text
+    * is the concatenation of the uncovered gaps (Lee et al.'s excision
+    * policy). Keep-first means every repeated passage still exists
+    * exactly once in the output corpus. Documents with no repeated span
+    * pass through unchanged.
+    */
+  def cutRepeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 50): DataFrame = {
+    val id = col(idCol)
+    val spans = repeatedSpans(docs, idCol, textCol, minLen)
+      .groupBy(id)
+      .agg(array_sort(collect_list(struct(col("span_start"), col("span_end")))).as("spans"))
+    val txt = col(textCol)
+    // fold the sorted spans: emit each gap [cur, start), advance cur to
+    // the span's end; finish with the tail gap. One narrow pass — the
+    // span list per doc is tiny next to the text.
+    val cut = aggregate(
+      col("spans"),
+      struct(lit("").as("done"), lit(0L).as("cur")),
+      (acc, s) => struct(
+        concat(acc("done"), txt.substr(acc("cur") + 1, s("span_start") - acc("cur"))).as("done"),
+        s("span_end").as("cur")),
+      acc => concat(acc("done"), txt.substr(acc("cur") + 1, length(txt).cast("long") - acc("cur"))))
+    docs
+      .join(spans, Seq(idCol), "left")
+      .select(id, when(col("spans").isNull, txt).otherwise(cut).as(textCol))
+  }
 
   // ------------------------------------------------------------- shingles
 

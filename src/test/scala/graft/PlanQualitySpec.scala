@@ -192,6 +192,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("t16: grams hash AFTER the position explode; two data exchanges") {
+    val p = plan("t16_repeated_spans")
+    // the generator must explode a bare int sequence — the L-char gram
+    // string is substring'd + digested ABOVE it (no array-of-strings
+    // intermediate), so the md5 project line precedes its Generate child
+    val mdIdx = p.indexOf("md5(")
+    val genIdx = p.indexOf("Generate explode(sequence")
+    assert(mdIdx >= 0 && genIdx > mdIdx, s"gram materialized pre-explode:\n$p")
+    // occurrence-rank exchange on the 16-byte digest + island exchange
+    // on the doc id; corpus text crosses neither
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{concat, concat_ws, length, lit, reverse, sha2, sum, when}

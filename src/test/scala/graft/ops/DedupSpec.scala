@@ -117,4 +117,57 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out((0L, 3L)) == 0)
     assert(!out.keySet.exists(p => p._1 == 2L || p._2 == 2L))
   }
+
+  // 30 chars each; doc 1 embeds doc 0's 20-char prefix at offset 2;
+  // doc 2 is an exact copy of doc 0; doc 3 is unrelated
+  private val spanDocs = Seq(
+    (0L, "abcdefghijKLMNOPQRSTuvwxyz0123"),
+    (1L, "XXabcdefghijKLMNOPQRSTZZ"),
+    (2L, "abcdefghijKLMNOPQRSTuvwxyz0123"),
+    (3L, "000000000011111111112222222222")
+  ).toDF("doc_id", "text")
+
+  test("repeated spans: keep-first, maximal merge, exact offsets") {
+    val out = Dedup.repeatedSpans(spanDocs, "doc_id", "text", minLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 0 holds every first occurrence -> no spans; doc 1's embedded
+    // prefix flags as exactly [2, 22); the full copy flags end-to-end.
+    // doc 3: "0000000000" et al. self-repeat (periodic runs) -> its own
+    // spans exist; assert the cross-doc ones exactly and doc0's absence
+    assert(!out.exists(_._1 == 0L), out)
+    assert(out.contains((1L, 2L, 22L)), out)
+    assert(out.contains((2L, 0L, 30L)), out)
+  }
+
+  test("cutting spans keeps one copy of every repeated passage") {
+    val out = Dedup.cutRepeatedSpans(
+        spanDocs.where($"doc_id" < 3), "doc_id", "text", minLen = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "abcdefghijKLMNOPQRSTuvwxyz0123") // first copy untouched
+    assert(out(1L) == "XXZZ")                            // embedded repeat excised
+    assert(out(2L) == "")                                // exact dup fully consumed
+  }
+
+  test("repeated spans: two repeats separated by a unique gap stay two spans") {
+    val a = "AAAAAAAAAA" // 10-char block
+    val b = "BBBBBBBBBB"
+    val docs2 = Seq(
+      (0L, a + "-unique-filler-one-" + b),
+      (1L, a + "=completely=other=gap=" + b)
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs2, "doc_id", "text", minLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1 == Set((1L, 0L, 10L), (1L, 32L, 42L)), out) // b at offset 32 in doc 1
+  }
+
+  test("repeated spans are order-independent") {
+    val docs = spark.range(300).selectExpr("id AS doc_id",
+      "concat('unique prefix number ', id, ' then the same long shared boilerplate tail across docs') AS text")
+    val a = Dedup.repeatedSpans(docs, "doc_id", "text", minLen = 40)
+    val b = Dedup.repeatedSpans(docs.orderBy(rand(5)), "doc_id", "text", minLen = 40)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // every doc except the first carries exactly one tail span
+    assert(a.count() == 299)
+  }
 }
