@@ -58,6 +58,22 @@ object SparkEntry {
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** Documents augmented with a shared tail (the text of doc id%n,
+    * joined by `sep`) — cross-doc duplicate content exists by
+    * construction, and docs 0..n-1 additionally duplicate themselves.
+    * Shared by t14 (paragraph dedup) and t16 (repeated spans); each
+    * oracle mirrors it as its `aug`/`multi` CTE, so the modulus and
+    * separator here must match the SQL verbatim.
+    */
+  private def sharedTailDocs(s: SparkSession, dir: String, n: Int, sep: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val shared = d.where(col("doc_id") < n)
+      .select(col("doc_id").as("k"), col("text").as("stext"))
+    d.withColumn("k", col("doc_id") % n)
+      .join(shared, Seq("k"))
+      .select(col("doc_id"), concat(col("text"), lit(sep), col("stext")).as("text"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("j2_multi_join")(spark, "/root/testdata/sf0.001")
@@ -243,8 +259,12 @@ object SparkEntry {
     //      original table, so the check is byte-exact roundtrip ----
     "src3_jsonl_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // path scoped by pid + source dir: concurrent harness processes
+      // (or interleaved SFs) must not overwrite each other mid-read
+      val tag = java.lang.ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)
       val path = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_src3_jsonl").getAbsolutePath
+        System.getProperty("java.io.tmpdir"), s"graft_src3_jsonl_$tag").getAbsolutePath
       graft.sources.JsonLinesSource.write(docs, path)
       graft.sources.JsonLinesSource.read(s, path, docs.schema)
         .select("doc_id", "text", "lang", "source", "n_chars")
@@ -525,16 +545,9 @@ object SparkEntry {
     //      id%25) to every doc, so cross-doc duplicate paragraphs exist
     //      by construction (and docs 0..24 carry a within-doc dup);
     //      first corpus-wide occurrence by (doc_id, pos) survives ----
-    "t14_paragraph_dedup" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select("doc_id", "text")
-      val shared = d.select((col("doc_id")).as("k"), col("text").as("shared_text"))
-        .where(col("k") < 25)
-      val multi = d.withColumn("k", col("doc_id") % 25)
-        .join(shared, Seq("k"))
-        .select(col("doc_id"),
-          concat(col("text"), lit("\n\n"), col("shared_text")).as("text"))
-      graft.ops.Corpus.dedupParagraphs(multi, "doc_id", "text")
-    }),
+    "t14_paragraph_dedup" -> ((s, dir) =>
+      graft.ops.Corpus.dedupParagraphs(
+        sharedTailDocs(s, dir, 25, "\n\n"), "doc_id", "text")),
 
     // ---- T: deterministic sequence packing — docs laid head-to-tail in
     //      content-stable (md5-shard, doc_id) order and cut into
@@ -549,15 +562,9 @@ object SparkEntry {
     //      additionally self-repeat); each gram's first corpus-wide
     //      occurrence stays un-flagged (keep-first), later occurrences
     //      merge into maximal spans ----
-    "t16_repeated_spans" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select("doc_id", "text")
-      val shared = d.where(col("doc_id") < 30)
-        .select(col("doc_id").as("k"), col("text").as("stext"))
-      val aug = d.withColumn("k", col("doc_id") % 30)
-        .join(shared, Seq("k"))
-        .select(col("doc_id"), concat(col("text"), lit(" "), col("stext")).as("text"))
-      graft.ops.Dedup.repeatedSpans(aug, "doc_id", "text", minLen = 40)
-    }),
+    "t16_repeated_spans" -> ((s, dir) =>
+      graft.ops.Dedup.repeatedSpans(
+        sharedTailDocs(s, dir, 30, " "), "doc_id", "text", minLen = 40)),
 
     // ---- T: PII redaction — emails/phones injected deterministically,
     //      masked with the shared Java/RE2 regex subset so the oracle

@@ -8,6 +8,12 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.mkString(", ")} — a typo here would " +
+          "silently verify nothing")
+    }
     // default to every core (the driver may not set SPARK_GRAFT_CPUS);
     // ONE session bootstrap (EngineSession) — a local builder here would
     // silently drop the SQL-function registration and checkpoint-cleaner

@@ -51,10 +51,15 @@ object Dedup {
     * position is DUPLICATED when some `minLen`-gram covering it occurs
     * at another (doc, pos) — equivalently, when it lies inside some
     * repeated substring of length ≥ minLen. Keep-first semantics: each
-    * distinct gram's first occurrence (smallest (doc, pos)) is NOT
-    * duplicated, so one copy of every repeated passage survives —
-    * matching [[Corpus.dedupParagraphs]]'s contract at character
-    * granularity. Emits maximal merged spans per document.
+    * distinct gram's first occurrence (smallest (doc, pos)) is never
+    * flagged, so an isolated repeated passage keeps its first copy.
+    * CAVEAT (inherent to span merging, shared with ExactSubstr): when
+    * repeats overlap OTHER repeated content, a merged span can extend
+    * into a gram's first occurrence — e.g. doc0="GP", doc1="GP",
+    * doc2="P" (G, P being ≥L blocks): doc1's span covers its whole
+    * text, including the P-prefix grams whose first occurrence at
+    * doc0 ended there; excising doc1 and doc2 leaves P intact only
+    * inside doc0. Emits maximal merged spans per document.
     *
     * Scale shape: positions explode ONE narrow int-sequence generator
     * (never an array of gram strings — the gram is substring'd and
@@ -107,9 +112,10 @@ object Dedup {
 
   /** Cut the [[repeatedSpans]] out of each document: the surviving text
     * is the concatenation of the uncovered gaps (Lee et al.'s excision
-    * policy). Keep-first means every repeated passage still exists
-    * exactly once in the output corpus. Documents with no repeated span
-    * pass through unchanged.
+    * policy). Keep-first means an isolated repeated passage keeps its
+    * first copy; see [[repeatedSpans]]' caveat — where repeats overlap
+    * other repeated content, the merged span can cut into a first
+    * occurrence. Documents with no repeated span pass through unchanged.
     */
   def cutRepeatedSpans(
       docs: DataFrame,
