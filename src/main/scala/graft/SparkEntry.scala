@@ -829,6 +829,24 @@ object SparkEntry {
         "e7_sink")
     }),
 
+    // ---- E9: stream-static enrichment — the events STREAM joins a
+    //      static dimension (derived deterministically from event_type:
+    //      weight = length, category = first char) per micro-batch,
+    //      then rolls up per hour×category; same AvailableNow harness
+    //      and complete-table sink as e7/e8, batch-twin oracle ----
+    "e9_stream_enrich" -> ((s, dir) => {
+      val stream = graft.streaming.EventStreams
+        .readNsEventStream(s, s"$dir/events.parquet")
+        .withWatermark("ts", "1 hour")
+      val dim = events(s, dir).select("event_type").distinct()
+        .select(col("event_type"),
+          length(col("event_type")).cast("long").as("weight"),
+          substring(col("event_type"), 1, 1).as("category"))
+      graft.streaming.EventStreams.runToCompleteTable(
+        s, graft.streaming.EventStreams.enrichedWindowedAgg(stream, dim),
+        "e9_sink")
+    }),
+
     // ---- E8: streaming session_window sessionization, same harness;
     //      session starts/counts/sums must equal the batch gap-session
     //      oracle (session_window's end = last+gap, so only the start
@@ -1046,6 +1064,17 @@ object SparkEntry {
          event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    "e9_stream_enrich" ->
+      """WITH dim AS (SELECT DISTINCT event_type,
+             CAST(length(event_type) AS BIGINT) AS weight,
+             substr(event_type, 1, 1) AS category
+           FROM events)
+         SELECT strftime(date_trunc('hour', e.ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+           d.category, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2)) * d.weight) AS DOUBLE) AS weighted_value
+         FROM events e JOIN dim d USING (event_type)
+         GROUP BY 1, 2""",
 
     "e8_streaming_sessions" ->
       """WITH e AS (SELECT user_id, event_id, value, ts::TIMESTAMP AS t FROM events),

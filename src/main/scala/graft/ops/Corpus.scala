@@ -231,8 +231,13 @@ object Corpus {
       textCol: String,
       sep: String = "\n\n"): DataFrame = {
     val id = col(idCol)
+    // spread docs before the paragraph fan-out — the split/explode and
+    // the per-paragraph md5 otherwise run at the input's partitioning
+    // (one small file = one task hashing the whole corpus)
+    val par = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val paras = docs
       .where(col(textCol).isNotNull)
+      .repartition(par, id)
       .select(id, posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "para")))
     // 16-byte binary digest (not hex) — the group key rides the exchange

@@ -82,8 +82,14 @@ object Dedup {
     require(minLen > 0, s"minLen must be positive, got $minLen")
     val id = col(idCol)
     val L = minLen
+    // spread docs across the full task count BEFORE the ×textLen gram
+    // fan-out: the explode and the per-gram substr+md5 run at the INPUT's
+    // partitioning (a single small file = a single task doing all the
+    // hashing), and the fan-out multiplies whatever imbalance exists
+    val par = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val dupPos = docs
       .where(col(textCol).isNotNull && length(col(textCol)) >= L)
+      .repartition(par, id)
       .select(id, col(textCol).as("txt"),
         explode(sequence(lit(0), length(col(textCol)) - L)).as("pos"))
       .select(id, col("pos").cast("long").as("pos"),

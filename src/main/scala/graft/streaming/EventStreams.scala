@@ -88,6 +88,33 @@ object EventStreams {
     windowedAgg(events.withWatermark("ts", watermark), windowLength)
   }
 
+  /** Stream-static enrichment: join each micro-batch against a (small,
+    * slowly-changing) dimension table, then roll up per window and
+    * dimension attribute — the standard streaming-dimension pattern.
+    * Spark plans the static side as a broadcast hash join inside every
+    * micro-batch with NO join state in the state store (only the window
+    * aggregation keeps state, bounded by the watermark); at cluster
+    * scale the dimension refreshes by re-reading its table between
+    * triggers, never by restarting the query. Shared column logic with
+    * the batch twin — the oracle covers both executions.
+    */
+  def enrichedWindowedAgg(
+      events: DataFrame,
+      dim: DataFrame,
+      dimKey: String = "event_type",
+      windowLength: String = "1 hour"): DataFrame =
+    events
+      .join(dim, Seq(dimKey))
+      .groupBy(window(col("ts"), windowLength).as("w"), col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        // exact decimal arithmetic end-to-end (weight is integral), cast
+        // to double only at the boundary — same contract as windowedAgg
+        sum(col("value").cast("decimal(18,2)") * col("weight")).cast("double")
+          .as("weighted_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("category"), col("n_events"), col("weighted_value"))
+
   /** Gap-session aggregation via the built-in `session_window` — works
     * identically as a batch plan and a streaming plan (with watermark),
     * which is how the twin-equivalence test proves the streaming path.

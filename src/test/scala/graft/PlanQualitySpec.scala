@@ -178,9 +178,11 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     // first-occurrence filter must be a partial+final WindowGroupLimit
     // (each md5(para) group collapses to 1 row BEFORE the exchange)
     assert("WindowGroupLimit".r.findAllIn(p).length == 2, p)
-    // the whole pipeline is: explode -> group-limit exchange on md5 ->
-    // reassembly exchange on doc id. Anything more is a leak.
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    // pipeline: pre-fan-out spread (REPARTITION_BY_NUM) -> group-limit
+    // exchange on the digest -> reassembly exchange on the doc id.
+    // Anything more is a leak.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 3, p)
+    assert(p.contains("REPARTITION_BY_NUM"), s"pre-explode spread missing:\n$p")
     // reassembly aggregates fold map-side too
     assert(p.contains("partial_collect_list"), p)
   }
@@ -200,9 +202,11 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     val mdIdx = p.indexOf("md5(")
     val genIdx = p.indexOf("Generate explode(sequence")
     assert(mdIdx >= 0 && genIdx > mdIdx, s"gram materialized pre-explode:\n$p")
-    // occurrence-rank exchange on the 16-byte digest + island exchange
-    // on the doc id; corpus text crosses neither
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    // pre-fan-out spread + occurrence-rank exchange on the 16-byte
+    // digest + island exchange on the doc id; corpus text crosses only
+    // the (narrow) spread
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 3, p)
+    assert(p.contains("REPARTITION_BY_NUM"), s"pre-explode spread missing:\n$p")
   }
 
   test("AQE splits a skewed sort-merge join partition at runtime") {
