@@ -77,4 +77,28 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(rerun == viaMemory)
   }
+
+  test("stream-static enrichment join equals the batch twin; no join state") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchInput = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    batchInput.write.mode("overwrite").parquet(dir)
+    val dim = spark.read.parquet(dir).select("event_type").distinct()
+      .select(col("event_type"),
+        length(col("event_type")).cast("long").as("weight"),
+        substring(col("event_type"), 1, 1).as("category"))
+
+    val expected = EventStreams.enrichedWindowedAgg(spark.read.parquet(dir), dim)
+      .collect().map(_.toSeq).toSet
+    // this dir is already micros-typed — stream it with its own schema
+    // (readNsEventStream is only for the canonical ns layout)
+    val streamedDf = EventStreams.enrichedWindowedAgg(
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+        .withWatermark("ts", "1 hour"),
+      dim)
+    val streamed = EventStreams.runToMemorySink(spark, streamedDf, "enrich_test")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == expected && streamed.nonEmpty)
+  }
 }
