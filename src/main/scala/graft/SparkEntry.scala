@@ -566,6 +566,22 @@ object SparkEntry {
       graft.ops.Dedup.repeatedSpans(
         sharedTailDocs(s, dir, 30, " "), "doc_id", "text", minLen = 40)),
 
+    // ---- T: the round-4 capstone — the NEW operators composed as one
+    //      declarative pipeline: paragraph dedup (first corpus-wide
+    //      occurrence survives) -> quality gate on the CLEANED text ->
+    //      deterministic sequence packing. One plan, hash-oracled
+    //      end-to-end like t11 ----
+    "t17_prepare_packed" -> ((s, dir) => {
+      import graft.ops._
+      val cleaned = Corpus.dedupParagraphs(
+        sharedTailDocs(s, dir, 25, "\n\n"), "doc_id", "text")
+      val gated = cleaned.select(col("doc_id"), col("text"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"))
+        .where(col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5)
+      Corpus.packSequences(gated, "doc_id", "text", seqLen = 256, shards = 8)
+    }),
+
     // ---- T: PII redaction — emails/phones injected deterministically,
     //      masked with the shared Java/RE2 regex subset so the oracle
     //      reproduces the redacted text byte-for-byte ----
@@ -1625,6 +1641,40 @@ object SparkEntry {
          WHERE bucket < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 6000
                                   WHEN 'fr' THEN 6000 WHEN 'es' THEN 6000
                                   WHEN 'zh' THEN 3000 ELSE 0 END""",
+
+    "t17_prepare_packed" ->
+      """WITH multi AS (
+           SELECT d.doc_id, d.text || chr(10) || chr(10) || s.text AS text
+           FROM documents d JOIN documents s ON s.doc_id = d.doc_id % 25),
+         p AS (SELECT doc_id,
+             unnest(string_split(text, chr(10)||chr(10))) AS para,
+             unnest(range(len(string_split(text, chr(10)||chr(10))))) AS pos
+           FROM multi),
+         k AS (SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+           FROM p),
+         clean AS (SELECT doc_id,
+             string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text
+           FROM k WHERE rn = 1 GROUP BY doc_id),
+         gated AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio
+           FROM clean),
+         q AS (SELECT doc_id, n_tokens FROM gated
+           WHERE n_tokens >= 10 AND alpha_ratio >= 0.5),
+         b AS (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+             n_tokens
+           FROM q),
+         o AS (SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+           FROM b)
+         SELECT doc_id, shard, n_tokens, tok_offset,
+           tok_offset // 256 AS seq_first,
+           (tok_offset + GREATEST(n_tokens, 1) - 1) // 256 AS seq_last
+         FROM o""",
 
     "t16_repeated_spans" ->
       """WITH aug AS (

@@ -146,6 +146,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) == "")                                // exact dup fully consumed
   }
 
+  test("span-merge caveat: overlapping repeats can cut into a first occurrence") {
+    // The scaladoc'd caveat, pinned. L=10; doc0 = G10+P5, doc1 = G10+P10,
+    // doc2 = P10. Doc1's grams at pos 0..5 repeat doc0, so its merged
+    // span is [0,15) — overlapping the FIRST occurrence of the P10 gram
+    // (doc1 pos 10) and cutting 5 chars out of it; doc2's P10 is a
+    // second occurrence and is excised whole. Net: P10 survives intact
+    // NOWHERE (doc1 keeps only "PPPPP") — exactly the documented limit
+    // of merged-span excision when repeats overlap other repeats.
+    val docs = Seq(
+      (0L, "G" * 10 + "P" * 5),
+      (1L, "G" * 10 + "P" * 10),
+      (2L, "P" * 10)
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSpans(docs, "doc_id", "text", minLen = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "G" * 10 + "P" * 5) // first occurrences: untouched
+    assert(out(1L) == "P" * 5)            // span [0,15) ate half of P10
+    assert(out(2L) == "")                 // second P10 occurrence: excised
+  }
+
   test("repeated spans: two repeats separated by a unique gap stay two spans") {
     val a = "AAAAAAAAAA" // 10-char block
     val b = "BBBBBBBBBB"
