@@ -863,6 +863,31 @@ object SparkEntry {
         "e9_sink")
     }),
 
+    // ---- E10: interval-overlap join (bucketed range join — the
+    //      primitive Spark would otherwise plan as a nested loop):
+    //      user sessions [first event, last event] joined to error-burst
+    //      incidents (hours with ≥5 errors, as [h, h+1h)); half-open
+    //      epoch-micro intervals, 1-hour buckets ----
+    "e10_session_incidents" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sess = graft.ops.Sessions.assign(ev, "user_id", "ts", 3600, Seq("event_id"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(unix_micros(col("ts"))).as("s_start"),
+          (max(unix_micros(col("ts"))) + 1L).as("s_end")) // half-open, last event inclusive
+      val inc = ev.where(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_errors"))
+        .where(col("n_errors") >= 5)
+        .select(unix_micros(col("h")).as("i_start"),
+          (unix_micros(col("h")) + 3600000000L).as("i_end"), col("n_errors"))
+      graft.ops.RangeJoin
+        .overlapJoin(sess, "s_start", "s_end", inc, "i_start", "i_end", 3600000000L)
+        .select(col("user_id"), col("session_seq"),
+          date_format(timestamp_micros(col("i_start")), "yyyy-MM-dd HH:mm:ss")
+            .as("incident_hour"),
+          col("n_errors"))
+    }),
+
     // ---- E8: streaming session_window sessionization, same harness;
     //      session starts/counts/sums must equal the batch gap-session
     //      oracle (session_window's end = last+gap, so only the start
@@ -1080,6 +1105,30 @@ object SparkEntry {
          event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    "e10_session_incidents" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t, event_type FROM events),
+         x AS (SELECT user_id, event_id, t,
+             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                    OR epoch_us(t) - epoch_us(lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)) > 3600000000
+                  THEN 1 ELSE 0 END AS st
+           FROM e),
+         sq AS (SELECT user_id, t,
+             CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM x),
+         sess AS (SELECT user_id, session_seq,
+             MIN(epoch_us(t)) AS s_start, MAX(epoch_us(t)) + 1 AS s_end
+           FROM sq GROUP BY user_id, session_seq),
+         inc AS (SELECT epoch_us(date_trunc('hour', t)) AS i_start,
+             epoch_us(date_trunc('hour', t)) + 3600000000 AS i_end,
+             COUNT(*) AS n_errors
+           FROM e WHERE event_type = 'error'
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         SELECT s.user_id, s.session_seq,
+           strftime(make_timestamp(i.i_start), '%Y-%m-%d %H:%M:%S') AS incident_hour,
+           i.n_errors
+         FROM sess s JOIN inc i ON s.s_start < i.i_end AND i.i_start < s.s_end""",
 
     "e9_stream_enrich" ->
       """WITH dim AS (SELECT DISTINCT event_type,
