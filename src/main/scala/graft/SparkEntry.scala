@@ -579,7 +579,9 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
           TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"))
         .where(col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5)
-      Corpus.packSequences(gated, "doc_id", "text", seqLen = 256, shards = 8)
+      // reuse the gate's token counts — the cleaned text tokenizes once
+      Corpus.packSequences(gated, "doc_id", "text", seqLen = 256, shards = 8,
+        tokenCountCol = Some("n_tokens"))
     }),
 
     // ---- T: PII redaction — emails/phones injected deterministically,

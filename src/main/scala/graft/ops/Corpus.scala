@@ -275,19 +275,28 @@ object Corpus {
     * Empty documents (0 tokens) occupy no token span; they are assigned
     * the sequence their offset falls in (seq_first = seq_last).
     */
+  /** @param tokenCountCol name of a precomputed per-doc token-count
+    *        column to use instead of re-scanning `textCol` — pipelines
+    *        that already gated on token count (t17) pass it so the
+    *        corpus text is tokenized once, not twice
+    */
   def packSequences(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       seqLen: Int = 2048,
-      shards: Int = 256): DataFrame = {
+      shards: Int = 256,
+      tokenCountCol: Option[String] = None): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(shards > 0, s"shards must be positive, got $shards")
     val id = col(idCol)
+    val nTokens = tokenCountCol
+      .map(c => col(c).cast("long"))
+      .getOrElse(TextAnalysis.tokenCount(col(textCol)).cast("long"))
     val base = docs.where(col(textCol).isNotNull).select(
       id,
       md5Bucket(id, shards).as("shard"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      nTokens.as("n_tokens"))
     val w = Window.partitionBy(col("shard")).orderBy(id.asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     base

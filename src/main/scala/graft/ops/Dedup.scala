@@ -67,7 +67,9 @@ object Dedup {
     * the occurrence rank shuffles (gk, doc, pos) rows on the fixed-width
     * md5 key — corpus text never crosses the exchange; span merging is
     * one doc-keyed window + an exchange-free groupBy on the same key.
-    * Two exchanges total, both uniform. The ×textLen row fan-out is the
+    * Three exchanges total, all uniform: the narrow pre-fan-out spread
+    * (corpus-sized, the only one carrying text), the gram-digest rank,
+    * and the doc-keyed island merge. The ×textLen row fan-out is the
     * honest cost of exact substring dedup; cut it with a larger stride
     * only if approximate coverage is acceptable.
     *

@@ -33,6 +33,16 @@ object RangeJoin {
       right: DataFrame, rStart: String, rEnd: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // fail fast on shapes that would silently corrupt or confusingly fail
+    // three operators later: a pre-existing internal column (clobbered
+    // then dropped), or bound columns sharing a name across sides
+    // (ambiguous reference at resolution time, far from the cause)
+    require(!(left.columns ++ right.columns).contains("__bucket"),
+      "inputs must not carry a __bucket column (internal)")
+    val dup = Set(lStart, lEnd).intersect(Set(rStart, rEnd))
+    require(dup.isEmpty,
+      s"bound columns must be named apart across sides (shared: ${dup.mkString(", ")})" +
+        " — alias one side before joining")
     val W = bucketWidth
     val (ls, le) = (col(lStart), col(lEnd))
     val (rs, re) = (col(rStart), col(rEnd))

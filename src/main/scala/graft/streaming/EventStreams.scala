@@ -102,18 +102,20 @@ object EventStreams {
       events: DataFrame,
       dim: DataFrame,
       dimKey: String = "event_type",
+      attrCol: String = "category",
+      weightCol: String = "weight",
       windowLength: String = "1 hour"): DataFrame =
     events
       .join(dim, Seq(dimKey))
-      .groupBy(window(col("ts"), windowLength).as("w"), col("category"))
+      .groupBy(window(col("ts"), windowLength).as("w"), col(attrCol))
       .agg(count(lit(1)).as("n_events"),
         // exact decimal arithmetic end-to-end (weight is integral), cast
         // to double only at the boundary — same contract as windowedAgg
-        sum(col("value").cast("decimal(18,2)") * col("weight")).cast("double")
+        sum(col("value").cast("decimal(18,2)") * col(weightCol)).cast("double")
           .as("weighted_value"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-        col("category"), col("n_events"), col("weighted_value"))
+        col(attrCol), col("n_events"), col("weighted_value"))
 
   /** Gap-session aggregation via the built-in `session_window` — works
     * identically as a batch plan and a streaming plan (with watermark),

@@ -21,16 +21,12 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("overlap join equals the naive cross-join ground truth on random intervals") {
-    // deterministic pseudo-random intervals from hashed ids; widths span
-    // 0 (empty) to ~6 buckets so pairs cross many shared buckets and the
-    // first-overlap-bucket dedup is genuinely exercised
-    def intervals(n: Int, seed: Int) = spark.range(n).select(
-      $"id".as(s"id$seed"),
-      pmod(xxhash64($"id", lit(seed)), lit(1000L)).as(s"s$seed"),
-      (pmod(xxhash64($"id", lit(seed)), lit(1000L)) +
-        pmod(xxhash64($"id", lit(seed + 1)), lit(60L))).as(s"e$seed"))
-    val a = intervals(400, 1)
-    val b = intervals(300, 3)
+    // deterministic pseudo-random intervals (shared generator with
+    // tools.StressRange); widths span 0 (empty) to ~6 buckets so pairs
+    // cross many shared buckets and the first-overlap-bucket dedup is
+    // genuinely exercised
+    val a = tools.TestIntervals.intervals(spark, 400, 1, domain = 1000L, maxWidth = 60L)
+    val b = tools.TestIntervals.intervals(spark, 300, 3, domain = 1000L, maxWidth = 60L)
     val fast = RangeJoin.overlapJoin(a, "s1", "e1", b, "s3", "e3", 10L)
       .select("id1", "id3")
     val naive = a.crossJoin(b)

@@ -22,12 +22,9 @@ object StressRange {
 
     val n = 1000000L
     val domain = 100000000L // 1e8 ticks; W=1000 -> 100k buckets
-    def intervals(seed: Int) = spark.range(n).select(
-      col("id").as(s"id$seed"),
-      pmod(xxhash64(col("id"), lit(seed)), lit(domain)).as(s"s$seed"),
-      (pmod(xxhash64(col("id"), lit(seed)), lit(domain)) +
-        pmod(xxhash64(col("id"), lit(seed + 1)), lit(2000L))).as(s"e$seed"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def intervals(seed: Int) =
+      TestIntervals.intervals(spark, n, seed, domain, maxWidth = 2000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = intervals(1); val b = intervals(3)
     println(s"[stress-range] a=${a.count()} b=${b.count()} intervals, " +
       s"domain=$domain W=1000 (broadcast disabled)")
