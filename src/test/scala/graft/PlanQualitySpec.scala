@@ -194,14 +194,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
-  test("t16: grams hash AFTER the position explode; two data exchanges") {
+  test("t16: one gram-kernel pass per doc; three data exchanges") {
     val p = plan("t16_repeated_spans")
-    // the generator must explode a bare int sequence — the L-char gram
-    // string is substring'd + digested ABOVE it (no array-of-strings
-    // intermediate), so the md5 project line precedes its Generate child
-    val mdIdx = p.indexOf("md5(")
-    val genIdx = p.indexOf("Generate explode(sequence")
-    assert(mdIdx >= 0 && genIdx > mdIdx, s"gram materialized pre-explode:\n$p")
+    // grams digest inside the CharGrams kernel (one O(len·L) pass per
+    // doc); a per-gram substring chain is the quadratic shape this
+    // kernel replaced and must not come back
+    assert(p.contains("char_gram_digests"), s"gram kernel missing:\n$p")
+    assert(!p.contains("substr("), s"per-gram substring chain is back:\n$p")
     // pre-fan-out spread + occurrence-rank exchange on the 16-byte
     // digest + island exchange on the doc id; corpus text crosses only
     // the (narrow) spread

@@ -154,4 +154,30 @@ object KernelProperties extends Properties("graft.kernels") {
       val got = IvfCells.topCells(vec, cents, 2, true, true)
       got.numElements() == 2 && got.getLong(0) == 2L && got.getLong(1) == 3L
     }
+
+  // multilingual text incl. multibyte (ü, 中, and an astral-plane code
+  // point) — char = code point must hold through the byte-offset table
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '), Gen.const('ü'),
+      Gen.const('中'), Gen.const("😀".charAt(0)), Gen.const("😀".charAt(1))))
+      .map(_.mkString)
+
+  property("char_gram_digests == md5 over code-point substrings at every pos") =
+    forAll(textGen, Gen.choose(1, 6)) { (raw, n) =>
+      // build from the UTF8String round-trip so lone surrogates (the
+      // generator can split the emoji pair) normalize the same way
+      val u = UTF8String.fromString(raw)
+      val got = CharGrams.gramKernel(u, n)
+      val s = u.toString
+      val cps = s.codePoints().toArray
+      val expectN = math.max(cps.length - n + 1, 0)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (got.numElements() == expectN) && (0 until expectN).forall { p =>
+        val gram = new String(cps, p, n)
+        md.reset()
+        java.util.Arrays.equals(
+          got.getBinary(p),
+          md.digest(UTF8String.fromString(gram).getBytes))
+      }
+    }
 }
