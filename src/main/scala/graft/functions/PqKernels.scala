@@ -176,10 +176,28 @@ object PqKernels {
       if (codes.isNullAt(sub)) return null
       val code = codes.getShort(sub).toInt
       if (code < 0 || code >= ksub) return null
-      s += lut.getDouble(sub * ksub + code)
+      val slot = sub * ksub + code
+      // null LUT slot → null result (the module's null contract); a SQL
+      // caller can hand any ARRAY<DOUBLE>, and silently scoring a null
+      // slot as 0.0 would be a wrong answer, not an absent one
+      if (lut.isNullAt(slot)) return null
+      s += lut.getDouble(slot)
       sub += 1
     }
     s
+  }
+
+  /** Plan-time geometry guard shared by the PQ expressions (the SQL
+    * registration path included): codes are SMALLINT, so ksub past 2¹⁵
+    * would wrap at `(bestId % ksub).toShort` and every wrapped code
+    * would silently never rank (adc_score rejects negatives) — recall
+    * collapse with no error; and the LUT is one dense Java array, so
+    * m·ksub must stay an Int.
+    */
+  private[functions] def requireGeometry(m: Int, ksub: Int): Unit = {
+    require(m > 0 && ksub > 0, s"m and ksub must be positive, got m=$m ksub=$ksub")
+    require(ksub <= 32768, s"ksub must fit SMALLINT codes (max 32768), got $ksub")
+    require(m.toLong * ksub <= Int.MaxValue, s"LUT size m*ksub overflows Int: $m x $ksub")
   }
 
   def pq_encode(vec: Column, cents: Column, m: Int, ksub: Int): Column =
@@ -195,6 +213,7 @@ object PqKernels {
 /** pq_encode(vec, cents, m, ksub) → ARRAY<SMALLINT> of m codes. */
 case class PqEncodeExpr(left: Expression, right: Expression, m: Int, ksub: Int)
     extends IvfCellLike {
+  PqKernels.requireGeometry(m, ksub)
   override def dataType: DataType = ArrayType(ShortType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "pq_encode"
@@ -232,6 +251,7 @@ case class PqEncodeExpr(left: Expression, right: Expression, m: Int, ksub: Int)
 /** pq_lut(vec, cents, m, ksub) → ARRAY<DOUBLE> of m·ksub partial dots. */
 case class PqLutExpr(left: Expression, right: Expression, m: Int, ksub: Int)
     extends IvfCellLike {
+  PqKernels.requireGeometry(m, ksub)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "pq_lut"

@@ -372,6 +372,9 @@ object Similarity {
     (0 until iters).foreach { _ =>
       val centArr = centroids
         .agg(collect_list(struct(col("centroid_id"), col("cent_vec"))).as("cents"))
+      // ONE slice-length rule for seeds and recenter (bound to `v` here):
+      // the two paths must never slice differently
+      val subLenV = floor(size(col("v")) / m).cast("int")
       val recoded = c
         .crossJoin(broadcast(centArr))
         .select(col("v"),
@@ -379,8 +382,7 @@ object Similarity {
         .where(col("codes").isNotNull)
         .select(col("v"), posexplode(col("codes")).as(Seq("sub", "code")))
         .select((col("sub").cast("long") * ksub + col("code")).as("centroid_id"),
-          slice(col("v"), subCol * floor(size(col("v")) / m).cast("int") + 1,
-            floor(size(col("v")) / m).cast("int")).as("subvec"))
+          slice(col("v"), subCol * subLenV + 1, subLenV).as("subvec"))
       centroids = recoded
         .groupBy("centroid_id")
         .agg(
@@ -451,7 +453,7 @@ object Similarity {
       ksub: Int = 32,
       iters: Int = 1,
       refine: Int = 0): DataFrame = {
-    import graft.functions.VectorKernels.{cosine_native, dot_native}
+    import graft.functions.VectorKernels.dot_native
     val cb = pqTrain(corpus, idCol, vecCol, m, ksub, iters, persist = false)
     val enc = pqEncode(corpus, idCol, vecCol, cb)
     val q = queries
@@ -484,7 +486,6 @@ object Similarity {
       vecCol: String,
       k: Int,
       refine: Int): DataFrame = {
-    import graft.functions.VectorKernels.cosine_native
     if (refine <= k) rankTopK(scored, k)
     else {
       val cand = rankTopK(scored, refine).select("query_id", "neighbor_id")
