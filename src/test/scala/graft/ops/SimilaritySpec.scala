@@ -170,6 +170,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(r == -2.0)
   }
 
+  test("adc_score: a null LUT slot is a null score, never silently 0.0") {
+    val holeyLut = array(lit(null).cast("double"), lit(1.0))
+    val r = spark.range(1).select(
+      graft.functions.PqKernels.adc_score(holeyLut, typedLit(Seq(0.toShort))).as("s"),
+      graft.functions.PqKernels.adc_score(holeyLut, typedLit(Seq(1.toShort))).as("ok"))
+      .head()
+    assert(r.isNullAt(0)) // code 0 hits the null slot
+    assert(r.getDouble(1) == 1.0) // code 1 hits the real slot
+  }
+
+  test("pq geometry guard: SMALLINT-wrapping ksub fails at plan time") {
+    val df = Seq(Tuple1(Seq(1.0f, 2.0f))).toDF("v").crossJoin(tinyCodebook)
+    intercept[IllegalArgumentException] {
+      graft.functions.PqKernels.pq_encode(df("v"), df("cents"), 2, 40000)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.PqKernels.pq_lut(df("v"), df("cents"), 1 << 16, 1 << 16)
+    }
+  }
+
   test("pq kernels: length not divisible by m is null, not wrong") {
     val out = Seq(Tuple1(Seq(1.0f, 2.0f, 3.0f))).toDF("v")
       .crossJoin(tinyCodebook)
