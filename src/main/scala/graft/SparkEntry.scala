@@ -783,6 +783,28 @@ object SparkEntry {
           nCentroids = 16, nProbe = 12, m = 16, ksub = 64, iters = 1, refine = 100))
     }),
 
+    // ---- V: the WRITTEN composite index — ivfPqBuild → ivfPqWrite
+    //      (encoded cells bucketed+sorted by cell, both codebooks as
+    //      self-describing tables) → ivfPqLoad → ivfPqProbe, same gate
+    //      as v7. The artifact flow v5 proved for raw IVF, on the
+    //      compressed tier: train+encode ONCE at write time, then every
+    //      probe reads codes from co-located buckets with NO retraining
+    //      and no corpus-side exchange; the exact refine re-rank fetches
+    //      its |Q|·refine survivors from the raw table by id ----
+    "v8_ivfpq_disk_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 10 === 0)
+      val idx = graft.ops.Similarity.ivfPqBuild(
+        emb, "vec_id", "embedding", nCentroids = 16, m = 16, ksub = 64,
+        iters = 1, persist = false)
+      graft.ops.Similarity.ivfPqWrite(idx, "graft_v8_index")
+      val loaded = graft.ops.Similarity.ivfPqLoad(s, "graft_v8_index")
+      recallGate(
+        graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+        graft.ops.Similarity.ivfPqProbe(loaded, q, "vec_id", "embedding", 5,
+          nProbe = 12, refine = 100, refineWith = Some(emb)))
+    }),
+
     // ---- E: gap sessionization ----
     "e1_sessionize" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -1828,6 +1850,7 @@ object SparkEntry {
     "v5_ivf_disk_index" -> ivfRecallOracle,
     "v6_pq_recall" -> ivfRecallOracle,
     "v7_ivfpq_recall" -> ivfRecallOracle,
+    "v8_ivfpq_disk_index" -> ivfRecallOracle,
 
     "v4_lsh_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding

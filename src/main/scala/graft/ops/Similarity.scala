@@ -499,6 +499,161 @@ object Similarity {
     }
   }
 
+  /** A built IVF-PQ composite index — the compressed, prunable corpus
+    * artifact: `cells` holds (neighbor_id, cell, codes, norm) — m
+    * SMALLINT codes + one norm per vector, NEVER raw vectors; the
+    * one-row `centroidArr` (IVF coarse centroids) routes probes and the
+    * one-row `pqCents` (PQ sub-codebook) builds query ADC tables. At
+    * 100 TB the compressed index IS the artifact you keep: 100 TB of
+    * raw float vectors shrink to m+8 bytes per row (~400× at m=16,
+    * dim=1536), trained and encoded ONCE, then served to every probe.
+    */
+  final case class IvfPqIndex(
+      cells: DataFrame,
+      centroidArr: DataFrame,
+      pqCents: DataFrame,
+      m: Int,
+      ksub: Int) {
+    def unpersist(): Unit = {
+      cells.unpersist(); centroidArr.unpersist(); pqCents.unpersist()
+    }
+  }
+
+  /** Build the IVF-PQ index: coarse IVF centroids + joint PQ codebook
+    * (each one training pass over the corpus), then ONE narrow encode
+    * pass — both codebooks collapse to broadcast single-row cross joins,
+    * so the corpus never shuffles while it compresses to
+    * (cell, codes, norm). Hold the result for repeated [[ivfPqProbe]]
+    * calls, or [[ivfPqWrite]] it so later jobs never retrain.
+    */
+  def ivfPqBuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int = 16,
+      m: Int = 4,
+      ksub: Int = 32,
+      iters: Int = 1,
+      persist: Boolean = true): IvfPqIndex = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import graft.functions.VectorKernels.dot_native
+    val par = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids, iters)
+    val centArrPlan = centroids
+      .agg(collect_list(struct(col("centroid_id"), col("cent_vec"))).as("cents"))
+    // same slot discipline as ivfBuild: a user-managed index owns its
+    // cache via IvfPqIndex.unpersist, the one-shot path parks the
+    // centroid subtree in the bounded slot the next call releases
+    val centArr =
+      if (persist) centArrPlan.persist(MEMORY_AND_DISK)
+      else oneShotCentSlot.persist(centArrPlan)
+    val cb = pqTrain(corpus, idCol, vecCol, m, ksub, iters, persist)
+    val pqc = cb.cents.select(col("cents").as("pq_cents"))
+    // one narrow pass: coarse cell + PQ codes + true norm per vector
+    val enc = corpus.repartition(par, col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .crossJoin(broadcast(centArr))
+      .select(col("neighbor_id"), col("c_vec"),
+        graft.functions.IvfCells.nearest_cell(col("c_vec"), col("cents")).as("cell"))
+      .crossJoin(broadcast(pqc))
+      .select(col("neighbor_id"), col("cell"),
+        graft.functions.PqKernels.pq_encode(col("c_vec"), col("pq_cents"), m, ksub).as("codes"),
+        sqrt(dot_native(col("c_vec"), col("c_vec"))).as("norm"))
+    val cells = if (persist) enc.persist(MEMORY_AND_DISK) else enc
+    IvfPqIndex(cells, centArr, pqc, m, ksub)
+  }
+
+  /** Persist an IVF-PQ index as TABLES — the build-once/probe-many
+    * artifact flow ([[ivfWrite]]'s pattern for the compressed tier):
+    * encoded cells land bucketed (and sorted) by `cell` so probed cells
+    * prune to exactly their buckets at scan time and the cell join never
+    * exchanges the corpus side; the two one-row codebooks land as plain
+    * tables, `m`/`ksub` carried as columns so a load is self-describing.
+    * All three writes stage-then-swap ([[graft.sources.Bucketing]]) — a
+    * crash mid-write never loses the live index.
+    */
+  def ivfPqWrite(
+      index: IvfPqIndex,
+      tablePrefix: String,
+      numBuckets: Int = 16): Unit = {
+    graft.sources.Bucketing.writeBucketed(
+      index.cells, s"${tablePrefix}_cells", "cell", numBuckets, sortCols = Seq("cell"))
+    graft.sources.Bucketing.replaceTable(index.centroidArr, s"${tablePrefix}_cents")
+    graft.sources.Bucketing.replaceTable(
+      index.pqCents.select(col("pq_cents"),
+        lit(index.m).as("m"), lit(index.ksub).as("ksub")),
+      s"${tablePrefix}_pq")
+  }
+
+  /** Reopen a written IVF-PQ index; [[ivfPqProbe]] serves it with no
+    * retraining and no re-encode. The single driver-side action is the
+    * one-row `m`/`ksub` metadata read — index geometry, not data.
+    */
+  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession, tablePrefix: String): IvfPqIndex = {
+    val pq = spark.table(s"${tablePrefix}_pq")
+    val meta = pq.select(col("m"), col("ksub")).head()
+    IvfPqIndex(
+      spark.table(s"${tablePrefix}_cells"),
+      spark.table(s"${tablePrefix}_cents"),
+      pq.select(col("pq_cents")),
+      meta.getInt(0), meta.getInt(1))
+  }
+
+  /** Probe a built (or loaded) IVF-PQ index: each query routes to its
+    * nProbe nearest cells via the broadcast coarse centroids, builds its
+    * ADC table from the broadcast codebook, and ADC-scores only the
+    * probed cells' codes. Never trains, never touches raw corpus
+    * vectors — except the optional exact refine re-rank, which
+    * re-scores the |Q|·refine survivors against `refineWith` (an
+    * (idCol, vecCol) table, typically the original corpus: an id-keyed
+    * join AQE sizes, fetching a tiny candidate set — the standard
+    * IVFADC re-rank against stored raw vectors).
+    *
+    * The ADC table is m·ksub doubles (8 KB at 16×64) — 32× the raw
+    * query vector. So the probe exchange carries q_vec and the LUT is
+    * built AFTER the repartition, once per (query, probe-cell) row:
+    * nProbe redundant ksub·dim-multiply LUT builds per query (trivial)
+    * in exchange for an nProbe·(lutBytes−vecBytes) cut in shuffled
+    * bytes per query — the right trade at any scale, decisive at
+    * 100 TB. The repartition also gives AQE a materialized stage to
+    * size the join from (same policy as ivfProbe); against a WRITTEN
+    * index the corpus side reads co-located buckets and never
+    * exchanges.
+    */
+  def ivfPqProbe(
+      index: IvfPqIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      refine: Int = 0,
+      refineWith: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.VectorKernels.dot_native
+    require(refine <= k || refineWith.nonEmpty,
+      s"refine=$refine > k=$k needs refineWith (an (id, vec) table — " +
+        "typically the original corpus) for the exact re-rank")
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(index.centroidArr))
+      .select(col("query_id"), col("q_vec"),
+        explode(graft.functions.IvfCells.top_cells(col("q_vec"), col("cents"), nProbe)).as("cell"))
+      .repartition(col("cell"))
+      .crossJoin(broadcast(index.pqCents))
+      .select(col("query_id"), col("cell"),
+        graft.functions.PqKernels.pq_lut(col("q_vec"), col("pq_cents"), index.m, index.ksub).as("lut"),
+        sqrt(dot_native(col("q_vec"), col("q_vec"))).as("qnorm"))
+    val scored = index.cells
+      .join(probes, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        when(col("norm") > 0d && col("qnorm") > 0d,
+          graft.functions.PqKernels.adc_score(col("lut"), col("codes")) /
+            (col("norm") * col("qnorm"))))
+    if (refine <= k) rankTopK(scored, k)
+    else refineExact(scored, refineWith.get, queries, idCol, vecCol, k, refine)
+  }
+
   /** IVF-PQ approximate top-k — the full IVFADC composition (Jégou et
     * al. 2011): IVF cells PRUNE (each query scores only its nProbe
     * nearest cells ≈ nProbe/nCentroids of the corpus), PQ codes
@@ -509,10 +664,10 @@ object Similarity {
     * low dim — pruning cuts the pair count where ADC alone only cuts
     * the per-pair arithmetic.
     *
-    * The probes side carries each query's ADC table (m·ksub doubles —
-    * 8 KB at 16×64) through the cell join; keep ksub moderate when
-    * nProbe is large, or pre-write the encoded cells bucketed by cell
-    * ([[ivfWrite]]-style) so only the probe side ever shuffles.
+    * One-shot composition of [[ivfPqBuild]] + [[ivfPqProbe]]: training
+    * and encoding are paid per call. Hold the [[IvfPqIndex]] yourself
+    * when probing more than once, or [[ivfPqWrite]] it so later jobs
+    * never retrain.
     */
   def ivfPqTopK(
       corpus: DataFrame,
@@ -526,42 +681,8 @@ object Similarity {
       ksub: Int = 32,
       iters: Int = 1,
       refine: Int = 0): DataFrame = {
-    import graft.functions.VectorKernels.dot_native
-    val idx = ivfBuild(corpus, idCol, vecCol, nCentroids, iters, persist = false)
-    val cb = pqTrain(corpus, idCol, vecCol, m, ksub, iters, persist = false)
-    val pqc = cb.cents.select(col("cents").as("pq_cents"))
-    // one narrow pass: cell id + codes + norm per corpus vector
-    val enc = idx.cells
-      .crossJoin(broadcast(pqc))
-      .select(col("neighbor_id"), col("cell"),
-        graft.functions.PqKernels.pq_encode(col("c_vec"), col("pq_cents"), m, ksub).as("codes"),
-        sqrt(dot_native(col("c_vec"), col("c_vec"))).as("norm"))
-    // The ADC table is m·ksub doubles (8 KB at 16×64) — 32× the raw
-    // query vector. So the probe exchange carries q_vec and the LUT is
-    // built AFTER the repartition, once per (query, probe-cell) row:
-    // nProbe redundant ksub·dim-multiply LUT builds per query (trivial)
-    // in exchange for an nProbe·(lutBytes−vecBytes) cut in shuffled
-    // bytes per query — the right trade at any scale, decisive at 100 TB.
-    // The repartition also gives AQE a materialized stage to size the
-    // join from (same policy as ivfProbe).
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .crossJoin(broadcast(idx.centroidArr))
-      .select(col("query_id"), col("q_vec"),
-        explode(graft.functions.IvfCells.top_cells(col("q_vec"), col("cents"), nProbe)).as("cell"))
-      .repartition(col("cell"))
-      .crossJoin(broadcast(pqc))
-      .select(col("query_id"), col("cell"),
-        graft.functions.PqKernels.pq_lut(col("q_vec"), col("pq_cents"), m, ksub).as("lut"),
-        sqrt(dot_native(col("q_vec"), col("q_vec"))).as("qnorm"))
-    val scored = enc
-      .join(probes, Seq("cell"))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        when(col("norm") > 0d && col("qnorm") > 0d,
-          graft.functions.PqKernels.adc_score(col("lut"), col("codes")) /
-            (col("norm") * col("qnorm"))))
-    refineExact(scored, corpus, queries, idCol, vecCol, k, refine)
+    val idx = ivfPqBuild(corpus, idCol, vecCol, nCentroids, m, ksub, iters, persist = false)
+    ivfPqProbe(idx, queries, idCol, vecCol, k, nProbe, refine, Some(corpus))
   }
 
   /** Band count so a pair at exactly `threshold` cosine is missed with

@@ -120,6 +120,37 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       s"pq_lut was pushed below the probe exchange (lut shuffles instead of q_vec):\n$p")
   }
 
+  test("v8: loaded-index probe — LUT above the probe exchange, corpus side never exchanges") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = graft.ops.Similarity.ivfPqBuild(
+      emb, "vec_id", "embedding", nCentroids = 16, m = 16, ksub = 64,
+      iters = 1, persist = false)
+    graft.ops.Similarity.ivfPqWrite(idx, "planspec_v8", numBuckets = 8)
+    try {
+      val loaded = graft.ops.Similarity.ivfPqLoad(spark, "planspec_v8")
+      val p = graft.ops.Similarity.ivfPqProbe(
+        loaded, emb.where(org.apache.spark.sql.functions.col("vec_id") % 10 === 0),
+        "vec_id", "embedding", 5, nProbe = 12)
+        .queryExecution.executedPlan.toString
+      // same invariant as v7: the probe exchange carries the 256 B q_vec,
+      // the 8 KB ADC table builds above it
+      val lutIdx = p.indexOf("pq_lut")
+      assert(lutIdx >= 0, p)
+      assert(p.indexOf("Exchange hashpartitioning(cell", lutIdx) > 0,
+        s"pq_lut was pushed below the probe exchange:\n$p")
+      // the written index's whole point: the encoded corpus reads its
+      // co-located buckets — the ONLY cell exchange in the plan is the
+      // probe side's (the corpus side would add a second one)
+      assert("Exchange hashpartitioning\\(cell".r.findAllIn(p).length == 1,
+        s"corpus-side exchange on the bucketed cells:\n$p")
+      // and nothing in the probe retrains: no recenter aggregate lineage
+      assert(!p.contains("vector_sum"), s"probe plan contains training lineage:\n$p")
+    } finally {
+      for (t <- Seq("planspec_v8_cells", "planspec_v8_cents", "planspec_v8_pq"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("v1/v2: no static broadcast hint — the planner/AQE owns the decision") {
     for (q <- Seq("v1_topk_cosine", "v2_embed_neardup")) {
       val opt = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.toString

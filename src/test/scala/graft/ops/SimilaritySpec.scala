@@ -242,6 +242,57 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.85, s"IVF-PQ recall $recall < 0.85")
   }
 
+  test("written IVF-PQ index: load+probe matches in-memory; no retraining; buckets prune") {
+    val queries = clustered.where($"vec_id" < 8)
+    val idx = Similarity.ivfPqBuild(clustered, "vec_id", "embedding",
+      nCentroids = 4, m = 4, ksub = 16, iters = 1)
+    try {
+      val mem = Similarity.ivfPqProbe(idx, queries, "vec_id", "embedding", 5,
+        nProbe = 4, refine = 256, refineWith = Some(clustered))
+        .collect().map(_.toSeq).toSet
+      Similarity.ivfPqWrite(idx, "ivfpq_spec", numBuckets = 4)
+      val loaded = Similarity.ivfPqLoad(spark, "ivfpq_spec")
+      // geometry round-trips through the self-describing _pq table
+      assert(loaded.m == 4 && loaded.ksub == 16)
+      // cells table stores codes+norm, never raw vectors
+      assert(loaded.cells.columns.toSet == Set("neighbor_id", "cell", "codes", "norm"))
+      val disk = Similarity.ivfPqProbe(loaded, queries, "vec_id", "embedding", 5,
+        nProbe = 4, refine = 256, refineWith = Some(clustered))
+        .collect().map(_.toSeq).toSet
+      assert(disk == mem)
+      // full probing + full refine against the LOADED index is still
+      // exact — codes/codebooks survived the round-trip bit-for-bit
+      val bf = Similarity.bruteForceTopK(clustered, queries, "vec_id", "embedding", 5)
+        .collect().map(_.toSeq).toSet
+      assert(disk == bf)
+      // the probe plan reads the written tables: no pq training lineage
+      // (no VectorSum recenter aggregate) anywhere in the probe
+      val probePlan = Similarity.ivfPqProbe(loaded, queries, "vec_id", "embedding", 5,
+        nProbe = 2).queryExecution.executedPlan.toString
+      assert(!probePlan.contains("vector_sum"), s"probe retrains the codebook:\n$probePlan")
+      // cluster-scale point (same as v5): a probed-cell filter reads
+      // only those cells' buckets
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val plan = loaded.cells.where($"cell".isin(1L, 2L))
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("SelectedBucketsCount"), plan)
+      } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    } finally {
+      idx.unpersist()
+      for (t <- Seq("ivfpq_spec_cells", "ivfpq_spec_cents", "ivfpq_spec_pq"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("ivfPqProbe refuses refine > k without a raw-vector table") {
+    val idx = Similarity.ivfPqBuild(clustered, "vec_id", "embedding",
+      nCentroids = 4, m = 4, ksub = 16, iters = 0, persist = false)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqProbe(idx, clustered.limit(1), "vec_id", "embedding", 5, refine = 50)
+    }
+  }
+
   test("IVF index builds once and serves repeated probes") {
     val idx = Similarity.ivfBuild(clustered, "vec_id", "embedding", nCentroids = 16)
     try {
