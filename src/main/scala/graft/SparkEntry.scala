@@ -690,6 +690,20 @@ object SparkEntry {
         emb, emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding", 5)
     }),
 
+    // ---- V: string-keyed top-k — doc-UUID-shaped ids take the
+    //      string-keyed bounded heap (not the window fallback); ids are
+    //      deliberately UNpadded so binary string order diverges from
+    //      numeric order ("doc-10" < "doc-9") and the oracle must agree
+    //      on the string tie-break, not the numeric one ----
+    "v1s_topk_string_ids" -> ((s, dir) => {
+      val emb0 = t(s, dir, "embeddings")
+      def strId(df: org.apache.spark.sql.DataFrame) = df.select(
+        concat(lit("doc-"), col("vec_id").cast("string")).as("vec_id"), col("embedding"))
+      graft.ops.Similarity.bruteForceTopK(
+        strId(emb0), strId(emb0.where(col("vec_id") % 10 === 0)),
+        "vec_id", "embedding", 5)
+    }),
+
     // ---- V: embedding near-dup pairs ----
     "v2_embed_neardup" -> ((s, dir) =>
       graft.ops.Similarity.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3)),
@@ -2021,6 +2035,22 @@ object SparkEntry {
            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
          r AS (SELECT query_id, neighbor_id, cos,
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
+         FROM r WHERE rank <= 5""",
+
+    "v1s_topk_string_ids" ->
+      """WITH q AS (SELECT 'doc-' || CAST(vec_id AS VARCHAR) AS query_id, embedding AS qe
+                    FROM embeddings WHERE vec_id % 10 = 0),
+         s AS (SELECT query_id, 'doc-' || CAST(c.vec_id AS VARCHAR) AS neighbor_id,
+           list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+           FROM embeddings c CROSS JOIN q
+           WHERE 'doc-' || CAST(c.vec_id AS VARCHAR) <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
            FROM s)
          SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
          FROM r WHERE rank <= 5""",

@@ -49,28 +49,44 @@ object Similarity {
     * window branch filters them, so the two paths agree even when a
     * query has fewer than k real-scored candidates.
     *
-    * The aggregate is long-keyed; integral neighbor ids up-cast to
-    * BIGINT for the heap and cast back so the output schema keeps the
-    * caller's id type. Non-integral ids (strings, decimals) keep the
-    * original contract via the window formulation — correctness over
-    * the shuffle saving for the uncommon id shape.
+    * Integral neighbor ids up-cast to BIGINT for the long-keyed heap and
+    * cast back so the output schema keeps the caller's id type; STRING
+    * ids (doc UUIDs, URLs) take the sibling string-keyed heap
+    * ([[graft.functions.TopKByScoreStr]], binary id order = Spark's
+    * string sort). The remaining exotic id shapes (decimals, binary)
+    * keep the original contract via the window formulation — correctness
+    * over the shuffle saving — with a log warning, since that path
+    * shuffles every scored pair.
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.types._
+    def explodeRanked(tk: DataFrame, restoreType: Option[DataType]): DataFrame =
+      tk.select(col("query_id"), posexplode(col("tk")))
+        .select(
+          col("query_id"),
+          restoreType.fold(col("col.neighbor_id"))(t => col("col.neighbor_id").cast(t))
+            .as("neighbor_id"),
+          round(col("col.cosine"), 6).as("cosine"),
+          (col("pos") + 1).as("rank"))
     val idType = scored.schema("neighbor_id").dataType
     idType match {
       case LongType | IntegerType | ShortType | ByteType =>
-        scored
-          .groupBy("query_id")
-          .agg(graft.functions.TopKAgg
-            .top_k_by_score(col("cosine"), col("neighbor_id").cast("long"), k).as("tk"))
-          .select(col("query_id"), posexplode(col("tk")))
-          .select(
-            col("query_id"),
-            col("col.neighbor_id").cast(idType).as("neighbor_id"),
-            round(col("col.cosine"), 6).as("cosine"),
-            (col("pos") + 1).as("rank"))
-      case _ =>
+        explodeRanked(
+          scored.groupBy("query_id")
+            .agg(graft.functions.TopKAgg
+              .top_k_by_score(col("cosine"), col("neighbor_id").cast("long"), k).as("tk")),
+          Some(idType).filter(_ != LongType))
+      case StringType =>
+        explodeRanked(
+          scored.groupBy("query_id")
+            .agg(graft.functions.TopKAgg
+              .top_k_by_score_str(col("cosine"), col("neighbor_id"), k).as("tk")),
+          None)
+      case other =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"rankTopK: ${other.sql} neighbor ids fall back to the row_number " +
+            "window — every scored pair shuffles; use BIGINT or STRING ids for " +
+            "the bounded-heap scale path")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
         scored

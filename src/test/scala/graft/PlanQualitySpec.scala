@@ -76,6 +76,22 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       s"partial top-k is not below the exchange:\n$p")
   }
 
+  test("v1-string: string-keyed corpora also rank via the partial bounded heap") {
+    // doc-UUID-shaped ids must not silently regress to the scored-pair
+    // window shuffle (the round-4 generality gap): the string-keyed
+    // sibling aggregate keeps the map-side fold
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("doc-"),
+        org.apache.spark.sql.functions.col("vec_id").cast("string")).as("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val p = graft.ops.Similarity.bruteForceTopK(
+      emb, emb.limit(20), "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"string ids fell back to the window shuffle:\n$p")
+    assert(p.contains("partial_top_k_by_score_str"), s"no map-side string partial top-k:\n$p")
+  }
+
   test("v6: PQ scoring is kernel ADC + partial bounded-heap, never a window") {
     // assert on pqTopK directly — inside the v6 gate the baseline/PQ
     // subtrees hide behind cached InMemoryRelations

@@ -79,6 +79,64 @@ class TopKAggSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ------------------------------------------------------- string ids
+
+  private def viaAggStr(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy("g")
+      .agg(TopKAgg.top_k_by_score_str($"score", $"id", k).as("tk"))
+      .select($"g", posexplode($"tk"))
+      .select($"g", $"col.neighbor_id".as("id"), $"col.cosine".as("score"),
+        ($"pos" + 1).as("rank"))
+
+  test("string ids equal the window formulation on random data with ties") {
+    // same quantized-score collision setup as the long-id case; ids are
+    // zero-padded so string order == numeric order is NOT assumed — mixed
+    // widths ("id_7" vs "id_10") make binary string order differ from
+    // numeric, which is exactly what both formulations must agree on
+    val df = spark.range(0, 5000).select(
+      ($"id" % 7).as("g"),
+      concat(lit("id_"), $"id".cast("string")).as("id"),
+      (floor(sin($"id") * 500) / lit(500.0)).as("score"))
+      .repartition(13)
+      .cache()
+    for (k <- Seq(1, 5, 100)) {
+      val a = viaAggStr(df, k).collect().map(_.toSeq).toSet
+      val w = viaWindow(df, k).collect().map(_.toSeq).toSet
+      assert(a == w, s"string agg/window divergence at k=$k")
+    }
+    df.unpersist()
+  }
+
+  test("string ids: NaN ranks first and ties break by binary string order") {
+    val nan = Double.NaN
+    val df = Seq(("g", "b", 1.0), ("g", "a", 1.0), ("g", "c", nan), ("g", "z", 0.5))
+      .toDF("g", "id", "score").repartition(3)
+    val a = viaAggStr(df, 3).orderBy("rank").collect().map(_.getString(1)).toSeq
+    val w = viaWindow(df, 3).orderBy("rank").collect().map(_.getString(1)).toSeq
+    assert(a == w)
+    assert(a == Seq("c", "a", "b")) // NaN first, then score ties a < b
+  }
+
+  test("string buffer: bounded size, serde round-trip, clone-on-accept") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val buf = new TopKStrBuffer(3)
+    // mutable backing array: the buffer must clone accepted ids (the
+    // update path hands it UTF8Strings aliasing reused row memory)
+    val backing = "a".getBytes("UTF-8")
+    val aliased = UTF8String.fromBytes(backing)
+    buf.insert(10.0, aliased, owned = false) // outranks every i % 7 score below
+    backing(0) = 'z'.toByte // mutate after insert — a retained alias would see 'z'
+    for (i <- 0 until 50) buf.insert(i % 7, UTF8String.fromString(s"k$i"), owned = false)
+    assert(buf.size == 3)
+    assert(buf.ids(0).toString == "a", "accepted id must be cloned, not aliased")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = TopKByScoreStr(Literal(0.0), Literal(UTF8String.fromString(""),
+      org.apache.spark.sql.types.StringType), Literal(3))
+    val rt = agg.deserialize(agg.serialize(buf))
+    assert(rt.size == buf.size)
+    assert((0 until 3).forall(i => rt.scores(i) == buf.scores(i) && rt.ids(i) == buf.ids(i)))
+  }
+
   test("buffer never holds more than k entries and serde round-trips") {
     val buf = new TopKBuffer(3)
     for (i <- 0 until 100) buf.insert(i.toDouble % 10, i.toLong)

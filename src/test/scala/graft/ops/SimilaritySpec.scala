@@ -52,9 +52,10 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val outI = Similarity.bruteForceTopK(ints, ints.where($"vec_id" === 1), "vec_id", "embedding", 1)
     assert(outI.schema("neighbor_id").dataType == org.apache.spark.sql.types.IntegerType)
     assert(outI.collect().map(r => r.getInt(1)).toSeq == Seq(2))
-    // string ids: window fallback preserves the original contract
+    // string ids: the string-keyed bounded heap, same contract
     val strs = base.map { case (_, s, v) => (s, v) }.toDF("vec_id", "embedding")
     val outS = Similarity.bruteForceTopK(strs, strs.where(col("vec_id") === "a"), "vec_id", "embedding", 1)
+    assert(outS.schema("neighbor_id").dataType == org.apache.spark.sql.types.StringType)
     assert(outS.collect().map(_.getString(1)).toSeq == Seq("b"))
   }
 
