@@ -231,7 +231,9 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       orders
         .withColumn("elig_rank", sum(when(eligible, 1L).otherwise(0L)).over(w))
-        .join(broadcast(quota), Seq("o_custkey"))
+        // no hint: the quota aggregate materializes a shuffle stage, so
+        // AQE broadcasts from its real size (same policy as Compensation)
+        .join(quota, Seq("o_custkey"))
         .withColumn("flag",
           when(!(col("quota_left") > 0), lit(null).cast("string"))
             .when(isPre, lit(null).cast("string"))

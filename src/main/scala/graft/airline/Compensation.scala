@@ -41,10 +41,13 @@ import org.apache.spark.sql.functions._
   * (SURVEY §2.4 A1).
   *
   * Scale: two hash aggregations on `cod_vuelo` (map-side partial combine),
-  * one broadcast join of the per-flight quota table (|flights| ≪ |rows|),
-  * one window for the eligible ranking partitioned by flight — no
-  * correlated subqueries, no per-row I/O. Replaces the reference's ~3N
-  * warehouse round-trips with a constant number of distributed passes.
+  * one join of the per-flight quota table back (|flights| ≪ |rows|, so
+  * AQE converts it to a broadcast at runtime from the materialized
+  * aggregate's real size — no static hint, same policy as every other
+  * engine join), one window for the eligible ranking partitioned by
+  * flight — no correlated subqueries, no per-row I/O. Replaces the
+  * reference's ~3N warehouse round-trips with a constant number of
+  * distributed passes.
   */
 object Compensation {
 
@@ -83,8 +86,13 @@ object Compensation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = aged.withColumn("elig_rank", sum(when(eligible, 1L).otherwise(0L)).over(w))
 
+    // No broadcast hint: the quota aggregate's shuffle stage materializes
+    // anyway, so AQE sizes the join from its REAL output (flight-dim
+    // cardinality) and broadcasts at runtime — while a corpus whose
+    // flight dim somehow outgrew memory would degrade to a shuffle join
+    // instead of dying at the driver.
     ranked
-      .join(broadcast(quota), Seq("cod_vuelo"), "left")
+      .join(quota, Seq("cod_vuelo"), "left")
       .withColumn(
         "compensacion",
         // coalesce: a NULL cod_vuelo (venta whose cod_avion missed the

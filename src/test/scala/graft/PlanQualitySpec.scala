@@ -33,8 +33,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(p).length == 2, p)
   }
 
-  test("j3: quota aggregate broadcasts back; single window exchange") {
-    val p = plan("j3_decorrelated_quota")
+  test("j3: AQE broadcasts the quota aggregate back at runtime, no static hint") {
+    // the quota join carries no broadcast() hint (the engine-wide
+    // policy): AQE must still pick a broadcast join from the
+    // materialized aggregate's real size
+    val df = SparkEntry.queries("j3_decorrelated_quota")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("strategy=broadcast"), s"j3 still hints broadcast:\n$opt")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
