@@ -725,18 +725,59 @@ object Similarity {
     math.max(b.toInt, 1)
   }
 
+  /** Band width so the pipeline's TOTAL false-candidate volume stays
+    * near-linear in the corpus: random-pair collisions across all bands
+    * ≈ bands(θ, bits)·n²/2^(bits+1), and widening bands also RAISES the
+    * band count [[autoBands]] needs for the same recall (~×1.25 per
+    * +2 bits) — so the right width solves for both together: the
+    * smallest bits ∈ [16, 32] with
+    * bands·n/2^(bits+1) ≤ `budgetPerVec` (expected false candidates per
+    * vector, before the exact-cosine verify). A pure log2(n) rule that
+    * ignores the bands feedback still goes superlinear — measured by
+    * tools.ProfileLshScale. The search never exceeds the width whose
+    * band count would trip [[autoBands]]'s 4096-band guard: past that
+    * point widen the corpus sharding, not the key.
+    *
+    * `corpusSizeHint = 0` (unknown) returns the 16-bit default
+    * (negligible collisions through ~10⁵ vectors). A HINT, not a
+    * measurement, by design: deriving n from the data would cost a
+    * count() action at plan time, and the rule only needs
+    * order-of-magnitude accuracy.
+    */
+  def autoBits(
+      corpusSizeHint: Long,
+      threshold: Double = 0.8,
+      budgetPerVec: Double = 100.0,
+      missTarget: Double = 1e-5): Int =
+    if (corpusSizeHint <= 0) 16
+    else {
+      require(threshold > 0.0 && threshold < 1.0,
+        s"threshold must be in (0,1), got $threshold")
+      val p = 1.0 - math.acos(threshold) / math.Pi
+      def bands(bits: Int): Double =
+        math.ceil(math.log(missTarget) / math.log1p(-math.pow(p, bits.toDouble)))
+      def falsePerVec(bits: Int): Double =
+        bands(bits) * corpusSizeHint.toDouble / math.pow(2.0, bits + 1.0)
+      var bits = 16
+      while (bits < 32 && bands(bits + 1) <= 4096.0 && falsePerVec(bits) > budgetPerVec)
+        bits += 1
+      bits
+    }
+
   /** LSH-bucketed embedding near-dup — the 100 TB path for high-cosine
     * pair mining. Sign-LSH band keys (random hyperplanes, native kernel)
     * bucket the corpus; candidate pairs form only inside buckets; exact
     * cosine verifies. Linear in corpus + candidate volume, never all-pairs.
     *
-    * The two knobs decompose cleanly:
+    * The two knobs decompose cleanly, and BOTH default to auto:
     *   - `bitsPerBand` controls FALSE-POSITIVE volume: random-pair
-    *     collisions per band ≈ n²/2^(bitsPerBand+1), so bits should grow
-    *     ~2·log2(n) to keep the verify-join input near-linear in the
-    *     corpus. The 16-bit default keeps random collisions negligible
-    *     through ~10⁵ vectors; raise toward 24–32 for 10⁷–10⁹ (each step
-    *     of +2 bits costs ~×1.25 bands via [[autoBands]]).
+    *     collisions per band ≈ n²/2^(bitsPerBand+1). The default
+    *     (0 = auto) derives width from `corpusSizeHint` via [[autoBits]],
+    *     which solves for near-constant false candidates PER VECTOR
+    *     including the bands-growth feedback (measured near-flat from
+    *     10⁴ to 10⁶ vectors by tools.ProfileLshScale; each +2 bits costs
+    *     ~×1.25 bands via [[autoBands]]). No hint → 16 bits, negligible
+    *     collisions through ~10⁵ vectors.
     *   - `bands` controls RECALL: the default (0 = auto) derives the
     *     count from the threshold so a pair exactly AT the threshold is
     *     missed with p ≤ 1e-5 (445 bands at θ=0.8×16 bits, 132 at θ=0.9,
@@ -752,13 +793,15 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       bands: Int = 0,
-      bitsPerBand: Int = 16): DataFrame = {
-    val nBands = if (bands > 0) bands else autoBands(threshold, bitsPerBand)
+      bitsPerBand: Int = 0,
+      corpusSizeHint: Long = 0): DataFrame = {
+    val bits = if (bitsPerBand > 0) bitsPerBand else autoBits(corpusSizeHint, threshold)
+    val nBands = if (bands > 0) bands else autoBands(threshold, bits)
     val par = embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val base = embeddings.where(col(vecCol).isNotNull).repartition(par, col(idCol))
       .select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
     val banded = base
-      .withColumn("keys", graft.functions.SignBands.sign_bands(col("vec"), nBands, bitsPerBand))
+      .withColumn("keys", graft.functions.SignBands.sign_bands(col("vec"), nBands, bits))
       .select(col("doc_id"), explode(col("keys")).as("band_key"))
     // Consumed twice below (the verify join and the semi-join pruning of
     // `vecs`); the bucket self-join + distinct is the pipeline's most
