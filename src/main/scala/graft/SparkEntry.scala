@@ -261,14 +261,15 @@ object SparkEntry {
     //      original table, so the check is byte-exact roundtrip ----
     "src3_jsonl_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // path scoped by pid + source dir: concurrent harness processes
-      // (or interleaved SFs) must not overwrite each other mid-read
-      val tag = java.lang.ProcessHandle.current().pid() + "_" +
-        Integer.toHexString(dir.hashCode)
-      val path = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_src3_jsonl_$tag").getAbsolutePath
-      graft.sources.JsonLinesSource.write(docs, path)
-      graft.sources.JsonLinesSource.read(s, path, docs.schema)
+      // unique-by-construction scratch dir (the old pid+dir.hashCode tag
+      // could collide across source dirs in one JVM and accumulated
+      // forever), deleted at JVM exit — NOT inline, because the
+      // roundtrip read below is lazy and later consumers still need the
+      // files
+      val scratch = java.nio.file.Files.createTempDirectory("graft_src3_jsonl_").toFile
+      org.apache.spark.graft.sparkShims.deleteDirOnExit(scratch)
+      graft.sources.JsonLinesSource.write(docs, scratch.getAbsolutePath)
+      graft.sources.JsonLinesSource.read(s, scratch.getAbsolutePath, docs.schema)
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
 

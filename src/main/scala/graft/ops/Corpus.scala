@@ -217,7 +217,10 @@ object Corpus {
     * uniform key, the same mechanics as [[Dedup.exact]], so boilerplate
     * paragraphs repeated millions of times hash to one partition's
     * groups without dragging their text through a sort on the string
-    * itself; the first-occurrence filter is a rank-1 window
+    * itself. Digest equality IS the identity contract (same as
+    * [[Dedup.exact]]): an md5 collision between distinct paragraphs
+    * would silently merge them — accepted, not re-verified, at 2^-64
+    * collision scale; the first-occurrence filter is a rank-1 window
     * (WindowGroupLimit cuts each group to 1 row map-side before the
     * exchange); reassembly is one groupBy on the doc id. Linear in
     * corpus size — no all-pairs stage anywhere.

@@ -65,7 +65,10 @@ object Dedup {
     * (never an array of gram strings — the gram is substring'd and
     * md5-hashed AFTER the explode, so no wide intermediate row exists);
     * the occurrence rank shuffles (gk, doc, pos) rows on the fixed-width
-    * md5 key — corpus text never crosses the exchange; span merging is
+    * md5 key — digest equality IS gram identity (same contract as
+    * [[exact]]: a collision between distinct grams would silently rank
+    * one as a repeat — accepted, not re-verified, at 2^-64 scale);
+    * corpus text never crosses the exchange; span merging is
     * one doc-keyed window + an exchange-free groupBy on the same key.
     * Three exchanges total, all uniform: the narrow pre-fan-out spread
     * (corpus-sized, the only one carrying text), the gram-digest rank,

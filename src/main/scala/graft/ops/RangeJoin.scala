@@ -19,12 +19,18 @@ import org.apache.spark.sql.functions._
   *
   * Contract: half-open intervals `[start, end)` over NON-NEGATIVE longs
   * (epoch micros, token offsets, byte ranges); empty intervals
-  * (start ≥ end) overlap nothing. `bucketWidth` trades fan-out for
-  * collision volume — pick it near the typical interval length: rows
-  * replicate ×⌈len/W⌉, while candidate pairs grow with co-bucketed
-  * density. A single pathologically long interval replicates into many
-  * buckets (len/W rows) — cap interval length upstream or raise W if
-  * the domain allows such outliers.
+  * (start ≥ end) overlap nothing. Negative bounds are NOT rejected and
+  * still pair CORRECTLY (`div` truncates toward zero — a monotone
+  * mapping, so overlapping intervals still share a bucket and the
+  * first-overlap dedup still picks a bucket both sides cover) — but
+  * bucket 0 then spans (−W, W), twice the width of every other bucket,
+  * silently doubling its collision volume; shift such domains to ≥ 0
+  * upstream. `bucketWidth` trades fan-out for collision volume — pick
+  * it near the typical interval length: rows replicate ×⌈len/W⌉, while
+  * candidate pairs grow with co-bucketed density. A single
+  * pathologically long interval replicates into many buckets (len/W
+  * rows) — cap interval length upstream or raise W if the domain
+  * allows such outliers.
   */
 object RangeJoin {
 
@@ -43,6 +49,10 @@ object RangeJoin {
     require(dup.isEmpty,
       s"bound columns must be named apart across sides (shared: ${dup.mkString(", ")})" +
         " — alias one side before joining")
+    // bound names are interpolated into SQL below; a backtick would
+    // break parsing far from this call site — reject it here
+    for (n <- Seq(lStart, lEnd, rStart, rEnd))
+      require(!n.contains("`"), s"bound column name must not contain backticks: $n")
     val W = bucketWidth
     val (ls, le) = (col(lStart), col(lEnd))
     val (rs, re) = (col(rStart), col(rEnd))

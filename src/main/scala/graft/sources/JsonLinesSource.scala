@@ -28,9 +28,17 @@ object JsonLinesSource {
   /** Write one JSON object per line. Output splits across part files by
     * partition — the natural parallel layout; JSONL has no footer or
     * row-group structure to preserve.
+    *
+    * `mode` defaults to OVERWRITE: an existing directory at `path` is
+    * REPLACED, including data this writer didn't create — the
+    * replace-the-export semantics corpus dumps want. Pass
+    * `SaveMode.ErrorIfExists` (or `Append`) to refuse or add instead.
     */
-  def write(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").json(path)
+  def write(
+      df: DataFrame,
+      path: String,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
 
   /** Read JSONL with an explicit schema. Unparseable lines survive as
     * quarantine rows: every schema field null, the raw line in

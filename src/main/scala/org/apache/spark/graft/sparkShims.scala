@@ -19,4 +19,13 @@ object sparkShims {
   def drainListenerBus(sc: SparkContext, timeoutMillis: Long = 60000L): Unit =
     try sc.listenerBus.waitUntilEmpty(timeoutMillis)
     catch { case _: java.util.concurrent.TimeoutException => () }
+
+  /** Recursively delete `dir` at JVM exit via Spark's own shutdown-hook
+    * registry (the same mechanism its temp dirs use, ordered before the
+    * FileSystem shutdown). For scratch data a LAZY plan still needs to
+    * read later in the process — eager deletion would break the read,
+    * and leaving it leaks a copy per run.
+    */
+  def deleteDirOnExit(dir: java.io.File): Unit =
+    org.apache.spark.util.ShutdownHookManager.registerShutdownDeleteDir(dir)
 }

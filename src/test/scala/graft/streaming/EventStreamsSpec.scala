@@ -23,7 +23,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         EventStreams.readNsEventStream(spark, dir.toString).withWatermark("ts", "1 hour")),
       "ns_stream")
       .collect().map(_.toSeq).toSet
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ns-timestamp decoding: set once in SparkSpec's session builder
     val batch = EventStreams.windowedAgg(
       spark.read.parquet(path)
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
@@ -33,7 +33,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
 
   test("streaming windowed agg over bounded input equals the batch twin") {
     // materialize sf0.001 events (ns->us converted) as a proper parquet dir
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ns-timestamp decoding: set once in SparkSpec's session builder
     val batchInput = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integer div: see SparkEntry.events
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
@@ -51,7 +51,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("runToCompleteTable equals the memory sink and survives a rerun") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ns-timestamp decoding: set once in SparkSpec's session builder
     val batchInput = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val dir = java.nio.file.Files.createTempDirectory("graft-ctbl").toString
@@ -79,7 +79,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("stream-static enrichment join equals the batch twin; no join state") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ns-timestamp decoding: set once in SparkSpec's session builder
     val batchInput = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
