@@ -565,8 +565,27 @@ object Similarity {
       else oneShotCentSlot.persist(centArrPlan)
     val cb = pqTrain(corpus, idCol, vecCol, m, ksub, iters, persist)
     val pqc = cb.cents.select(col("cents").as("pq_cents"))
-    // one narrow pass: coarse cell + PQ codes + true norm per vector
-    val enc = corpus.repartition(par, col(idCol))
+    val enc = encodeForIndex(corpus, idCol, vecCol, centArr, pqc, m, ksub, par)
+    val cells = if (persist) enc.persist(MEMORY_AND_DISK) else enc
+    IvfPqIndex(cells, centArr, pqc, m, ksub)
+  }
+
+  /** The index encode pass — one narrow plan (both codebooks broadcast
+    * as single-row cross joins, the vectors never shuffle) emitting
+    * (neighbor_id, cell, codes, norm) per input vector. Shared by
+    * [[ivfPqBuild]] (full build) and [[ivfPqAppend]] (incremental).
+    */
+  private def encodeForIndex(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centArr: DataFrame,
+      pqc: DataFrame,
+      m: Int,
+      ksub: Int,
+      par: Int): DataFrame = {
+    import graft.functions.VectorKernels.dot_native
+    vectors.repartition(par, col(idCol))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .crossJoin(broadcast(centArr))
       .select(col("neighbor_id"), col("c_vec"),
@@ -575,8 +594,50 @@ object Similarity {
       .select(col("neighbor_id"), col("cell"),
         graft.functions.PqKernels.pq_encode(col("c_vec"), col("pq_cents"), m, ksub).as("codes"),
         sqrt(dot_native(col("c_vec"), col("c_vec"))).as("norm"))
-    val cells = if (persist) enc.persist(MEMORY_AND_DISK) else enc
-    IvfPqIndex(cells, centArr, pqc, m, ksub)
+  }
+
+  /** Append new vectors to a WRITTEN IVF-PQ index without retraining —
+    * the incremental-growth path: at 100 TB a corpus grows daily, and
+    * re-training + re-encoding the world per batch is exactly what the
+    * composite artifact exists to avoid. New rows encode with the
+    * EXISTING codebooks (one narrow pass over the new batch only) and
+    * land as additional bucket files in the cells table — Spark bucketed
+    * appends preserve the spec, so probes keep reading co-located,
+    * prunable buckets.
+    *
+    * Contracts the caller owns:
+    *   - id uniqueness — an id already indexed is NOT detected; dedup
+    *     the batch upstream (one id-keyed anti-join against the cells
+    *     table when in doubt);
+    *   - distribution drift — frozen codebooks quantize drifted data
+    *     worse (recall decays, correctness of the refine tier does not);
+    *     re-train via [[ivfPqBuild]] + [[ivfPqWrite]] when the recall
+    *     gate says so. This is standard IVF operating practice.
+    */
+  def ivfPqAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      newRows: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    val idx = ivfPqLoad(spark, tablePrefix)
+    val cellsTable = s"${tablePrefix}_cells"
+    // mirror the live table's bucket spec — an append with a different
+    // spec is rejected by Spark, and silently matching "whatever the
+    // session default is" would be worse
+    val meta = org.apache.spark.sql.graft.shims.sessionState(spark).catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(cellsTable))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalStateException(s"$cellsTable is not bucketed — not an ivfPqWrite table"))
+    val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val w = encodeForIndex(
+        newRows, idCol, vecCol, idx.centroidArr, idx.pqCents, idx.m, idx.ksub, par)
+      .write.mode("append")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
+    (spec.sortColumnNames match {
+      case s if s.nonEmpty => w.sortBy(s.head, s.tail: _*)
+      case _ => w
+    }).saveAsTable(cellsTable)
   }
 
   /** Persist an IVF-PQ index as TABLES — the build-once/probe-many

@@ -286,6 +286,41 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ivfPqAppend grows a written index without retraining; probes stay exact") {
+    val old = clustered.where($"vec_id" < 200)
+    val fresh = clustered.where($"vec_id" >= 200)
+    val idx = Similarity.ivfPqBuild(old, "vec_id", "embedding",
+      nCentroids = 4, m = 4, ksub = 16, iters = 1, persist = false)
+    Similarity.ivfPqWrite(idx, "ivfpq_app", numBuckets = 4)
+    try {
+      Similarity.ivfPqAppend(spark, "ivfpq_app", fresh, "vec_id", "embedding")
+      val grown = Similarity.ivfPqLoad(spark, "ivfpq_app")
+      // every appended vector landed, encoded into the frozen geometry
+      assert(grown.cells.count() == clustered.count())
+      assert(grown.m == 4 && grown.ksub == 16)
+      // the append preserved the bucket layout (still a bucketed table)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val plan = grown.cells.where($"cell".isin(1L, 2L))
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("SelectedBucketsCount"), plan)
+      } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      // full probing + full refine is exact REGARDLESS of which corpus
+      // the frozen codebooks were trained on — appended vectors are
+      // found with the same contract as built-in ones
+      val queries = clustered.where($"vec_id" < 8)
+      val bf = Similarity.bruteForceTopK(clustered, queries, "vec_id", "embedding", 5)
+        .collect().map(_.toSeq).toSet
+      val probed = Similarity.ivfPqProbe(grown, queries, "vec_id", "embedding", 5,
+        nProbe = 4, refine = 256, refineWith = Some(clustered))
+        .collect().map(_.toSeq).toSet
+      assert(probed == bf)
+    } finally {
+      for (t <- Seq("ivfpq_app_cells", "ivfpq_app_cents", "ivfpq_app_pq"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("ivfPqProbe refuses refine > k without a raw-vector table") {
     val idx = Similarity.ivfPqBuild(clustered, "vec_id", "embedding",
       nCentroids = 4, m = 4, ksub = 16, iters = 0, persist = false)
