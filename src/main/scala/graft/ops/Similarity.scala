@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorKernels.cosine_native
@@ -53,40 +53,55 @@ object Similarity {
     * cast back so the output schema keeps the caller's id type; STRING
     * ids (doc UUIDs, URLs) take the sibling string-keyed heap
     * ([[graft.functions.TopKByScoreStr]], binary id order = Spark's
-    * string sort). The remaining exotic id shapes (decimals, binary)
-    * keep the original contract via the window formulation — correctness
+    * string sort); DECIMAL ids of precision ≤ 18 (long-backed) ride the
+    * long heap via their unscaled value — at a fixed scale, decimal
+    * order IS unscaled-long order, and `UnscaledValue`/`MakeDecimal`
+    * round-trip exactly (never a double cast, which would round above
+    * 2^53). The remaining exotic id shapes (wide decimals, binary) keep
+    * the original contract via the window formulation — correctness
     * over the shuffle saving — with a log warning, since that path
     * shuffles every scored pair.
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.types._
-    def explodeRanked(tk: DataFrame, restoreType: Option[DataType]): DataFrame =
+    import org.apache.spark.sql.graft.shims
+    def explodeRanked(tk: DataFrame, restore: Option[Column => Column]): DataFrame =
       tk.select(col("query_id"), posexplode(col("tk")))
         .select(
           col("query_id"),
-          restoreType.fold(col("col.neighbor_id"))(t => col("col.neighbor_id").cast(t))
+          restore.fold(col("col.neighbor_id"))(f => f(col("col.neighbor_id")))
             .as("neighbor_id"),
           round(col("col.cosine"), 6).as("cosine"),
           (col("pos") + 1).as("rank"))
+    def viaLongHeap(idAsLong: Column, restore: Option[Column => Column]): DataFrame =
+      explodeRanked(
+        scored.groupBy("query_id")
+          .agg(graft.functions.TopKAgg
+            .top_k_by_score(col("cosine"), idAsLong, k).as("tk")),
+        restore)
     val idType = scored.schema("neighbor_id").dataType
     idType match {
       case LongType | IntegerType | ShortType | ByteType =>
-        explodeRanked(
-          scored.groupBy("query_id")
-            .agg(graft.functions.TopKAgg
-              .top_k_by_score(col("cosine"), col("neighbor_id").cast("long"), k).as("tk")),
-          Some(idType).filter(_ != LongType))
+        viaLongHeap(col("neighbor_id").cast("long"),
+          Some(idType).filter(_ != LongType).map(t => (c: Column) => c.cast(t)))
       case StringType =>
         explodeRanked(
           scored.groupBy("query_id")
             .agg(graft.functions.TopKAgg
               .top_k_by_score_str(col("cosine"), col("neighbor_id"), k).as("tk")),
           None)
+      case dt: DecimalType if dt.precision <= 18 =>
+        viaLongHeap(
+          shims.column(org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+            shims.expression(col("neighbor_id")))),
+          Some((c: Column) => shims.column(
+            org.apache.spark.sql.catalyst.expressions.MakeDecimal(
+              shims.expression(c), dt.precision, dt.scale, nullOnOverflow = false))))
       case other =>
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"rankTopK: ${other.sql} neighbor ids fall back to the row_number " +
-            "window — every scored pair shuffles; use BIGINT or STRING ids for " +
-            "the bounded-heap scale path")
+            "window — every scored pair shuffles; use BIGINT, STRING, or " +
+            "DECIMAL(<=18) ids for the bounded-heap scale path")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
         scored

@@ -57,6 +57,18 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val outS = Similarity.bruteForceTopK(strs, strs.where(col("vec_id") === "a"), "vec_id", "embedding", 1)
     assert(outS.schema("neighbor_id").dataType == org.apache.spark.sql.types.StringType)
     assert(outS.collect().map(_.getString(1)).toSeq == Seq("b"))
+    // decimal ids (p <= 18, long-backed): unscaled-value mapping onto the
+    // long heap; schema keeps the exact decimal type, values round-trip
+    val dt = org.apache.spark.sql.types.DecimalType(12, 3)
+    val decs = ints.select(col("vec_id").cast(dt).as("vec_id"), col("embedding"))
+    val outD = Similarity.bruteForceTopK(
+      decs, decs.where(col("vec_id") === new java.math.BigDecimal(1)), "vec_id", "embedding", 1)
+    assert(outD.schema("neighbor_id").dataType == dt)
+    assert(outD.collect().map(_.getDecimal(1).longValueExact()).toSeq == Seq(2L))
+    // the decimal path must use the heap, not the window fallback
+    val pD = Similarity.bruteForceTopK(decs, decs.limit(1), "vec_id", "embedding", 1)
+      .queryExecution.executedPlan.toString
+    assert(!pD.contains("Window") && pD.contains("partial_top_k_by_score"), pD)
   }
 
   test("embedding near-dup finds only the close pair") {
