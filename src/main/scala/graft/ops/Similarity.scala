@@ -328,6 +328,29 @@ object Similarity {
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, tablePrefix: String): IvfIndex =
     IvfIndex(spark.table(s"${tablePrefix}_cells"), spark.table(s"${tablePrefix}_cents"))
 
+  /** Append new vectors to a WRITTEN raw-vector IVF index without
+    * re-clustering: new rows assign to the EXISTING centroids in one
+    * narrow broadcast pass and land as additional bucket files. Same
+    * caller contracts as [[ivfPqAppend]] (id uniqueness upstream;
+    * frozen centroids degrade recall under distribution drift, never
+    * probe correctness — rebuild when the recall gate says so).
+    */
+  def ivfAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      newRows: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    val idx = ivfLoad(spark, tablePrefix)
+    val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val assigned = newRows.repartition(par, col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .crossJoin(broadcast(idx.centroidArr))
+      .select(col("neighbor_id"), col("c_vec"),
+        graft.functions.IvfCells.nearest_cell(col("c_vec"), col("cents")).as("cell"))
+    graft.sources.Bucketing.appendBucketed(assigned, s"${tablePrefix}_cells")
+  }
+
   /** IVF (inverted-file) approximate top-k: [[ivfBuild]] + [[ivfProbe]]
     * in one call, for the one-shot case (cell assignment is consumed
     * once, so it is not cached). Hold the [[IvfIndex]] yourself when
@@ -636,23 +659,10 @@ object Similarity {
       idCol: String,
       vecCol: String): Unit = {
     val idx = ivfPqLoad(spark, tablePrefix)
-    val cellsTable = s"${tablePrefix}_cells"
-    // mirror the live table's bucket spec — an append with a different
-    // spec is rejected by Spark, and silently matching "whatever the
-    // session default is" would be worse
-    val meta = org.apache.spark.sql.graft.shims.sessionState(spark).catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(cellsTable))
-    val spec = meta.bucketSpec.getOrElse(
-      throw new IllegalStateException(s"$cellsTable is not bucketed — not an ivfPqWrite table"))
     val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val w = encodeForIndex(
-        newRows, idCol, vecCol, idx.centroidArr, idx.pqCents, idx.m, idx.ksub, par)
-      .write.mode("append")
-      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head)
-    (spec.sortColumnNames match {
-      case s if s.nonEmpty => w.sortBy(s.head, s.tail: _*)
-      case _ => w
-    }).saveAsTable(cellsTable)
+    graft.sources.Bucketing.appendBucketed(
+      encodeForIndex(newRows, idCol, vecCol, idx.centroidArr, idx.pqCents, idx.m, idx.ksub, par),
+      s"${tablePrefix}_cells")
   }
 
   /** Persist an IVF-PQ index as TABLES — the build-once/probe-many

@@ -90,6 +90,26 @@ object Bucketing {
         .saveAsTable(t)
     }
 
+  /** Append rows to an EXISTING bucketed table, mirroring the live
+    * table's own bucket spec — Spark rejects an append whose spec
+    * differs, and inheriting "whatever the session would pick" silently
+    * breaks co-location. Appended rows land as additional per-bucket
+    * files; readers merge them and bucket pruning keeps working.
+    */
+  def appendBucketed(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val meta = org.apache.spark.sql.graft.shims.sessionState(spark).catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalStateException(s"$table is not bucketed — use a plain append"))
+    val w = df.write.mode("append")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+    (spec.sortColumnNames match {
+      case s if s.nonEmpty => w.sortBy(s.head, s.tail: _*)
+      case _ => w
+    }).saveAsTable(table)
+  }
+
   /** Join two tables previously bucketed on the same key/count — planner
     * elides both exchanges (sort-merge over co-located buckets).
     */

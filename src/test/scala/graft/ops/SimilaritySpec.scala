@@ -298,6 +298,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ivfAppend grows a written raw IVF index; full-probe stays exact") {
+    val old = clustered.where($"vec_id" < 200)
+    val fresh = clustered.where($"vec_id" >= 200)
+    val idx = Similarity.ivfBuild(old, "vec_id", "embedding", nCentroids = 4, persist = false)
+    Similarity.ivfWrite(idx, "ivf_app", numBuckets = 4)
+    try {
+      Similarity.ivfAppend(spark, "ivf_app", fresh, "vec_id", "embedding")
+      val grown = Similarity.ivfLoad(spark, "ivf_app")
+      assert(grown.cells.count() == clustered.count())
+      val queries = clustered.where($"vec_id" < 8)
+      val bf = Similarity.bruteForceTopK(clustered, queries, "vec_id", "embedding", 5)
+        .collect().map(_.toSeq).toSet
+      // full probing over the grown index is exact regardless of which
+      // corpus the frozen centroids came from
+      val probed = Similarity.ivfProbe(grown, queries, "vec_id", "embedding", 5, nProbe = 4)
+        .collect().map(_.toSeq).toSet
+      assert(probed == bf)
+    } finally {
+      for (t <- Seq("ivf_app_cells", "ivf_app_cents"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("ivfPqAppend grows a written index without retraining; probes stay exact") {
     val old = clustered.where($"vec_id" < 200)
     val fresh = clustered.where($"vec_id" >= 200)
