@@ -110,6 +110,27 @@ object Bucketing {
     }).saveAsTable(table)
   }
 
+  /** Rewrite a bucketed table in place, preserving its spec — the
+    * compaction pass for append-grown tables: every [[appendBucketed]]
+    * adds one file set per bucket, and after many appends the
+    * small-file count dominates scan setup (the classic streaming-sink
+    * failure mode). One compact = one read + one bucketed write behind
+    * the same stage-then-swap crash safety as the original write; each
+    * bucket collapses back to one file per writer task. Run it on a
+    * cadence tied to append count, not time.
+    */
+  def compactBucketed(spark: SparkSession, table: String): Unit = {
+    val meta = org.apache.spark.sql.graft.shims.sessionState(spark).catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalStateException(s"$table is not bucketed — nothing to compact"))
+    // safe to read the live table lazily: writeThenSwap consumes the
+    // plan entirely while writing the STAGING copy — the source is only
+    // renamed away after that write completes
+    writeBucketed(spark.table(table), table, spec.bucketColumnNames.head, spec.numBuckets,
+      sortCols = spec.sortColumnNames)
+  }
+
   /** Join two tables previously bucketed on the same key/count — planner
     * elides both exchanges (sort-merge over co-located buckets).
     */

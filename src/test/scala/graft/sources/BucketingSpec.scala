@@ -30,6 +30,44 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("appendBucketed grows the table; compactBucketed folds the small files back") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS bkt_grow")
+    def tableFiles(): Int = {
+      val loc = spark.sql("DESCRIBE EXTENDED bkt_grow")
+        .where(col("col_name") === "Location").head().getString(1)
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(f => f.getPath.getName.startsWith("part-"))
+    }
+    try {
+      Bucketing.writeBucketed(
+        (1 to 100).map(i => (i % 10L, s"v$i")).toDF("k", "v"), "bkt_grow", "k", 4,
+        sortCols = Seq("k"))
+      // three appends → three extra file sets per bucket
+      for (round <- 1 to 3)
+        Bucketing.appendBucketed(
+          Seq((round % 10L, s"a$round")).toDF("k", "v"), "bkt_grow")
+      val before = tableFiles()
+      val content = spark.table("bkt_grow").collect().map(_.toSeq).toSet
+      assert(content.size == 103)
+      Bucketing.compactBucketed(spark, "bkt_grow")
+      // identical content, strictly fewer files, spec preserved
+      assert(spark.table("bkt_grow").collect().map(_.toSeq).toSet == content)
+      assert(tableFiles() < before, s"compact did not reduce files (before=$before)")
+      val meta = org.apache.spark.sql.graft.shims.sessionState(spark).catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("bkt_grow"))
+      assert(meta.bucketSpec.exists(s =>
+        s.numBuckets == 4 && s.bucketColumnNames == Seq("k") && s.sortColumnNames == Seq("k")))
+      // appending a mismatched-name table is refused up front
+      intercept[IllegalStateException] {
+        spark.range(1).selectExpr("id as k", "'x' as v").write.saveAsTable("bkt_plain")
+        try Bucketing.appendBucketed(Seq((1L, "x")).toDF("k", "v"), "bkt_plain")
+        finally spark.sql("DROP TABLE IF EXISTS bkt_plain")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_grow")
+  }
+
   test("loaded IVF index: probe join reads co-located buckets, never exchanges the corpus") {
     import org.apache.spark.sql.functions._
     val emb = spark.range(0, 2000).select(
