@@ -24,6 +24,41 @@ class StreamJoinSpec extends AnyFunSuite with SparkSpec {
     dir
   }
 
+  test("stream-stream join state carries ACROSS micro-batches and evicts by watermark") {
+    // one row per FILE, written sequentially in event-time order →
+    // maxFilesPerTrigger=1 replays one row per micro-batch. Cross-batch
+    // state is the whole point: u2's click arrives two batches BEFORE
+    // its signup (stored click state consulted later, correctly no
+    // match — click precedes signup); u1's click arrives one batch
+    // AFTER its signup (stored signup state joins it); the Jan 20
+    // click advances the watermark past signup+7d, exercising eviction.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin-mb").toString
+    def row(id: Long, t: String, u: Long, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), u, typ, 1.0, "{}")
+    for (r <- Seq(
+        row(4L, "2024-01-01 08:00:00", 2, "click"),
+        row(5L, "2024-01-01 09:00:00", 2, "signup"),
+        row(1L, "2024-01-01 10:00:00", 1, "signup"),
+        row(2L, "2024-01-02 09:00:00", 1, "click"),
+        row(3L, "2024-01-20 09:00:00", 1, "click")))
+      Seq(r).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    def attributed(multiBatch: Boolean): Set[Seq[Any]] = {
+      val r = spark.readStream.schema(EventStreams.eventSchema)
+      val stream = (if (multiBatch) r.option("maxFilesPerTrigger", "1") else r).parquet(dir)
+      val out = EventStreams.clickAttribution(
+        stream.where(col("event_type") === "click").withWatermark("ts", "1 hour"),
+        stream.where(col("event_type") === "signup").withWatermark("ts", "1 hour"))
+      EventStreams.runToMemorySink(spark, out,
+        s"ssjoin_mb_$multiBatch", OutputMode.Append())
+        .collect().map(_.toSeq).toSet
+    }
+    val multi = attributed(multiBatch = true)
+    assert(multi == attributed(multiBatch = false))
+    assert(multi.map(_.head) == Set(2L)) // only the in-horizon click
+  }
+
   test("stream-stream time-bounded join equals the batch twin") {
     val dir = writeEvents()
     def split(df: org.apache.spark.sql.DataFrame) =

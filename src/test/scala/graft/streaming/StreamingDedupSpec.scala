@@ -20,6 +20,36 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     dir
   }
 
+  test("dedup state spans micro-batches: a duplicate in a LATER batch is dropped") {
+    // the duplicate arrives two micro-batches after the original (one
+    // row per file, sequential writes → one batch per row) — only
+    // cross-batch state can suppress it
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup-mb").toString
+    def row(id: Long, t: String, u: Long) =
+      (id, java.sql.Timestamp.valueOf(t), u, "x", 1.0, "{}")
+    for (r <- Seq(
+        row(1L, "2024-01-01 10:00:00", 1),
+        row(2L, "2024-01-01 10:05:00", 1),
+        row(1L, "2024-01-01 10:10:00", 1), // cross-batch duplicate
+        row(3L, "2024-01-01 11:00:00", 2)))
+      Seq(r).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val streamed = EventStreams.runToMemorySink(
+      spark,
+      spark.readStream.schema(EventStreams.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(Seq("event_id")),
+      "sdedup_mb", org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).sortBy(_._1).toSeq
+    // first arrival of id 1 won; the batch-3 duplicate was suppressed
+    assert(streamed == Seq(
+      (1L, "2024-01-01 10:00:00.0"),
+      (2L, "2024-01-01 10:05:00.0"),
+      (3L, "2024-01-01 11:00:00.0")))
+  }
+
   test("streaming dedup within watermark equals batch dropDuplicates") {
     val dir = writeDupFixture()
     val streamed = EventStreams.runToMemorySink(
