@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object StressTopK {
   def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val qMod = if (args.length > 1) args(1).toInt else 100
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -33,12 +35,22 @@ object StressTopK {
       .select(col("id").as("vec_id"),
         expr("transform(sequence(0, 63), d -> cast(sin(xxhash64(id, d)) as float))").as("embedding"))
 
-    // ---- v1 regime: 1M corpus × 10k queries, k=5, no broadcast allowed ----
-    val c = corpus(1000000L).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    println(s"[stress-topk] corpus=${c.count()} queries=10000 k=5 (broadcast disabled)")
-    val q = c.where(col("vec_id") % 100 === 0)
-    time("v1 brute 1M x 10k cartesian") {
+    // ---- v1 regime: n corpus × n/qMod queries, k=5, no broadcast allowed ----
+    val c = corpus(n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress-topk] corpus=${c.count()} queries=${n / qMod} k=5 (broadcast disabled)")
+    val q = c.where(col("vec_id") % qMod === 0)
+    time("v1 brute long-id cartesian") {
       graft.ops.Similarity.bruteForceTopK(c, q, "vec_id", "embedding", 5).count()
+    }
+
+    // ---- same regime, STRING ids: the string-keyed heap must survive
+    //      the identical many-query broadcast-disabled ranking ----
+    val cs = c.select(concat(lit("doc-"), col("vec_id").cast("string")).as("vec_id"),
+      col("embedding")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cs.count()
+    val qs = cs.where(col("vec_id").endsWith("00"))
+    time("v1s brute string-id cartesian") {
+      graft.ops.Similarity.bruteForceTopK(cs, qs, "vec_id", "embedding", 5).count()
     }
 
     // ---- v2 regime: corpus over the broadcast threshold, exact all-pairs ----
