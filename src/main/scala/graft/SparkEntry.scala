@@ -822,6 +822,17 @@ object SparkEntry {
           nProbe = 12, refine = 100, refineWith = Some(emb)))
     }),
 
+    // ---- V: semantic dedup (SemDeDup) — embedding-near-dup pairs →
+    //      connected components → one survivor (smallest id) per
+    //      cluster; rows in no pair survive untouched. Exact pair tier
+    //      here (the oracle anchor); scalePath=true is the LSH-mined
+    //      100 TB variant with the same survivor contract ----
+    "v9_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Corpus.semanticDedup(emb, "vec_id", "embedding", 0.9)
+        .select("vec_id")
+    }),
+
     // ---- E: gap sessionization ----
     "e1_sessionize" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -2066,6 +2077,25 @@ object SparkEntry {
             * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.3""",
+
+    // v2's pair construction at θ=0.9 + d6's recursive reachability:
+    // survivors = all ids minus non-representative cluster members
+    "v9_semantic_dedup" ->
+      """WITH RECURSIVE e0 AS (SELECT vec_id, embedding FROM embeddings),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.9),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         cl AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+                FROM reach GROUP BY src)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT vec_id FROM cl WHERE vec_id <> cluster_id)""",
 
     "e1_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, value, ts::TIMESTAMP AS t FROM events),

@@ -332,4 +332,43 @@ object Corpus {
       .groupBy(col(idCol))
       .agg(countDistinct(col("g")).as("n_shared_ngrams"))
   }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * collapse CLUSTERS of embedding-near-duplicate rows to one
+    * representative each — paraphrases and re-renders that string-level
+    * dedup can't see. Pairs at `cosine ≥ threshold` form clusters by
+    * connected components ([[Dedup.connectedComponents]]: pointer
+    * doubling, O(log diameter) rounds); each cluster keeps its smallest
+    * id, rows in no pair survive untouched. Transitive by design: A≈B
+    * and B≈C collapse to one survivor even when cos(A,C) is below the
+    * threshold — the same contract as the text-side cluster dedup.
+    *
+    * `scalePath = true` mines pairs with sign-LSH
+    * ([[Similarity.lshEmbeddingNearDup]], linear, pass `corpusSizeHint`)
+    * — the 100 TB path; the default exact all-pairs tier is the oracle
+    * anchor. The survivor SET is identical whenever LSH recall holds
+    * (miss ≤ 1e-5 at the threshold by [[Similarity.autoBands]]).
+    *
+    * @return the surviving rows of `embeddings`, original schema
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      scalePath: Boolean = false,
+      corpusSizeHint: Long = 0): DataFrame = {
+    val pairs =
+      if (scalePath)
+        Similarity.lshEmbeddingNearDup(embeddings, idCol, vecCol, threshold,
+          corpusSizeHint = corpusSizeHint)
+      else Similarity.embeddingNearDup(embeddings, idCol, vecCol, threshold)
+    val dropped = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__drop_id"))
+    // anti-join on the id: survivors = everything not a non-representative
+    // member; AQE sizes the dropped side (tiny on a clean corpus,
+    // corpus-scaled on a duplicate-heavy one — no static hint)
+    embeddings.join(dropped, embeddings(idCol) === dropped("__drop_id"), "left_anti")
+  }
 }

@@ -165,4 +165,22 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       .where($"tok_offset" =!= $"expected")
     assert(bad.count() == 0)
   }
+
+  test("semanticDedup: transitive cluster collapse; LSH scale path agrees with exact") {
+    import org.apache.spark.sql.functions._
+    // a chain A≈B≈C where cos(A,C) < θ (A and C only connect THROUGH B),
+    // plus an isolated D: the cluster collapses to A alone, D survives
+    val a = Array(1.0f, 0.0f)
+    val b = Array(math.cos(0.2).toFloat, math.sin(0.2).toFloat) // cos(A,B)=0.980
+    val c = Array(math.cos(0.4).toFloat, math.sin(0.4).toFloat) // cos(B,C)=0.980, cos(A,C)=0.921
+    val d = Array(0.0f, 1.0f)
+    val emb = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("vec_id", "embedding")
+    val survivors = Corpus.semanticDedup(emb, "vec_id", "embedding", 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L), s"expected transitive collapse to {1,4}, got $survivors")
+    // the LSH-mined pair source must keep the same survivor set
+    val viaLsh = Corpus.semanticDedup(emb, "vec_id", "embedding", 0.95, scalePath = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaLsh == survivors)
+  }
 }
