@@ -822,6 +822,13 @@ object SparkEntry {
           nProbe = 12, refine = 100, refineWith = Some(emb)))
     }),
 
+    // ---- T: fixed-length token windows with overlap (stride <
+    //      maxTokens) — the max-seq-len chunking step upstream of t15's
+    //      packing ----
+    "t18_chunk_windows" -> ((s, dir) =>
+      graft.ops.Corpus.chunkTokenWindows(
+        t(s, dir, "documents"), "doc_id", "text", maxTokens = 64, stride = 48)),
+
     // ---- V: semantic dedup (SemDeDup) — embedding-near-dup pairs →
     //      connected components → one survivor (smallest id) per
     //      cluster; rows in no pair survive untouched. Exact pair tier
@@ -2077,6 +2084,19 @@ object SparkEntry {
             * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.3""",
+
+    "t18_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+                    FROM documents),
+         nz AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+         w AS (SELECT doc_id, toks, unnest(range(0, n, 48)) AS start FROM nz),
+         c AS (SELECT doc_id, CAST(start // 48 AS INT) AS chunk_idx,
+                 list_slice(toks, start + 1, start + 64) AS chunk
+               FROM w)
+         SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS INT) AS n_chunk_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+         FROM c""",
 
     // v2's pair construction at θ=0.9 + d6's recursive reachability:
     // survivors = all ids minus non-representative cluster members

@@ -333,6 +333,52 @@ object Corpus {
       .agg(countDistinct(col("g")).as("n_shared_ngrams"))
   }
 
+  /** Chunk documents into fixed-length token windows with stride — the
+    * max-sequence-length preprocessing step upstream of
+    * [[packSequences]]: a document longer than the model context must
+    * split into windows (overlapping when `stride < maxTokens`, the
+    * standard continuity trick) before packing. Whitespace tokens,
+    * lowercased — the same tokenization contract as the text-analysis
+    * ops, so chunk token counts agree with [[TextAnalysis]] counts.
+    *
+    * Scale shape: one narrow tokenize pass, then the per-window explode
+    * fans out ×⌈n/stride⌉ — the id repartition BEFORE it spreads that
+    * fan-out across the cluster (explode inherits the input's
+    * partitioning; a single small file would otherwise chunk the whole
+    * corpus on one core). Window starts come from a generated int
+    * sequence, the chunk is one `slice` per window — no per-token rows
+    * ever exist.
+    *
+    * @return (idCol, chunk_idx, n_chunk_tokens, chunk_text); empty docs
+    *         emit nothing
+    */
+  def chunkTokenWindows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int,
+      stride: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(stride > 0 && stride <= maxTokens,
+      s"stride must be in [1, maxTokens], got $stride (maxTokens=$maxTokens)")
+    val par = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    docs
+      .repartition(par, col(idCol))
+      .select(col(idCol),
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+      .select(col(idCol), col("toks"),
+        explode(expr(s"sequence(0, n - 1, $stride)")).as("start"))
+      .select(
+        col(idCol),
+        expr(s"cast(start div $stride as int)").as("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(maxTokens)).as("chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     * collapse CLUSTERS of embedding-near-duplicate rows to one
     * representative each — paraphrases and re-renders that string-level

@@ -166,6 +166,34 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("chunkTokenWindows: overlap, tail chunk, empty/short docs, guard rails") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens
+      (2L, "x y"),           // shorter than one window
+      (3L, "   "),           // whitespace-only → no tokens → no chunks
+      (4L, "")               // empty → no chunks
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkTokenWindows(docs, "doc_id", "text", maxTokens = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(out == Set(
+      (1L, 0, 3, "a b c"),  // starts 0,2,4,6 — stride-2 overlap of 1 token
+      (1L, 1, 3, "c d e"),
+      (1L, 2, 3, "e f g"),
+      (1L, 3, 1, "g"),      // tail chunk clamps at doc end
+      (2L, 0, 2, "x y")))
+    // stride == maxTokens: exact partition, no overlap, full coverage
+    val flat = Corpus.chunkTokenWindows(docs, "doc_id", "text", maxTokens = 3, stride = 3)
+      .where($"doc_id" === 1L).collect().map(_.getString(3)).toSet
+    assert(flat == Set("a b c", "d e f", "g"))
+    intercept[IllegalArgumentException] {
+      Corpus.chunkTokenWindows(docs, "doc_id", "text", maxTokens = 3, stride = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.chunkTokenWindows(docs, "doc_id", "text", maxTokens = 0, stride = 1)
+    }
+  }
+
   test("semanticDedup: transitive cluster collapse; LSH scale path agrees with exact") {
     import org.apache.spark.sql.functions._
     // a chain A≈B≈C where cos(A,C) < θ (A and C only connect THROUGH B),
