@@ -53,6 +53,18 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(r(1).getSeq[Double](1) == Seq(5.0, 6.0))
   }
 
+  test("string-keyed top-k callable from spark.sql") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((0L, "b", 0.5), (0L, "a", 0.9), (1L, "c", 0.1))
+      .toDF("g", "id", "score").createOrReplaceTempView("vs_str_sql")
+    val r = spark.sql(
+      """SELECT g, top_k_by_score_str(score, id, 1) AS tk
+         FROM vs_str_sql GROUP BY g ORDER BY g""").collect()
+    assert(r(0).getSeq[org.apache.spark.sql.Row](1).head.getString(0) == "a")
+    assert(r(1).getSeq[org.apache.spark.sql.Row](1).head.getString(0) == "c")
+  }
+
   test("wrong arity raises a clean AnalysisException") {
     GraftExtensions.register(spark)
     val e = intercept[Exception](spark.sql("SELECT obfuscate_name()").head())
