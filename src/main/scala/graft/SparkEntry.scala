@@ -1003,6 +1003,44 @@ object SparkEntry {
 
     // ---- E: as-of (point-in-time) join — clicks enriched with the
     //      user's latest signup at-or-before the click ----
+    // ---- E: FORWARD as-of — earliest signup at-or-after each click
+    //      (the merge_asof direction="forward" surface) ----
+    "e11_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("signup_ts"))
+        .agg(max(col("value")).as("signup_value"))
+      graft.ops.AsOfJoin.asOf(clicks, signups, "user_id", "ts", "signup_ts",
+          Seq("signup_ts", "signup_value"), direction = "forward")
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
+          date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_time"),
+          col("signup_value"))
+    }),
+
+    // ---- E: NEAREST as-of with a 1-day tolerance — closer of the
+    //      backward/forward signup, exact ties backward, matches beyond
+    //      the bound nulled (merge_asof direction="nearest", tolerance) ----
+    "e12_asof_nearest" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("signup_ts"))
+        .agg(max(col("value")).as("signup_value"))
+      graft.ops.AsOfJoin.asOf(clicks, signups, "user_id", "ts", "signup_ts",
+          Seq("signup_ts", "signup_value"),
+          direction = "nearest", tolerance = Some(86400000000L))
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
+          date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_time"),
+          col("signup_value"))
+    }),
+
     "e4_asof_join" -> ((s, dir) => {
       val ev = events(s, dir)
       val clicks = ev.where(col("event_type") === "click")
@@ -2172,6 +2210,53 @@ object SparkEntry {
                          FROM events WHERE event_type = 'signup'
                          GROUP BY user_id, ts::TIMESTAMP) r
          ON l.user_id = r.user_id AND l.ts >= r.ts""",
+
+    // both ts sides cast to µs TIMESTAMP: the engine compares truncated
+    // µs values, and an un-truncated ns left side would miss equal-µs
+    // forward matches the engine sees
+    "e11_asof_forward" ->
+      """SELECT l.event_id, l.user_id,
+         strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+         strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS signup_time,
+         r.value AS signup_value
+         FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+               FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT user_id, ts::TIMESTAMP AS ts, MAX(value) AS value
+                         FROM events WHERE event_type = 'signup'
+                         GROUP BY user_id, ts::TIMESTAMP) r
+         ON l.user_id = r.user_id AND l.ts <= r.ts""",
+
+    // nearest = closer of the two ASOF directions, exact ties backward,
+    // 1-day tolerance on each side (86400000000 µs)
+    "e12_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+                    FROM events WHERE event_type = 'click'),
+         s AS (SELECT user_id, ts::TIMESTAMP AS ts, MAX(value) AS value
+               FROM events WHERE event_type = 'signup'
+               GROUP BY user_id, ts::TIMESTAMP),
+         b AS (SELECT c.event_id, s.ts AS bts, s.value AS bval
+               FROM c ASOF LEFT JOIN s
+               ON c.user_id = s.user_id AND c.ts >= s.ts),
+         f AS (SELECT c.event_id, s.ts AS fts, s.value AS fval
+               FROM c ASOF LEFT JOIN s
+               ON c.user_id = s.user_id AND c.ts <= s.ts),
+         j AS (SELECT c.event_id, c.user_id, c.ts, bts, bval, fts, fval,
+                 (bts IS NOT NULL AND epoch_us(c.ts) - epoch_us(bts) <= 86400000000) AS bok,
+                 (fts IS NOT NULL AND epoch_us(fts) - epoch_us(c.ts) <= 86400000000) AS fok,
+                 epoch_us(c.ts) - epoch_us(bts) AS db,
+                 epoch_us(fts) - epoch_us(c.ts) AS df
+               FROM c JOIN b USING (event_id) JOIN f USING (event_id)),
+         p AS (SELECT event_id, user_id, ts,
+                 CASE WHEN bok AND fok THEN (CASE WHEN db <= df THEN bts ELSE fts END)
+                      WHEN bok THEN bts WHEN fok THEN fts END AS sts,
+                 CASE WHEN bok AND fok THEN (CASE WHEN db <= df THEN bval ELSE fval END)
+                      WHEN bok THEN bval WHEN fok THEN fval END AS sval
+               FROM j)
+         SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+           strftime(sts, '%Y-%m-%d %H:%M:%S') AS signup_time,
+           sval AS signup_value
+         FROM p""",
 
     "m1_media_meta" ->
       """SELECT doc_id AS media_id,

@@ -38,6 +38,55 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out(50L) == null)
   }
 
+  test("forward direction: earliest at-or-after; inclusive on ties; misses null") {
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "tts", "qts", Seq("px"),
+      direction = "forward")
+      .collect().map(r => r.getAs[Long]("qty") ->
+        (if (r.isNullAt(r.fieldIndex("px"))) null else Double.box(r.getAs[Double]("px")))).toMap
+    assert(out(10L) == 101.0) // next quote at 10:05
+    assert(out(20L) == 101.0) // inclusive: simultaneous quote matches forward too
+    assert(out(30L) == null)  // nothing after 10:30
+    assert(out(40L) == 50.0)  // B's quote is ahead of the trade
+    assert(out(50L) == null)
+  }
+
+  test("nearest direction: closer side wins, exact ties take backward") {
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "tts", "qts", Seq("qts", "px"),
+      direction = "nearest")
+      .collect().map(r => r.getAs[Long]("qty") ->
+        (if (r.isNullAt(r.fieldIndex("px"))) null else Double.box(r.getAs[Double]("px")))).toMap
+    assert(out(10L) == 101.0) // 1s to 10:05 vs 4:59 back to 10:00
+    assert(out(20L) == 101.0) // distance 0 both ways -> backward match
+    assert(out(30L) == 102.0) // only a backward candidate exists
+    assert(out(40L) == 50.0)  // only a forward candidate exists
+    assert(out(50L) == null)
+    // equidistant between 10:00 and 10:10 -> backward (pandas rule)
+    val mid = Seq(("A", "2024-01-01 10:07:30", 1L)).toDF("sym", "t", "qty")
+      .select(col("sym"), to_timestamp(col("t")).as("tts"), col("qty"))
+    val tie = AsOfJoin.asOf(mid, quotes, "sym", "tts", "qts", Seq("px"),
+      direction = "nearest").head().getAs[Double]("px")
+    assert(tie == 101.0, s"equidistant must take the backward match, got $tie")
+  }
+
+  test("tolerance nulls out matches farther than the bound, in all directions") {
+    // backward: trade at 10:30 is 20 min past the last quote
+    val b = AsOfJoin.asOf(trades, quotes, "sym", "tts", "qts", Seq("px"),
+      tolerance = Some(60L * 1000000L)) // 1 minute in micros
+      .collect().map(r => r.getAs[Long]("qty") ->
+        (if (r.isNullAt(r.fieldIndex("px"))) null else Double.box(r.getAs[Double]("px")))).toMap
+    assert(b(10L) == null) // 4:59 back > 1 min
+    assert(b(20L) == 101.0) // distance 0
+    assert(b(30L) == null) // 20 min back
+    // nearest with tolerance: only the within-bound side is eligible
+    val n = AsOfJoin.asOf(trades, quotes, "sym", "tts", "qts", Seq("px"),
+      direction = "nearest", tolerance = Some(60L * 1000000L))
+      .collect().map(r => r.getAs[Long]("qty") ->
+        (if (r.isNullAt(r.fieldIndex("px"))) null else Double.box(r.getAs[Double]("px")))).toMap
+    assert(n(10L) == 101.0) // forward 1s within bound; backward 4:59 out
+    assert(n(40L) == 50.0)  // forward candidate 1s ahead, within bound
+    assert(n(30L) == null)  // both sides out of bound
+  }
+
   test("null field in the latest right row is preserved, not backfilled") {
     // latest quote for A at 10:05 has px=NULL, sz=9; older quote has px=100, sz=5
     val quotes2 = Seq(
