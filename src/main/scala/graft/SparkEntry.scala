@@ -1003,6 +1003,34 @@ object SparkEntry {
 
     // ---- E: as-of (point-in-time) join — clicks enriched with the
     //      user's latest signup at-or-before the click ----
+    // ---- E: SLIDING windows — hourly length, 15-minute slide: each
+    //      event lands in 4 overlapping windows (tumbling is the e2
+    //      special case slide == length) ----
+    "e13_sliding_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("total_value"))),
+
+    // ---- E: trailing time-RANGE window per key — each event's running
+    //      count/sum over its user's preceding hour (rangeBetween on
+    //      event time, not row counts) ----
+    "e14_trailing_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      events(s, dir)
+        .withColumn("n_trailing_1h", count(lit(1)).over(w))
+        .withColumn("sum_trailing_1h",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"),
+          col("n_trailing_1h"), col("sum_trailing_1h"))
+    }),
+
     // ---- E: FORWARD as-of — earliest signup at-or-after each click
     //      (the merge_asof direction="forward" surface) ----
     "e11_asof_forward" -> ((s, dir) => {
@@ -2210,6 +2238,29 @@ object SparkEntry {
                          FROM events WHERE event_type = 'signup'
                          GROUP BY user_id, ts::TIMESTAMP) r
          ON l.user_id = r.user_id AND l.ts >= r.ts""",
+
+    // Spark's sliding windows are epoch-aligned: window starts are the
+    // slide multiples k with ts-len < k*slide <= ts, i.e.
+    // k in [(eps-len) // slide + 1, eps // slide] (integer µs, `//`)
+    "e13_sliding_hourly" ->
+      """WITH e AS (SELECT epoch_us(ts::TIMESTAMP) AS eps, event_type, value FROM events),
+         x AS (SELECT event_type, value,
+                 unnest(range((eps - 3600000000) // 900000000 + 1,
+                              eps // 900000000 + 1)) AS k
+               FROM e)
+         SELECT strftime(make_timestamp(k * 900000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM x GROUP BY 1, 2""",
+
+    "e14_trailing_window" ->
+      """SELECT event_id, user_id,
+         strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS t,
+         COUNT(*) OVER w AS n_trailing_1h,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
 
     // both ts sides cast to µs TIMESTAMP: the engine compares truncated
     // µs values, and an un-truncated ns left side would miss equal-µs
