@@ -273,6 +273,19 @@ object SparkEntry {
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // ---- SRC4: ORC roundtrip — write documents as zstd ORC, read back
+    //      with the EXPLICIT schema through the vectorized reader; the
+    //      oracle is the original table, so the check is byte-exact
+    //      roundtrip through the second columnar format ----
+    "src4_orc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scratch = java.nio.file.Files.createTempDirectory("graft_src4_orc_").toFile
+      org.apache.spark.graft.sparkShims.deleteDirOnExit(scratch)
+      graft.sources.OrcSource.write(docs, scratch.getAbsolutePath)
+      graft.sources.OrcSource.read(s, scratch.getAbsolutePath, docs.schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // ---- W1/F1: ranking window dedup ----
     "w1_window_dedup" -> ((s, dir) => {
       // l_linenumber is not unique per order in this synthetic data — add
@@ -649,6 +662,48 @@ object SparkEntry {
       val train = docs.where(col("doc_id") >= 20)
         .unionByName(ev.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       graft.ops.Corpus.decontaminate(train, ev, "doc_id", "text", 8)
+    }),
+
+    // ---- D: FUZZY decontamination — overlap-FRACTION thresholding
+    //      (flag when ≥5% of a doc's distinct 8-grams appear in the
+    //      eval set; integer cross-multiply, never a float ratio).
+    //      Partial contamination injected by construction: train docs
+    //      ≡0 (mod 7) get the first 12 tokens of an eval doc appended,
+    //      so the ~5 shared shingles clear 5% for short docs and miss
+    //      it for long ones — both sides of the bar are exercised ----
+    "d8_fuzzy_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val ev = docs.where(col("doc_id") < 20)
+      val snip = ev.select(col("doc_id").as("k"),
+        array_join(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 12), " ").as("sn"))
+      val train = docs.where(col("doc_id") >= 20)
+        .withColumn("k", col("doc_id") % 20)
+        .join(snip, Seq("k"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" "), col("sn")))
+            .otherwise(col("text")).as("text"))
+      graft.ops.Corpus.decontaminateFuzzy(train, ev, "doc_id", "text", 8, 500L)
+    }),
+
+    // ---- T: bigram-LM scoring (the CCNet perplexity-filter shape) —
+    //      model trained on the corpus itself, docs bucketed
+    //      head/middle/tail by mean per-bigram log-prob; terms are
+    //      fixed-point micro-nats so the sums are exact integers ----
+    "t19_lm_score" -> ((s, dir) =>
+      graft.ops.TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- T: C4-style line-level boilerplate removal — multi-line docs
+    //      constructed by appending a banned-phrase line, a too-short
+    //      line, and a valid line to every doc; docs ≡0 (mod 97) are
+    //      replaced by junk-only lines and must drop entirely ----
+    "t20_boilerplate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 97 === 0,
+          lit("ok bye\nclick here for free stuff"))
+          .otherwise(concat(col("text"),
+            lit("\nclick here for free stuff\nok bye\nthe quick brown fox jumps again")))
+          .as("text"))
+      graft.ops.Corpus.cleanLines(d, "doc_id", "text", 3, Seq("click here", "lorem ipsum"))
     }),
 
     // ---- T: cluster-based curation — near-dup removal per connected
@@ -1069,6 +1124,15 @@ object SparkEntry {
           col("signup_value"))
     }),
 
+    // ---- E: ordered conversion funnel view→click→purchase, each later
+    //      step within 7 days of the user's FIRST view; the whole
+    //      funnel is one user-keyed shuffle (cumulative windows), and
+    //      only three count rows ever leave the executors ----
+    "e15_funnel" -> ((s, dir) =>
+      graft.ops.Sessions.funnel(events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), horizonSeconds = 7L * 86400,
+        tieBreak = Seq("event_id"))),
+
     "e4_asof_join" -> ((s, dir) => {
       val ev = events(s, dir)
       val clicks = ev.where(col("event_type") === "click")
@@ -1332,6 +1396,9 @@ object SparkEntry {
          GROUP BY r_name""",
 
     "src3_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    "src4_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
 
     "w1_window_dedup" ->
@@ -2008,6 +2075,82 @@ object SparkEntry {
          FROM tr JOIN ev ON tr.g = ev.g
          GROUP BY tr.doc_id""",
 
+    // mirrors the query's injection verbatim: first 12 RAW tokens of the
+    // eval doc at doc_id%20 appended (single space) for train docs ≡0
+    // (mod 7); shingles then lowercase like the kernel
+    "d8_fuzzy_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+         sn AS (SELECT doc_id AS k,
+                  array_to_string(regexp_extract_all(text, '\S+')[1:12], ' ') AS sn
+                FROM docs WHERE doc_id < 20),
+         train AS (SELECT d.doc_id,
+                     CASE WHEN d.doc_id % 7 = 0 THEN d.text || ' ' || sn.sn
+                          ELSE d.text END AS text
+                   FROM docs d JOIN sn ON d.doc_id % 20 = sn.k
+                   WHERE d.doc_id >= 20),
+         tw AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM train),
+         tsh AS (SELECT doc_id,
+                   CASE WHEN len(w) >= 8 THEN
+                     list_distinct(list_transform(range(1, len(w)-6),
+                       i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+                            w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))
+                   ELSE [array_to_string(w, ' ')] END AS s
+                 FROM tw),
+         ew AS (SELECT regexp_extract_all(lower(text), '\S+') AS w
+                FROM docs WHERE doc_id < 20),
+         esh AS (SELECT DISTINCT unnest(
+                   CASE WHEN len(w) >= 8 THEN
+                     list_distinct(list_transform(range(1, len(w)-6),
+                       i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+                            w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))
+                   ELSE [array_to_string(w, ' ')] END) AS g
+                 FROM ew),
+         tg AS (SELECT doc_id, unnest(s) AS g FROM tsh),
+         agg AS (SELECT tg.doc_id,
+                   COUNT(*) AS n_ngrams, COUNT(esh.g) AS n_shared
+                 FROM tg LEFT JOIN esh ON tg.g = esh.g
+                 GROUP BY tg.doc_id)
+         SELECT doc_id, n_ngrams, n_shared FROM agg
+         WHERE n_shared * 10000 >= n_ngrams * 500""",
+
+    // fixed-point micro-nat terms (round half away from zero, both
+    // engines) summed as exact integers; bucket thresholds are long
+    // cross-multiplications — see TextAnalysis.lmScore
+    "t19_lm_score" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                  i -> struct_pack(w1 := w[i], w2 := w[i+1])), recursive := true)
+                FROM d WHERE len(w) >= 2),
+         c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+         sc AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                  CAST(SUM(CAST(round(ln(CAST(c2.c2 AS DOUBLE) / c1.c1) * 1000000, 0) AS BIGINT)) AS BIGINT) AS logprob_fp
+                FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                GROUP BY bg.doc_id)
+         SELECT doc_id, n_bigrams, logprob_fp,
+           CASE WHEN logprob_fp >= -3370000 * n_bigrams THEN 'head'
+                WHEN logprob_fp < -3400000 * n_bigrams THEN 'tail'
+                ELSE 'middle' END AS bucket
+         FROM sc""",
+
+    "t20_boilerplate" ->
+      """WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN 'ok bye' || chr(10) || 'click here for free stuff'
+                ELSE text || chr(10) || 'click here for free stuff' || chr(10) ||
+                     'ok bye' || chr(10) || 'the quick brown fox jumps again' END AS text
+           FROM documents),
+         k AS (SELECT doc_id,
+           list_filter(string_split(text, chr(10)),
+             l -> len(regexp_extract_all(l, '\S+')) >= 3
+                  AND NOT contains(lower(l), 'click here')
+                  AND NOT contains(lower(l), 'lorem ipsum')) AS kept,
+           len(string_split(text, chr(10))) AS n_lines
+           FROM d)
+         SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(n_lines - len(kept) AS BIGINT) AS n_dropped
+         FROM k WHERE len(kept) >= 1""",
+
     "t9_curate_clustered" ->
       """WITH RECURSIVE s AS (
            SELECT doc_id, text,
@@ -2261,6 +2404,31 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+    // layered cumulative windows (one per step) over the same
+    // (user, ts, event_id) ordering — the same staging the engine plans;
+    // 604800000000 µs = the 7-day horizon anchored at the first view
+    "e15_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                      epoch_us(ts::TIMESTAMP) AS m FROM events),
+         w0 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN m END)
+                  OVER (PARTITION BY user_id ORDER BY m, event_id
+                        ROWS UNBOUNDED PRECEDING) AS s0_ts FROM e),
+         w1 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND s0_ts IS NOT NULL
+                                    AND m <= s0_ts + 604800000000 THEN m END)
+                  OVER (PARTITION BY user_id ORDER BY m, event_id
+                        ROWS UNBOUNDED PRECEDING) AS s1_ts FROM w0),
+         w2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND s1_ts IS NOT NULL
+                                    AND m <= s0_ts + 604800000000 THEN m END)
+                  OVER (PARTITION BY user_id ORDER BY m, event_id
+                        ROWS UNBOUNDED PRECEDING) AS s2_ts FROM w1),
+         pu AS (SELECT user_id, MIN(s0_ts) AS s0, MIN(s1_ts) AS s1, MIN(s2_ts) AS s2
+                FROM w2 GROUP BY user_id)
+         SELECT 1 AS step, 'view' AS step_name, COUNT(s0) AS n_users FROM pu
+         UNION ALL
+         SELECT 2, 'click', COUNT(s1) FROM pu
+         UNION ALL
+         SELECT 3, 'purchase', COUNT(s2) FROM pu""",
 
     // both ts sides cast to µs TIMESTAMP: the engine compares truncated
     // µs values, and an un-truncated ns left side would miss equal-µs

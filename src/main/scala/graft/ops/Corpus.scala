@@ -333,6 +333,89 @@ object Corpus {
       .agg(countDistinct(col("g")).as("n_shared_ngrams"))
   }
 
+  /** Overlap-FRACTION decontamination (the PaLM/GPT-3 appendix-C
+    * variant of [[decontaminate]]): a training doc is contaminated when
+    * at least `minShareBp` basis points of its DISTINCT word `n`-grams
+    * appear in the evaluation set — a ratio, so long documents that
+    * merely glance off an eval phrase survive while short quotes get
+    * flagged. The comparison is integer cross-multiplication
+    * (`shared * 10000 ≥ total * bp`), never a float ratio, so the
+    * decision is exact and engine-portable.
+    *
+    * Same scale shape as [[decontaminate]]: the eval shingle set is
+    * distinct + broadcast (eval benchmarks are small by definition); the
+    * train side is one shingle-kernel pass + one join — linear in corpus
+    * size, no train-train comparison. The per-doc totals ride the same
+    * aggregate as the hit counts (a LEFT join against the eval set with
+    * hit counting), so the fraction costs nothing extra.
+    *
+    * @return (idCol, n_ngrams, n_shared) — contaminated train docs only
+    */
+  def decontaminateFuzzy(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minShareBp: Long = 500L): DataFrame = {
+    require(minShareBp > 0 && minShareBp <= 10000,
+      s"minShareBp must be in (0, 10000], got $minShareBp")
+    // ngram_shingles is distinct-per-doc by construction, so count(*)
+    // after the explode IS the doc's distinct-shingle total
+    val tg = train.select(col(idCol),
+      explode(graft.functions.NGramShingles.ngram_shingles(col(textCol), n)).as("g"))
+    val eg = eval
+      .select(explode(graft.functions.NGramShingles.ngram_shingles(col(textCol), n)).as("g"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    tg.join(broadcast(eg), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_shared"))
+      .where(col("n_shared") * 10000L >= col("n_ngrams") * minShareBp)
+  }
+
+  /** Line-level boilerplate removal (the C4 cleaning pass): keep only
+    * lines with at least `minWords` whitespace words and none of the
+    * `bannedPhrases` (case-insensitive substring — "click here",
+    * "lorem ipsum", cookie banners); documents left with zero lines drop
+    * entirely. Word counting is `\S+` runs — the same token contract as
+    * every other text op, so a line that counts 3 words here counts 3
+    * tokens in [[TextAnalysis]].
+    *
+    * Everything happens inside one projection over array columns
+    * (split → filter → rejoin) — no explode, no shuffle, no per-line
+    * rows: the pass is embarrassingly parallel and reads each doc once,
+    * which is the only acceptable shape for a rule that runs over every
+    * crawl snapshot.
+    *
+    * @return (idCol, text_clean, n_kept, n_dropped), kept docs only
+    */
+  def cleanLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 3,
+      bannedPhrases: Seq[String] = Seq("click here", "lorem ipsum")): DataFrame = {
+    require(bannedPhrases.forall(p => p == p.toLowerCase(java.util.Locale.ROOT)),
+      "bannedPhrases must be lowercase (they match against lower(line))")
+    val lines = split(col(textCol), "\n")
+    val keep = (l: Column) => {
+      val enoughWords = size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= minWords
+      bannedPhrases.foldLeft(enoughWords)((acc, p) =>
+        acc && !contains(lower(l), lit(p)))
+    }
+    docs
+      .select(col(idCol), lines.as("ls"))
+      .select(col(idCol),
+        filter(col("ls"), keep).as("kept"),
+        size(col("ls")).as("n_lines"))
+      .where(size(col("kept")) >= 1)
+      .select(col(idCol),
+        array_join(col("kept"), "\n").as("text_clean"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n_lines") - size(col("kept"))).cast("long").as("n_dropped"))
+  }
+
   /** Chunk documents into fixed-length token windows with stride — the
     * max-sequence-length preprocessing step upstream of
     * [[packSequences]]: a document longer than the model context must

@@ -31,6 +31,55 @@ object Sessions {
         sum(isStart).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Ordered multi-step funnel: how many users reached step i of
+    * `steps`, where step i must occur at-or-after the user's earliest
+    * qualifying step i-1 event, and every step beyond the first must
+    * fall within `horizonSeconds` of the user's FIRST step-0 event
+    * (the anchor — the standard product-analytics funnel contract).
+    *
+    * Shape: one cumulative window per step over the SAME
+    * (user, ts, tieBreak) ordering — "earliest step-i event seen so far
+    * that had a completed step-(i-1) prefix" is a running `min(when)`,
+    * so the chain needs no self-joins and no per-user event collection.
+    * Catalyst plans all the step windows over one sort; the per-user
+    * finalize reuses the same hash partitioning, so the whole funnel
+    * costs ONE shuffle keyed by user no matter how many steps. The
+    * closing count is a single-row aggregate unpivoted to one row per
+    * step — funnels over billions of events reduce before anything
+    * reaches the driver.
+    *
+    * Output: (step 1-based, step_name, n_users), one row per step;
+    * n_users is monotonically non-increasing by construction.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+             steps: Seq[String], horizonSeconds: Long,
+             tieBreak: Seq[String] = Nil): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val cum = Window.partitionBy(userCol)
+      .orderBy(col(tsCol).asc +: tieBreak.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = unix_micros(col(tsCol))
+    val staged = steps.zipWithIndex.foldLeft(events) { case (df, (st, i)) =>
+      // s{i}_ts = earliest step-i event whose user had completed steps
+      // 0..i-1 by then; the running min over rows ≤ current makes the
+      // in-order requirement implicit (s{i-1}_ts ≤ this row's ts).
+      val qualifies =
+        if (i == 0) col(typeCol) === st
+        else col(typeCol) === st && col(s"s${i - 1}_ts").isNotNull &&
+          m <= col("s0_ts") + horizonSeconds * 1000000L
+      df.withColumn(s"s${i}_ts", min(when(qualifies, m)).over(cum))
+    }
+    val finals = steps.indices.map(i => min(col(s"s${i}_ts")).as(s"s$i"))
+    val perUser = staged.groupBy(col(userCol)).agg(finals.head, finals.tail: _*)
+    val counts = steps.indices.map(i => count(col(s"s$i")).as(s"c$i"))
+    perUser.agg(counts.head, counts.tail: _*)
+      .select(explode(array(steps.zipWithIndex.map { case (st, i) =>
+        struct(lit(i + 1).as("step"), lit(st).as("step_name"),
+          col(s"c$i").as("n_users"))
+      }: _*)).as("r"))
+      .select(col("r.step"), col("r.step_name"), col("r.n_users"))
+  }
+
   /** Per-session aggregates: event count, optional value sum, bounds.
     * `valueCol = None` skips the sum (for tables without a value column).
     */

@@ -185,6 +185,64 @@ object TextAnalysis {
       .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"), col("rank"))
   }
 
+  /** Bigram language-model scoring (the CCNet/perplexity-filter shape):
+    * train an MLE bigram model on the corpus itself, score every doc by
+    * its mean per-bigram log-probability, and bucket into head / middle
+    * / tail — the standard quality split fed to data-mixing. Conditional
+    * probability is `c(w1,w2) / c(w1·)` with the denominator counting
+    * BIGRAMS starting at `w1` (so probabilities sum to 1 per context;
+    * trained-on-self means every scored bigram exists — no backoff
+    * branch to keep deterministic).
+    *
+    * Cross-engine determinism is the whole design: each per-bigram term
+    * is ROUNDED to fixed-point micro-nats (`round(ln(c2/c1)·1e6)` as a
+    * LONG) before summing, so the per-doc sum is exact integer
+    * arithmetic — accumulation order cannot move it, and the bucket
+    * decision (`lp_fp` vs `threshold·n`) is an exact long
+    * cross-multiplication, never a float ratio. A 1-ulp `ln` difference
+    * between engines flips a term only when it lands within ~1e-9 of a
+    * rounding boundary — verified exhaustively by the oracle at both
+    * test scale factors.
+    *
+    * Scale shape: one tokenize pass + the bigram fan-out (repartitioned
+    * by id first, like every fan-out op, so a few large files cannot
+    * serialize it); counts are two hash aggregates over the bigram set
+    * (vocabulary-sized, ≪ corpus); the model join is a plain shuffle
+    * join AQE converts to broadcast when the vocabulary fits. Nothing
+    * touches the driver.
+    *
+    * @return (idCol, n_bigrams, logprob_fp, bucket) for docs with ≥ 1
+    *         bigram; `logprob_fp` is the summed fixed-point micro-nats
+    */
+  def lmScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      headAvgMicroNats: Long = -3370000L,
+      tailAvgMicroNats: Long = -3400000L): DataFrame = {
+    require(headAvgMicroNats > tailAvgMicroNats,
+      "head threshold must exceed tail threshold (both are negative log-probs)")
+    val base = docs
+      .repartition(col(idCol))
+      .select(col(idCol), tokens(lower(col(textCol))).as("w"))
+      .where(size(col("w")) >= 2)
+    val bg = base.select(col(idCol),
+        explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> named_struct('w1', w[i], 'w2', w[i+1]))")).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val model = c2.join(c1, Seq("w1"))
+    val termFp = round(log(col("c2").cast("double") / col("c1")) * 1e6, 0).cast("long")
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(termFp).as("logprob_fp"))
+      .withColumn("bucket",
+        when(col("logprob_fp") >= lit(headAvgMicroNats) * col("n_bigrams"), "head")
+          .when(col("logprob_fp") < lit(tailAvgMicroNats) * col("n_bigrams"), "tail")
+          .otherwise("middle"))
+  }
+
   /** Convenience: full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -295,4 +295,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       assert(p.contains("skew=true"), s"no runtime skew split:\n$p")
     }
   }
+
+  test("e15: the whole funnel is ONE user-keyed shuffle — every step window " +
+       "shares a single sort, the per-user finalize reuses the partitioning, " +
+       "and only the three counters cross the closing exchange") {
+    val p = plan("e15_funnel")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert("\\+- Sort ".r.findAllIn(p).length == 1, p)
+    assert("Window \\[min".r.findAllIn(p).length == 3, p)
+    assert("Exchange SinglePartition".r.findAllIn(p).length == 1, p)
+    // the single-partition exchange must sit ABOVE the partial count —
+    // i.e. the global agg ships 3 counters, not per-user rows
+    assert(p.indexOf("partial_count") > p.indexOf("Exchange SinglePartition"), p)
+    // pruning reaches the scan: the untouched wide columns never load
+    assert(!p.contains("props"), p)
+  }
 }

@@ -211,4 +211,48 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(viaLsh == survivors)
   }
+
+  test("decontaminateFuzzy: integer threshold is exact at the bar") {
+    // eval doc: tokens a..j → its 8-grams include "a..h"
+    val eval = Seq((0L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    // doc 100: "a..h" + 19 unique tokens = 27 tokens → 20 distinct
+    // 8-grams, exactly 1 shared → 1*10000 == 20*500, AT the bar → flagged
+    val at = "a b c d e f g h " + (1 to 19).map(i => s"u$i").mkString(" ")
+    // doc 101: one more unique token → 21 grams → just under → clean
+    val under = at + " u20"
+    val train = Seq((100L, at), (101L, under)).toDF("doc_id", "text")
+    val out = Corpus.decontaminateFuzzy(train, eval, "doc_id", "text", 8, 500L)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_shared")))
+    assert(out.toSeq == Seq((100L, 20L, 1L)), out.toSeq)
+  }
+
+  test("decontaminateFuzzy: short docs compare whole-text shingles") {
+    val eval = Seq((0L, "x y z")).toDF("doc_id", "text")
+    val train = Seq(
+      (100L, "x y z"),   // whole-text shingle equals eval's → 1/1 flagged
+      (101L, "x y w")    // different whole-text shingle → clean
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminateFuzzy(train, eval, "doc_id", "text", 8, 500L)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_shared")))
+    assert(out.toSeq == Seq((100L, 1L, 1L)), out.toSeq)
+  }
+
+  test("cleanLines: word-count and banned-phrase rules, case-insensitive; empty docs drop") {
+    val docs = Seq(
+      (0L, "good line with words\nxx yy\nbad CLICK Here line\nanother fine line here"),
+      (1L, "ok bye\nClick here"),   // every line fails → doc drops
+      (2L, "")                      // zero words → doc drops
+    ).toDF("doc_id", "text")
+    val out = Corpus.cleanLines(docs, "doc_id", "text", 3, Seq("click here"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped")))
+    assert(out.toSeq == Seq(
+      (0L, "good line with words\nanother fine line here", 2L, 2L)), out.toSeq)
+  }
+
+  test("cleanLines: no shuffle — the pass is one projection") {
+    val plan = Corpus.cleanLines(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

@@ -36,6 +36,65 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     assert(out == 1L)
   }
 
+  private def evt(rows: (Long, Long, String, String)*) = // (id, user, type, ts)
+    rows.toSeq.toDF("event_id", "user_id", "event_type", "t")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+
+  private def funnelCounts(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+    Sessions.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), horizonSeconds = 7L * 86400,
+        tieBreak = Seq("event_id"))
+      .collect().map(r => r.getAs[Int]("step") -> r.getAs[Long]("n_users")).toMap
+
+  test("funnel: steps must occur in order; out-of-order and missing steps don't count") {
+    val df = evt(
+      // user 1: full ordered conversion
+      (10L, 1L, "view", "2024-01-01 10:00:00"),
+      (11L, 1L, "click", "2024-01-01 10:05:00"),
+      (12L, 1L, "purchase", "2024-01-01 10:10:00"),
+      // user 2: click BEFORE the view only — view counts, click doesn't
+      (20L, 2L, "click", "2024-01-01 09:00:00"),
+      (21L, 2L, "view", "2024-01-01 10:00:00"),
+      // user 3: purchase lands between view and click — steps 1,2 only
+      (30L, 3L, "view", "2024-01-01 10:00:00"),
+      (31L, 3L, "purchase", "2024-01-01 10:02:00"),
+      (32L, 3L, "click", "2024-01-01 10:05:00"),
+      // user 5: no view at all — nothing counts
+      (50L, 5L, "click", "2024-01-01 10:00:00"),
+      (51L, 5L, "purchase", "2024-01-01 10:05:00"))
+    val out = funnelCounts(df)
+    assert(out == Map(1 -> 3L, 2 -> 2L, 3 -> 1L), out)
+  }
+
+  test("funnel: later steps beyond the horizon of the FIRST view don't count") {
+    val df = evt(
+      // click 8 days after the first view — outside the 7-day horizon
+      (10L, 1L, "view", "2024-01-01 10:00:00"),
+      (11L, 1L, "click", "2024-01-09 10:00:00"),
+      // click inside, purchase outside: steps 1,2 only
+      (20L, 2L, "view", "2024-01-01 10:00:00"),
+      (21L, 2L, "click", "2024-01-02 10:00:00"),
+      (22L, 2L, "purchase", "2024-01-09 10:00:00"),
+      // a LATER view cannot re-anchor the horizon
+      (30L, 3L, "view", "2024-01-01 10:00:00"),
+      (31L, 3L, "view", "2024-01-05 10:00:00"),
+      (32L, 3L, "click", "2024-01-10 10:00:00"))
+    val out = funnelCounts(df)
+    assert(out == Map(1 -> 3L, 2 -> 1L, 3 -> 0L), out)
+  }
+
+  test("funnel: equal timestamps resolve by the tie-break order") {
+    val df = evt(
+      // view(70) < purchase(71) < click(72) at the SAME instant: the
+      // purchase precedes the click in tie-break order, so it has no
+      // completed click prefix and must not count
+      (70L, 7L, "view", "2024-01-01 10:00:00"),
+      (71L, 7L, "purchase", "2024-01-01 10:00:00"),
+      (72L, 7L, "click", "2024-01-01 10:00:00"))
+    val out = funnelCounts(df)
+    assert(out == Map(1 -> 1L, 2 -> 1L, 3 -> 0L), out)
+  }
+
   test("aggregate rolls up counts and bounds per session") {
     val df = ev(
       (1L, 1L, "2024-01-01 10:00:00"),

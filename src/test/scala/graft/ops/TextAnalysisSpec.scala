@@ -100,4 +100,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(clean > junk)
     assert(clean >= 0.0 && clean <= 1.0 && junk >= 0.0 && junk <= 1.0)
   }
+
+  test("lmScore: hand-computed fixed-point terms; sub-bigram docs excluded") {
+    // corpus bigrams: (a,b)×2, (a,c)×1 → c1(a)=3
+    // term(a,b) = round(ln(2/3)·1e6) = -405465; term(a,c) = round(ln(1/3)·1e6) = -1098612
+    val docs = Seq((1L, "a b"), (2L, "A B"), (3L, "a c"), (4L, "solo"), (5L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("logprob_fp"), r.getAs[String]("bucket"))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // docs 4,5 have no bigram
+    assert(out(1L) == ((1L, -405465L, "head")), out(1L)) // lowercase fold: doc 2 == doc 1
+    assert(out(2L) == ((1L, -405465L, "head")), out(2L))
+    assert(out(3L) == ((1L, -1098612L, "head")), out(3L))
+  }
+
+  test("lmScore: bucket thresholds are exact long cross-multiplications") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs, "doc_id", "text",
+        headAvgMicroNats = -400000L, tailAvgMicroNats = -500000L)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("bucket")).toMap
+    // -405465 sits strictly between the thresholds; -1098612 is below tail
+    assert(out == Map(1L -> "middle", 2L -> "middle", 3L -> "tail"), out)
+  }
 }
