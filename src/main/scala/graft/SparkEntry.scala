@@ -706,6 +706,12 @@ object SparkEntry {
       graft.ops.Corpus.cleanLines(d, "doc_id", "text", 3, Seq("click here", "lorem ipsum"))
     }),
 
+    // ---- T: the published Gopher rule gate — per-rule integer-exact
+    //      flags + combined keep; minWords=30 splits this corpus ----
+    "t21_gopher_gate" -> ((s, dir) =>
+      graft.ops.TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+        minWords = 30)),
+
     // ---- T: cluster-based curation — near-dup removal per connected
     //      component (keep each cluster's min id), the principled
     //      variant of t6's greedy pairwise drop ----
@@ -1132,6 +1138,13 @@ object SparkEntry {
       graft.ops.Sessions.funnel(events(s, dir), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), horizonSeconds = 7L * 86400,
         tieBreak = Seq("event_id"))),
+
+    // ---- E: weekly cohort retention — users cohorted by first-signup
+    //      week, distinct-counted per whole-week offset of later
+    //      activity; all boundaries are integer µs arithmetic ----
+    "e16_retention" -> ((s, dir) =>
+      graft.ops.Sessions.retention(events(s, dir), "user_id", "ts", "event_type",
+        anchorType = "signup", maxWeeks = 8)),
 
     "e4_asof_join" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -2151,6 +2164,33 @@ object SparkEntry {
            CAST(n_lines - len(kept) AS BIGINT) AS n_dropped
          FROM k WHERE len(kept) >= 1""",
 
+    // every rule is an integer comparison (cross-multiplied mean-length
+    // bounds), so the booleans are engine-exact
+    "t21_gopher_gate" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nc
+           FROM documents),
+         r AS (SELECT doc_id, nc,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_filter(w, x ->
+               len(regexp_replace(x, '[^a-z]', '', 'g')) > 0)) AS BIGINT) AS n_alpha,
+             (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(w, 'a') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END) AS n_stop
+           FROM d)
+         SELECT doc_id, n_words,
+           (n_words >= 30 AND n_words <= 100000) AS ok_words,
+           (nc >= n_words * 3 AND nc <= n_words * 10) AS ok_mean_len,
+           (n_alpha * 10 >= n_words * 8) AS ok_alpha_words,
+           (n_stop >= 2) AS ok_stopwords,
+           ((n_words >= 30 AND n_words <= 100000)
+            AND (nc >= n_words * 3 AND nc <= n_words * 10)
+            AND (n_alpha * 10 >= n_words * 8)
+            AND (n_stop >= 2)) AS keep
+         FROM r""",
+
     "t9_curate_clustered" ->
       """WITH RECURSIVE s AS (
            SELECT doc_id, text,
@@ -2429,6 +2469,22 @@ object SparkEntry {
          SELECT 2, 'click', COUNT(s1) FROM pu
          UNION ALL
          SELECT 3, 'purchase', COUNT(s2) FROM pu""",
+
+    // `//` is DuckDB floor division == Spark's `div` for the
+    // non-negative gaps that survive the m >= m0 guard; both engines
+    // truncate weeks on exact µs integers
+    "e16_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+                      epoch_us(ts::TIMESTAMP) AS m, ts::TIMESTAMP AS t FROM events),
+         a AS (SELECT user_id, MIN(m) AS m0, MIN(t) AS t0 FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+         j AS (SELECT e.user_id, a.t0,
+                 (e.m - a.m0) // 604800000000 AS wo
+               FROM e JOIN a USING (user_id) WHERE e.m >= a.m0)
+         SELECT strftime(date_trunc('week', t0), '%Y-%m-%d') AS cohort_week,
+           CAST(wo AS INT) AS week_offset,
+           COUNT(DISTINCT user_id) AS n_active
+         FROM j WHERE wo <= 8 GROUP BY 1, 2""",
 
     // both ts sides cast to µs TIMESTAMP: the engine compares truncated
     // µs values, and an un-truncated ns left side would miss equal-µs

@@ -80,6 +80,43 @@ object Sessions {
       .select(col("r.step"), col("r.step_name"), col("r.n_users"))
   }
 
+  /** Weekly cohort retention: users cohorted by the week of their FIRST
+    * `anchorType` event (e.g. signup), then counted distinct per
+    * (cohort week, whole-week offset) of any later activity — the
+    * classic retention triangle. Offsets are truncating integer
+    * division on epoch micros, cohort weeks are `date_trunc('week')`
+    * (Monday-start in Spark and DuckDB alike), so every boundary is
+    * exact integer arithmetic.
+    *
+    * Shape: the anchor pass is a user-keyed aggregate; the activity
+    * join shuffles on the same user key (co-partitioned, AQE sizes it);
+    * the closing count-distinct reduces to (weeks × offsets) rows —
+    * nothing scales with raw event count past the first shuffle.
+    * Activity BEFORE the anchor (negative offset) is excluded; users
+    * with no anchor event never enter the cohort.
+    *
+    * Output: (cohort_week "yyyy-MM-dd", week_offset, n_active).
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+                anchorType: String, maxWeeks: Int = 8): DataFrame = {
+    val anchors = events.where(col(typeCol) === anchorType)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("anchor_ts"))
+    val m = unix_micros(col(tsCol))
+    val m0 = unix_micros(col("anchor_ts"))
+    events.join(anchors, Seq(userCol))
+      // pre-anchor rows go BEFORE the division: `div` truncates toward
+      // zero, so a negative µs gap would alias into offset 0
+      .where(m >= m0)
+      .withColumn("du", m - m0)
+      .withColumn("week_offset", expr("cast(du div 604800000000 as int)"))
+      .where(col("week_offset") <= maxWeeks)
+      .groupBy(
+        date_format(date_trunc("week", col("anchor_ts")), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+  }
+
   /** Per-session aggregates: event count, optional value sum, bounds.
     * `valueCol = None` skips the sum (for tables without a value column).
     */

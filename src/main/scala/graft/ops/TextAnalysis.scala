@@ -243,6 +243,56 @@ object TextAnalysis {
           .otherwise("middle"))
   }
 
+  /** Gopher-style rule gate (Rae et al. 2021, appendix A): the published
+    * document-quality heuristics as one shuffle-free projection, each
+    * rule an EXACT integer comparison so any engine reproduces the
+    * verdict bit-for-bit:
+    *
+    *   - word count within `[minWords, maxWords]`;
+    *   - mean word length within `[minMeanLen, maxMeanLen]` — compared
+    *     as `total_chars` vs `bound · n_words` cross-multiplications,
+    *     never a float mean (total chars = non-whitespace chars, which
+    *     equals the sum of token lengths by the `\S+` token contract);
+    *   - ≥ 80% of words contain at least one alphabetic character
+    *     (`10 · n_alpha_words ≥ 8 · n_words`);
+    *   - at least `minStopwords` DISTINCT stop words present (the
+    *     "natural prose" signal).
+    *
+    * Returns every doc with per-rule flags plus the combined `keep` —
+    * callers filter on `keep` but audit the flags (the standard corpus
+    * triage loop: which rule is rejecting how much).
+    */
+  def gopherRules(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Int = 3,
+      maxMeanLen: Int = 10,
+      minStopwords: Int = 2,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val base = docs.select(col(idCol), toks.as("w"),
+      length(regexp_replace(col(textCol), "\\s", "")).cast("long").as("n_chars_tok"))
+    val nWords = size(col("w")).cast("long")
+    val nAlpha = size(filter(col("w"),
+      t => length(regexp_replace(t, "[^a-z]", "")) > 0)).cast("long")
+    val nStop = stopwords.map(s =>
+      when(array_contains(col("w"), s), 1).otherwise(0)).reduce(_ + _)
+    base.select(
+      col(idCol),
+      nWords.as("n_words"),
+      (nWords >= minWords && nWords <= maxWords).as("ok_words"),
+      // minMeanLen ≤ chars/words ≤ maxMeanLen, cross-multiplied
+      (col("n_chars_tok") >= nWords * minMeanLen &&
+        col("n_chars_tok") <= nWords * maxMeanLen).as("ok_mean_len"),
+      (nAlpha * 10L >= nWords * 8L).as("ok_alpha_words"),
+      (nStop >= minStopwords).as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean_len") && col("ok_alpha_words") && col("ok_stopwords"))
+  }
+
   /** Convenience: full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

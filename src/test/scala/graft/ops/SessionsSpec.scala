@@ -95,6 +95,38 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map(1 -> 1L, 2 -> 1L, 3 -> 0L), out)
   }
 
+  test("retention: whole-week offsets, pre-anchor excluded, no-anchor users absent") {
+    val df = evt(
+      // user 1 signs up Mon 2024-01-01; active same week, week 1, week 2
+      (10L, 1L, "signup", "2024-01-01 10:00:00"),
+      (11L, 1L, "view", "2024-01-03 10:00:00"),    // offset 0
+      (12L, 1L, "click", "2024-01-08 09:59:59"),   // 1s under 7 days → offset 0
+      (13L, 1L, "view", "2024-01-08 10:00:00"),    // exactly 7 days → offset 1
+      (14L, 1L, "view", "2024-01-20 10:00:00"),    // offset 2
+      // user 2: same cohort week (signs up Wed), activity before signup
+      // must not count; nothing after → only offset 0 (the signup itself)
+      (20L, 2L, "view", "2024-01-02 10:00:00"),
+      (21L, 2L, "signup", "2024-01-03 10:00:00"),
+      // user 3: never signs up → absent entirely
+      (30L, 3L, "view", "2024-01-01 10:00:00"))
+    val out = Sessions.retention(df, "user_id", "ts", "event_type", "signup", 8)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Long]("n_active")).toMap
+    assert(out == Map(
+      ("2024-01-01", 0) -> 2L,  // users 1 and 2
+      ("2024-01-01", 1) -> 1L,
+      ("2024-01-01", 2) -> 1L), out)
+  }
+
+  test("retention: offsets past maxWeeks are cut") {
+    val df = evt(
+      (10L, 1L, "signup", "2024-01-01 10:00:00"),
+      (11L, 1L, "view", "2024-06-01 10:00:00")) // ~21 weeks out
+    val out = Sessions.retention(df, "user_id", "ts", "event_type", "signup", 8)
+      .agg(max("week_offset")).head().getInt(0)
+    assert(out == 0) // only the signup row itself survives the cut
+  }
+
   test("aggregate rolls up counts and bounds per session") {
     val df = ev(
       (1L, 1L, "2024-01-01 10:00:00"),

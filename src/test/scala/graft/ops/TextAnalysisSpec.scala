@@ -101,6 +101,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(clean >= 0.0 && clean <= 1.0 && junk >= 0.0 && junk <= 1.0)
   }
 
+  test("gopherRules: each rule fails independently; bounds are inclusive") {
+    val docs = Seq(
+      // all-pass control: exactly minWords (inclusive bound), stopwords
+      // 'the'+'a', mean length within [3,10]
+      (1L, "the quick brown fox jumps over a lazy dog today"),
+      (2L, "the quick brown fox jumps over a lazy dog now"),
+      // mean word length < 3 (mostly 1-char words) → ok_mean_len fails
+      (3L, "a b c d e f g h i the"),
+      // 8/10 numeric words (4-char, so mean length stays ok) → ok_alpha_words fails
+      (4L, "the 1111 2222 3333 4444 5555 6666 7777 a 9999"),
+      // no stopwords at all → ok_stopwords fails
+      (5L, "quick brown foxes jump over lazy dogs every single day")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        minWords = 10, minStopwords = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Boolean]("ok_words"), r.getAs[Boolean]("ok_mean_len"),
+          r.getAs[Boolean]("ok_alpha_words"), r.getAs[Boolean]("ok_stopwords"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(out(1L) == ((true, true, true, true, true)), out(1L))
+    assert(out(2L) == ((true, true, true, true, true)), out(2L))
+    assert(out(3L) == ((true, false, true, true, false)), out(3L))
+    assert(out(4L) == ((true, true, false, true, false)), out(4L))
+    assert(out(5L) == ((true, true, true, false, false)), out(5L))
+  }
+
+  test("gopherRules: shuffle-free — one projection over the corpus") {
+    val docs = Seq((1L, "the a b")).toDF("doc_id", "text")
+    val plan = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("lmScore: hand-computed fixed-point terms; sub-bigram docs excluded") {
     // corpus bigrams: (a,b)×2, (a,c)×1 → c1(a)=3
     // term(a,b) = round(ln(2/3)·1e6) = -405465; term(a,c) = round(ln(1/3)·1e6) = -1098612
