@@ -754,6 +754,17 @@ object SparkEntry {
         emb, emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding", 5)
     }),
 
+    // ---- V: MMR diversification — retrieve-then-rerank composition:
+    //      brute-force top-15 per query, then 5 greedy MMR rounds at
+    //      λ=0.7 (integer basis points — see Similarity.mmrDiversify) ----
+    "v10_mmr_diversify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cands = graft.ops.Similarity.bruteForceTopK(
+          emb, emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding", 15)
+        .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
+      graft.ops.Similarity.mmrDiversify(cands, emb, "vec_id", "embedding", 5, 7000)
+    }),
+
     // ---- V: string-keyed top-k — doc-UUID-shaped ids take the
     //      string-keyed bounded heap (not the window fallback); ids are
     //      deliberately UNpadded so binary string order diverges from
@@ -2308,6 +2319,70 @@ object SparkEntry {
            FROM s)
          SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
          FROM r WHERE rank <= 5""",
+
+    // greedy rounds unrolled (k=5 is a query constant); `pair` holds all
+    // candidate-candidate cosines so one expression serves every round.
+    // Integer λ coefficients (7000/3000/10000.0) mirror the engine's
+    // basis-point arithmetic bit-for-bit
+    "v10_mmr_diversify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         sc AS (SELECT query_id, c.vec_id AS neighbor_id, c.embedding AS vec,
+             list_sum(list_transform(range(1, len(qe)+1), x -> qe[x]::DOUBLE * c.embedding[x]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, len(qe)+1), x -> qe[x]::DOUBLE * qe[x]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), x -> c.embedding[x]::DOUBLE * c.embedding[x]::DOUBLE)))) AS cos
+           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+         cand AS (SELECT query_id, neighbor_id, ROUND(cos, 6) AS rel, vec FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+             FROM sc) WHERE rn <= 15),
+         pair AS (SELECT a.query_id, a.neighbor_id AS ci, b.neighbor_id AS cj,
+             list_sum(list_transform(range(1, len(a.vec)+1), x -> a.vec[x]::DOUBLE * b.vec[x]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, len(a.vec)+1), x -> a.vec[x]::DOUBLE * a.vec[x]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(b.vec)+1), x -> b.vec[x]::DOUBLE * b.vec[x]::DOUBLE)))) AS sim
+           FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+         sel1 AS (SELECT query_id, neighbor_id, rel AS mmr, 1 AS round FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id ASC) AS rn
+             FROM cand) WHERE rn = 1),
+         sims2 AS (SELECT c.query_id, c.neighbor_id,
+             ROUND((7000*c.rel - 3000*MAX(p.sim)) / 10000.0, 6) AS mmr
+           FROM cand c JOIN sel1 s ON s.query_id = c.query_id
+             JOIN pair p ON p.query_id = c.query_id AND p.ci = c.neighbor_id AND p.cj = s.neighbor_id
+           WHERE NOT EXISTS (SELECT 1 FROM sel1 x WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+           GROUP BY c.query_id, c.neighbor_id, c.rel),
+         pick2 AS (SELECT query_id, neighbor_id, mmr, 2 AS round FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rn
+             FROM sims2) WHERE rn = 1),
+         sel2 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM pick2),
+         sims3 AS (SELECT c.query_id, c.neighbor_id,
+             ROUND((7000*c.rel - 3000*MAX(p.sim)) / 10000.0, 6) AS mmr
+           FROM cand c JOIN sel2 s ON s.query_id = c.query_id
+             JOIN pair p ON p.query_id = c.query_id AND p.ci = c.neighbor_id AND p.cj = s.neighbor_id
+           WHERE NOT EXISTS (SELECT 1 FROM sel2 x WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+           GROUP BY c.query_id, c.neighbor_id, c.rel),
+         pick3 AS (SELECT query_id, neighbor_id, mmr, 3 AS round FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rn
+             FROM sims3) WHERE rn = 1),
+         sel3 AS (SELECT * FROM sel2 UNION ALL SELECT * FROM pick3),
+         sims4 AS (SELECT c.query_id, c.neighbor_id,
+             ROUND((7000*c.rel - 3000*MAX(p.sim)) / 10000.0, 6) AS mmr
+           FROM cand c JOIN sel3 s ON s.query_id = c.query_id
+             JOIN pair p ON p.query_id = c.query_id AND p.ci = c.neighbor_id AND p.cj = s.neighbor_id
+           WHERE NOT EXISTS (SELECT 1 FROM sel3 x WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+           GROUP BY c.query_id, c.neighbor_id, c.rel),
+         pick4 AS (SELECT query_id, neighbor_id, mmr, 4 AS round FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rn
+             FROM sims4) WHERE rn = 1),
+         sel4 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM pick4),
+         sims5 AS (SELECT c.query_id, c.neighbor_id,
+             ROUND((7000*c.rel - 3000*MAX(p.sim)) / 10000.0, 6) AS mmr
+           FROM cand c JOIN sel4 s ON s.query_id = c.query_id
+             JOIN pair p ON p.query_id = c.query_id AND p.ci = c.neighbor_id AND p.cj = s.neighbor_id
+           WHERE NOT EXISTS (SELECT 1 FROM sel4 x WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+           GROUP BY c.query_id, c.neighbor_id, c.rel),
+         pick5 AS (SELECT query_id, neighbor_id, mmr, 5 AS round FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rn
+             FROM sims5) WHERE rn = 1),
+         sel5 AS (SELECT * FROM sel4 UNION ALL SELECT * FROM pick5)
+         SELECT query_id, neighbor_id, round, mmr FROM sel5""",
 
     "v1s_topk_string_ids" ->
       """WITH q AS (SELECT 'doc-' || CAST(vec_id AS VARCHAR) AS query_id, embedding AS qe

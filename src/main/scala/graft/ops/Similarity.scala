@@ -152,6 +152,83 @@ object Similarity {
     bfSlot.persist(rankTopK(scored, k))
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * re-rank: from each query's candidate pool, greedily select `k`
+    * results maximizing `λ·relevance − (1−λ)·max-similarity-to-already-
+    * selected` — the standard diversification pass between retrieval
+    * and consumption (dedup-aware RAG, diverse few-shot pools).
+    *
+    * Greedy selection is inherently sequential in `k`, so the operator
+    * unrolls `k` rounds of declarative plans: each round joins the
+    * remaining candidates to the selected set (both bounded by the
+    * candidate pool, ≤ poolSize rows per query), takes the per-pair
+    * kernel cosine, aggregates the max, and picks the per-query argmax
+    * with a window over ≤ poolSize rows. Everything shuffles on
+    * query_id only; per-round state never exceeds the pool, so the
+    * cost is `k` small co-partitioned stages — NOT k passes over the
+    * corpus. `k` is a re-rank depth (5–20); the plan grows linearly
+    * with it, which is the right trade for a post-retrieval operator.
+    *
+    * Cross-engine determinism (same doctrine as [[TextAnalysis.tfidf]]):
+    * the MMR score is ROUNDED to 6 decimals before the argmax and ties
+    * break on neighbor id, so rank order survives sub-ulp libm
+    * differences. λ comes in as integer BASIS POINTS
+    * (`mmr = (λbp·rel − (10000−λbp)·maxsim) / 10000`): a float λ would
+    * make engines disagree in the last ulp of `1−λ` (Scala's
+    * `1.0 − 0.7` ≠ SQL's `0.3`), while integer coefficients make every
+    * FP operation literal-identical. Round 1 is pure relevance
+    * (`mmr = rel`).
+    *
+    * @param candidates (query_id, neighbor_id, rel) — retrieval output;
+    *                   rel should already be rounded (e.g.
+    *                   [[bruteForceTopK]]'s 6-decimal cosine)
+    * @param vectors    (idCol, vecCol) to look up candidate vectors
+    * @param lambdaBp   relevance weight λ in basis points (7000 = 0.7)
+    * @return (query_id, neighbor_id, round 1..k, mmr)
+    */
+  def mmrDiversify(
+      candidates: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lambdaBp: Int = 7000): DataFrame = {
+    require(k >= 1, s"k must be ≥ 1, got $k")
+    require(lambdaBp >= 0 && lambdaBp <= 10000,
+      s"lambdaBp must be in [0, 10000], got $lambdaBp")
+    val cand = candidates
+      .join(vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("vec"))
+    val byMmr = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("mmr").desc, col("neighbor_id").asc)
+    var selected = cand
+      .withColumn("mmr", col("rel"))
+      .withColumn("rn", row_number().over(byMmr)).where(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("vec"),
+        col("mmr"), lit(1).as("round"))
+    var remaining = cand.join(selected.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_anti")
+    for (r <- 2 to k) {
+      val scored = remaining
+        .join(selected.select(col("query_id"), col("vec").as("svec")), Seq("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(first(col("rel")).as("rel"), first(col("vec")).as("vec"),
+          max(cosine_native(col("vec"), col("svec"))).as("maxsim"))
+        .withColumn("mmr",
+          round((lit(lambdaBp) * col("rel") - lit(10000 - lambdaBp) * col("maxsim"))
+            / lit(10000.0), 6))
+      val pick = scored
+        .withColumn("rn", row_number().over(byMmr)).where(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rel"), col("vec"),
+          col("mmr"), lit(r).as("round"))
+      selected = selected.unionByName(pick)
+      remaining = remaining.join(pick.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+    }
+    selected.select(col("query_id"), col("neighbor_id"), col("round"), col("mmr"))
+  }
+
   /** Deterministic mini k-means for IVF centroids: stride-sampled seeds
     * refined by `iters` Lloyd iterations, entirely as DataFrame plans.
     * Assign is one narrow codegen pass (the centroid set collapses to a

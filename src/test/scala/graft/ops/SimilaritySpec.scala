@@ -376,4 +376,38 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       assert(idx.cells.storageLevel.useMemory || idx.cells.storageLevel.useDisk)
     } finally idx.unpersist()
   }
+
+  test("mmrDiversify: a diverse candidate outranks a redundant higher-relevance one") {
+    // A and B point the same way; C is orthogonal with lower relevance.
+    // Pure relevance would rank A, B, C — MMR must pick A, C, B.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),   // A
+      (2L, Array(1.0f, 0.0f)),   // B — duplicate direction of A
+      (3L, Array(0.0f, 1.0f)))   // C — orthogonal
+      .toDF("vec_id", "embedding")
+    val cands = Seq(
+      (100L, 1L, 0.99), (100L, 2L, 0.98), (100L, 3L, 0.60))
+      .toDF("query_id", "neighbor_id", "rel")
+    val out = Similarity.mmrDiversify(cands, vecs, "vec_id", "embedding", 3, 7000)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("mmr")))
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L), out.toSeq)
+    // round 2: C scores 0.7·0.6 − 0.3·0 = 0.42 > B's 0.7·0.98 − 0.3·1 = 0.386
+    assert(out(1)._3 == 0.42, out(1)._3)
+    assert(out(2)._3 == 0.386, out(2)._3)
+  }
+
+  test("mmrDiversify: pool smaller than k stops early; ties break on id") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // identical relevance and orthogonal vectors → round 1 tie on mmr,
+    // lower id must win
+    val cands = Seq((100L, 2L, 0.9), (100L, 1L, 0.9))
+      .toDF("query_id", "neighbor_id", "rel")
+    val out = Similarity.mmrDiversify(cands, vecs, "vec_id", "embedding", 5, 7000)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[Long]("neighbor_id")))
+    assert(out.toSeq == Seq((1, 1L), (2, 2L)), out.toSeq) // k=5 but only 2 rows
+  }
 }
