@@ -71,4 +71,16 @@ class AqeAtSizeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("AQEShuffleRead coalesced"),
       s"no runtime shuffle coalescing:\n$p")
   }
+
+  test("t19 at sf0.01: the LM model side broadcasts at runtime (vocab ≪ corpus)") {
+    // the bigram model is vocabulary-sized (≪ the doc-bigram fan-out);
+    // the operator ships it hint-free, so AQE must convert the scoring
+    // join to broadcast from the model's materialized size
+    val p = finalPlan("t19_lm_score")
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"LM model join not broadcast at sf0.01:\n$p")
+    assert(p.contains("AQEShuffleRead coalesced"),
+      s"no runtime shuffle coalescing:\n$p")
+  }
 }
