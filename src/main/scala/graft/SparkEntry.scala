@@ -254,6 +254,21 @@ object SparkEntry {
                GROUP BY r_name""")
     }),
 
+    // ---- explicit GROUPING SETS (the general form rollup/cube are
+    //      special cases of) + GROUPING() disambiguation of real vs
+    //      aggregate NULLs ----
+    "x13_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+                 CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+                 CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+               FROM orders_v
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                       (o_orderstatus, o_orderpriority), ())""")
+    }),
+
     // ---- SRC3: JSONL corpus roundtrip — write documents as JSON-Lines
     //      (the LLM-corpus interchange format), read back with the
     //      EXPLICIT parquet schema (no inference pass) through the
@@ -1424,6 +1439,16 @@ object SparkEntry {
 
     "src4_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    "x13_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                 (o_orderstatus, o_orderpriority), ())""",
 
     "w1_window_dedup" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
