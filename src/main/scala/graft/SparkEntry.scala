@@ -254,6 +254,16 @@ object SparkEntry {
                GROUP BY r_name""")
     }),
 
+    // ---- table profiling — per-column rows/nulls/distincts/bounds in
+    //      ONE pass, unpivoted to a columns-sized result ----
+    "x14_profile" -> ((s, dir) =>
+      graft.ops.Profiling.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"))),
+
+    // ---- fixed-width value histogram (floor-of-division bins) ----
+    "e17_histogram" -> ((s, dir) =>
+      graft.ops.Profiling.histogram(t(s, dir, "orders"), "o_totalprice", 50000L)),
+
     // ---- explicit GROUPING SETS (the general form rollup/cube are
     //      special cases of) + GROUPING() disambiguation of real vs
     //      aggregate NULLs ----
@@ -1439,6 +1449,42 @@ object SparkEntry {
 
     "src4_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    // bounds cross as strings — doubles through DECIMAL(18,2) (shortest-
+    // double formatting is engine-specific; fixed-scale strings are not)
+    "x14_profile" ->
+      """SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+           COUNT(o_orderkey) AS n_non_null, COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+         FROM orders""",
+
+    // FLOOR of the double division (never a double->int cast: Spark
+    // truncates, DuckDB rounds); both engines divide identically
+    "e17_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+         CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) * 50000 AS bin_lo,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders WHERE o_totalprice IS NOT NULL
+         GROUP BY 1""",
 
     "x13_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
