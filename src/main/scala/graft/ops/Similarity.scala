@@ -159,15 +159,22 @@ object Similarity {
     * and consumption (dedup-aware RAG, diverse few-shot pools).
     *
     * Greedy selection is inherently sequential in `k`, so the operator
-    * unrolls `k` rounds of declarative plans: each round joins the
-    * remaining candidates to the selected set (both bounded by the
-    * candidate pool, ≤ poolSize rows per query), takes the per-pair
-    * kernel cosine, aggregates the max, and picks the per-query argmax
-    * with a window over ≤ poolSize rows. Everything shuffles on
-    * query_id only; per-round state never exceeds the pool, so the
-    * cost is `k` small co-partitioned stages — NOT k passes over the
-    * corpus. `k` is a re-rank depth (5–20); the plan grows linearly
-    * with it, which is the right trade for a post-retrieval operator.
+    * runs `k` rounds, each joining the remaining candidates to the
+    * selected set (both bounded by the candidate pool, ≤ poolSize rows
+    * per query), taking the per-pair kernel cosine max and the
+    * per-query argmax with a window over ≤ poolSize rows. Everything
+    * shuffles on query_id only — never another corpus pass.
+    *
+    * The pool and each round's picks are MATERIALIZED eagerly
+    * (`localCheckpoint`): a purely declarative unrolling would
+    * reference each round's frames twice (pick + remaining), doubling
+    * the shared subtree per round — 2^k re-executions of the retrieval
+    * lineage (measured 56 s for k=5 at sf0.1; materialized: ~2 s). The
+    * checkpoint state is poolSize·|Q| rows — the retrieve-then-rerank
+    * contract already bounds that. Caveat: localCheckpoint blocks are
+    * executor-local; on a cluster, a lost executor fails the query
+    * (rerun) rather than recomputing lineage — the right trade for an
+    * interactive re-rank. `k` is a re-rank depth (5–20).
     *
     * Cross-engine determinism (same doctrine as [[TextAnalysis.tfidf]]):
     * the MMR score is ROUNDED to 6 decimals before the argmax and ties
@@ -196,35 +203,37 @@ object Similarity {
     require(k >= 1, s"k must be ≥ 1, got $k")
     require(lambdaBp >= 0 && lambdaBp <= 10000,
       s"lambdaBp must be in [0, 10000], got $lambdaBp")
+    // pool materialized ONCE — the retrieval lineage (a brute-force or
+    // ANN pass) must never re-execute inside the round loop
     val cand = candidates
       .join(vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")),
         Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("rel"), col("vec"))
+      .localCheckpoint(true)
     val byMmr = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("mmr").desc, col("neighbor_id").asc)
-    var selected = cand
-      .withColumn("mmr", col("rel"))
-      .withColumn("rn", row_number().over(byMmr)).where(col("rn") === 1)
-      .select(col("query_id"), col("neighbor_id"), col("rel"), col("vec"),
-        col("mmr"), lit(1).as("round"))
-    var remaining = cand.join(selected.select("query_id", "neighbor_id"),
-      Seq("query_id", "neighbor_id"), "left_anti")
-    for (r <- 2 to k) {
-      val scored = remaining
-        .join(selected.select(col("query_id"), col("vec").as("svec")), Seq("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(first(col("rel")).as("rel"), first(col("vec")).as("vec"),
-          max(cosine_native(col("vec"), col("svec"))).as("maxsim"))
-        .withColumn("mmr",
-          round((lit(lambdaBp) * col("rel") - lit(10000 - lambdaBp) * col("maxsim"))
-            / lit(10000.0), 6))
+    var picks = List.empty[DataFrame]
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val scored =
+        if (r == 1) cand.withColumn("mmr", col("rel"))
+        else cand
+          .join(selected.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_anti")
+          .join(selected.select(col("query_id"), col("vec").as("svec")), Seq("query_id"))
+          .groupBy("query_id", "neighbor_id")
+          .agg(first(col("rel")).as("rel"), first(col("vec")).as("vec"),
+            max(cosine_native(col("vec"), col("svec"))).as("maxsim"))
+          .withColumn("mmr",
+            round((lit(lambdaBp) * col("rel") - lit(10000 - lambdaBp) * col("maxsim"))
+              / lit(10000.0), 6))
       val pick = scored
         .withColumn("rn", row_number().over(byMmr)).where(col("rn") === 1)
         .select(col("query_id"), col("neighbor_id"), col("rel"), col("vec"),
           col("mmr"), lit(r).as("round"))
-      selected = selected.unionByName(pick)
-      remaining = remaining.join(pick.select("query_id", "neighbor_id"),
-        Seq("query_id", "neighbor_id"), "left_anti")
+        .localCheckpoint(true) // ≤ |Q| rows; cuts the round's lineage
+      picks = picks :+ pick
+      selected = picks.reduce(_ unionByName _)
     }
     selected.select(col("query_id"), col("neighbor_id"), col("round"), col("mmr"))
   }
