@@ -254,6 +254,22 @@ object SparkEntry {
                GROUP BY r_name""")
     }),
 
+    // ---- G: fixed-point PageRank over the customer↔supplier trade
+    //      graph (both directions of each distinct (cust, supp) pair
+    //      from orders⋈lineitem) — the domain-authority ranking signal
+    //      web-corpus pipelines gate crawl quality with. 5 power
+    //      iterations, damping 0.85, all-integer micro-unit ranks so
+    //      accumulation order cannot move a single bit ----
+    "g1_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("a"),
+          concat(lit("s:"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      graft.ops.Graph.pageRank(edges, "a", "b", iterations = 5, dampingBp = 8500)
+    }),
+
     // ---- table profiling — per-column rows/nulls/distincts/bounds in
     //      ONE pass, unpivoted to a columns-sized result ----
     "x14_profile" -> ((s, dir) =>
@@ -1449,6 +1465,36 @@ object SparkEntry {
 
     "src4_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    // the engine's fixed-point power iteration replayed exactly: 5
+    // unrolled rounds, all-integer micro-unit ranks (`//` floor division
+    // matches Spark's `div` on the non-negative ranks), so both engines
+    // compute the identical long at every node after every round
+    "g1_pagerank" ->
+      """WITH p AS (SELECT DISTINCT 'c:' || o_custkey AS a, 's:' || l_suppkey AS b
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM p
+               UNION ALL SELECT b, a FROM p),
+         deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+         n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM n),
+         r1 AS (SELECT n.node, CAST(150000 + (8500 * CAST(COALESCE(s.m, 0) AS BIGINT)) // 10000 AS BIGINT) AS rank_fp
+                FROM n LEFT JOIN (SELECT dst AS node, SUM(rank_fp // outdeg) AS m
+                                  FROM ed JOIN r0 ON ed.src = r0.node GROUP BY dst) s USING (node)),
+         r2 AS (SELECT n.node, CAST(150000 + (8500 * CAST(COALESCE(s.m, 0) AS BIGINT)) // 10000 AS BIGINT) AS rank_fp
+                FROM n LEFT JOIN (SELECT dst AS node, SUM(rank_fp // outdeg) AS m
+                                  FROM ed JOIN r1 ON ed.src = r1.node GROUP BY dst) s USING (node)),
+         r3 AS (SELECT n.node, CAST(150000 + (8500 * CAST(COALESCE(s.m, 0) AS BIGINT)) // 10000 AS BIGINT) AS rank_fp
+                FROM n LEFT JOIN (SELECT dst AS node, SUM(rank_fp // outdeg) AS m
+                                  FROM ed JOIN r2 ON ed.src = r2.node GROUP BY dst) s USING (node)),
+         r4 AS (SELECT n.node, CAST(150000 + (8500 * CAST(COALESCE(s.m, 0) AS BIGINT)) // 10000 AS BIGINT) AS rank_fp
+                FROM n LEFT JOIN (SELECT dst AS node, SUM(rank_fp // outdeg) AS m
+                                  FROM ed JOIN r3 ON ed.src = r3.node GROUP BY dst) s USING (node)),
+         r5 AS (SELECT n.node, CAST(150000 + (8500 * CAST(COALESCE(s.m, 0) AS BIGINT)) // 10000 AS BIGINT) AS rank_fp
+                FROM n LEFT JOIN (SELECT dst AS node, SUM(rank_fp // outdeg) AS m
+                                  FROM ed JOIN r4 ON ed.src = r4.node GROUP BY dst) s USING (node))
+         SELECT node, rank_fp FROM r5""",
 
     // bounds cross as strings — doubles through DECIMAL(18,2) (shortest-
     // double formatting is engine-specific; fixed-scale strings are not)
