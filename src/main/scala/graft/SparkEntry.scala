@@ -270,6 +270,67 @@ object SparkEntry {
       graft.ops.Graph.pageRank(edges, "a", "b", iterations = 5, dampingBp = 8500)
     }),
 
+    // ---- SRC5: hive-partitioned parquet roundtrip — documents
+    //      partitioned by lang, read back pruned to two partitions
+    //      (the filter eliminates the other directories at planning
+    //      time; the spec asserts PartitionFilters + file count) ----
+    "src5_partitioned_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scratch = java.nio.file.Files.createTempDirectory("graft_src5_part_").toFile
+      org.apache.spark.graft.sparkShims.deleteDirOnExit(scratch)
+      graft.sources.PartitionedSource.write(docs, scratch.getAbsolutePath, Seq("lang"))
+      graft.sources.PartitionedSource.read(s, scratch.getAbsolutePath, docs.schema)
+        .where(col("lang").isin("en", "de"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
+    // ---- T: fastText-shaped hashed-linear quality classifier — the
+    //      corpus-wide model-inference pass (hashing trick over
+    //      unigram+bigram features, weights table join, integer
+    //      micro-unit score). The synthetic weights stand in for a
+    //      trained model; the SHAPE (bucket join + hash agg) is the
+    //      production path ----
+    "t22_classifier" -> ((s, dir) =>
+      graft.ops.Classifier.hashedLinearScore(
+        t(s, dir, "documents"), "doc_id", "text",
+        graft.ops.Classifier.syntheticWeights(s, 4096), 4096)),
+
+    // ---- T: PMI collocations — corpus-wide phrase mining over
+    //      adjacent bigrams, micro-nat fixed-point scores ----
+    "t23_pmi" -> ((s, dir) =>
+      graft.ops.TextAnalysis.pmiCollocations(
+        t(s, dir, "documents"), "doc_id", "text", minCount = 5)),
+
+    // ---- exact discrete percentiles per group — the PORTABLE
+    //      formulation (value at rank ceil(p·n), rank arithmetic as
+    //      integer cross-multiplication, never p·n in floats: 0.9·n can
+    //      land on either side of an integer depending on the engine's
+    //      double grid). Ties in `value` are rank-interchangeable, so
+    //      the picked VALUE is deterministic even though row_number
+    //      ties are not ----
+    "x15_percentiles" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("value")
+      events(s, dir).select(col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          max(when(col("rn") === expr("(5000 * n + 9999) div 10000"), col("value"))).as("p50"),
+          max(when(col("rn") === expr("(9000 * n + 9999) div 10000"), col("value"))).as("p90"),
+          max(when(col("rn") === expr("(9900 * n + 9999) div 10000"), col("value"))).as("p99"))
+    }),
+
+    // ---- pivot (long→wide): per-user-segment event-type counts
+    //      through Spark's relational pivot; absent combinations
+    //      coalesce to 0 so the shape matches SQL conditional
+    //      aggregation exactly ----
+    "x16_pivot" -> ((s, dir) => {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      val p = events(s, dir).withColumn("seg", col("user_id") % 10)
+        .groupBy("seg").pivot("event_type", types).agg(count(lit(1)))
+      p.select(col("seg") +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+    }),
+
     // ---- table profiling — per-column rows/nulls/distincts/bounds in
     //      ONE pass, unpivoted to a columns-sized result ----
     "x14_profile" -> ((s, dir) =>
@@ -1495,6 +1556,65 @@ object SparkEntry {
                 FROM n LEFT JOIN (SELECT dst AS node, SUM(rank_fp // outdeg) AS m
                                   FROM ed JOIN r4 ON ed.src = r4.node GROUP BY dst) s USING (node))
          SELECT node, rank_fp FROM r5""",
+
+    "src5_partitioned_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE lang IN ('en', 'de')""",
+
+    // the hashed classifier replayed exactly: same md5 bucketing, same
+    // synthetic weight formula, integer score sum — engine-exact
+    "t22_classifier" ->
+      """WITH wt AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS weight_fp
+                     FROM range(4096) t(i)),
+         d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+         f AS (SELECT doc_id,
+                 unnest(w || list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS f
+               FROM d WHERE len(w) >= 1),
+         b AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket FROM f),
+         sc AS (SELECT doc_id, COUNT(*) AS n_features, CAST(SUM(weight_fp) AS BIGINT) AS score_fp
+                FROM b JOIN wt USING (bucket) GROUP BY doc_id)
+         SELECT doc_id, n_features, score_fp,
+           CASE WHEN score_fp >= 0 THEN 'keep' ELSE 'drop' END AS label
+         FROM sc""",
+
+    // identical IEEE expression tree: double(c2)·N / (double(cx)·cy),
+    // ln, round to micro-nats — engine-exact like t19
+    "t23_pmi" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+         bg AS (SELECT unnest(list_transform(range(1, len(w)),
+                  i -> struct_pack(w1 := w[i], w2 := w[i+1])), recursive := true)
+                FROM d WHERE len(w) >= 2),
+         cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+         cx AS (SELECT w1, COUNT(*) AS cx FROM bg GROUP BY 1),
+         cy AS (SELECT w2, COUNT(*) AS cy FROM bg GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_bigrams FROM bg)
+         SELECT w1, w2, c2,
+           CAST(round(ln(CAST(c2 AS DOUBLE) * n_bigrams /
+             (CAST(cx AS DOUBLE) * cy)) * 1000000, 0) AS BIGINT) AS pmi_fp
+         FROM cb JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN n
+         WHERE c2 >= 5""",
+
+    // same manual disc-percentile formulation — integer rank targets,
+    // so both engines pick the value at the identical rank
+    "x15_percentiles" ->
+      """WITH r AS (SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type, MAX(n) AS n,
+           MAX(CASE WHEN rn = (5000 * n + 9999) // 10000 THEN value END) AS p50,
+           MAX(CASE WHEN rn = (9000 * n + 9999) // 10000 THEN value END) AS p90,
+           MAX(CASE WHEN rn = (9900 * n + 9999) // 10000 THEN value END) AS p99
+         FROM r GROUP BY event_type""",
+
+    "x16_pivot" ->
+      """SELECT user_id % 10 AS seg,
+           COUNT(*) FILTER (event_type = 'view') AS view,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'error') AS error
+         FROM events GROUP BY 1""",
 
     // bounds cross as strings — doubles through DECIMAL(18,2) (shortest-
     // double formatting is engine-specific; fixed-scale strings are not)

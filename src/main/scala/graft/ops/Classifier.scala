@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hashed-feature linear classifier inference — the fastText-shaped
+  * quality-classifier pass LLM data pipelines run corpus-wide (GPT-3's
+  * WebText-similarity filter, LLaMA's Wikipedia-reference classifier;
+  * Joulin et al. 2016). The model is a WEIGHTS TABLE, not code: features
+  * hash into a fixed bucket space (the hashing trick), each bucket
+  * carries a learned weight, and a document's score is the sum of its
+  * feature-occurrence weights.
+  *
+  * Cross-engine determinism: features bucket via the engine's standard
+  * portable hash (first 8 md5 hex digits mod `buckets` — the t10/t13
+  * recipe), and weights are fixed-point micro-units in a LONG, so the
+  * per-doc score is an integer sum that no accumulation order can move.
+  * The keep/drop decision is `score_fp >= 0` — exact.
+  *
+  * Scale shape (100 TB contract): one tokenize pass fanned out AFTER a
+  * repartition on the id (the engine's standard fan-out guard), feature
+  * rows join the buckets-sized weights table (AQE broadcasts it — the
+  * model is KB-to-MB scale by construction), then one hash aggregate
+  * back to doc grain with map-side partials. Nothing touches the driver;
+  * no UDFs — the whole path is codegen'd built-ins.
+  */
+object Classifier {
+
+  /** Deterministic synthetic model weights: bucket b's micro-unit weight
+    * is `(b * 2654435761) % 2001 - 1000` ∈ [-1000, 1000] (Knuth's
+    * multiplicative constant; any engine reproduces the table exactly).
+    * Stands in for trained weights in tests/oracles — a real model loads
+    * the same (bucket, weight_fp) shape from its training job.
+    */
+  def syntheticWeights(spark: SparkSession, buckets: Int): DataFrame =
+    spark.range(buckets).select(col("id").as("bucket"),
+      (col("id") * 2654435761L % 2001L - 1000L).as("weight_fp"))
+
+  /** Portable feature bucket: first 8 md5 hex digits of the feature
+    * string, mod the bucket space (identical to `Corpus`'s split/mix
+    * bucketing, so every engine agrees on the bit pattern).
+    */
+  private def bucketOf(feature: Column, buckets: Int): Column =
+    conv(substring(md5(feature), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Score every document against a (bucket, weight_fp) linear model
+    * over hashed unigram + adjacent-bigram features of the lowercased
+    * whitespace token stream. Feature OCCURRENCES count (bag-of-words,
+    * fastText's `-wordNgrams 2` feature space).
+    *
+    * @return (idCol, n_features, score_fp, label) for docs with ≥ 1
+    *         token; `label` is 'keep' iff the integer score is ≥ 0
+    */
+  def hashedLinearScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "bucket space must be positive")
+    val base = docs
+      .repartition(col(idCol))
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("w"))
+      .where(size(col("w")) >= 1)
+    // unigrams ++ adjacent bigrams ("w1 w2"), one array expression —
+    // a single explode fans out both families. The size guard matters:
+    // sequence(0, -1) DESCENDS in Spark, so an unguarded one-token doc
+    // would fabricate a null bigram
+    val feats = base.select(col(idCol),
+        explode(concat(col("w"), expr(
+          """IF(size(w) >= 2,
+                transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])),
+                array())"""))).as("f"))
+      .select(col(idCol), bucketOf(col("f"), buckets).as("bucket"))
+    feats.join(weights.select(col("bucket"), col("weight_fp")), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"), sum("weight_fp").as("score_fp"))
+      .withColumn("label", when(col("score_fp") >= 0L, "keep").otherwise("drop"))
+  }
+}

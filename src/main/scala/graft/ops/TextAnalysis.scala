@@ -293,6 +293,52 @@ object TextAnalysis {
         col("ok_words") && col("ok_mean_len") && col("ok_alpha_words") && col("ok_stopwords"))
   }
 
+  /** Corpus-wide PMI collocations (Church & Hanks 1990) over adjacent
+    * lowercased-token bigrams — the phrase-mining pass that finds
+    * multi-word expressions worth keeping whole during tokenization.
+    *
+    *   pmi(w1, w2) = ln( c(w1,w2) · N / (c_first(w1) · c_second(w2)) )
+    *
+    * with N the total bigram count, `c_first`/`c_second` positional
+    * unigram counts. Cross-engine determinism: the ratio is computed as
+    * `double(c2) · N / (double(cx) · cy)` — the identical IEEE
+    * expression tree in any engine — then fixed-pointed to micro-nats
+    * (`lmScore`'s recipe, same 1-ulp-at-a-rounding-boundary caveat,
+    * same exhaustive oracle verification).
+    *
+    * Scale shape: bigram fan-out after the standard id repartition;
+    * three hash aggregates over the VOCABULARY (≪ corpus); the
+    * minCount filter prunes the pair table before any join; the two
+    * positional-count joins are vocabulary-sized (AQE broadcasts); the
+    * scalar N crosses as a one-row crossJoin. Nothing driver-side.
+    *
+    * @return (w1, w2, c2, pmi_fp) for pairs with c2 ≥ minCount
+    */
+  def pmiCollocations(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Int = 5): DataFrame = {
+    val base = docs
+      .repartition(col(idCol))
+      .select(col(idCol), tokens(lower(col(textCol))).as("w"))
+      .where(size(col("w")) >= 2)
+    val bg = base.select(
+        explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> named_struct('w1', w[i], 'w2', w[i+1]))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cx = bg.groupBy("w1").agg(count(lit(1)).as("cx"))
+    val cy = bg.groupBy("w2").agg(count(lit(1)).as("cy"))
+    val n = bg.agg(count(lit(1)).as("n_bigrams"))
+    pairs.where(col("c2") >= minCount)
+      .join(cx, Seq("w1")).join(cy, Seq("w2"))
+      .crossJoin(n)
+      .select(col("w1"), col("w2"), col("c2"),
+        round(log(col("c2").cast("double") * col("n_bigrams") /
+          (col("cx").cast("double") * col("cy"))) * 1e6, 0).cast("long").as("pmi_fp"))
+  }
+
   /** Convenience: full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClassifierSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  // constant-weight model: every bucket weighs `w` micro-units, so a
+  // doc's score is w * n_features — feature counting is then directly
+  // observable without reverse-engineering md5 buckets
+  private def flatWeights(w: Long) =
+    spark.range(64).select(col("id").as("bucket"), lit(w).as("weight_fp"))
+
+  test("feature space is unigrams + adjacent bigrams, occurrences counted") {
+    val docs = Seq((1L, "x y"), (2L, "a a a")).toDF("id", "text")
+    val out = Classifier.hashedLinearScore(docs, "id", "text", flatWeights(1L), 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "x y"  -> x, y, "x y"            = 3 features
+    // "a a a"-> a×3, "a a"×2           = 5 features (occurrences, not distinct)
+    assert(out(1L) == ((3L, 3L)))
+    assert(out(2L) == ((5L, 5L)))
+  }
+
+  test("one-token doc yields exactly one feature — no fabricated null bigram") {
+    // sequence(0, -1) DESCENDS in Spark; the size guard must keep a
+    // single-token doc at 1 unigram instead of adding a null bigram
+    val docs = Seq((1L, "hello")).toDF("id", "text")
+    val out = Classifier.hashedLinearScore(docs, "id", "text", flatWeights(1L), 64)
+      .collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L && out.head.getLong(2) == 1L)
+  }
+
+  test("label is the sign of the integer score; empty docs are excluded") {
+    val docs = Seq((1L, "good text here"), (2L, "   "), (3L, "")).toDF("id", "text")
+    val keep = Classifier.hashedLinearScore(docs, "id", "text", flatWeights(5L), 64)
+    val drop = Classifier.hashedLinearScore(docs, "id", "text", flatWeights(-5L), 64)
+    assert(keep.collect().map(r => (r.getLong(0), r.getString(3))).toSet == Set(1L -> "keep"))
+    assert(drop.collect().map(r => (r.getLong(0), r.getString(3))).toSet == Set(1L -> "drop"))
+  }
+
+  test("case folding: features come from the lowercased token stream") {
+    val docs = Seq((1L, "Word WORD word")).toDF("id", "text")
+    val out = Classifier.hashedLinearScore(docs, "id", "text", flatWeights(1L), 64)
+      .collect().head
+    assert(out.getLong(1) == 5L) // word×3 + "word word"×2 — all fold together
+  }
+
+  test("synthetic weights: full bucket space, bounded range, deterministic") {
+    val w = Classifier.syntheticWeights(spark, 4096).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size == 4096)
+    assert(w.values.forall(v => v >= -1000L && v <= 1000L))
+    assert(w(0L) == -1000L) // 0 * k % 2001 - 1000
+    assert(w(1L) == 2654435761L % 2001L - 1000L)
+    val again = Classifier.syntheticWeights(spark, 4096).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w == again)
+  }
+
+  test("score equals the sum of the matched bucket weights (hand-joined)") {
+    // cross-check against an independent formulation: explode the same
+    // features via SQL and join the same weights table
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha")).toDF("id", "text")
+    val w = Classifier.syntheticWeights(spark, 4096)
+    val got = Classifier.hashedLinearScore(docs, "id", "text", w, 4096)
+      .select("id", "score_fp").as[(Long, Long)].collect().toMap
+    docs.createOrReplaceTempView("cls_docs")
+    w.createOrReplaceTempView("cls_w")
+    val manual = spark.sql(
+      """SELECT id, sum(weight_fp) AS s FROM (
+           SELECT id, CAST(conv(substring(md5(f), 1, 8), 16, 10) AS BIGINT) % 4096 AS bucket
+           FROM (SELECT id, explode(concat(w,
+                   IF(size(w) >= 2, transform(sequence(0, size(w) - 2),
+                      i -> concat(w[i], ' ', w[i+1])), array()))) AS f
+                 FROM (SELECT id, split(lower(text), '\\s+') AS w FROM cls_docs))
+         ) JOIN cls_w USING (bucket) GROUP BY id""")
+      .as[(Long, Long)].collect().toMap
+    assert(got == manual)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String)], iters: Int): Map[String, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iterations = iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("a cycle is a fixed point: every node keeps exactly 1e6 micro-units") {
+    // outdeg 1 everywhere -> each node receives exactly one full rank;
+    // 150000 + 8500*1e6/10000 = 1e6 again, bit-exactly, every round
+    val out = ranks(Seq("A" -> "B", "B" -> "C", "C" -> "A"), 5)
+    assert(out == Map("A" -> 1000000L, "B" -> 1000000L, "C" -> 1000000L))
+  }
+
+  test("star graph: two hand-computed rounds, floor division and all") {
+    val edges = Seq("C" -> "X1", "C" -> "X2", "C" -> "X3", "C" -> "X4",
+      "X1" -> "C", "X2" -> "C", "X3" -> "C", "X4" -> "C")
+    // r1: C = 150000 + 8500*4e6/10000 = 3550000
+    //     Xi = 150000 + 8500*(1e6 div 4)/10000 = 362500
+    val r1 = ranks(edges, 1)
+    assert(r1("C") == 3550000L && r1("X1") == 362500L && r1("X4") == 362500L)
+    // r2: C = 150000 + 8500*(4*362500)/10000 = 1382500
+    //     Xi = 150000 + (8500*(3550000 div 4)) div 10000 = 904375
+    val r2 = ranks(edges, 2)
+    assert(r2("C") == 1382500L && r2("X2") == 904375L)
+  }
+
+  test("dangling sink drops its mass; source with no in-edges gets the teleport base") {
+    val out = ranks(Seq("A" -> "B"), 1)
+    // A receives nothing -> base only; B receives A's full rank
+    assert(out == Map("A" -> 150000L, "B" -> 1000000L))
+    // next round B's mass vanishes (sink): both fall toward the base
+    val out2 = ranks(Seq("A" -> "B"), 2)
+    assert(out2("A") == 150000L && out2("B") == 277500L) // 150000 + 8500*150000/10000
+  }
+
+  test("integral-id edges are accepted (cast to string internally)") {
+    val out = Graph.pageRank(Seq((1L, 2L), (2L, 1L)).toDF("s", "d"), "s", "d", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("1" -> 1000000L, "2" -> 1000000L))
+  }
+
+  test("authority ordering: a node every other node links to outranks the periphery") {
+    val spokes = (1 to 6).map(i => s"X$i" -> "HUB") ++ (1 to 6).map(i => "HUB" -> s"X$i")
+    val out = ranks(spokes, 5)
+    assert((1 to 6).forall(i => out("HUB") > out(s"X$i")))
+  }
+}

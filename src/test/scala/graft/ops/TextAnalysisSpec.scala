@@ -157,4 +157,26 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     // -405465 sits strictly between the thresholds; -1098612 is below tail
     assert(out == Map(1L -> "middle", 2L -> "middle", 3L -> "tail"), out)
   }
+
+  test("pmiCollocations: hand-computed micro-nat scores and the minCount gate") {
+    // corpus bigrams: doc1 "a b a b" -> (a,b),(b,a),(a,b); doc2 "a c" -> (a,c)
+    // N=4; c2(a,b)=2, cx(a)=3, cy(b)=2 -> pmi = ln(2·4/(3·2)) = ln(4/3)
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val strict = TextAnalysis.pmiCollocations(docs, "doc_id", "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(strict.toSeq == Seq(("a", "b", 2L, 287682L)), strict.toSeq)
+    val all = TextAnalysis.pmiCollocations(docs, "doc_id", "text", minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    // (b,a): cx(b)=1, cy(a)=1 -> ln(1·4/(1·1)) = ln 4 -> 1386294
+    // (a,c): cx(a)=3, cy(c)=1 -> ln(4/3) -> 287682
+    assert(all == Map(("a", "b") -> 287682L, ("b", "a") -> 1386294L, ("a", "c") -> 287682L), all)
+  }
+
+  test("pmiCollocations: case folds and sub-bigram docs contribute nothing") {
+    val docs = Seq((1L, "X y"), (2L, "x Y"), (3L, "solo"), (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, "doc_id", "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // both docs fold to (x,y); N=2, cx(x)=2, cy(y)=2 -> pmi = ln(2·2/(2·2)) = 0
+    assert(out.toSeq == Seq(("x", "y", 2L, 0L)), out.toSeq)
+  }
 }
