@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdcScoreExpr, FingerprintExpr, MinHashSigExpr, ObfuscateNameExpr, PqEncodeExpr, PqLutExpr, SigOverlapExpr, SimHash64Expr, TopKByScore, TopKByScoreStr, VectorKernelExpr, VectorSum}
+import graft.functions.{AdcScoreExpr, FingerprintExpr, MinHashSigExpr, MisraGries, ObfuscateNameExpr, PqEncodeExpr, PqLutExpr, SigOverlapExpr, SimHash64Expr, TopKByScore, TopKByScoreStr, VectorKernelExpr, VectorSum}
 
 /** Catalyst extension point: registers graft's native expressions as SQL
   * functions, so the engine surface is reachable from `spark.sql(...)` as
@@ -72,6 +72,10 @@ object GraftExtensions {
       info("top_k_by_score_str",
         "top_k_by_score_str(score, id, k) - STRING-id sibling of top_k_by_score, binary id order; k must be a literal"),
       arity("top_k_by_score_str", 3)(es => TopKByScoreStr(es(0), es(1), es(2)))),
+    ("misra_gries",
+      info("misra_gries",
+        "misra_gries(item, k) - bounded-space frequent-items summary as array<struct<item,weight>>; every item with freq > N/(k+1) guaranteed present; k must be a literal"),
+      arity("misra_gries", 2)(es => MisraGries(es(0), es(1)))),
     ("pq_encode",
       info("pq_encode",
         "pq_encode(vec, cents, m, ksub) - product-quantization codes (array<smallint>); m/ksub must be literals"),

@@ -261,12 +261,18 @@ object SparkEntry {
     //      iterations, damping 0.85, all-integer micro-unit ranks so
     //      accumulation order cannot move a single bit ----
     "g1_pagerank" -> ((s, dir) => {
+      // disjoint LONG node ids (customers even, suppliers odd) — long
+      // keys hash/shuffle several times cheaper than string-prefixed ones
       val pairs = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c:"), col("o_custkey")).as("a"),
-          concat(lit("s:"), col("l_suppkey")).as("b"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
-      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      // both orientations via explode, NOT union(pairs, pairs.swap):
+      // union would run the whole fact join + distinct twice
+      val edges = pairs.select(explode(array(
+        struct(col("a").as("s"), col("b").as("d")),
+        struct(col("b").as("s"), col("a").as("d")))).as("e"))
+        .select(col("e.s").as("a"), col("e.d").as("b"))
       graft.ops.Graph.pageRank(edges, "a", "b", iterations = 5, dampingBp = 8500)
     }),
 
@@ -320,15 +326,46 @@ object SparkEntry {
           max(when(col("rn") === expr("(9900 * n + 9999) div 10000"), col("value"))).as("p99"))
     }),
 
-    // ---- pivot (long→wide): per-user-segment event-type counts
-    //      through Spark's relational pivot; absent combinations
-    //      coalesce to 0 so the shape matches SQL conditional
-    //      aggregation exactly ----
-    "x16_pivot" -> ((s, dir) => {
-      val types = Seq("view", "click", "purchase", "signup", "error")
-      val p = events(s, dir).withColumn("seg", col("user_id") % 10)
-        .groupBy("seg").pivot("event_type", types).agg(count(lit(1)))
-      p.select(col("seg") +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+    // ---- one-pass heavy hitters via the misra_gries aggregate — the
+    //      bounded-space scale path (k counters per partition cross the
+    //      exchange, never a per-key count table). The sketch's
+    //      GUARANTEE is the oracled surface: every item above N/(k+1)
+    //      must be in the candidate set, so in_sketch is
+    //      deterministically 1 even though sketch weights depend on
+    //      merge order. Item skew is constructed: even orderkeys fold
+    //      to 4 hot items (~1/8 of rows each), odd ones spread over a
+    //      ~75k-item tail ----
+    "x17_heavy_hitters" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem").select(
+        expr("IF(l_orderkey % 2 = 0, l_orderkey % 8, 1000000 + l_orderkey div 2)")
+          .cast("long").as("item"))
+      val sketch = items.agg(expr("misra_gries(item, 50)").as("cand"))
+        .select(expr("transform(cand, x -> x.item)").as("cand_items"))
+      val exact = items.groupBy("item").agg(count(lit(1)).as("cnt"))
+      val n = items.agg(count(lit(1)).as("n_total"))
+      exact.crossJoin(n).where(col("cnt") * 51 > col("n_total"))
+        .crossJoin(sketch)
+        .select(col("item"), col("cnt"), col("n_total"),
+          array_contains(col("cand_items"), col("item")).cast("int").as("in_sketch"))
+    }),
+
+    // ---- SCD2 dimension build — change-log rows become validity
+    //      intervals via lead() over a deterministic per-key total
+    //      order (date, then orderkey for same-date ties); the open
+    //      version carries a null eff_to. The standard warehouse
+    //      dimension-versioning pass, one key-partitioned window ----
+    "e18_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("eff_from", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("eff_to", date_format(lead("o_orderdate", 1).over(w),
+          "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("is_current", (col("eff_to").isNull).cast("int"))
+        .select("o_custkey", "version", "o_orderstatus", "eff_from", "eff_to", "is_current")
     }),
 
     // ---- table profiling — per-column rows/nulls/distincts/bounds in
@@ -1532,7 +1569,7 @@ object SparkEntry {
     // matches Spark's `div` on the non-negative ranks), so both engines
     // compute the identical long at every node after every round
     "g1_pagerank" ->
-      """WITH p AS (SELECT DISTINCT 'c:' || o_custkey AS a, 's:' || l_suppkey AS b
+      """WITH p AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
          e AS (SELECT a AS src, b AS dst FROM p
                UNION ALL SELECT b, a FROM p),
@@ -1607,14 +1644,26 @@ object SparkEntry {
            MAX(CASE WHEN rn = (9900 * n + 9999) // 10000 THEN value END) AS p99
          FROM r GROUP BY event_type""",
 
-    "x16_pivot" ->
-      """SELECT user_id % 10 AS seg,
-           COUNT(*) FILTER (event_type = 'view') AS view,
-           COUNT(*) FILTER (event_type = 'click') AS click,
-           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
-           COUNT(*) FILTER (event_type = 'signup') AS signup,
-           COUNT(*) FILTER (event_type = 'error') AS error
-         FROM events GROUP BY 1""",
+    // the sketch GUARANTEE is the oracle: membership of every true
+    // heavy hitter is certain (in_sketch ≡ 1); weights never cross
+    "x17_heavy_hitters" ->
+      """WITH it AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN l_orderkey % 8
+                                 ELSE 1000000 + l_orderkey // 2 END AS item
+                     FROM lineitem),
+         ex AS (SELECT item, COUNT(*) AS cnt FROM it GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_total FROM it)
+         SELECT item, cnt, n_total, 1 AS in_sketch
+         FROM ex CROSS JOIN n WHERE cnt * 51 > n_total""",
+
+    "e18_scd2" ->
+      """SELECT o_custkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           o_orderstatus,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS eff_from,
+           strftime(LEAD(o_orderdate, 1) OVER w, '%Y-%m-%d %H:%M:%S') AS eff_to,
+           CASE WHEN LEAD(o_orderdate, 1) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
 
     // bounds cross as strings — doubles through DECIMAL(18,2) (shortest-
     // double formatting is engine-specific; fixed-scale strings are not)

@@ -70,19 +70,46 @@ object Graph {
     require(iterations >= 1, "need at least one iteration")
     require(dampingBp >= 0 && dampingBp <= 10000, "dampingBp is basis points")
 
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg): the loop's join input, reused every round
-    val ed = edgeSlot.persist(e.join(deg, Seq("src")))
+    // type-preserving: node ids keep the caller's column type (integral
+    // ids hash/shuffle/sort several times cheaper than strings — prefer
+    // them at scale; disjoint ranges, e.g. 2k/2k+1, fold two entity
+    // families into one long key space)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    require(e.schema(0).dataType == e.schema(1).dataType,
+      s"src/dst types differ: ${e.schema(0).dataType} vs ${e.schema(1).dataType}")
+    // Adjacency-list (CSR-style) layout, built ONCE: one shuffle groups
+    // the edge relation to (src, dsts[], outdeg) — nodes-sized, cached,
+    // and HASH-PARTITIONED on src by the groupBy itself. Every round
+    // then joins two NODES-sized relations and regenerates the edge
+    // fan-out in-pipeline with explode: no per-round scan of an
+    // edges-sized cache, no per-round sort. (Degree skew caveat: a
+    // vertex's neighbor array lives in one row — web-scale hot vertices
+    // with 1e8 in-links would need the standard split-vertex/salting
+    // treatment before this layout.)
+    val adj = edgeSlot.persist(
+      e.groupBy("src").agg(collect_list(col("dst")).as("dsts"),
+        count(lit(1)).as("outdeg")))
+    // node set DERIVED FROM the cached adjacency (sources + one explode
+    // of the neighbor arrays) — deriving it from `e` instead would
+    // recompute the caller's whole edge plan twice more
     val nodes = nodeSlot.persist(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+      adj.select(col("src").as("node"))
+        .union(adj.select(explode(col("dsts")).as("node"))).distinct())
 
     val baseFp = ((10000L - dampingBp) * 1000000L) / 10000L
     var ranks = nodes.withColumn("rank_fp", lit(1000000L))
     for (_ <- 1 to iterations) {
-      val sums = ed.join(ranks, ed("src") === ranks("node"))
-        .select(ed("dst").as("node"), expr("rank_fp div outdeg").as("c"))
+      // SHUFFLE_HASH on the rank side: the checkpointed rank frame has
+      // no catalyst stats, so the unhinted plan degenerates to a
+      // per-round SortMergeJoin. Hash-building per partition instead
+      // streams the adjacency unsorted — and unlike a broadcast hint it
+      // stays valid when the node set is 1e9 (each partition builds
+      // |nodes|/shuffle-partitions entries, not all). The per-source
+      // contribution divides ONCE, then explode fans it out to the
+      // neighbors; the groupBy's map-side partial sums collapse the
+      // fan-out back to ≤ |nodes| rows per partition before the exchange
+      val sums = adj.join(ranks.hint("shuffle_hash"), adj("src") === ranks("node"))
+        .select(explode(col("dsts")).as("node"), expr("rank_fp div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
       ranks = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),

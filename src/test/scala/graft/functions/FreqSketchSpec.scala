@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+class FreqSketchSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  graft.GraftExtensions.register(spark) // SQL surface (misra_gries)
+
+  private def sketch(items: Seq[Long], k: Int, parts: Int): Map[Long, Long] =
+    items.toDF("item").repartition(parts)
+      .agg(expr(s"misra_gries(item, $k)").as("s"))
+      .collect().head.getSeq[Row](0)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("distinct items within k: counts are exact (no decrement ever fires)") {
+    val items = Seq.fill(40)(7L) ++ Seq.fill(25)(8L) ++ Seq.fill(3)(9L)
+    for (parts <- Seq(1, 3, 7)) {
+      assert(sketch(items, 10, parts) == Map(7L -> 40L, 8L -> 25L, 9L -> 3L),
+        s"parts=$parts")
+    }
+  }
+
+  test("guarantee: every item above N/(k+1) is present, under any partitioning") {
+    // 4 hot items at 1/8 of N each + a long unique tail (the x17 shape)
+    val hot = (0 until 4).flatMap(h => Seq.fill(250)(h.toLong))
+    val tail = (0 until 1000).map(i => 1000L + i)
+    val items = hot ++ tail // N = 2000; threshold N/(k+1) with k=50 -> ~39
+    for (parts <- Seq(1, 2, 5, 13)) {
+      val s = sketch(items, 50, parts)
+      (0 until 4).foreach(h =>
+        assert(s.contains(h.toLong), s"hot item $h missing at parts=$parts: $s"))
+    }
+  }
+
+  test("weights never overestimate the true count") {
+    val items = (0 until 2000).map(i => (i % 37).toLong) // moderate collisions
+    val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for (parts <- Seq(1, 4)) {
+      sketch(items, 10, parts).foreach { case (item, w) =>
+        assert(w <= truth(item), s"item $item overestimated: $w > ${truth(item)}")
+      }
+    }
+  }
+
+  test("presentation order is (weight DESC, item ASC); nulls are skipped") {
+    val df = Seq(Some(1L), Some(1L), Some(2L), Some(2L), Some(3L), None)
+      .toDF("item")
+    val arr = df.agg(expr("misra_gries(item, 10)").as("s"))
+      .collect().head.getSeq[Row](0).map(r => (r.getLong(0), r.getLong(1)))
+    assert(arr == Seq((1L, 2L), (2L, 2L), (3L, 1L)), arr)
+  }
+
+  test("grouped usage: one independent summary per group") {
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 9L)).toDF("g", "item")
+    val out = df.groupBy("g").agg(expr("misra_gries(item, 4)").as("s"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Row](1).map(x => (x.getLong(0), x.getLong(1)))).toMap
+    assert(out("a") == Seq((1L, 2L), (2L, 1L)))
+    assert(out("b") == Seq((9L, 1L)))
+  }
+
+  test("k must be a positive literal; item must be BIGINT") {
+    val df = Seq(1L).toDF("item")
+    intercept[Exception](df.agg(expr("misra_gries(item, 0)")).collect())
+    intercept[Exception](df.agg(expr("misra_gries(item, item)")).collect())
+    intercept[Exception](
+      Seq("x").toDF("item").agg(expr("misra_gries(item, 5)")).collect())
+  }
+}

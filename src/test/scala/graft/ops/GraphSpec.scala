@@ -40,10 +40,10 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(out2("A") == 150000L && out2("B") == 277500L) // 150000 + 8500*150000/10000
   }
 
-  test("integral-id edges are accepted (cast to string internally)") {
+  test("node ids keep the caller's type: long ids in, long ids out") {
     val out = Graph.pageRank(Seq((1L, 2L), (2L, 1L)).toDF("s", "d"), "s", "d", 3)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(out == Map("1" -> 1000000L, "2" -> 1000000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1000000L, 2L -> 1000000L))
   }
 
   test("authority ordering: a node every other node links to outranks the periphery") {
