@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdcScoreExpr, FingerprintExpr, MinHashSigExpr, MisraGries, ObfuscateNameExpr, PqEncodeExpr, PqLutExpr, SigOverlapExpr, SimHash64Expr, TopKByScore, TopKByScoreStr, VectorKernelExpr, VectorSum}
+import graft.functions.{AdcScoreExpr, BloomAgg, BloomMightContain, FingerprintExpr, MinHashSigExpr, MisraGries, ObfuscateNameExpr, PqEncodeExpr, PqLutExpr, SigOverlapExpr, SimHash64Expr, TopKByScore, TopKByScoreStr, VectorKernelExpr, VectorSum}
 
 /** Catalyst extension point: registers graft's native expressions as SQL
   * functions, so the engine surface is reachable from `spark.sql(...)` as
@@ -95,7 +95,15 @@ object GraftExtensions {
       arity("sig_overlap", 2)(es => SigOverlapExpr(es(0), es(1)))),
     ("minhash_sig",
       info("minhash_sig", "minhash_sig(array<string>, k) - K-value minhash signature; k must be a literal"),
-      arity("minhash_sig", 2)(es => MinHashSigExpr(es.head, litInt("minhash_sig", "k", es(1)))))
+      arity("minhash_sig", 2)(es => MinHashSigExpr(es.head, litInt("minhash_sig", "k", es(1))))),
+    ("bloom_agg",
+      info("bloom_agg",
+        "bloom_agg(hash, numBits, numHashes) - distributed Bloom-filter build over BIGINT hashes; one BINARY value, bitwise-OR merge; numBits/numHashes must be literals"),
+      arity("bloom_agg", 3)(es => BloomAgg(es(0), es(1), es(2)))),
+    ("bloom_contains",
+      info("bloom_contains",
+        "bloom_contains(filter, hash) - Bloom membership probe; false positives possible, false negatives never"),
+      arity("bloom_contains", 2)(es => BloomMightContain(es(0), es(1))))
   )
 
   /** Extract a literal INT argument (codegen-time config, not data).

@@ -803,6 +803,25 @@ object SparkEntry {
       graft.ops.Corpus.decontaminate(train, ev, "doc_id", "text", 8)
     }),
 
+    // ---- D: BLOOM-filtered decontamination — the same contamination
+    //      construction and the same RESULT as d7, by the plan that
+    //      never broadcasts eval shingle strings: eval shingles fold
+    //      into one fixed-size Bloom filter (distributed build, OR
+    //      merge), train shingles probe the one-row broadcast filter
+    //      in codegen, and the exact verify join removes the filter's
+    //      false positives — so the approximate structure yields an
+    //      EXACT, hash-oracled result (no false negatives by
+    //      construction). numBits sized small here (1<<20) so the FP
+    //      path is actually exercised at test scale ----
+    "d9_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val ev = docs.where(col("doc_id") < 20)
+      val train = docs.where(col("doc_id") >= 20)
+        .unionByName(ev.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.ops.Corpus.decontaminateBloom(train, ev, "doc_id", "text", 8,
+        numBits = 1 << 20, numHashes = 7)
+    }),
+
     // ---- D: FUZZY decontamination — overlap-FRACTION thresholding
     //      (flag when ≥5% of a doc's distinct 8-grams appear in the
     //      eval set; integer cross-multiply, never a float ratio).
@@ -2369,6 +2388,26 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
 
     "d7_decontaminate" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 8 THEN
+                    list_distinct(list_transform(range(1, len(w)-6),
+                      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+                           w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))
+                  ELSE [array_to_string(w, ' ')] END AS s
+                FROM d),
+         ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 20),
+         tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 20
+                UNION ALL
+                SELECT doc_id + 1000000, unnest(s) FROM sh WHERE doc_id < 20)
+         SELECT tr.doc_id, COUNT(DISTINCT tr.g) AS n_shared_ngrams
+         FROM tr JOIN ev ON tr.g = ev.g
+         GROUP BY tr.doc_id""",
+
+    // same oracle as d7: the Bloom pre-filter changes the PLAN, not the
+    // result (no false negatives; the exact verify join removes false
+    // positives)
+    "d9_bloom_decontaminate" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
          sh AS (SELECT doc_id,
                   CASE WHEN len(w) >= 8 THEN

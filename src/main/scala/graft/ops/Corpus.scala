@@ -374,6 +374,62 @@ object Corpus {
       .where(col("n_shared") * 10000L >= col("n_ngrams") * minShareBp)
   }
 
+  /** Bloom-filtered decontamination — [[decontaminate]]'s result by a
+    * plan that never broadcasts the eval shingle STRINGS. The eval
+    * shingles fold into one fixed-size Bloom filter
+    * ([[graft.functions.Bloom]]: distributed build, bitwise-OR merge —
+    * one numBits/8-byte buffer per partition crosses the exchange), the
+    * train side's shingles probe the one-row broadcast filter in a
+    * codegen pass, and only the surviving candidates — true hits plus
+    * the filter's ≈0.8% false positives — reach the exact verify join
+    * that removes the false positives. The RESULT is exact and
+    * identical to [[decontaminate]]: Bloom filters have no false
+    * negatives, so pre-filtering then verifying loses nothing.
+    *
+    * When it matters: [[decontaminate]] broadcasts the distinct eval
+    * shingle set, whose in-memory size grows with eval-suite text
+    * volume — fine for one benchmark, not for a consolidated suite of
+    * hundreds. The filter is m/8 bytes REGARDLESS of shingle count or
+    * length (12 MB default vs GBs of strings), and the verify join is
+    * hint-free: its train side is post-filter (≈ true hits + FP rate ×
+    * corpus shingles), so AQE sizes a join that is orders of magnitude
+    * smaller than the raw shingle join. The eval side is read twice
+    * (filter build + verify join) — both linear passes over the small
+    * side of the problem.
+    *
+    * Size `numBits` ≈ 10× the DISTINCT eval shingle count for ≈0.8%
+    * false positives at 7 probes; undersizing degrades the pre-filter
+    * (more verify work), never correctness.
+    *
+    * @return (idCol, n_shared_ngrams) — contaminated train docs only
+    */
+  def decontaminateBloom(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      numBits: Int = 1 << 27,
+      numHashes: Int = 7): DataFrame = {
+    import graft.functions.Bloom
+    val eg = eval
+      .select(explode(graft.functions.NGramShingles.ngram_shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val filt = eg.agg(Bloom.bloom_agg(xxhash64(col("g")), numBits, numHashes).as("bf"))
+    val tg = train.select(col(idCol),
+      explode(graft.functions.NGramShingles.ngram_shingles(col(textCol), n)).as("g"))
+    val candidates = tg
+      .crossJoin(broadcast(filt))
+      .where(Bloom.bloom_contains(col("bf"), xxhash64(col("g"))))
+      .select(col(idCol), col("g"))
+    // exact verify: drops the Bloom false positives. No broadcast hint —
+    // the candidate side is post-filter-tiny and AQE picks the build side
+    // from runtime sizes.
+    candidates.join(eg, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"))
+  }
+
   /** Line-level boilerplate removal (the C4 cleaning pass): keep only
     * lines with at least `minWords` whitespace words and none of the
     * `bannedPhrases` (case-insensitive substring — "click here",

@@ -68,6 +68,27 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) == 4L) // 4 shared trigrams of the 6-word eval phrase
   }
 
+  test("decontaminateBloom == decontaminate: the pre-filter changes the plan, not the result") {
+    // a generated corpus with planted overlaps: docs ≡0 (mod 5) embed an
+    // eval trigram run, others are unique word soup
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven")).toDF("doc_id", "text")
+    val train = (1L to 200L).map { i =>
+      if (i % 5 == 0) (i, s"doc $i holds alpha beta gamma delta inside word$i filler")
+      else (i, s"doc $i pure w${i}a w${i}b w${i}c w${i}d w${i}e filler tail")
+    }.toDF("doc_id", "text")
+    val exact = Corpus.decontaminate(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // tiny filter (2^10 bits for ~1.5k shingles => heavy false-positive
+    // traffic) so the verify join provably removes FPs
+    val viaBloom = Corpus.decontaminateBloom(train, eval, "doc_id", "text", n = 3,
+      numBits = 1 << 10, numHashes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBloom == exact)
+    assert(exact.nonEmpty && exact.keySet.forall(_ % 5 == 0))
+  }
+
   test("split assignment is content-stable and respects percentages") {
     val big = spark.range(10000).toDF("doc_id")
     val out = Corpus.assignSplit(big, "doc_id", 90, 5)
