@@ -276,6 +276,19 @@ object SparkEntry {
       graft.ops.Graph.pageRank(edges, "a", "b", iterations = 5, dampingBp = 8500)
     }),
 
+    // ---- G: per-node triangle counts over the customer co-purchase
+    //      graph (pairs sharing >= 3 distinct parts) — co-occurrence
+    //      mining via the inverted-index join, then the degree-ordered
+    //      node-iterator (out-degree O(sqrt m) under the orientation,
+    //      so wedge volume is m^1.5 regardless of hub skew) ----
+    "g2_triangles" -> ((s, dir) => {
+      val rel = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      val edges = graft.ops.Graph.coOccurrenceEdges(rel, "cust", "part", minShared = 3)
+      graft.ops.Graph.triangleCounts(edges, "src", "dst")
+    }),
+
     // ---- SRC5: hive-partitioned parquet roundtrip — documents
     //      partitioned by lang, read back pruned to two partitions
     //      (the filter eliminates the other directories at planning
@@ -879,6 +892,14 @@ object SparkEntry {
     // ---- T: deterministic content-stable train/val/test split ----
     "t10_split" -> ((s, dir) =>
       graft.ops.Corpus.assignSplit(t(s, dir, "documents"), "doc_id", 90, 5)),
+
+    // ---- X: deterministic fixed-size per-stratum sample — exactly 5
+    //      customers per nation by smallest md5 priority, planned as
+    //      the bounded-heap partial top-k (constant score, key =
+    //      md5hex‖id), never a per-stratum window sort ----
+    "x18_group_sample" -> ((s, dir) =>
+      graft.ops.Corpus.sampleFixedPerStratum(
+        t(s, dir, "customer"), Seq("c_nationkey"), "c_custkey", 5)),
 
     // ---- T: the capstone training-data pipeline as ONE declarative
     //      plan: quality gate -> exact dedup -> cluster-level near-dup
@@ -1612,6 +1633,23 @@ object SparkEntry {
                 FROM n LEFT JOIN (SELECT dst AS node, SUM(rank_fp // outdeg) AS m
                                   FROM ed JOIN r4 ON ed.src = r4.node GROUP BY dst) s USING (node))
          SELECT node, rank_fp FROM r5""",
+
+    // triangles enumerated independently (id-ordered a<b<c joins — the
+    // orientation trick is the ENGINE's plan, not the semantics)
+    "g2_triangles" ->
+      """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         e AS (SELECT a.c AS s1, b.c AS s2 FROM cp a JOIN cp b
+               ON a.p = b.p AND a.c < b.c
+               GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         tri AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+                 FROM e e1
+                 JOIN e e2 ON e1.s1 = e2.s1 AND e1.s2 < e2.s2
+                 JOIN e e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2),
+         n AS (SELECT a AS node FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri)
+         SELECT node, COUNT(*) AS n_triangles FROM n GROUP BY node""",
 
     "src5_partitioned_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
@@ -2573,6 +2611,17 @@ object SparkEntry {
               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
               ELSE 'test' END AS split
          FROM documents""",
+
+    // same md5-priority recipe as t10's buckets: md5 of the id's decimal
+    // string; the fixed-width hex prefix makes string order == (md5, id)
+    "x18_group_sample" ->
+      """SELECT c_nationkey, c_custkey, sample_rank FROM (
+           SELECT c_nationkey, c_custkey,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                    ORDER BY md5(CAST(c_custkey AS VARCHAR)) || CAST(c_custkey AS VARCHAR))
+                    AS INTEGER) AS sample_rank
+           FROM customer)
+         WHERE sample_rank <= 5""",
 
     "t11_prepare_corpus" ->
       """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),

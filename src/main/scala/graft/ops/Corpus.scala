@@ -374,6 +374,50 @@ object Corpus {
       .where(col("n_shared") * 10000L >= col("n_ngrams") * minShareBp)
   }
 
+  /** Deterministic fixed-SIZE sample: exactly `min(k, |stratum|)` rows
+    * per stratum, chosen by the k smallest md5-priorities — the
+    * count-based complement of [[sampleStratified]]'s rate-based
+    * mixing (rates compose corpora; fixed counts build eval slices,
+    * per-source inspection samples, k-shot pools). Content-stable like
+    * every sampling op here: the priority is md5 of the id's decimal
+    * string, so membership survives reruns, row order, and engine
+    * changes, and adding rows to a stratum only ever displaces the
+    * highest surviving priority.
+    *
+    * The plan is the top-k scale path, not a window: per-stratum
+    * `row_number` over md5 order would shuffle EVERY row to sort each
+    * stratum; the bounded-heap aggregate
+    * ([[graft.functions.TopKByScoreStr]], constant score — the heap's
+    * id-ASC tie-break IS the priority order) folds each partition down
+    * to k candidates per stratum before the exchange, so the shuffle
+    * carries ≈ partitions·strata·k rows regardless of stratum size.
+    * The heap key is `md5hex ‖ id` — md5 is fixed-width, so binary
+    * order on the concatenation equals (priority, id) order and the id
+    * rides along for free.
+    *
+    * @return strataCols + (idCol, sample_rank 1..k in priority order)
+    */
+  def sampleFixedPerStratum(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(strataCols.nonEmpty, "strataCols must be non-empty")
+    val key = concat(md5(col(idCol).cast("string")), col(idCol).cast("string"))
+    df.groupBy(strataCols.map(col): _*)
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score_str(lit(0.0), key, k).as("tk"))
+      .select(strataCols.map(col) :+ posexplode(col("tk")): _*)
+      .select(strataCols.map(col) ++ Seq(
+        // md5 hex is exactly 32 chars; the tail is the id's string form,
+        // cast back to the caller's id type (decimal strings round-trip
+        // integral/decimal types exactly)
+        substring(col("col.neighbor_id"), 33, Int.MaxValue)
+          .cast(df.schema(idCol).dataType).as(idCol),
+        (col("pos") + 1).as("sample_rank")): _*)
+  }
+
   /** Bloom-filtered decontamination — [[decontaminate]]'s result by a
     * plan that never broadcasts the eval shingle STRINGS. The eval
     * shingles fold into one fixed-size Bloom filter

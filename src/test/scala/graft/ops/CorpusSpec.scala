@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, concat, md5, rand, row_number}
 import org.scalatest.funsuite.AnyFunSuite
 
 class CorpusSpec extends AnyFunSuite with SparkSpec {
@@ -87,6 +88,42 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaBloom == exact)
     assert(exact.nonEmpty && exact.keySet.forall(_ % 5 == 0))
+  }
+
+  test("sampleFixedPerStratum: exact size, content-stable, small strata intact") {
+    val df = (1L to 300L).map(i => (i % 3, i)).toDF("grp", "id")
+    val out = Corpus.sampleFixedPerStratum(df, Seq("grp"), "id", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.groupBy(_._1).forall(_._2.length == 7))
+    assert(out.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted.toSeq == (1 to 7) })
+    // content-stable: membership is a function of ids, not row order
+    val shuffled = Corpus.sampleFixedPerStratum(
+      df.orderBy(rand(42)), Seq("grp"), "id", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSet == shuffled.toSet)
+    // a stratum smaller than k returns whole, ranks still dense
+    val tiny = Seq((0L, 10L), (0L, 11L), (1L, 20L)).toDF("grp", "id")
+    val tout = Corpus.sampleFixedPerStratum(tiny, Seq("grp"), "id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(tout.map(t => (t._1, t._2)) == Set((0L, 10L), (0L, 11L), (1L, 20L)))
+    // matches the window formulation exactly (the plan it replaces)
+    val viaWindow = df
+      .withColumn("key", concat(md5(col("id").cast("string")), col("id").cast("string")))
+      .withColumn("sample_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("key")))
+      .where(col("sample_rank") <= 7)
+      .select("grp", "id", "sample_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSet == viaWindow.toSet)
+  }
+
+  test("sampleFixedPerStratum: bounded-heap plan, never a per-stratum window sort") {
+    val df = (1L to 100L).map(i => (i % 3, i)).toDF("grp", "id")
+    val p = Corpus.sampleFixedPerStratum(df, Seq("grp"), "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"fell back to the window shuffle:\n$p")
+    assert(p.contains("partial_top_k_by_score_str"), s"no map-side partial top-k:\n$p")
   }
 
   test("split assignment is content-stable and respects percentages") {

@@ -51,4 +51,53 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val out = ranks(spokes, 5)
     assert((1 to 6).forall(i => out("HUB") > out(s"X$i")))
   }
+
+  private def tris(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangles: K4 has 4 triangles, every node in 3 of them") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val out = tris(k4)
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: a path has none; triangle-free nodes are absent") {
+    assert(tris(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+    // one triangle + a pendant: pendant node absent, triangle nodes at 1
+    val out = tris(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: duplicates, reversed edges, and self-loops normalize away") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 1L), (2L, 2L))
+    assert(tris(messy) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: hub skew — star rims close exactly their own triangles") {
+    // hub 0 connected to 10 rims; rims (1,2) and (3,4) also connected:
+    // exactly 2 triangles, each counted once despite the hub's degree
+    val star = (1L to 10L).map(i => (0L, i))
+    val out = tris(star ++ Seq((1L, 2L), (3L, 4L)))
+    assert(out == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("coOccurrenceEdges: threshold and hub guard") {
+    // entities 1,2 share items a,b; 2,3 share only c; item z is shared
+    // by everyone (a stop item)
+    val rel = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "c"), (3L, "c"),
+      (1L, "z"), (2L, "z"), (3L, "z"),
+      (1L, "a")) // duplicate row must not double-count
+      .toDF("ent", "item")
+    val e2 = Graph.coOccurrenceEdges(rel, "ent", "item", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(e2 == Set((1L, 2L, 3L), (2L, 3L, 2L))) // z counts toward both pairs
+    // hub guard: dropping items shared by >2 entities removes z
+    val eg = Graph.coOccurrenceEdges(rel, "ent", "item", minShared = 2,
+      maxItemEntities = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(eg == Set((1L, 2L, 2L)))
+  }
 }
