@@ -320,6 +320,14 @@ object SparkEntry {
       graft.ops.TextAnalysis.pmiCollocations(
         t(s, dir, "documents"), "doc_id", "text", minCount = 5)),
 
+    // ---- T: distributed BPE tokenizer training — corpus collapses to
+    //      the word histogram once, then 8 merge rounds over
+    //      vocabulary-sized data (pair counts → deterministic argmax →
+    //      portable string-replace merge apply); the oracle replays
+    //      every round unrolled ----
+    "t24_bpe_train" -> ((s, dir) =>
+      graft.ops.TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", merges = 8)),
+
     // ---- exact discrete percentiles per group — the PORTABLE
     //      formulation (value at rank ceil(p·n), rank arithmetic as
     //      integer cross-multiplication, never p·n in floats: 0.9·n can
@@ -1444,6 +1452,39 @@ object SparkEntry {
          FROM s)
        SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok FROM r WHERE rank <= 5"""
 
+  /** t24's oracle, generated: BPE merge rounds unroll to CTE chains
+    * (the g1 recipe). Round i recounts pairs from the round-(i-1)
+    * vocabulary, argmaxes with the (count DESC, lhs, rhs) tie-break,
+    * and applies the merge with the SAME doubled-fence string replace
+    * the engine uses — plain `replace` is left-to-right non-overlapping
+    * in both engines, so the vocabularies stay bit-identical round by
+    * round.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      raw"""p$i AS (SELECT p[1] AS l, p[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, unnest(list_transform(range(1, len(s)),
+                     x -> [s[x], s[x+1]])) AS p
+                   FROM (SELECT list_filter(string_split(rep, '||'), y -> y <> '') AS s,
+                           freq FROM w${i - 1}))
+             GROUP BY 1, 2),
+           b$i AS (SELECT l, r, cnt, $i AS merge_rank FROM p$i
+                   ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+           w$i AS (SELECT replace(rep, '|' || l || '||' || r || '|',
+                     '|' || l || r || '|') AS rep, freq FROM w${i - 1}, b$i)"""
+    }.mkString(",\n         ")
+    val out = (1 to k)
+      .map(i => s"SELECT merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i")
+      .mkString("\n         UNION ALL ")
+    raw"""WITH w0 AS (
+           SELECT '||' || array_to_string(regexp_extract_all(w, '.'), '||') || '||' AS rep,
+                  CAST(COUNT(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
+           WHERE NOT contains(w, '|') GROUP BY w),
+         $rounds
+         $out"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "a1_full_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1670,6 +1711,8 @@ object SparkEntry {
          SELECT doc_id, n_features, score_fp,
            CASE WHEN score_fp >= 0 THEN 'keep' ELSE 'drop' END AS label
          FROM sc""",
+
+    "t24_bpe_train" -> bpeOracleSql(8),
 
     // identical IEEE expression tree: double(c2)·N / (double(cx)·cy),
     // ln, round to micro-nats — engine-exact like t19

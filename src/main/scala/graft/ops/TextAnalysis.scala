@@ -339,6 +339,88 @@ object TextAnalysis {
           (col("cx").cast("double") * col("cy"))) * 1e6, 0).cast("long").as("pmi_fp"))
   }
 
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+    * merge-table learner upstream of every subword tokenizer. Returns
+    * the first `merges` learned merges in order:
+    * (merge_rank, lhs, rhs, pair_count).
+    *
+    * Scale shape: the corpus collapses ONCE to a word-frequency
+    * histogram (the classic trick — BPE statistics are a function of
+    * the VOCABULARY, which is sublinear in corpus size), and every
+    * merge round then runs over vocabulary-sized data: one pair-count
+    * aggregation (map-side partial sums), one single-row argmax, one
+    * narrow merge-apply pass. Nothing corpus-sized is touched after
+    * the histogram; round state is checkpoint-cut like PageRank's.
+    *
+    * Determinism (the oracle contract): the argmax tie-breaks on
+    * (count DESC, lhs ASC, rhs ASC) — binary string order, identical
+    * in Spark and any warehouse for the byte-clean tokens this runs
+    * on. The merge-apply is engine-portable by construction: a word's
+    * symbol list is one string `‖‖s1‖‖s2‖‖…‖‖` (every symbol fenced by
+    * DOUBLED separators), and merging (l, r) is the plain string
+    * replace of `‖l‖‖r‖` with `‖lr‖` — left-to-right non-overlapping
+    * in every engine, and the doubled fences make boundary sharing
+    * impossible (each replacement consumes one fence per side and
+    * leaves one, so "a a a" merges once, and `|b‖‖c|` can never match
+    * inside a symbol ending in b since symbols are separator-free).
+    *
+    * Symbols are single CODEPOINTS at round 0 (`regexp_extract_all
+    * (w, '.')`), so the learner is character-level BPE without an
+    * end-of-word marker (merges never cross word boundaries — words
+    * are separate rows). Words containing the separator char `|` are
+    * dropped (documented contract; mirror the filter in any oracle).
+    * If the pair table drains before `merges` rounds, the output has
+    * fewer rows.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 64, s"merges must be in [1, 64], got $merges")
+    val sep = "|"
+    val sep2 = "||"
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .where(!col("w").contains(sep))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(
+        concat(lit(sep2),
+          array_join(regexp_extract_all(col("w"), lit("."), lit(0)), sep2),
+          lit(sep2)).as("rep"),
+        col("freq"))
+      // vocabulary-sized (the only corpus-derived relation); cuts the
+      // corpus scan out of every round's lineage
+      .localCheckpoint(true)
+    var picks = List.empty[DataFrame]
+    for (round <- 1 to merges) {
+      val syms = filter(split(col("rep"), "\\|\\|"), x => x =!= "")
+      val best = words
+        .select(col("freq"), syms.as("s"))
+        // sequence(0, -1) DESCENDS (the t22 lesson): a fully-merged
+        // single-symbol word must not fabricate a bogus pair
+        .where(size(col("s")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(0), size(col("s")) - 2),
+            i => struct(element_at(col("s"), i + 1).as("l"),
+              element_at(col("s"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .select(col("l"), col("r"), col("cnt"), lit(round).as("merge_rank"))
+        .localCheckpoint(true) // one row; ends the round's lineage
+      picks = picks :+ best
+      words = words
+        .crossJoin(broadcast(best.select(col("l").as("_l"), col("r").as("_r"))))
+        .select(
+          replace(col("rep"),
+            concat(lit(sep), col("_l"), lit(sep2), col("_r"), lit(sep)),
+            concat(lit(sep), col("_l"), col("_r"), lit(sep))).as("rep"),
+          col("freq"))
+        .localCheckpoint(true) // vocabulary-sized
+    }
+    picks.reduce(_ unionByName _)
+      .select(col("merge_rank"), col("l").as("lhs"), col("r").as("rhs"),
+        col("cnt").as("pair_count"))
+  }
+
   /** Convenience: full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -179,4 +179,46 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     // both docs fold to (x,y); N=2, cx(x)=2, cy(y)=2 -> pmi = ln(2·2/(2·2)) = 0
     assert(out.toSeq == Seq(("x", "y", 2L, 0L)), out.toSeq)
   }
+
+  private def merges(docs: Seq[(Long, String)], k: Int): Seq[(Int, String, String, Long)] =
+    TextAnalysis.bpeTrain(docs.toDF("doc_id", "text"), "text", k)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+
+  test("bpeTrain: the banana corpus, every round hand-computed") {
+    // words: banana x2, band x1
+    // r1 pairs: (b,a)=3 (a,n)=5 (n,a)=4 (n,d)=1          -> an (5)
+    // r2: b|an|an|a x2, b|an|d: (b,an)=3 (an,an)=2 (an,a)=2 (an,d)=1 -> ban via (b,an)=3
+    // r3: ban|an|a x2, ban|d: (ban,an)=2 (an,a)=2 (ban,d)=1
+    //     tie at 2 -> lex: (an,a) < (ban,an)             -> ana via (an,a)
+    //     [an,a are ADJACENT in ban|an|a: the merge rewrites to ban|ana]
+    // r4: ban|ana x2, ban|d: (ban,ana)=2 (ban,d)=1       -> banana
+    // r5: ban|d: (ban,d)=1                               -> band
+    // r6: no pairs left -> round absent
+    val out = merges(Seq((1L, "banana banana band")), 6)
+    assert(out == Seq(
+      (1, "a", "n", 5L),
+      (2, "b", "an", 3L),
+      (3, "an", "a", 2L),
+      (4, "ban", "ana", 2L),
+      (5, "ban", "d", 1L)), out)
+  }
+
+  test("bpeTrain: self-pair merges are left-to-right non-overlapping") {
+    // 'aaaa': (a,a) counts 3 (adjacent positions), merges to aa|aa — ONE
+    // greedy pass, not the overlapping aaa
+    val out = merges(Seq((1L, "aaaa")), 2)
+    assert(out == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)), out)
+  }
+
+  test("bpeTrain: separator-bearing words drop; frequency weights the argmax") {
+    // 'xy' x3 outweighs 'ab' x2; the piped word never contributes
+    val out = merges(Seq((1L, "xy xy xy ab ab a|b a|b a|b a|b")), 1)
+    assert(out == Seq((1, "x", "y", 3L)), out)
+  }
+
+  test("bpeTrain: multi-byte codepoints are single symbols at round 0") {
+    val out = merges(Seq((1L, "ñü ñü")), 1)
+    assert(out == Seq((1, "ñ", "ü", 2L)), out)
+  }
 }
