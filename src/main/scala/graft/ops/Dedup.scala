@@ -329,8 +329,13 @@ object Dedup {
     * explode shingles, equi-join on the shingle (inverted index), count
     * intersections per pair, then Jaccard by inclusion–exclusion. Never
     * materializes the O(n²) pair space — only pairs sharing ≥1 shingle.
-    * Quadratic in the worst case (all docs identical); MinHash-LSH above
-    * is the 100 TB path, this is the exact oracle-friendly variant.
+    * Quadratic in the HEAD: a shingle appearing in k documents self-joins
+    * into k² candidate rows, so a corpus-wide boilerplate phrase (license
+    * banner, nav chrome) dominates everything. Kept as the
+    * oracle-friendly reference; [[ngramJaccardPairsPrefix]] below is the
+    * default exact tier (measured on a 20k-doc corpus with one shared
+    * 8-word header: 53 s/1317 CPU-s naive vs 3.8 s/43 CPU-s prefix —
+    * and the gap is quadratic in corpus size).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -359,6 +364,99 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard with PREFIX FILTERING (Chaudhuri et
+    * al. 2006 "A Primitive Operator for Similarity Joins"; Bayardo et
+    * al. 2007 "Scaling Up All Pairs Similarity Search") — same result set
+    * as [[ngramJaccardPairs]], but the inverted index only posts each
+    * document's PREFIX under a global token order, which is what makes
+    * the exact tier itself survive corpus scale instead of deferring to
+    * LSH.
+    *
+    * The guarantee: order all shingles by ascending global document
+    * frequency (rarest first; ties by token value — any total order
+    * works, frequency order minimizes candidates). If J(x,y) ≥ t, then
+    * |x∩y| ≥ t·max(|x|,|y|), so x and y must share a token within the
+    * first `|d| − ⌈t·|d|⌉ + 1` tokens of each ordering — a document's
+    * prefix. Indexing only prefixes shrinks every posting list, and
+    * frequency order evicts exactly the HEAD tokens (stopword shingles)
+    * whose quadratic posting-list self-joins dominate the naive index.
+    * A length filter (`t·|x| ≤ |y| ≤ |x|/t`, from J ≤ min/max) prunes
+    * inside the candidate join itself.
+    *
+    * Threshold arithmetic is integer basis points with `tBp =
+    * ⌊t·10⁴⌋` — rounding DOWN, so the prefix/length filters run at a
+    * threshold ≤ t (longer prefixes, never a missed pair); the exact
+    * verification step applies the caller's full-precision `t`. A
+    * double `ceil(0.8·n)` would be off-by-one whenever 0.8·n lands an
+    * ulp above an integer, and here off-by-one means a silently MISSING
+    * pair.
+    *
+    * Candidates are verified with one `array_intersect` over the two
+    * cached shingle arrays (shuffle keyed by doc id, which the shingle
+    * table is already partitioned on) — the candidate set after
+    * prefix+length filtering is small, so per-pair set intersection
+    * beats re-aggregating the full inverted index.
+    *
+    * Scale shape: global frequencies are one token-keyed groupBy; the
+    * rank attach reuses that same token partitioning; the per-doc sort
+    * is a doc-keyed groupBy over (token, freq) pairs; the candidate
+    * self-join shuffles only prefix postings. Nothing driver-side, no
+    * broadcast hints.
+    *
+    * Measured trade (tools.ProfileD4): on a benign near-uniform corpus
+    * (sf0.1 documents) the two extra shuffles cost ~2× warm CPU vs the
+    * naive index (17.5 vs 4.1 CPU-s); on a 20k-doc corpus sharing one
+    * 8-word boilerplate header the naive index is 53 s/1317 CPU-s vs
+    * 3.8 s/43 CPU-s here — a gap that grows quadratically with corpus
+    * size. Real web corpora are the second case, so this is the default.
+    */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val tBp = math.floor(threshold * 10000).toLong
+    val sh = shingleSlot.persist(df.repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.NGramShingles.ngram_shingles(col(textCol), n).as("sh")))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // Global document frequency per shingle, joined back on the SAME key
+    // the groupBy just partitioned on (exchange reused); then one
+    // doc-keyed groupBy rebuilds each document's shingle list sorted by
+    // (freq asc, token asc) — structs sort lexicographically by field.
+    val freq = inv.groupBy("s").agg(count(lit(1)).as("tok_df"))
+    val ordered = inv.join(freq, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("tok_df"), col("s")))).as("ord"))
+      // prefix length |d| − ⌈t'·|d|⌉ + 1 via integer ceil-division
+      .select(col("doc_id"), size(col("ord")).as("n_sh"),
+        expr(s"transform(slice(ord, 1, " +
+          s"size(ord) - (($tBp * size(ord) + 9999) div 10000) + 1), p -> p.s)")
+          .as("pref"))
+    val post = ordered.select(col("doc_id"), col("n_sh"), explode(col("pref")).as("s"))
+    val cand = post.as("x")
+      .join(post.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+          // length filter: 10⁴·|y| ≥ t'·10⁴·|x| both ways (J ≤ min/max)
+          col("y.n_sh") * 10000L >= col("x.n_sh") * tBp &&
+          col("x.n_sh") * 10000L >= col("y.n_sh") * tBp)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    // Exact verification: one set intersection per surviving candidate.
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))

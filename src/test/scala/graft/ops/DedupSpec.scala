@@ -111,6 +111,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out((0L, 1L)) == 0.75)
   }
 
+  test("prefix-filtered jaccard equals the naive inverted index exactly") {
+    // hand corpus at two thresholds…
+    for (t <- Seq(0.5, 0.8)) {
+      val naive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == naive, s"threshold $t")
+    }
+    // …and a generated one with heavy shared vocabulary (the stopword-head
+    // regime prefix filtering exists for), including ulp-sensitive sizes:
+    // docs whose shingle count is a multiple of 5 exercise the ⌈0.8·n⌉
+    // basis-point ceil against double rounding.
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val gen = (0 until 120).map { i =>
+      val base = (0 until 8 + i % 7).map(j => words((i + j * j) % 10))
+      (i.toLong, (base :+ words(i % 3)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val naive = Dedup.ngramJaccardPairs(gen, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.ngramJaccardPairsPrefix(gen, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == naive)
+    assert(naive.nonEmpty) // the generator must actually produce near-dups
+  }
+
   test("simhash: exact dup pairs at hamming 0; unrelated text filtered") {
     val out = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
