@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdcScoreExpr, BloomAgg, BloomMightContain, FingerprintExpr, MinHashSigExpr, MisraGries, ObfuscateNameExpr, PqEncodeExpr, PqLutExpr, SigOverlapExpr, SimHash64Expr, TopKByScore, TopKByScoreStr, VectorKernelExpr, VectorSum}
+import graft.functions.{AdcScoreExpr, BloomAgg, BloomMightContain, FingerprintExpr, MinHashSigExpr, MisraGries, NfcNormalizeExpr, ObfuscateNameExpr, PqEncodeExpr, PqLutExpr, SigOverlapExpr, SimHash64Expr, TopKByScore, TopKByScoreStr, VectorKernelExpr, VectorSum}
 
 /** Catalyst extension point: registers graft's native expressions as SQL
   * functions, so the engine surface is reachable from `spark.sql(...)` as
@@ -46,6 +46,9 @@ object GraftExtensions {
     ("obfuscate_name",
       info("obfuscate_name", "obfuscate_name(str) - reference S2 name mask"),
       arity("obfuscate_name", 1)(es => ObfuscateNameExpr(es.head))),
+    ("nfc_normalize",
+      info("nfc_normalize", "nfc_normalize(str) - Unicode NFC normalization (UAX #15)"),
+      arity("nfc_normalize", 1)(es => NfcNormalizeExpr(es.head))),
     ("simhash64",
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash signature"),
       arity("simhash64", 1)(es => SimHash64Expr(es.head))),

@@ -328,6 +328,25 @@ object SparkEntry {
     "t24_bpe_train" -> ((s, dir) =>
       graft.ops.TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", merges = 8)),
 
+    // ---- T: canonical text cleanup (NFC + control strip + whitespace
+    //      collapse). The testdata is ASCII, so non-NFC spellings,
+    //      control debris, and ragged whitespace are INJECTED
+    //      deterministically (combining acute, U+212B Angstrom sign,
+    //      BEL, CR, tab runs) — both engines must then normalize the
+    //      same genuinely-dirty input, not pass on identity ----
+    "t25_normalize" -> ((s, dir) => {
+      val dirty = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" caf" + "e\u0301 \u0007bel")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" \u212Bngstro\u0308m line1\r\nline2\tand   done ")).otherwise(lit(""))
+        ).as("text"))
+      dirty.select(col("doc_id"),
+        graft.ops.TextAnalysis.cleanText(col("text")).as("norm_text"))
+        .withColumn("n_chars", length(col("norm_text")).cast("long"))
+    }),
+
     // ---- exact discrete percentiles per group — the PORTABLE
     //      formulation (value at rank ceil(p·n), rank arithmetic as
     //      integer cross-multiplication, never p·n in floats: 0.9·n can
@@ -1713,6 +1732,28 @@ object SparkEntry {
          FROM sc""",
 
     "t24_bpe_train" -> bpeOracleSql(8),
+
+    // chr() builds the SAME decomposed/control codepoints the query
+    // injects; nfc_normalize is DuckDB's UAX#15 NFC — byte parity with
+    // java.text.Normalizer is the contract under test
+    "t25_normalize" ->
+      """WITH dirty AS (
+           SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 7 = 0
+               THEN ' caf' || 'e' || chr(769) || ' ' || chr(7) || 'bel'
+               ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+               THEN ' ' || chr(8491) || 'ngstro' || chr(776) || 'm line1' ||
+                    chr(13) || chr(10) || 'line2' || chr(9) || 'and   done '
+               ELSE '' END AS text
+           FROM documents),
+         norm AS (
+           SELECT doc_id,
+             trim(regexp_replace(regexp_replace(nfc_normalize(text),
+               '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS norm_text
+           FROM dirty)
+         SELECT doc_id, norm_text, length(norm_text) AS n_chars FROM norm""",
 
     // identical IEEE expression tree: double(c2)·N / (double(cx)·cy),
     // ln, round to micro-nats — engine-exact like t19

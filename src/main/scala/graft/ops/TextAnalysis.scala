@@ -115,6 +115,26 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     graft.functions.Fingerprint.fingerprint(text)
 
+  /** Canonical text cleanup — the normalization pass that runs BEFORE
+    * any dedup/fingerprint/tokenize step, because those operators treat
+    * bytes as identity: (1) Unicode NFC ([[graft.functions.NfcNormalize]]
+    * — canonically-equivalent spellings collapse to one byte sequence),
+    * (2) strip C0/DEL control characters except tab and newline —
+    * mojibake and terminal-control debris, CR included so CRLF text
+    * canonicalizes to LF; `\n` survives because paragraph structure is
+    * load-bearing for paragraph dedup and boilerplate removal, and tab
+    * survives only long enough for stage 3 to fold it into a space —
+    * (3) collapse space/tab runs to one space and trim. All three stages
+    * are codegen'd per-row passes (native expression + two
+    * regexp_replace) in the Java∩RE2 regex subset, so a warehouse
+    * recomputes them exactly — no shuffle, no UDF.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      graft.functions.NfcNormalize.nfc_normalize(text),
+      "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
   /** PII redaction: emails, then phone-like digit runs, masked with
     * fixed placeholders. Patterns stay inside the regex subset shared by
     * Java's engine and RE2, so warehouse-side SQL (the oracle, or a

@@ -221,4 +221,40 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     val out = merges(Seq((1L, "ñü ñü")), 1)
     assert(out == Seq((1, "ñ", "ü", 2L)), out)
   }
+
+  test("nfc_normalize: canonical equivalents collapse; normalized text unchanged") {
+    // e + COMBINING ACUTE -> U+00E9; ANGSTROM SIGN -> U+00C5
+    assert(one[String](graft.functions.NfcNormalize.nfc_normalize(col("t")),
+      "café") == "café")
+    assert(one[String](graft.functions.NfcNormalize.nfc_normalize(col("t")),
+      "Ångström") == "Ångström")
+    // already-NFC (incl. pure ASCII) is the identity fast path
+    assert(one[String](graft.functions.NfcNormalize.nfc_normalize(col("t")),
+      "plain ascii") == "plain ascii")
+    // compatibility (NFKC-only) differences are NOT touched by NFC:
+    // fullwidth A stays fullwidth
+    assert(one[String](graft.functions.NfcNormalize.nfc_normalize(col("t")),
+      "Ａ") == "Ａ")
+    // registered on the SQL surface
+    graft.GraftExtensions.register(spark)
+    // (not chr(769): Spark's chr is mod-256 byte semantics, unlike
+    // DuckDB's codepoint chr — the SQL literal carries the escape)
+    assert(spark.sql("SELECT nfc_normalize('cafe\\u0301') v")
+      .head().getString(0) == "café")
+  }
+
+  test("cleanText: control strip keeps structure, CRLF folds, whitespace collapses") {
+    val c = TextAnalysis.cleanText(col("t"))
+    // BEL stripped, tab run collapsed, trim applied
+    assert(one[String](c, " a\u0007b\t\tc ") == "ab c")
+    // CR dies with the control class, so CRLF canonicalizes to LF;
+    // newline survives (paragraph structure is load-bearing downstream)
+    assert(one[String](c, "line1\r\nline2") == "line1\nline2")
+    // NFC runs FIRST: the decomposed accent composes before any regex
+    assert(one[String](c, "café  x") == "café x")
+    // null in, null out (all three stages are null-propagating)
+    val n = Seq[(Integer, String)]((1, null)).toDF("i", "t")
+      .select(c.as("v")).head()
+    assert(n.isNullAt(0))
+  }
 }
