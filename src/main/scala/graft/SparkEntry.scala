@@ -328,6 +328,16 @@ object SparkEntry {
     "t24_bpe_train" -> ((s, dir) =>
       graft.ops.TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", merges = 8)),
 
+    // ---- T: BPE encode — tokenize the corpus with the learned merge
+    //      table (the real-tokenizer token budget per document; feeds
+    //      packing/chunking/mixing). Vocabulary-sized fold, word-keyed
+    //      count join ----
+    "t26_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        graft.ops.TextAnalysis.bpeTrain(docs, "text", merges = 8))
+    }),
+
     // ---- T: canonical text cleanup (NFC + control strip + whitespace
     //      collapse). The testdata is ASCII, so non-NFC spellings,
     //      control debris, and ragged whitespace are INJECTED
@@ -1504,6 +1514,49 @@ object SparkEntry {
          $out"""
   }
 
+  /** t26 oracle: replay the k training rounds (same CTE chain as t24),
+    * then ENCODE — nested replace() applying each round's one-row merge
+    * in rank order over the distinct-word reps, token counts joined back
+    * to word instances.
+    */
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      raw"""p$i AS (SELECT p[1] AS l, p[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, unnest(list_transform(range(1, len(s)),
+                     x -> [s[x], s[x+1]])) AS p
+                   FROM (SELECT list_filter(string_split(rep, '||'), y -> y <> '') AS s,
+                           freq FROM w${i - 1}))
+             GROUP BY 1, 2),
+           b$i AS (SELECT l, r, cnt FROM p$i
+                   ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+           w$i AS (SELECT replace(rep, '|' || l || '||' || r || '|',
+                     '|' || l || r || '|') AS rep, freq FROM w${i - 1}, b$i)"""
+    }.mkString(",\n         ")
+    // merge i applies to what i-1 produced: nested replaces, innermost first
+    val applied = (1 to k).foldLeft("rep") { (acc, i) =>
+      s"replace($acc, '|' || m$i.l || '||' || m$i.r || '|', '|' || m$i.l || m$i.r || '|')"
+    }
+    val mergeFrom = (1 to k).map(i => s"b$i AS m$i").mkString(", ")
+    raw"""WITH w0 AS (
+           SELECT '||' || array_to_string(regexp_extract_all(w, '.'), '||') || '||' AS rep,
+                  CAST(COUNT(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
+           WHERE NOT contains(w, '|') GROUP BY w),
+         $rounds,
+         vocab AS (
+           SELECT DISTINCT w,
+             '||' || array_to_string(regexp_extract_all(w, '.'), '||') || '||' AS rep
+           FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
+           WHERE NOT contains(w, '|')),
+         enc AS (
+           SELECT w, len(list_filter(string_split($applied, '||'), y -> y <> '')) AS nt
+           FROM vocab, $mergeFrom),
+         inst AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+                  FROM documents)
+         SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(nt) AS BIGINT) AS n_tokens
+         FROM inst JOIN enc USING (w) GROUP BY doc_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "a1_full_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1732,6 +1785,7 @@ object SparkEntry {
          FROM sc""",
 
     "t24_bpe_train" -> bpeOracleSql(8),
+    "t26_bpe_encode" -> bpeEncodeOracleSql(8),
 
     // chr() builds the SAME decomposed/control codepoints the query
     // injects; nfc_normalize is DuckDB's UAX#15 NFC — byte parity with

@@ -441,6 +441,65 @@ object TextAnalysis {
         col("cnt").as("pair_count"))
   }
 
+  /** BPE ENCODE — the apply half of [[bpeTrain]]: tokenize the corpus
+    * with a learned merge table and account tokens per document (the
+    * token-budget number every training-data pipeline actually ships:
+    * sequence packing, context-window chunking, and corpus mixing all
+    * consume a per-doc token count under the REAL tokenizer, not the
+    * whitespace proxy).
+    *
+    * Plan: the corpus collapses to its DISTINCT word table once (same
+    * doubled-fence representation as training: `||c1||c2||…||`), the
+    * merge table collapses to ONE ROW holding the rank-ordered merge
+    * array (a model artifact, like a centroid array — broadcast by
+    * construction), and a single `aggregate()` fold applies every merge
+    * in rank order as one narrow pass per word — merges are inherently
+    * sequential (merge k rewrites what k−1 produced), so they fold, not
+    * join. Token counts then reach documents through one word-keyed
+    * join + doc-keyed sum, so per-word work is VOCABULARY-sized while
+    * per-document work is a count join — never tokens × documents.
+    *
+    * Contract notes, inherited from [[bpeTrain]]: separator-bearing
+    * words (`|`) are dropped from the count; a document whose words all
+    * drop (or with no words) is absent from the result. The word-keyed
+    * join is zipf-skewed by nature ("the" joins everywhere) — but the
+    * skewed side carries only (word, n_tokens), so AQE's skew split or
+    * a broadcast of the vocabulary map both resolve it at runtime.
+    *
+    * @param mergeTable output of [[bpeTrain]] (merge_rank, lhs, rhs)
+    * @return (idCol, n_words, n_tokens) — whitespace words counted and
+    *         BPE tokens after all merges, per document
+    */
+  def bpeEncode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      mergeTable: DataFrame): DataFrame = {
+    val sep2 = "||"
+    val inst = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .where(!col("w").contains("|"))
+    val vocab = inst.groupBy("w").agg(count(lit(1)).as("n_inst"))
+      .select(col("w"),
+        concat(lit(sep2),
+          array_join(regexp_extract_all(col("w"), lit("."), lit(0)), sep2),
+          lit(sep2)).as("rep"))
+    val mergesRow = mergeTable
+      .agg(sort_array(collect_list(struct(
+        col("merge_rank"), col("lhs"), col("rhs")))).as("ms"))
+    val encoded = vocab.crossJoin(broadcast(mergesRow))
+      .select(col("w"),
+        size(filter(split(
+          aggregate(col("ms"), col("rep"), (acc, m) =>
+            replace(acc,
+              concat(lit("|"), m.getField("lhs"), lit(sep2), m.getField("rhs"), lit("|")),
+              concat(lit("|"), m.getField("lhs"), m.getField("rhs"), lit("|")))),
+          "\\|\\|"), x => x =!= "")).as("nt"))
+    inst.join(encoded, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_tokens"))
+  }
+
   /** Convenience: full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

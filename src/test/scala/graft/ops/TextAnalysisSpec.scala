@@ -222,6 +222,36 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq((1, "ñ", "ü", 2L)), out)
   }
 
+  test("bpeEncode: hand merge table, left-to-right apply, per-doc counts") {
+    // merges: (a,n) then (an,a). "banana" = b|a|n|a|n|a -> b|an|an|a -> b|an|ana = 3
+    // "ban" = b|a|n -> b|an = 2; "nab" = n|a|b (no |a||n| pair) -> 3
+    val mt = Seq((1, "a", "n", 0L), (2, "an", "a", 0L))
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+    val docs = Seq(
+      (7L, "banana ban banana"),
+      (8L, "nab"),
+      (9L, "pipe|word only"),   // pipe word drops; 'only' counts o,n,l,y=4
+      (10L, "   ")              // no words -> absent from result
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text", mt)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(7L) == ((3L, 8L)), out.get(7L))
+    assert(out(8L) == ((1L, 3L)), out.get(8L))
+    assert(out(9L) == ((1L, 4L)), out.get(9L))
+    assert(!out.contains(10L))
+  }
+
+  test("bpeEncode composed with bpeTrain: trained merges shrink the token count") {
+    val docs = Seq((1L, "aa aa aa ab"), (2L, "aa ab ab")).toDF("doc_id", "text")
+    // train 1 merge: pair (a,a) count 5 beats (a,b) 3 -> merge 'aa'
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        TextAnalysis.bpeTrain(docs, "text", merges = 1))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: aa->1 token x3, ab->2 -> (4 words, 5 tokens); doc2: 1+2+2 -> (3, 5)
+    assert(out(1L) == ((4L, 5L)), out.get(1L))
+    assert(out(2L) == ((3L, 5L)), out.get(2L))
+  }
+
   test("nfc_normalize: canonical equivalents collapse; normalized text unchanged") {
     // e + COMBINING ACUTE -> U+00E9; ANGSTROM SIGN -> U+00C5
     assert(one[String](graft.functions.NfcNormalize.nfc_normalize(col("t")),
