@@ -872,6 +872,25 @@ object SparkEntry {
         numBits = 1 << 20, numHashes = 7)
     }),
 
+    // ---- D: entity resolution — the master-data dedup pipeline: exact
+    //      dups canonicalize first (d1 semantics: min key per distinct
+    //      name), then blocked edit-distance matching pairs typo
+    //      variants with their canonical record. Typos injected by
+    //      construction: every third registry name loses one character
+    //      at a key-derived position ----
+    "d10_entity_resolution" -> ((s, dir) => {
+      val reg = t(s, dir, "part")
+        .groupBy(col("p_name").as("name")).agg(min("p_partkey").as("rec_id"))
+        .select("rec_id", "name")
+      val typo = reg.where(col("rec_id") % 3 === 0)
+        .select((col("rec_id") + 1000000000L).as("rec_id"),
+          expr("concat(substring(name, 1, cast(rec_id % length(name) as int)), " +
+            "substring(name, cast(rec_id % length(name) as int) + 2, 1000000))")
+            .as("name"))
+      graft.ops.EntityResolution.resolveEntities(
+        reg.union(typo), "rec_id", "name", maxDist = 1, blockLen = 3)
+    }),
+
     // ---- D: FUZZY decontamination — overlap-FRACTION thresholding
     //      (flag when ≥5% of a doc's distinct 8-grams appear in the
     //      eval set; integer cross-multiply, never a float ratio).
@@ -2599,6 +2618,31 @@ object SparkEntry {
          SELECT tr.doc_id, COUNT(DISTINCT tr.g) AS n_shared_ngrams
          FROM tr JOIN ev ON tr.g = ev.g
          GROUP BY tr.doc_id""",
+
+    // mirrors the query verbatim: canonical registry (min key per
+    // distinct name), key-derived one-char deletions, prefix/suffix
+    // blocking passes, length filter, levenshtein verify
+    "d10_entity_resolution" ->
+      """WITH reg AS (SELECT MIN(p_partkey) AS rec_id, p_name AS name
+                      FROM part GROUP BY p_name),
+         typo AS (SELECT rec_id + 1000000000 AS rec_id,
+                    substr(name, 1, CAST(rec_id % length(name) AS INT)) ||
+                    substr(name, CAST(rec_id % length(name) AS INT) + 2) AS name
+                  FROM reg WHERE rec_id % 3 = 0),
+         all_recs AS (SELECT rec_id, name FROM reg
+                      UNION ALL SELECT rec_id, name FROM typo),
+         blocked AS (
+           SELECT rec_id, name, substr(name, 1, 3) AS bk, 0 AS pass FROM all_recs
+           UNION ALL
+           SELECT rec_id, name, substr(name, length(name) - 2, 3) AS bk, 1 AS pass
+           FROM all_recs),
+         cand AS (SELECT DISTINCT x.rec_id AS id_a, y.rec_id AS id_b,
+                    x.name AS na, y.name AS nb
+                  FROM blocked x JOIN blocked y
+                    ON x.bk = y.bk AND x.pass = y.pass AND x.rec_id < y.rec_id
+                   AND abs(length(x.name) - length(y.name)) <= 1)
+         SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INT) AS dist
+         FROM cand WHERE levenshtein(na, nb) <= 1""",
 
     // mirrors the query's injection verbatim: first 12 RAW tokens of the
     // eval doc at doc_id%20 appended (single space) for train docs ≡0
