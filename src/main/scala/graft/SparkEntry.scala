@@ -878,6 +878,26 @@ object SparkEntry {
     //      variants with their canonical record. Typos injected by
     //      construction: every third registry name loses one character
     //      at a key-derived position ----
+    // ---- X19: Z-order layout — rewrite lineitem clustered by the
+    //      Morton interleave of (l_orderkey, l_partkey), then answer a
+    //      partkey-range aggregate from the reorganized files. The
+    //      oracle runs against the ORIGINAL table: layout must be
+    //      semantically invisible; ZOrderSpec asserts the actual
+    //      pruning property (bounded per-file envelopes in BOTH
+    //      dimensions) ----
+    "x19_zorder" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val scratch = java.nio.file.Files.createTempDirectory("graft_x19_zorder_").toFile
+      org.apache.spark.graft.sparkShims.deleteDirOnExit(scratch)
+      graft.ops.ZOrder.zorderWrite(li, "l_orderkey", "l_partkey",
+        scratch.getAbsolutePath, numFiles = 16)
+      s.read.parquet(scratch.getAbsolutePath)
+        .where(col("l_partkey").between(500, 700))
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     "d10_entity_resolution" -> ((s, dir) => {
       val reg = t(s, dir, "part")
         .groupBy(col("p_name").as("name")).agg(min("p_partkey").as("rec_id"))
@@ -2618,6 +2638,15 @@ object SparkEntry {
          SELECT tr.doc_id, COUNT(DISTINCT tr.g) AS n_shared_ngrams
          FROM tr JOIN ev ON tr.g = ev.g
          GROUP BY tr.doc_id""",
+
+    // the oracle reads the ORIGINAL table: a layout rewrite must be
+    // semantically invisible
+    "x19_zorder" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n_rows
+         FROM lineitem WHERE l_partkey BETWEEN 500 AND 700
+         GROUP BY l_returnflag""",
 
     // mirrors the query verbatim: canonical registry (min key per
     // distinct name), key-derived one-char deletions, prefix/suffix
