@@ -418,6 +418,19 @@ object SparkEntry {
         .select("o_custkey", "version", "o_orderstatus", "eff_from", "eff_to", "is_current")
     }),
 
+    // ---- E: gap-filled hourly resample with LOCF — irregular purchase
+    //      events onto each user's own hourly grid; exact decimal sums
+    //      per bucket, carried forward across gaps. user_id%5 subset
+    //      keeps the grid (users × active-hours) a verify-sized dump ----
+    "e19_gapfill" -> ((s, dir) => {
+      val purchases = events(s, dir)
+        .where(col("event_type") === "purchase" && col("user_id") % 5 === 0)
+      graft.ops.TimeSeries.resampleLocf(purchases, "user_id", "ts", "value")
+        .select(col("key").as("user_id"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("v_filled"), col("is_gap"))
+    }),
+
     // ---- table profiling — per-column rows/nulls/distincts/bounds in
     //      ONE pass, unpivoted to a columns-sized result ----
     "x14_profile" -> ((s, dir) =>
@@ -1898,6 +1911,27 @@ object SparkEntry {
            CASE WHEN LEAD(o_orderdate, 1) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    // mirrors resampleLocf: per-user hourly buckets (exact decimal
+    // sums), per-user grid span, LOCF via last_value IGNORE NULLS
+    "e19_gapfill" ->
+      """WITH obs AS (
+           SELECT user_id, date_trunc('hour', ts::TIMESTAMP) AS bucket,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+           FROM events WHERE event_type = 'purchase' AND user_id % 5 = 0
+           GROUP BY 1, 2),
+         span AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+                  FROM obs GROUP BY 1),
+         grid AS (SELECT user_id,
+                    unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+                  FROM span)
+         SELECT g.user_id, strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS hour,
+           last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           (o.v IS NULL) AS is_gap
+         FROM grid g LEFT JOIN obs o
+           ON g.user_id = o.user_id AND g.bucket = o.bucket""",
 
     // bounds cross as strings — doubles through DECIMAL(18,2) (shortest-
     // double formatting is engine-specific; fixed-scale strings are not)

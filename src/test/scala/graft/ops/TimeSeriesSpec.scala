@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("resampleLocf: grid spans per key, gaps carry forward, sums are exact") {
+    val df = Seq(
+      // user 1: obs at 00 (two rows, 0.1+0.2 must sum exactly) and 03
+      (1L, ts("2024-01-01 00:10:00"), 0.1),
+      (1L, ts("2024-01-01 00:40:00"), 0.2),
+      (1L, ts("2024-01-01 03:05:00"), 5.0),
+      // user 2: single observation -> one-bucket grid, no gaps
+      (2L, ts("2024-01-02 10:30:00"), 7.5)
+    ).toDF("user_id", "t", "value")
+    val out = TimeSeries.resampleLocf(df, "user_id", "t", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getDouble(2), r.getBoolean(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(out == Seq(
+      (1L, "2024-01-01 00:00:00.0", 0.3, false), // exact: decimal, not 0.30000000000000004
+      (1L, "2024-01-01 01:00:00.0", 0.3, true),
+      (1L, "2024-01-01 02:00:00.0", 0.3, true),
+      (1L, "2024-01-01 03:00:00.0", 5.0, false),
+      (2L, "2024-01-02 10:00:00.0", 7.5, false)), out.mkString("\n"))
+  }
+
+  test("resampleLocf: daily step follows the trunc unit") {
+    val df = Seq(
+      (1L, ts("2024-03-01 23:00:00"), 1.0),
+      (1L, ts("2024-03-04 01:00:00"), 2.0)
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.resampleLocf(df, "k", "t", "v", step = "1 day", trunc = "day")
+      .collect().map(r => (r.getTimestamp(1).toString, r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("2024-03-01 00:00:00.0", 1.0, false),
+      ("2024-03-02 00:00:00.0", 1.0, true),
+      ("2024-03-03 00:00:00.0", 1.0, true),
+      ("2024-03-04 00:00:00.0", 2.0, false)), out.mkString("\n"))
+  }
+}
