@@ -296,6 +296,37 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("d4: prefix-filtered jaccard — no forced broadcast, candidate join " +
+       "keys on prefix postings only") {
+    // no STATIC hint — the planner/AQE may still broadcast at test
+    // scale, which is exactly the policy
+    val opt = SparkEntry.queries("d4_ngram_jaccard")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("strategy=broadcast"), s"static hint leaked:\n$opt")
+    // no window sort anywhere: ordering work is per-doc array sort, and
+    // ranking never becomes a row_number shuffle
+    assert(!plan("d4_ngram_jaccard").contains(" Window "), plan("d4_ngram_jaccard"))
+  }
+
+  test("t26: BPE encode — merge table folds as a one-row broadcast, not a join per merge") {
+    val p = plan("t26_bpe_encode")
+    // the merge array reaches the vocabulary through broadcast nested
+    // loop (one row x vocab): merges apply as ONE fold, so there must
+    // be exactly one aggregate() pass and no per-merge shuffle chain
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("aggregate\\(".r.findAllIn(p).length >= 1, p)
+  }
+
+  test("e19: gap-fill — grid generation is in-pipeline explode, " +
+       "agg and LOCF window share the key domain") {
+    val p = plan("e19_gapfill")
+    // sequence+explode must NOT introduce its own exchange: generate
+    // appears fused above the span aggregate
+    assert(p.contains("Generate explode(sequence"), p)
+    // exactly one window (the LOCF carry), partitioned by the key
+    assert(" Window ".r.findAllIn(p).length == 1, p)
+  }
+
   test("e15: the whole funnel is ONE user-keyed shuffle — every step window " +
        "shares a single sort, the per-user finalize reuses the partitioning, " +
        "and only the three counters cross the closing exchange") {
