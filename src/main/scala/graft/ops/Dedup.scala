@@ -408,11 +408,12 @@ object Dedup {
     * self-join shuffles only prefix postings. Nothing driver-side, no
     * broadcast hints.
     *
-    * Measured trade (tools.ProfileD4): on a benign near-uniform corpus
-    * (sf0.1 documents) the two extra shuffles cost ~2× warm CPU vs the
-    * naive index (17.5 vs 4.1 CPU-s); on a 20k-doc corpus sharing one
-    * 8-word boilerplate header the naive index is 53 s/1317 CPU-s vs
-    * 3.8 s/43 CPU-s here — a gap that grows quadratically with corpus
+    * Measured trade (tools.ProfileD4, after moving everything but the
+    * verify onto 64-bit token hashes): on a benign near-uniform corpus
+    * (sf0.1 documents) the prefix machinery is within ~25% of the naive
+    * index warm (9.0 vs 7.2 CPU-s); on a 20k-doc corpus sharing one
+    * 8-word boilerplate header the naive index is 58 s/1400 CPU-s vs
+    * 4 s/36 CPU-s here — a gap that grows quadratically with corpus
     * size. Real web corpora are the second case, so this is the default.
     */
   def ngramJaccardPairsPrefix(
@@ -427,11 +428,22 @@ object Dedup {
     val sh = shingleSlot.persist(df.repartition(par, col(idCol))
       .select(col(idCol).as("doc_id"),
         graft.functions.NGramShingles.ngram_shingles(col(textCol), n).as("sh")))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    // Global document frequency per shingle, joined back on the SAME key
-    // the groupBy just partitioned on (exchange reused); then one
-    // doc-keyed groupBy rebuilds each document's shingle list sorted by
-    // (freq asc, token asc) — structs sort lexicographically by field.
+    // Everything except the final verification runs on 64-BIT TOKEN
+    // HASHES, not the shingle strings: the frequency groupBy, the
+    // rank-attach join, the per-doc struct sort, and the candidate
+    // equi-join all shuffle/compare fixed-width longs instead of ~20-char
+    // strings (measured 2.5× CPU on the sf0.1 corpus). Correctness: any
+    // total order over token identities serves the prefix theorem, and a
+    // shared token always maps to a shared hash; an xxhash64 collision
+    // can only merge two tokens' frequency counts or over-generate a
+    // candidate — both absorbed by the exact verify step (the same
+    // 64-bit-identity stance as the md5 dedup keys, documented there).
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("s"))
+    // Global document frequency per shingle hash, joined back on the
+    // SAME key the groupBy just partitioned on (exchange reused); then
+    // one doc-keyed groupBy rebuilds each document's hash list sorted by
+    // (freq asc, hash asc) — structs sort lexicographically by field.
     val freq = inv.groupBy("s").agg(count(lit(1)).as("tok_df"))
     val ordered = inv.join(freq, "s")
       .groupBy("doc_id")
