@@ -990,6 +990,14 @@ object SparkEntry {
       graft.ops.Corpus.sampleFixedPerStratum(
         t(s, dir, "customer"), Seq("c_nationkey"), "c_custkey", 5)),
 
+    // ---- weighted sampling without replacement (Efraimidis–Spirakis):
+    //      k docs per language, draw probability ∝ n_chars; the E-S
+    //      rank ln(u)/w lives as integer fixed point so the sample is
+    //      engine-reproducible bit-for-bit ----
+    "x20_weighted_sample" -> ((s, dir) =>
+      graft.ops.Corpus.sampleWeighted(
+        t(s, dir, "documents"), "doc_id", "n_chars", 50, Seq("lang"))),
+
     // ---- T: the capstone training-data pipeline as ONE declarative
     //      plan: quality gate -> exact dedup -> cluster-level near-dup
     //      removal -> benchmark decontamination (vs the doc_id<20 eval
@@ -2867,6 +2875,22 @@ object SparkEntry {
                     AS INTEGER) AS sample_rank
            FROM customer)
          WHERE sample_rank <= 5""",
+
+    // the E-S key replayed exactly: 48 md5 bits -> u, round(ln(u)·1e6)
+    // micro-nats, integer // by the weight (positive operands: floor ==
+    // truncate, so DuckDB's // and Spark's div agree)
+    "x20_weighted_sample" ->
+      """WITH keyed AS (
+           SELECT lang, doc_id,
+             -((-CAST(round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE) + 0.5)
+                   / 281474976710656.0) * 1e6) AS BIGINT)) * 1000000 // n_chars) AS key
+           FROM documents WHERE n_chars > 0)
+         SELECT lang, doc_id, sample_rank FROM (
+           SELECT lang, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key DESC, doc_id ASC)
+               AS INTEGER) AS sample_rank
+           FROM keyed)
+         WHERE sample_rank <= 50""",
 
     "t11_prepare_corpus" ->
       """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),

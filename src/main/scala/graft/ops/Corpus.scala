@@ -418,6 +418,67 @@ object Corpus {
         (col("pos") + 1).as("sample_rank")): _*)
   }
 
+  /** WEIGHTED sampling without replacement, k per stratum (or global
+    * with empty `strataCols`) — Efraimidis–Spirakis 2006: draw u ~
+    * U(0,1) per record, rank by u^(1/w); the top-k are a weighted
+    * sample without replacement. This is the importance-sampling
+    * companion to [[sampleFixedPerStratum]]'s uniform draw: corpus
+    * curation uses it to keep a fixed budget biased toward quality
+    * scores / token counts without a hard cutoff.
+    *
+    * Determinism discipline (the whole point of the formulation):
+    *   - u comes from md5 of the id (first 12 hex = 48 uniform bits,
+    *     u = (U+0.5)/2⁴⁸) — content-stable, like [[assignSplit]];
+    *   - the E-S rank u^(1/w) is order-isomorphic to ln(u)/w, so the
+    *     key is ln(u) in FIXED-POINT micro-nats (one `round(ln·1e6)` —
+    *     the t19 trick: a final rounding kills libm ulp differences)
+    *     integer-divided by the weight. All ranking comparisons are on
+    *     exact integers; no float ever decides an order, and any
+    *     warehouse engine replays the sample bit-for-bit.
+    *   - ties (identical fixed-point keys) break by id ascending, the
+    *     heap's built-in total order.
+    *
+    * Scale: the bounded heap ([[graft.functions.TopKAgg]]) folds
+    * map-side — the exchange carries ≤ partitions·|strata|·k entries,
+    * never the corpus. Weights must be POSITIVE integers (basis-point
+    * your floats); rows with non-positive weight are excluded.
+    *
+    * @param weightCol positive integral weight column
+    * @return (strataCols..., idCol, sample_rank) — rank 1 = strongest
+    *         draw; integral id types only (the long heap carries them)
+    */
+  def sampleWeighted(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      strataCols: Seq[String] = Nil): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u48 = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    // -ln(u) in micro-nats (positive), then the E-S key ln(u)/w as a
+    // NEGATIVE fixed-point long: integer `div` on positive operands is
+    // identical in every engine (floor == truncate), where a negative
+    // dividend would split engines on floor-vs-truncate semantics
+    val keyed = df
+      .where(col(weightCol) > 0)
+      .withColumn("__neg",
+        (-round(log((u48.cast("double") + lit(0.5)) / lit(281474976710656.0))
+          * lit(1e6))).cast("long"))
+      .withColumn("__key",
+        -expr(s"(__neg * 1000000L) div cast($weightCol as bigint)").cast("double"))
+    val grouped =
+      if (strataCols.isEmpty) keyed.groupBy()
+      else keyed.groupBy(strataCols.map(col): _*)
+    grouped
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score(col("__key"), col(idCol).cast("long"), k).as("tk"))
+      .select(strataCols.map(col) :+ posexplode(col("tk")): _*)
+      .select(strataCols.map(col) ++ Seq(
+        col("col.neighbor_id").cast(df.schema(idCol).dataType).as(idCol),
+        (col("pos") + 1).as("sample_rank")): _*)
+  }
+
   /** Bloom-filtered decontamination — [[decontaminate]]'s result by a
     * plan that never broadcasts the eval shingle STRINGS. The eval
     * shingles fold into one fixed-size Bloom filter

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.{col, concat, md5, rand, row_number}
+import org.apache.spark.sql.functions.{col, concat, conv, expr, lit, log, md5, rand, round, row_number, substring, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 class CorpusSpec extends AnyFunSuite with SparkSpec {
@@ -312,5 +312,34 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     val plan = Corpus.cleanLines(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("sampleWeighted: heap path equals the window formulation; weights bias the draw") {
+    // ids 0..99 carry weight 1000, ids 100..999 weight 1
+    val recs = spark.range(1000).select(col("id").as("rid"),
+      when(col("id") < 100, 1000L).otherwise(1L).as("w"),
+      (col("id") % 2).as("g"))
+    val out = Corpus.sampleWeighted(recs, "rid", "w", 25, Seq("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // k per stratum, ranks contiguous from 1
+    val byG = out.groupBy(_._1)
+    assert(byG.keySet == Set(0L, 1L))
+    byG.values.foreach(v => assert(v.map(_._3).sorted.toSeq == (1 to 25)))
+    // E-S with 1000x weight: the heavy ids dominate the sample
+    val heavy = out.count(_._2 < 100)
+    assert(heavy >= 45, s"expected heavy-weight dominance, got $heavy/50")
+    // equivalence with the row_number window over the same integer keys
+    val u48 = conv(substring(md5(col("rid").cast("string")), 1, 12), 16, 10).cast("long")
+    val keyed = recs
+      .withColumn("__neg", (-round(log((u48.cast("double") + lit(0.5)) /
+        lit(281474976710656.0)) * lit(1e6))).cast("long"))
+      .withColumn("__key", -expr("(__neg * 1000000L) div w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("__key").desc, col("rid").asc)
+    val expected = keyed.withColumn("rn", row_number().over(win))
+      .where(col("rn") <= 25)
+      .select(col("g"), col("rid"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out.toSet == expected)
   }
 }
