@@ -911,6 +911,25 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
+    // ---- X: HILBERT layout — same invisible-rewrite contract as x19,
+    //      filtered on the 45-55% partkey window that STRADDLES the
+    //      Z-curve's 50% quadrant boundary (its documented worst case;
+    //      the Hilbert curve's unit steps keep boundary files compact,
+    //      ZOrderSpec measures the pruning difference) ----
+    "x21_hilbert" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val scratch = java.nio.file.Files.createTempDirectory("graft_x21_hilbert_").toFile
+      org.apache.spark.graft.sparkShims.deleteDirOnExit(scratch)
+      graft.ops.ZOrder.hilbertWrite(li, "l_orderkey", "l_partkey",
+        scratch.getAbsolutePath, numFiles = 16)
+      val maxPk = li.agg(max("l_partkey")).head().getLong(0)
+      s.read.parquet(scratch.getAbsolutePath)
+        .where(col("l_partkey").between(maxPk * 45 / 100, maxPk * 55 / 100))
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     "d10_entity_resolution" -> ((s, dir) => {
       val reg = t(s, dir, "part")
         .groupBy(col("p_name").as("name")).agg(min("p_partkey").as("rec_id"))
@@ -2688,6 +2707,18 @@ object SparkEntry {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          COUNT(*) AS n_rows
          FROM lineitem WHERE l_partkey BETWEEN 500 AND 700
+         GROUP BY l_returnflag""",
+
+    // the hilbert layout must be semantically invisible: the oracle runs
+    // the same filter+agg on the ORIGINAL table (integer window bounds
+    // recomputed identically — maxPk*45/100 is integer div in both)
+    "x21_hilbert" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n_rows
+         FROM lineitem
+         WHERE l_partkey BETWEEN (SELECT MAX(l_partkey) * 45 // 100 FROM lineitem)
+                             AND (SELECT MAX(l_partkey) * 55 // 100 FROM lineitem)
          GROUP BY l_returnflag""",
 
     // mirrors the query verbatim: canonical registry (min key per

@@ -37,21 +37,54 @@ object ZOrder {
       colA: String,
       colB: String,
       path: String,
-      numFiles: Int): Unit = {
+      numFiles: Int): Unit =
+    curveWrite(df, colA, colB, path, numFiles, bits = 32,
+      graft.functions.InterleaveBits.interleave_bits)
+
+  /** Write `df` to `path` as parquet, HILBERT-ordered by (`colA`,
+    * `colB`) — same contract and write path as [[zorderWrite]], tighter
+    * locality: the Hilbert curve's unit-step property
+    * ([[graft.functions.HilbertIndex]]) means every contiguous key
+    * range (= every output file) is a compact blob in (a, b) space,
+    * where the Z-curve's per-quadrant diagonal jumps let a
+    * boundary-straddling file span half the domain in one dimension
+    * (the worst case ZOrderSpec documents for x19). Prefer this for
+    * new layouts; zorderWrite stays for parity with Delta/Iceberg
+    * `ZORDER BY` semantics.
+    */
+  def hilbertWrite(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      path: String,
+      numFiles: Int): Unit =
+    curveWrite(df, colA, colB, path, numFiles,
+      bits = graft.functions.HilbertIndex.Order,
+      graft.functions.HilbertIndex.hilbert_index)
+
+  private def curveWrite(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      path: String,
+      numFiles: Int,
+      bits: Int,
+      key: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
     val bounds = df.agg(
       min(col(colA).cast("double")).as("_min_a"),
       max(col(colA).cast("double")).as("_max_a"),
       min(col(colB).cast("double")).as("_min_b"),
       max(col(colB).cast("double")).as("_max_b"))
-    val full = (1L << 32) - 1
+    val full = (1L << bits) - 1
     def norm(c: String, lo: String, hi: String) =
       least(lit(full), greatest(lit(0L),
         ((col(c).cast("double") - col(lo)) / // degenerate range -> constant 0
           when(col(hi) === col(lo), lit(1.0)).otherwise(col(hi) - col(lo)) *
           lit(full.toDouble)).cast("long")))
     df.crossJoin(broadcast(bounds))
-      .withColumn("__z", graft.functions.InterleaveBits.interleave_bits(
+      .withColumn("__z", key(
         norm(colA, "_min_a", "_max_a"), norm(colB, "_min_b", "_max_b")))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
