@@ -1224,6 +1224,12 @@ object SparkEntry {
     "e2_window_hourly" -> ((s, dir) =>
       graft.streaming.EventStreams.windowedAgg(events(s, dir))),
 
+    // ---- E: HOPPING windows — hourly metrics refreshed every 15 min;
+    //      each event fans out to the fixed w/s = 4 overlapping
+    //      windows in-pipeline (no self-join) ----
+    "e21_hopping" -> ((s, dir) =>
+      graft.streaming.EventStreams.hoppingAgg(events(s, dir))),
+
     // ---- E: semi-structured JSON extraction ----
     "e3_json_extract" -> ((s, dir) => {
       events(s, dir)
@@ -3137,6 +3143,20 @@ object SparkEntry {
          event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    // hopping-window membership replayed as an explicit offset fan-out:
+    // an event's 4 windows start at (floor(epoch/900) - i)*900 for
+    // i in 0..3 (every one satisfies start <= ts < start + 3600 by
+    // construction, since ts - start = ts mod 900 + i*900 < 3600);
+    // integer epoch grid == Spark's epoch-aligned slide grid
+    "e21_hopping" ->
+      """SELECT strftime(make_timestamp(
+             (((CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 900) - i) * 900)
+             * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) offs
+         GROUP BY 1, 2""",
 
     "e3_json_extract" ->
       """SELECT event_type,

@@ -76,6 +76,42 @@ object EventStreams {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** HOPPING (sliding) windows — each event lands in windowLength/slide
+    * overlapping windows (the smoothed-rate view dashboards want: an
+    * hourly metric refreshed every 15 minutes). Same column logic and
+    * exact-decimal discipline as [[windowedAgg]]; `window(ts, w, s)`
+    * expands to the window set in-pipeline (a projection fan-out of
+    * w/s rows per event, shuffled once on (window, type) — no
+    * self-join, and the fan-out factor is the FIXED ratio w/s, never
+    * data-dependent). Window starts align to the epoch slide grid,
+    * matching the portable integer floor-division oracle.
+    */
+  def hoppingAgg(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Streaming twin of [[hoppingAgg]] — the state story is identical to
+    * the tumbling case (watermark closes windows whose END passed), just
+    * w/s live windows per key instead of one.
+    */
+  def streamingHoppingAgg(
+      spark: SparkSession,
+      path: String,
+      watermark: String = "1 hour",
+      windowLength: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame = {
+    val events = spark.readStream.schema(eventSchema).parquet(path)
+    hoppingAgg(events.withWatermark("ts", watermark), windowLength, slide)
+  }
+
   /** Read a parquet directory as a bounded stream (file-source), apply the
     * watermark, and run the windowed aggregation.
     */

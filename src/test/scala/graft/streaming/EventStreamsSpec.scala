@@ -101,4 +101,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed == expected && streamed.nonEmpty)
   }
+
+  test("hopping windows: hand-computed membership; streaming twin equal") {
+    import spark.implicits._
+    // 00:10 belongs to starts 23:15/23:30/23:45/00:00; 00:20 to
+    // 23:30/23:45/00:00/00:15 (1h windows sliding every 15 min)
+    val evs = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "view", 2.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), 1L, "view", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStreams.hoppingAgg(evs)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set(
+      ("2023-12-31 23:15:00", 1L, 2.0),
+      ("2023-12-31 23:30:00", 2L, 5.0),
+      ("2023-12-31 23:45:00", 2L, 5.0),
+      ("2024-01-01 00:00:00", 2L, 5.0),
+      ("2024-01-01 00:15:00", 1L, 3.0)))
+    // streaming twin over real data: watermark state holds w/s windows
+    // per key and the result still matches the batch plan exactly
+    val batchInput = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hop").toString
+    batchInput.write.mode("overwrite").parquet(dir)
+    val expected = EventStreams.hoppingAgg(spark.read.parquet(dir))
+      .collect().map(_.toSeq).toSet
+    val streamed = EventStreams.runToMemorySink(
+      spark, EventStreams.streamingHoppingAgg(spark, dir), "hop_test")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == expected && streamed.nonEmpty)
+  }
 }
