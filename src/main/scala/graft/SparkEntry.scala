@@ -1230,6 +1230,16 @@ object SparkEntry {
     "e21_hopping" -> ((s, dir) =>
       graft.streaming.EventStreams.hoppingAgg(events(s, dir))),
 
+    // ---- E: rolling z-score anomaly flags — trailing-20 baseline per
+    //      event_type, integer-cents cross-multiplied test (exact; no
+    //      float stddev near the boundary) ----
+    "e22_anomaly" -> ((s, dir) =>
+      graft.ops.TimeSeries.anomalies(
+        events(s, dir), "event_type", "event_id", "ts", "value")
+        .select(col("event_type"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("value"), col("baseline_n"))),
+
     // ---- E: semi-structured JSON extraction ----
     "e3_json_extract" -> ((s, dir) => {
       events(s, dir)
@@ -3157,6 +3167,28 @@ object SparkEntry {
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) offs
          GROUP BY 1, 2""",
+
+    // the exact integer replay of the rolling z-test: cents, trailing
+    // window sums, (n·x − S1)² > z²·(n·S2 − S1²)
+    "e22_anomaly" ->
+      """WITH v AS (
+           SELECT event_type, event_id, ts::TIMESTAMP AS ts, value,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv
+           FROM events),
+         w AS (
+           SELECT event_type, event_id, ts, value, cv,
+             SUM(cv) OVER win AS s1,
+             SUM(cv * cv) OVER win AS s2,
+             COUNT(*) OVER win AS cnt
+           FROM v
+           WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value,
+           CAST(20 AS INT) AS baseline_n
+         FROM w
+         WHERE cnt = 20
+           AND (20 * cv - s1) * (20 * cv - s1) > 9 * (20 * s2 - s1 * s1)""",
 
     "e3_json_extract" ->
       """SELECT event_type,

@@ -33,6 +33,62 @@ object TimeSeries {
     * @return (key, bucket, v_filled, is_gap) — one row per grid bucket;
     *         `is_gap` marks buckets with no observation (LOCF-filled)
     */
+  /** Rolling z-score anomaly detection — flag observations more than
+    * `z` standard deviations from the mean of their key's previous `n`
+    * observations (the classic online monitoring rule; trailing window
+    * only, so the observation never smooths its own baseline).
+    *
+    * Exactness discipline: values become integer CENTS
+    * (`decimal(18,2)·100`), the trailing sums S1=Σv, S2=Σv² are exact
+    * integer window sums, and the test `(x−mean)² > z²·var` is cleared
+    * of divisions by cross-multiplication into
+    * `(n·x − S1)² > z²·(n·S2 − S1²)` — every comparison is on exact
+    * longs, so any engine reproduces the flag set bit-for-bit (a float
+    * stddev would put boundary observations on either side depending
+    * on summation order). Observations with fewer than `n` predecessors
+    * are never flagged (no small-sample baselines). Overflow bound:
+    * |v| ≤ ~3·10⁶ cents at n ≤ 100 keeps z²·(n·S2 − S1²) under 2⁶³ —
+    * fine for metric-like values; document-scale magnitudes should
+    * coarsen the unit first.
+    *
+    * Ordering ties: the window orders by (`tsCol`, `idCol`) so
+    * same-timestamp observations have a deterministic baseline.
+    *
+    * Scale shape: ONE key-partitioned exchange for the window; the
+    * flag predicate is a projection. State is the n-row frame, bounded.
+    *
+    * @return flagged rows: (keyCol, idCol, tsCol, valueCol,
+    *         baseline_n) — baseline_n always equals `n`, kept so
+    *         downstream joins know the rule that fired
+    */
+  def anomalies(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      tsCol: String,
+      valCol: String,
+      n: Int = 20,
+      z: Int = 3): DataFrame = {
+    require(n >= 2, s"need a window of at least 2, got $n")
+    require(z >= 1, s"z must be >= 1, got $z")
+    val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-n, -1)
+    val flagged = df
+      .withColumn("__v", cents)
+      .withColumn("__s1", sum(col("__v")).over(w))
+      .withColumn("__s2", sum(col("__v") * col("__v")).over(w))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .where(col("__cnt") === n)
+      .where({
+        val dev = lit(n.toLong) * col("__v") - col("__s1")
+        dev * dev > lit(z.toLong * z) *
+          (lit(n.toLong) * col("__s2") - col("__s1") * col("__s1"))
+      })
+    flagged.select(col(keyCol), col(idCol), col(tsCol), col(valCol),
+      lit(n).as("baseline_n"))
+  }
+
   def resampleLocf(
       df: DataFrame,
       keyCol: String,

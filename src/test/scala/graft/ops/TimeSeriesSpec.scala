@@ -45,4 +45,31 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       ("2024-03-03 00:00:00.0", 1.0, true),
       ("2024-03-04 00:00:00.0", 2.0, false)), out.mkString("\n"))
   }
+
+  test("anomalies: 3-sigma boundary is exact; short baselines never flag") {
+    // alternating 100.00/102.00 for 20 obs: mean 101.00, sigma exactly
+    // 1.00 -> the 3-sigma bar sits at 104.00/98.00
+    def obs(i: Int, v: Double) = ("m1", i.toLong, ts(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+    val base = (0 until 20).map(i => obs(i, if (i % 2 == 0) 100.00 else 102.00))
+    // each candidate sees the SAME clean 20-obs baseline (appending them
+    // to one series would put earlier candidates inside later windows)
+    def flags(v: Double): Seq[Long] =
+      TimeSeries.anomalies((base :+ obs(20, v)).toDF("key", "id", "t", "v"),
+        "key", "id", "t", "v", n = 20, z = 3)
+        .collect().map(_.getLong(1)).sorted.toSeq
+    assert(flags(104.00) == Nil)        // dev == 3 sigma exactly: strict >
+    assert(flags(104.01) == Seq(20L))   // one cent past the bar
+    assert(flags(97.99) == Seq(20L))    // ...and on the low side
+    assert(flags(1000.00) == Seq(20L))  // unambiguous spike
+    val rows = base :+ obs(20, 1000.00)
+    // under n predecessors: even a wild value is never flagged
+    val shortDf = (0 until 5).map(i => obs(i, 1.00)).toDF("key", "id", "t", "v")
+    assert(TimeSeries.anomalies(shortDf, "key", "id", "t", "v").isEmpty)
+    // keys are independent baselines: the same spike on a fresh key is silent
+    val twoKeys = (rows.map { case (_, i, t, v) => ("a", i, t, v) } :+
+      ("b", 99L, ts("2024-01-01 09:00:00"), 1000.00)).toDF("key", "id", "t", "v")
+    val flaggedKeys = TimeSeries.anomalies(twoKeys, "key", "id", "t", "v")
+      .collect().map(_.getString(0)).toSet
+    assert(flaggedKeys == Set("a"))
+  }
 }
