@@ -1278,6 +1278,29 @@ object SparkEntry {
     //      aggregation, result distributed-written per trigger (the
     //      memory sink would hold it driver-side); the oracle is the
     //      same SQL that checks the batch twin (e2) ----
+    // ---- E20: STREAMING near-dup gate — docs >= 250 arrive as a file
+    //      stream and are checked against the frozen history (< 250)
+    //      via the stateless band-join plan (first-agreeing-band dedup,
+    //      no streaming state); output = verified cross-corpus pairs,
+    //      hash-matched against DuckDB's exact Jaccard join ----
+    "e20_stream_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val history = docs.where(col("doc_id") < 250)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_e20_stream_").toFile
+      org.apache.spark.graft.sparkShims.deleteDirOnExit(scratch)
+      val streamDir = scratch.getAbsolutePath
+      docs.where(col("doc_id") >= 250).write.mode("overwrite").parquet(streamDir)
+      val streamDocs = s.readStream
+        .schema(s.read.parquet(streamDir).schema).parquet(streamDir)
+      val out = graft.streaming.CorpusStreams.nearDupVsHistory(
+        streamDocs, history, "doc_id", "text", 0.8)
+      graft.streaming.EventStreams.runToTable(out, "e20_sink")
+      // the runner refreshes inside the micro-batch session; this outer
+      // session may hold a stale file listing from a previous run
+      s.catalog.refreshTable("e20_sink")
+      s.table("e20_sink").select("stream_id", "hist_id", "jaccard")
+    }),
+
     "e7_streaming_hourly" -> ((s, dir) => {
       val stream = graft.streaming.EventStreams
         .readNsEventStream(s, s"$dir/events.parquet")
@@ -1699,6 +1722,30 @@ object SparkEntry {
          SELECT event_id, user_id, event_type,
            strftime(t, '%Y-%m-%d %H:%M:%S') AS ts, value
          FROM r WHERE rn = 1""",
+
+    // exact cross-corpus trigram Jaccard (stream half >= 250 vs history
+    // half < 250) — the LSH banding is recall-complete at these
+    // parameters (miss ~ 5e-8), the exact verify removes every false
+    // positive, so streaming output == this exact join
+    "e20_stream_neardup" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(w)-1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS s
+                FROM d),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         inter AS (SELECT x.doc_id AS stream_id, y.doc_id AS hist_id, COUNT(*) AS i
+                   FROM inv x JOIN inv y ON x.g = y.g
+                    AND x.doc_id >= 250 AND y.doc_id < 250
+                   GROUP BY 1, 2)
+         SELECT stream_id, hist_id, ROUND(i / (na.n + nb.n - i), 6) AS jaccard
+         FROM inter JOIN sz na ON stream_id = na.doc_id
+                    JOIN sz nb ON hist_id = nb.doc_id
+         WHERE i / (na.n + nb.n - i) >= 0.8""",
 
     "e7_streaming_hourly" ->
       """SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,

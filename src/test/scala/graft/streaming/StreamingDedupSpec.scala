@@ -90,4 +90,54 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     assert(spark.table("stream_landing").count() == 3)
     spark.sql("DROP TABLE stream_landing")
   }
+
+  test("nearDupVsHistory: hand pairs on the batch path; threshold respected") {
+    val history = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "completely different text about spark engines and scala compilers running distributed jobs")
+    ).toDF("doc_id", "text")
+    val stream = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"), // == 0
+      (11L, "the quick brown fox jumps over the lazy cat near the river bank today"), // j=0.6 vs 0
+      (12L, "entirely novel content that matches nothing in the historical corpus at all")
+    ).toDF("doc_id", "text")
+    val at55 = CorpusStreams.nearDupVsHistory(stream, history, "doc_id", "text", 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(at55 == Seq((10L, 0L, 1.0), (11L, 0L, 0.6)), at55.toString)
+    val at80 = CorpusStreams.nearDupVsHistory(stream, history, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(at80 == Seq((10L, 0L))) // the j=0.6 pair falls below 0.8
+  }
+
+  test("nearDupVsHistory streams STATELESSLY and equals the batch twin across batches") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val history = docs.where(col("doc_id") < 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft-snd").toString
+    // 4 files -> 4 micro-batches under maxFilesPerTrigger=1: the result
+    // must not depend on how the feed is batched (pure stateless plan)
+    docs.where(col("doc_id") >= 100).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val expected = CorpusStreams.nearDupVsHistory(
+      spark.read.parquet(dir), history, "doc_id", "text", 0.8)
+      .collect().map(_.toSeq).toSet
+    val streamDf = CorpusStreams.nearDupVsHistory(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir),
+      history, "doc_id", "text", 0.8)
+    val q = streamDf.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("snd_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // stateless by construction: no state-store operator ever ran (the
+    // band-collision dedup is the algebraic first-agreeing-band filter,
+    // not a stateful dropDuplicates)
+    assert(q.recentProgress.nonEmpty)
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+      q.recentProgress.map(_.stateOperators.length).mkString(","))
+    assert(q.recentProgress.map(_.numInputRows).sum >= 4) // really multi-batch
+    val streamed = spark.table("snd_test").collect().map(_.toSeq).toSet
+    assert(streamed == expected && streamed.nonEmpty)
+  }
 }
