@@ -72,6 +72,43 @@ class AqeAtSizeSpec extends AnyFunSuite with SparkSpec {
       s"no runtime shuffle coalescing:\n$p")
   }
 
+  test("runtime bloom filter: a selective dim filter prunes the fact side pre-shuffle") {
+    // the 100 TB fact⋈filtered-dim pattern where broadcast does NOT
+    // apply (both sides big): Catalyst's InjectRuntimeFilter plants a
+    // bloom filter built from the dim's join keys as a fact-side
+    // predicate, so most fact rows die BEFORE the join shuffle instead
+    // of crossing the wire to find no partner. Thresholds are sized for
+    // real clusters (10 GB application side), so at sf0.01 the trigger
+    // conditions are scaled down — the assertion is that the engine's
+    // declarative plans leave the rule applicable (equi-join, selective
+    // creation-side filter, no hints), not the thresholds themselves.
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      import org.apache.spark.sql.functions.col
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_totalprice") > 400000) // selective: ~1% of orders
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").count()
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter on the fact side:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => c.set(k, x); case None => c.unset(k) }
+    }
+  }
+
   test("t19 at sf0.01: the LM model side broadcasts at runtime (vocab ≪ corpus)") {
     // the bigram model is vocabulary-sized (≪ the doc-bigram fan-out);
     // the operator ships it hint-free, so AQE must convert the scoring
