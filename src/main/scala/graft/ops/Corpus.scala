@@ -484,8 +484,8 @@ object Corpus {
     * shingles fold into one fixed-size Bloom filter
     * ([[graft.functions.Bloom]]: distributed build, bitwise-OR merge —
     * one numBits/8-byte buffer per partition crosses the exchange), the
-    * train side's shingles probe the one-row broadcast filter in a
-    * codegen pass, and only the surviving candidates — true hits plus
+    * train side's shingles probe the filter in a codegen pass, and only
+    * the surviving candidates — true hits plus
     * the filter's ≈0.8% false positives — reach the exact verify join
     * that removes the false positives. The RESULT is exact and
     * identical to [[decontaminate]]: Bloom filters have no false
@@ -523,9 +523,18 @@ object Corpus {
     val filt = eg.agg(Bloom.bloom_agg(xxhash64(col("g")), numBits, numHashes).as("bf"))
     val tg = train.select(col(idCol),
       explode(graft.functions.NGramShingles.ngram_shingles(col(textCol), n)).as("g"))
+    // The filter reaches the probe as a SCALAR SUBQUERY, not a
+    // crossJoin(broadcast(...)): a joined-in row re-reads its BINARY
+    // cell per evaluation and UnsafeRow.getBinary COPIES the bytes —
+    // at 2³⁰ probed shingles × a 16 MB filter that is petabytes of
+    // memcpy charged to the probe loop (95% of d9's CPU at sf0.1
+    // before this change; 8× total query CPU). The subquery runs once
+    // and inlines as a runtime literal: every row probes the SAME
+    // in-place byte array.
     val candidates = tg
-      .crossJoin(broadcast(filt))
-      .where(Bloom.bloom_contains(col("bf"), xxhash64(col("g"))))
+      .where(Bloom.bloom_contains(
+        org.apache.spark.sql.graft.shims.scalarSubquery(filt),
+        xxhash64(col("g"))))
       .select(col(idCol), col("g"))
     // exact verify: drops the Bloom false positives. No broadcast hint —
     // the candidate side is post-filter-tiny and AQE picks the build side

@@ -23,6 +23,21 @@ object shims {
   def sessionState(spark: SparkSession): SessionState =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState
 
+  /** Wrap a one-row/one-column Dataset as a scalar-subquery Column.
+    *
+    * The point vs `crossJoin(broadcast(oneRowDf))`: a joined-in value
+    * is read from its UnsafeRow on EVERY evaluation, and
+    * `UnsafeRow.getBinary` COPIES the bytes — for a large BINARY value
+    * (a serialized Bloom filter, a codebook) probed per corpus row,
+    * that is gigabytes of memcpy charged to the probe loop (measured:
+    * 95% of d9's executor CPU). A scalar subquery executes ONCE and is
+    * inlined as a runtime literal, so codegen references the SAME
+    * byte array for every row.
+    */
+  def scalarSubquery(df: org.apache.spark.sql.Dataset[_]): Column =
+    column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.queryExecution.analyzed))
+
   /** Release the storage behind a checkpointed Dataset — blocks for a
     * localCheckpoint, FILES for a reliable checkpoint. Checkpoint state
     * lives on the backing RDD, not in the CacheManager, so

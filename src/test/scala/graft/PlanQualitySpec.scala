@@ -28,6 +28,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(exchanges == 1, s"fact-side shuffle leaked:\n$p2")
   }
 
+  test("d9: the bloom probe is a subquery filter, not a joined-in value") {
+    // the filter must reach the probe as a scalar subquery (one
+    // execution, inlined literal, in-place byte-array reads): a
+    // crossJoin(broadcast(filt)) re-reads the BINARY cell per row and
+    // UnsafeRow.getBinary copies it — measured 95% of the query's CPU
+    val p = plan("d9_bloom_decontaminate")
+    assert(p.contains("bloom_contains(Subquery") || p.contains("bloom_contains(scalar-subquery"),
+      s"bloom filter not delivered via scalar subquery:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"filter re-joined per row:\n$p")
+  }
+
   test("w1: row_number dedup compiles to partial+final WindowGroupLimit") {
     val p = plan("w1_window_dedup")
     assert("WindowGroupLimit".r.findAllIn(p).length == 2, p)
