@@ -1278,6 +1278,21 @@ object SparkEntry {
     //      aggregation, result distributed-written per trigger (the
     //      memory sink would hold it driver-side); the oracle is the
     //      same SQL that checks the batch twin (e2) ----
+    // ---- D11: WRITTEN band index — the build-once/probe-many artifact
+    //      flow for text dedup (v5/v8's disk-index story, d-side):
+    //      history's signature+band tables land bucketed via the staged
+    //      swap, the probe joins co-located buckets with no history
+    //      kernel pass and no corpus-side exchange; same exact-Jaccard
+    //      oracle as the in-memory gate ----
+    "d11_banded_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.streaming.CorpusStreams.indexHistory(
+        docs.where(col("doc_id") < 250), "doc_id", "text", "d11_hist")
+      val idx = graft.streaming.CorpusStreams.loadIndex(s, "d11_hist")
+      graft.streaming.CorpusStreams.nearDupVsIndex(
+        docs.where(col("doc_id") >= 250), idx, "doc_id", "text", 0.8)
+    }),
+
     // ---- E20: STREAMING near-dup gate — docs >= 250 arrive as a file
     //      stream and are checked against the frozen history (< 250)
     //      via the stateless band-join plan (first-agreeing-band dedup,
@@ -1722,6 +1737,28 @@ object SparkEntry {
          SELECT event_id, user_id, event_type,
            strftime(t, '%Y-%m-%d %H:%M:%S') AS ts, value
          FROM r WHERE rn = 1""",
+
+    // identical contract to e20 (the written index must change NOTHING
+    // semantically — only where the history tables live)
+    "d11_banded_index" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(w)-1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS s
+                FROM d),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         inter AS (SELECT x.doc_id AS stream_id, y.doc_id AS hist_id, COUNT(*) AS i
+                   FROM inv x JOIN inv y ON x.g = y.g
+                    AND x.doc_id >= 250 AND y.doc_id < 250
+                   GROUP BY 1, 2)
+         SELECT stream_id, hist_id, ROUND(i / (na.n + nb.n - i), 6) AS jaccard
+         FROM inter JOIN sz na ON stream_id = na.doc_id
+                    JOIN sz nb ON hist_id = nb.doc_id
+         WHERE i / (na.n + nb.n - i) >= 0.8""",
 
     // exact cross-corpus trigram Jaccard (stream half >= 250 vs history
     // half < 250) — the LSH banding is recall-complete at these

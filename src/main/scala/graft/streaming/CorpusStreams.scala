@@ -64,10 +64,110 @@ object CorpusStreams {
       Dedup.minhashSignatures(history, idCol, textCol, n, k)
         .select(col("doc_id").as("hist_id"), col("sh").as("sh_b"),
           col("sig").as("sig_b")))
-    val histBands = bandSlot.persist(histSigs.select(col("hist_id"),
-      posexplode_outer(graft.functions.MinHash.bands_from_sig(col("sig_b"), bands))
-        .as(Seq("band_idx", "band_key"))))
+    val histBands = bandSlot.persist(
+      bandKeyTable(histSigs, "sig_b", bands).select("bkey", "hist_id"))
+    probePlan(docs, histSigs, histBands, idCol, textCol, threshold, n, k, bands)
+  }
 
+  /** (bkey, ...) rows from a signature frame: one row per band, keyed by
+    * the SINGLE combined key xxhash64(band_idx, band_key). One key, not
+    * the (band_idx, band_key) pair, because the written index buckets by
+    * it — Spark only plans a shuffle-free bucketed join when the
+    * equi-join keys ARE the bucket column (a superset gets the scan's
+    * bucketing "disabled by query planner"). A 64-bit collision between
+    * different (idx, key) pairs can only ADD a candidate row, which the
+    * first-agreeing-band filter or the exact verify then drops — recall
+    * is untouched (a true pair's real agreeing band always produces its
+    * real collision row). Like every 128-bit-digest identity in the
+    * dedup family, the ~2⁻⁶⁴-per-band-pair chance of an accepted
+    * duplicate row is taken as zero by contract.
+    */
+  private def bandKeyTable(sigs: DataFrame, sigCol: String, bands: Int): DataFrame =
+    sigs.select(col("*"),
+      posexplode_outer(graft.functions.MinHash.bands_from_sig(col(sigCol), bands))
+        .as(Seq("band_idx", "band_key")))
+      .withColumn("bkey", xxhash64(col("band_idx"), col("band_key")))
+
+  /** The WRITTEN form of the history gate — the build-once/probe-many
+    * artifact flow ([[graft.ops.Similarity]]'s ivfWrite/pqWrite, for
+    * text): the signature and band tables land as bucketed managed
+    * tables through the stage-then-swap writer, so every later probe —
+    * a batch sweep or months of micro-batches — joins CO-LOCATED
+    * buckets with zero corpus-side exchange and zero rebuild cost.
+    * `<table>_sigs` buckets by hist_id (the verify join's key),
+    * `<table>_bands` by bkey (the candidate join's single combined
+    * band key — see [[bandKeyTable]]),
+    * `<table>_meta` carries (n, k, bands) so a load is self-describing;
+    * probing with mismatched parameters is structurally impossible.
+    * Grow with [[graft.sources.Bucketing.appendBucketed]] +
+    * `compactBucketed` on a cadence, like every bucketed artifact.
+    */
+  def indexHistory(
+      history: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      n: Int = 3,
+      k: Int = 128,
+      bands: Int = 32,
+      numBuckets: Int = 32): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    val sigs = Dedup.minhashSignatures(history, idCol, textCol, n, k)
+      .select(col("doc_id").as("hist_id"), col("sh").as("sh_b"),
+        col("sig").as("sig_b"))
+    graft.sources.Bucketing.writeBucketed(sigs, s"${table}_sigs",
+      "hist_id", numBuckets)
+    val spark = history.sparkSession
+    val bandRows = bandKeyTable(spark.table(s"${table}_sigs"), "sig_b", bands)
+      .select("bkey", "hist_id")
+    graft.sources.Bucketing.writeBucketed(bandRows, s"${table}_bands",
+      "bkey", numBuckets, Seq("bkey"))
+    graft.sources.Bucketing.replaceTable(
+      spark.range(1).select(lit(n).as("n"), lit(k).as("k"),
+        lit(bands).as("bands")),
+      s"${table}_meta")
+  }
+
+  /** A loaded [[indexHistory]] artifact: the two bucketed tables plus
+    * the banding geometry they were built with.
+    */
+  final case class HistoryIndex(
+      sigs: DataFrame, bands: DataFrame, n: Int, k: Int, bandCount: Int)
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, table: String): HistoryIndex = {
+    val meta = spark.table(s"${table}_meta").head()
+    HistoryIndex(
+      sigs = spark.table(s"${table}_sigs"),
+      bands = spark.table(s"${table}_bands"),
+      n = meta.getAs[Int]("n"), k = meta.getAs[Int]("k"),
+      bandCount = meta.getAs[Int]("bands"))
+  }
+
+  /** [[nearDupVsHistory]] against a LOADED index: no kernel pass over
+    * history, no persist warm-up — the band join reads co-located
+    * buckets (`BucketingSpec`-style zero-corpus-exchange, asserted in
+    * the spec) and the verify join co-locates on the sigs table's
+    * hist_id buckets. Works for batch and streaming `docs` alike.
+    */
+  def nearDupVsIndex(
+      docs: DataFrame,
+      index: HistoryIndex,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8): DataFrame =
+    probePlan(docs, index.sigs, index.bands, idCol, textCol, threshold,
+      index.n, index.k, index.bandCount)
+
+  private def probePlan(
+      docs: DataFrame,
+      histSigs: DataFrame,
+      histBands: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int,
+      k: Int,
+      bands: Int): DataFrame = {
     // stream side: stateless projections only (no repartition — the
     // micro-batch is already the unit of parallelism here, and
     // minhashSignatures' CPU-spread repartition is a batch concern)
@@ -75,13 +175,12 @@ object CorpusStreams {
       .select(col(idCol).as("stream_id"),
         graft.functions.NGramShingles.ngram_shingles(col(textCol), n).as("sh_a"))
       .withColumn("sig_a", graft.functions.MinHash.minhash_sig(col("sh_a"), k))
-    val sBands = sSigs.select(col("stream_id"), col("sh_a"), col("sig_a"),
-      posexplode_outer(graft.functions.MinHash.bands_from_sig(col("sig_a"), bands))
-        .as(Seq("band_idx", "band_key")))
+    val sBands = bandKeyTable(sSigs, "sig_a", bands)
+      .select("stream_id", "sh_a", "sig_a", "band_idx", "bkey")
 
     val margin = 6.0 * math.sqrt(threshold * (1.0 - threshold) / k)
     sBands
-      .join(histBands, Seq("band_idx", "band_key"))
+      .join(histBands, Seq("bkey"))
       .join(histSigs, Seq("hist_id"))
       // first-agreeing-band filter: deduplicates multi-band collisions
       // without state (1-based array_position vs 0-based band_idx)

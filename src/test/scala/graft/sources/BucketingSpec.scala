@@ -120,6 +120,41 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"DROP TABLE `$t`")
   }
 
+  test("loaded band index: probe joins read co-located buckets, corpus never exchanges") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val nb = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      graft.streaming.CorpusStreams.indexHistory(
+        docs.where($"doc_id" < 250), "doc_id", "text", "band_idx_spec",
+        numBuckets = nb)
+      val idx = graft.streaming.CorpusStreams.loadIndex(spark, "band_idx_spec")
+      // force shuffle joins — the property is that the bucketed history
+      // sides still never need an exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val probed = graft.streaming.CorpusStreams.nearDupVsIndex(
+        docs.where($"doc_id" >= 250), idx, "doc_id", "text", 0.8)
+      probed.collect()
+      // the adaptive plan echoes the pre-execution plan under
+      // "== Initial Plan ==" — count only the final section
+      val p = probed.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // probe-side exchanges only: bands join + sigs join (+ none for
+      // history); a third hashpartitioning would be the corpus leaking
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 2, s"corpus-side shuffle leaked:\n$p")
+      assert("Bucketed: true".r.findAllIn(p).length == 2,
+        s"history scans are not bucket-aware:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      Seq("_sigs", "_bands", "_meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS band_idx_spec$s"))
+    }
+  }
+
   test("writeBucketed keeps the bucket spec through the staged swap") {
     val t = "swap_bucketed_t"
     spark.sql(s"DROP TABLE IF EXISTS `$t`")

@@ -140,4 +140,34 @@ class StreamingDedupSpec extends AnyFunSuite with SparkSpec {
     val streamed = spark.table("snd_test").collect().map(_.toSeq).toSet
     assert(streamed == expected && streamed.nonEmpty)
   }
+
+  test("written band index: write->load->probe equals the direct gate, geometry survives") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val history = docs.where(col("doc_id") < 100)
+    val probe = docs.where(col("doc_id") >= 100)
+    try {
+      CorpusStreams.indexHistory(history, "doc_id", "text", "snd_idx_spec",
+        n = 3, k = 64, bands = 16, numBuckets = 4)
+      val idx = CorpusStreams.loadIndex(spark, "snd_idx_spec")
+      // the load is self-describing: probing uses the WRITTEN geometry
+      assert((idx.n, idx.k, idx.bandCount) == ((3, 64, 16)))
+      val viaIndex = CorpusStreams.nearDupVsIndex(probe, idx, "doc_id", "text", 0.8)
+        .collect().map(_.toSeq).toSet
+      val direct = CorpusStreams.nearDupVsHistory(probe, history, "doc_id", "text",
+        0.8, n = 3, k = 64, bands = 16)
+        .collect().map(_.toSeq).toSet
+      assert(viaIndex == direct && viaIndex.nonEmpty)
+      // and the STREAMING probe of the same loaded index agrees too
+      val dir = java.nio.file.Files.createTempDirectory("graft-snd-idx").toString
+      probe.write.mode("overwrite").parquet(dir)
+      val streamed = EventStreams.runToMemorySink(
+        spark,
+        CorpusStreams.nearDupVsIndex(
+          spark.readStream.schema(docs.schema).parquet(dir), idx, "doc_id", "text", 0.8),
+        "snd_idx_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+        .collect().map(_.toSeq).toSet
+      assert(streamed == direct)
+    } finally Seq("_sigs", "_bands", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS snd_idx_spec$s"))
+  }
 }
