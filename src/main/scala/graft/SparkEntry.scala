@@ -23,17 +23,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries ts as TIMESTAMP(NANOS) which Spark only reads
-    * as a raw long; convert to a micros timestamp (truncating division —
-    * matches DuckDB's ns→us cast).
+  /** events.parquet's ts layout has varied across testdata generations
+    * (TIMESTAMP(NANOS) read as a raw long under `nanosAsLong`;
+    * TIMESTAMP(MICROS) read as TIMESTAMP_NTZ) — normalize to a plain
+    * session-UTC TIMESTAMP either way. The layout dispatch, and why the
+    * ns path must use truncating integer division, live on
+    * [[graft.streaming.EventStreams.normalizeTs]].
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div` (integer division), NOT `/`: Spark's `/` is double division,
-    // and near 1.7e15 µs the double grid spacing is 0.25, so ns values
-    // off the µs boundary could round UP — diverging from DuckDB's
-    // truncating ns->us cast.
-    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.streaming.EventStreams.normalizeTs(t(s, dir, "events"))
   }
 
   /** Shared recall gate for the IVF checks (v3i in-memory, v5 written

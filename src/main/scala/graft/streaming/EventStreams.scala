@@ -34,16 +34,38 @@ object EventStreams {
     StructField("props", StringType)
   ))
 
-  /** Stream the CANONICAL events.parquet (ts stored as TIMESTAMP(NANOS),
-    * which Spark only reads as a raw long under `nanosAsLong`): declares
-    * the long schema and converts to a micros timestamp exactly like the
-    * batch reader (`SparkEntry.events`), so streaming queries can consume
-    * the same files as their batch twins.
+  /** Normalize the canonical events table's `ts` to a plain session-tz
+    * TIMESTAMP, whatever physical layout the file carries. Layouts seen
+    * across testdata generations:
+    *   - parquet TIMESTAMP(NANOS), which Spark reads as a raw BIGINT
+    *     under `spark.sql.legacy.parquet.nanosAsLong` → truncating
+    *     integer ns→µs division (`div`, NOT `/` — double division rounds
+    *     on the 0.25 µs double grid at 2024-epoch magnitudes, diverging
+    *     from DuckDB's truncating cast);
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark reads
+    *     TIMESTAMP_NTZ → cast to TIMESTAMP (every engine session pins
+    *     spark.sql.session.timeZone=UTC, so the cast is value-preserving
+    *     and DuckDB — which reads the same file as a naive TIMESTAMP —
+    *     sees identical wall-clock values);
+    *   - TIMESTAMP already → pass through.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType => df
+    case other => throw new IllegalArgumentException(
+      s"events.ts: unsupported physical type ${other.sql}")
+  }
+
+  /** Stream the CANONICAL events.parquet, whatever ts layout it carries
+    * (see [[normalizeTs]]): peeks at the batch-read schema (footer-only,
+    * no data scan), declares it on the file stream source, and applies
+    * the same normalization as the batch reader (`SparkEntry.events`),
+    * so streaming queries consume the same files as their batch twins.
     */
   def readNsEventStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nsSchema = StructType(eventSchema.fields.map(f =>
-      if (f.name == "ts") StructField("ts", LongType) else f))
+    val nsSchema = spark.read.parquet(path).schema
     // the file stream source wants a DIRECTORY; a single-file path (the
     // canonical layout: <sfDir>/events.parquet) streams via its parent
     // plus a glob filter. Resolved through the Hadoop FS so URI-schemed
@@ -57,7 +79,7 @@ object EventStreams {
         val escaped = hp.getName.replaceAll("([\\[\\]{}*?\\\\])", "\\\\$1")
         reader.option("pathGlobFilter", escaped).parquet(hp.getParent.toString)
       } else reader.parquet(path)
-    stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(stream)
   }
 
   /** Tumbling-window count/sum per event_type — shared logic for the

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class EventStreamsSpec extends AnyFunSuite with SparkSpec {
 
-  test("canonical ns events.parquet streams directly via readNsEventStream") {
+  test("canonical events.parquet streams directly via readNsEventStream") {
     val path = "/root/testdata/sf0.001/events.parquet"
     // the streaming file source wants a directory; link the canonical
     // read-only file into one
@@ -23,19 +23,16 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         EventStreams.readNsEventStream(spark, dir.toString).withWatermark("ts", "1 hour")),
       "ns_stream")
       .collect().map(_.toSeq).toSet
-    // ns-timestamp decoding: set once in SparkSpec's session builder
     val batch = EventStreams.windowedAgg(
-      spark.read.parquet(path)
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
+      EventStreams.normalizeTs(spark.read.parquet(path)))
       .collect().map(_.toSeq).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
 
   test("streaming windowed agg over bounded input equals the batch twin") {
-    // materialize sf0.001 events (ns->us converted) as a proper parquet dir
-    // ns-timestamp decoding: set once in SparkSpec's session builder
-    val batchInput = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integer div: see SparkEntry.events
+    // materialize sf0.001 events (ts normalized) as a proper parquet dir
+    val batchInput = EventStreams.normalizeTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     batchInput.write.mode("overwrite").parquet(dir)
 
@@ -51,9 +48,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("runToCompleteTable equals the memory sink and survives a rerun") {
-    // ns-timestamp decoding: set once in SparkSpec's session builder
-    val batchInput = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batchInput = EventStreams.normalizeTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val dir = java.nio.file.Files.createTempDirectory("graft-ctbl").toString
     batchInput.write.mode("overwrite").parquet(dir)
 
@@ -79,9 +75,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("stream-static enrichment join equals the batch twin; no join state") {
-    // ns-timestamp decoding: set once in SparkSpec's session builder
-    val batchInput = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batchInput = EventStreams.normalizeTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
     batchInput.write.mode("overwrite").parquet(dir)
     val dim = spark.read.parquet(dir).select("event_type").distinct()
@@ -120,8 +115,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       ("2024-01-01 00:15:00", 1L, 3.0)))
     // streaming twin over real data: watermark state holds w/s windows
     // per key and the result still matches the batch plan exactly
-    val batchInput = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batchInput = EventStreams.normalizeTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val dir = java.nio.file.Files.createTempDirectory("graft-hop").toString
     batchInput.write.mode("overwrite").parquet(dir)
     val expected = EventStreams.hoppingAgg(spark.read.parquet(dir))

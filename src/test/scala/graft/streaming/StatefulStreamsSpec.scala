@@ -57,8 +57,8 @@ class StatefulStreamsSpec extends AnyFunSuite with SparkSpec {
     val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     try {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ev = graft.streaming.EventStreams.normalizeTs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("ts").asc, col("event_id").asc)
       val split = ev.withColumn("part", ntile(4).over(w)).cache()

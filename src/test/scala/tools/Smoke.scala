@@ -5,8 +5,8 @@ object Smoke {
     val spark = graft.EngineSession.local("4", "smoke")
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.streaming.EventStreams.normalizeTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     ev.select(min("ts"), max("ts")).show(false)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
