@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdcScoreExpr, BloomAgg, BloomMightContain, FingerprintExpr, MinHashSigExpr, MisraGries, NfcNormalizeExpr, ObfuscateNameExpr, PqEncodeExpr, PqLutExpr, SigOverlapExpr, SimHash64Expr, TopKByScore, TopKByScoreStr, VectorKernelExpr, VectorSum}
+import graft.functions.{AdcScoreExpr, BloomAgg, BloomMightContain, CountMinSketch, FingerprintExpr, MinHashSigExpr, MisraGries, NfcNormalizeExpr, ObfuscateNameExpr, PqEncodeExpr, PqLutExpr, SigOverlapExpr, SimHash64Expr, TopKByScore, TopKByScoreStr, VectorKernelExpr, VectorSum}
 
 /** Catalyst extension point: registers graft's native expressions as SQL
   * functions, so the engine surface is reachable from `spark.sql(...)` as
@@ -79,6 +79,10 @@ object GraftExtensions {
       info("misra_gries",
         "misra_gries(item, k) - bounded-space frequent-items summary as array<struct<item,weight>>; every item with freq > N/(k+1) guaranteed present; k must be a literal"),
       arity("misra_gries", 2)(es => MisraGries(es(0), es(1)))),
+    ("count_min",
+      info("count_min",
+        "count_min(item, depth, width) - Count-Min sketch over BIGINT items as a row-major array<bigint> of depth*width additive counters; md5-derived buckets, warehouse-replayable; depth/width must be literals"),
+      arity("count_min", 3)(es => CountMinSketch(es(0), es(1), es(2)))),
     ("pq_encode",
       info("pq_encode",
         "pq_encode(vec, cents, m, ksub) - product-quantization codes (array<smallint>); m/ksub must be literals"),

@@ -398,6 +398,35 @@ object SparkEntry {
           array_contains(col("cand_items"), col("item")).cast("int").as("in_sketch"))
     }),
 
+    // ---- Count-Min sketch — point-frequency estimates from a KB-scale
+    //      additive sketch (the estimate complement of x17's membership
+    //      summary). Counters are pure SUMs, so the sketch is
+    //      bit-identical under any partitioning, and the md5 bucket
+    //      recipe is plain SQL — the oracle recomputes every counter and
+    //      estimate EXACTLY; the no-underestimate guarantee rides along
+    //      as a checked column. Estimation itself is an ordinary
+    //      projection over element_at — no second custom function ----
+    "x22_countmin" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem").select(
+        expr("IF(l_orderkey % 2 = 0, l_orderkey % 8, 1000000 + l_orderkey div 2)")
+          .cast("long").as("item"))
+      val sketch = items.agg(expr("count_min(item, 4, 256)").as("cms"))
+      val exact = items.groupBy("item").agg(count(lit(1)).as("cnt"))
+      val probes = s.range(1).select(explode(expr(
+        "array(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 1000005L, 1000123L, 999999L, 1234567L)"))
+        .as("item"))
+      val est = probes.crossJoin(sketch)
+        .select(col("item"), explode(expr("sequence(0, 3)")).as("j"), col("cms"))
+        .withColumn("b",
+          expr("cast(conv(substr(md5(concat(j, ':', item)), 1, 8), 16, 10) as bigint) % 256"))
+        .withColumn("row_est", expr("element_at(cms, cast(j * 256 + b + 1 as int))"))
+        .groupBy("item").agg(min(col("row_est")).as("est"))
+      est.join(exact, Seq("item"), "left")
+        .select(col("item"), col("est"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          (col("est") >= coalesce(col("cnt"), lit(0L))).cast("int").as("no_underestimate"))
+    }),
+
     // ---- SCD2 dimension build — change-log rows become validity
     //      intervals via lead() over a deterministic per-key total
     //      order (date, then orderkey for same-date ties); the open
@@ -2027,6 +2056,33 @@ object SparkEntry {
          n AS (SELECT COUNT(*) AS n_total FROM it)
          SELECT item, cnt, n_total, 1 AS in_sketch
          FROM ex CROSS JOIN n WHERE cnt * 51 > n_total""",
+
+    // every CMS counter replayed exactly: counter[j][b] = Σ counts of
+    // items hashing to b in row j, estimate = min over rows
+    "x22_countmin" ->
+      """WITH it AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN l_orderkey % 8
+                                 ELSE 1000000 + l_orderkey // 2 END AS item
+                     FROM lineitem),
+         cn AS (SELECT item, COUNT(*) AS cnt FROM it GROUP BY 1),
+         probes AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7,
+                                   1000005, 1000123, 999999, 1234567]) AS item),
+         js AS (SELECT unnest(generate_series(0, 3)) AS j),
+         db AS (SELECT js.j,
+                  ('0x' || substr(md5(js.j::VARCHAR || ':' || cn.item::VARCHAR), 1, 8))::BIGINT
+                    % 256 AS b,
+                  SUM(cn.cnt) AS cell
+                FROM cn CROSS JOIN js GROUP BY 1, 2),
+         pb AS (SELECT p.item, js.j,
+                  ('0x' || substr(md5(js.j::VARCHAR || ':' || p.item::VARCHAR), 1, 8))::BIGINT
+                    % 256 AS b
+                FROM probes p CROSS JOIN js),
+         es AS (SELECT pb.item, MIN(COALESCE(db.cell, 0)) AS est
+                FROM pb LEFT JOIN db ON db.j = pb.j AND db.b = pb.b
+                GROUP BY 1)
+         SELECT CAST(es.item AS BIGINT) AS item, CAST(es.est AS BIGINT) AS est,
+           CAST(COALESCE(cn.cnt, 0) AS BIGINT) AS cnt,
+           CASE WHEN es.est >= COALESCE(cn.cnt, 0) THEN 1 ELSE 0 END AS no_underestimate
+         FROM es LEFT JOIN cn ON cn.item = es.item""",
 
     "e18_scd2" ->
       """SELECT o_custkey,

@@ -185,3 +185,143 @@ case class MisraGries(
       newChildren: IndexedSeq[Expression]): MisraGries =
     copy(item = newChildren(0), kExpr = newChildren(1))
 }
+
+object CountMin {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Row-j bucket for an item: the first 4 bytes of md5("j:item") as an
+    * unsigned 32-bit value, mod width. EXACTLY the value SQL computes as
+    * `conv(substr(md5(concat(j, ':', item)), 1, 8), 16, 10) % width` —
+    * the sketch is warehouse-replayable (DuckDB spells it
+    * `('0x' || substr(md5(...), 1, 8))::BIGINT % width`), which is what
+    * lets an oracle recompute every counter exactly.
+    */
+  def bucket(j: Int, item: Long, width: Int): Int = {
+    val md = digest.get()
+    md.reset()
+    val bytes = md.digest(s"$j:$item".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val u = ((bytes(0) & 0xffL) << 24) | ((bytes(1) & 0xffL) << 16) |
+      ((bytes(2) & 0xffL) << 8) | (bytes(3) & 0xffL)
+    (u % width).toInt
+  }
+}
+
+/** Count-Min buffer: depth×width additive counters, row-major. Because
+  * every cell is a pure SUM, the merged sketch is bit-identical under ANY
+  * partitioning / merge order — unlike Misra–Gries weights, CMS counters
+  * themselves are oracle-safe.
+  */
+final class CmsBuffer(val depth: Int, val width: Int) {
+  val counters = new Array[Long](depth * width)
+
+  def updateOne(item: Long): Unit = {
+    var j = 0
+    while (j < depth) {
+      counters(j * width + CountMin.bucket(j, item, width)) += 1L
+      j += 1
+    }
+  }
+
+  def mergeFrom(other: CmsBuffer): Unit = {
+    var i = 0
+    while (i < counters.length) { counters(i) += other.counters(i); i += 1 }
+  }
+}
+
+/** `count_min(item, depth, width)` — Count-Min sketch (Cormode &
+  * Muthukrishnan 2005) over a BIGINT column: the point-frequency
+  * complement of [[MisraGries]]'s membership summary. The exchange
+  * carries depth·width counters per partition (KBs) regardless of key
+  * cardinality; a point estimate is `min_j counters[j][h_j(x)]`, which
+  * NEVER underestimates and overestimates by ≤ 2N/width with
+  * probability ≥ 1 − 2^−depth.
+  *
+  * Returns the raw counter array (`array<bigint>`, length depth·width,
+  * row-major) rather than hiding estimation behind another custom
+  * function: the hash recipe is plain `md5` (see [[CountMin.bucket]]),
+  * so estimation is an ordinary SQL projection over `element_at` and the
+  * whole sketch replays exactly in any warehouse.
+  */
+case class CountMinSketch(
+    item: Expression,
+    depthExpr: Expression,
+    widthExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CmsBuffer] {
+
+  private lazy val depth: Int = depthExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val width: Int = widthExpr.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] = Seq(item, depthExpr, widthExpr)
+
+  private def posIntLit(e: Expression, name: String): Option[TypeCheckResult] = {
+    if (!e.foldable || !(e.dataType == IntegerType || e.dataType == LongType))
+      Some(TypeCheckResult.TypeCheckFailure(s"count_min: $name must be an integer literal"))
+    else if (e.eval() == null || e.eval().asInstanceOf[Number].intValue() <= 0)
+      Some(TypeCheckResult.TypeCheckFailure(s"count_min: $name must be a positive literal"))
+    else None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (item.dataType != LongType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"count_min requires a BIGINT item, got ${item.dataType.sql}")
+    } else {
+      posIntLit(depthExpr, "depth").orElse(posIntLit(widthExpr, "width")).getOrElse {
+        if (depthExpr.eval().asInstanceOf[Number].longValue() *
+            widthExpr.eval().asInstanceOf[Number].longValue() > (1L << 24))
+          TypeCheckResult.TypeCheckFailure(
+            "count_min: depth*width exceeds 2^24 counters (the sketch must stay KB-scale)")
+        else TypeCheckResult.TypeCheckSuccess
+      }
+    }
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "count_min"
+
+  override def createAggregationBuffer(): CmsBuffer = new CmsBuffer(depth, width)
+
+  override def update(buffer: CmsBuffer, input: InternalRow): CmsBuffer = {
+    val v = item.eval(input)
+    if (v != null) buffer.updateOne(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: CmsBuffer, other: CmsBuffer): CmsBuffer = {
+    buffer.mergeFrom(other)
+    buffer
+  }
+
+  override def eval(buffer: CmsBuffer): Any = new GenericArrayData(buffer.counters)
+
+  override def serialize(buffer: CmsBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buffer.counters.length * 8)
+    bb.putInt(buffer.depth)
+    bb.putInt(buffer.width)
+    var i = 0
+    while (i < buffer.counters.length) { bb.putLong(buffer.counters(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CmsBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new CmsBuffer(bb.getInt(), bb.getInt())
+    var i = 0
+    while (i < buf.counters.length) { buf.counters(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinSketch =
+    copy(item = newChildren(0), depthExpr = newChildren(1), widthExpr = newChildren(2))
+}

@@ -71,4 +71,69 @@ class FreqSketchSpec extends AnyFunSuite with SparkSpec {
     intercept[Exception](
       Seq("x").toDF("item").agg(expr("misra_gries(item, 5)")).collect())
   }
+
+  // ------------------------------------------------------------------
+  // count_min
+  // ------------------------------------------------------------------
+
+  private def cms(items: Seq[Long], depth: Int, width: Int, parts: Int): Seq[Long] =
+    items.toDF("item").repartition(parts)
+      .agg(expr(s"count_min(item, $depth, $width)").as("s"))
+      .collect().head.getSeq[Long](0)
+
+  private def estimate(counters: Seq[Long], item: Long, depth: Int, width: Int): Long =
+    (0 until depth).map(j => counters(j * width + CountMin.bucket(j, item, width))).min
+
+  test("count_min: counters are bit-identical under any partitioning (pure sums)") {
+    val items = (0 until 2000).map(i => (i % 13).toLong) ++ (0 until 500).map(i => 100L + i)
+    val ref = cms(items, 4, 64, 1)
+    for (parts <- Seq(2, 5, 13))
+      assert(cms(items, 4, 64, parts) == ref, s"parts=$parts")
+    assert(ref.sum == 4L * items.size) // every row lands once per depth row
+  }
+
+  test("count_min: estimates never underestimate; exact without collisions") {
+    val truth = Map(7L -> 40L, 8L -> 25L, 9L -> 3L, 12345L -> 7L)
+    val items = truth.toSeq.flatMap { case (v, n) => Seq.fill(n.toInt)(v) }
+    // narrow sketch: collisions likely, but never an underestimate
+    val narrow = cms(items, 4, 4, 3)
+    truth.foreach { case (v, n) =>
+      assert(estimate(narrow, v, 4, 4) >= n, s"item $v underestimated")
+    }
+    // wide sketch over 4 items: md5 buckets are collision-free here
+    // (deterministic — verifiable by enumerating the buckets), so every
+    // estimate is exact and absent items estimate 0
+    val wide = cms(items, 4, 4096, 3)
+    val bucketsInjective = (0 until 4).exists { j =>
+      truth.keys.map(CountMin.bucket(j, _, 4096)).toSet.size == truth.size
+    }
+    assert(bucketsInjective) // premise of the exactness claim
+    truth.foreach { case (v, n) =>
+      assert(estimate(wide, v, 4, 4096) == n, s"item $v inexact")
+    }
+    assert(estimate(wide, 999999L, 4, 4096) == 0L)
+  }
+
+  test("count_min: the SQL md5 recipe computes the internal bucket exactly") {
+    // the warehouse-replayability contract: conv(substr(md5(j:item)))
+    // in Spark SQL == CountMin.bucket — the same equality the DuckDB
+    // oracle relies on with its '0x'||hex spelling
+    val probe = Seq(0L, 7L, 1000005L, -3L, Long.MaxValue)
+    val rows = probe.toDF("item")
+      .select(col("item"), explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("b",
+        expr("cast(conv(substr(md5(concat(j, ':', item)), 1, 8), 16, 10) as bigint) % 61"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == CountMin.bucket(r.getInt(1), r.getLong(0), 61),
+        s"item=${r.getLong(0)} j=${r.getInt(1)}")
+    }
+  }
+
+  test("count_min: depth/width must be positive literals; size cap enforced") {
+    val df = Seq(1L).toDF("item")
+    intercept[Exception](df.agg(expr("count_min(item, 0, 16)")).collect())
+    intercept[Exception](df.agg(expr("count_min(item, 4, item)")).collect())
+    intercept[Exception](df.agg(expr("count_min(item, 4096, 4096000)")).collect())
+  }
 }
