@@ -459,6 +459,21 @@ object SparkEntry {
           col("v_filled"), col("is_gap"))
     }),
 
+    // ---- E: interval union / coverage — per-user activity windows
+    //      ([ts, ts+30min)) merged so overlaps count ONCE: total covered
+    //      time, merged-island count, active span. The uptime/duty-cycle
+    //      op; see TimeSeries.intervalCoverage for why tie order cannot
+    //      move a bit. Integer-µs end to end ----
+    "e23_interval_coverage" -> ((s, dir) => {
+      val iv = events(s, dir).where(col("user_id") % 3 === 0)
+        .select(col("user_id"),
+          unix_micros(col("ts")).as("s0"),
+          (unix_micros(col("ts")) + lit(1800000000L)).as("e0"))
+      graft.ops.TimeSeries.intervalCoverage(iv, "user_id", "s0", "e0")
+        .select(col("key").as("user_id"), col("n_islands"),
+          col("covered_us"), col("span_us"))
+    }),
+
     // ---- table profiling — per-column rows/nulls/distincts/bounds in
     //      ONE pass, unpivoted to a columns-sized result ----
     "x14_profile" -> ((s, dir) =>
@@ -2114,6 +2129,27 @@ object SparkEntry {
            (o.v IS NULL) AS is_gap
          FROM grid g LEFT JOIN obs o
            ON g.user_id = o.user_id AND g.bucket = o.bucket""",
+
+    // the same sweep-line windows replayed: running-max-of-ends island
+    // flags, running-sum island ids, per-island collapse
+    "e23_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+                     FROM events WHERE user_id % 3 = 0),
+         m AS (SELECT user_id, s, e,
+                 MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+               FROM iv),
+         fl AS (SELECT user_id, s, e,
+                  CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni FROM m),
+         isl AS (SELECT user_id, s, e,
+                   SUM(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                 FROM fl),
+         g AS (SELECT user_id, island, MIN(s) AS i_s, MAX(e) AS i_e FROM isl GROUP BY 1, 2)
+         SELECT user_id, COUNT(*) AS n_islands,
+           CAST(SUM(i_e - i_s) AS BIGINT) AS covered_us,
+           CAST(MAX(i_e) - MIN(i_s) AS BIGINT) AS span_us
+         FROM g GROUP BY 1""",
 
     // bounds cross as strings — doubles through DECIMAL(18,2) (shortest-
     // double formatting is engine-specific; fixed-scale strings are not)

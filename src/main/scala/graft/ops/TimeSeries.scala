@@ -109,4 +109,49 @@ object TimeSeries {
         last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
         col("v").isNull.as("is_gap"))
   }
+
+  /** Per-key union of overlapping intervals — total covered time and
+    * merged-island count (the uptime/coverage question: "how long was
+    * this user/host/device active, counting overlaps once?").
+    *
+    * The island pass is the sweep-line classic as three windows over ONE
+    * (key)-partitioned (start, end) sort: a row opens a new island iff
+    * its start exceeds the running max of every earlier end (touching
+    * intervals — start == previous end — merge, the closed-union
+    * convention); a running sum of those flags numbers the islands; a
+    * grouped (min start, max end) then collapses each island. Ties on
+    * start cannot flip the result: any tied row after the first sees the
+    * first's end (≥ its own start) in the running max, so only the
+    * earliest row of a tie group can open an island — island COUNT and
+    * extents are order-independent even though tie order is not.
+    *
+    * Scale shape: one exchange on the key; the three windows share one
+    * sort, and both collapse aggregates reuse the partitioning. Bounds
+    * stay integer µs end-to-end (`covered_us = Σ (island_end − island_
+    * start)`), so any engine replays the result bit-for-bit.
+    *
+    * @param startCol/endCol epoch-µs LONG interval bounds, end exclusive
+    * @return (key, n_islands, covered_us, span_us) — span_us is
+    *         last end − first start (coverage ÷ span = duty cycle)
+    */
+  def intervalCoverage(
+      df: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val ord = Window.partitionBy("key").orderBy("s", "e")
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol).as("key"),
+        col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
+      .withColumn("pme", max(col("e")).over(prev))
+      .withColumn("ni", (col("pme").isNull || col("s") > col("pme")).cast("long"))
+      .withColumn("island", sum(col("ni")).over(run))
+      .groupBy("key", "island")
+      .agg(min(col("s")).as("i_s"), max(col("e")).as("i_e"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_e") - col("i_s")).as("covered_us"),
+        (max(col("i_e")) - min(col("i_s"))).as("span_us"))
+  }
 }

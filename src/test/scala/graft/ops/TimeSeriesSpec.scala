@@ -72,4 +72,32 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(flaggedKeys == Set("a"))
   }
+
+  test("intervalCoverage: overlaps count once, touching merges, gaps split") {
+    val iv = Seq(
+      // a: [0,10) ∪ [5,20) ∪ [20,30) — overlap + touch → one island
+      ("a", 0L, 10L), ("a", 5L, 20L), ("a", 20L, 30L),
+      // b: [0,10), [15,20) — a real gap → two islands
+      ("b", 0L, 10L), ("b", 15L, 20L),
+      // c: contained interval never extends its island
+      ("c", 0L, 100L), ("c", 10L, 20L), ("c", 150L, 160L))
+      .toDF("key", "s", "e")
+    val out = TimeSeries.intervalCoverage(iv, "key", "s", "e")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((1L, 30L, 30L)), out("a"))
+    assert(out("b") == ((2L, 15L, 20L)), out("b"))
+    assert(out("c") == ((2L, 110L, 160L)), out("c"))
+  }
+
+  test("intervalCoverage: start ties and input order cannot move the result") {
+    // two tied starts with different ends, plus shuffled arrival order
+    val rows = Seq(("k", 0L, 10L), ("k", 0L, 5L), ("k", 12L, 13L), ("k", 3L, 4L))
+    val expect = ("k", 2L, 11L, 13L) // [0,10) ∪ [12,13)
+    for (perm <- Seq(rows, rows.reverse, rows.sortBy(_._3))) {
+      val out = TimeSeries.intervalCoverage(
+        perm.toDF("key", "s", "e").repartition(3), "key", "s", "e")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.toSeq == Seq(expect), s"perm=$perm -> ${out.toSeq}")
+    }
+  }
 }
