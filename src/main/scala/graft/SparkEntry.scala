@@ -259,6 +259,25 @@ object SparkEntry {
     //      web-corpus pipelines gate crawl quality with. 5 power
     //      iterations, damping 0.85, all-integer micro-unit ranks so
     //      accumulation order cannot move a single bit ----
+    // ---- G: multi-source BFS hop distance over the trade graph —
+    //      every node's link distance from a seeded supplier set,
+    //      bounded depth. Level-synchronous expansion == MIN(depth)
+    //      over the recursive closure, so DuckDB's recursive CTE is an
+    //      exact oracle ----
+    "g3_bfs_hops" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(explode(array(
+        struct(col("a").as("s"), col("b").as("d")),
+        struct(col("b").as("s"), col("a").as("d")))).as("e"))
+        .select(col("e.s").as("a"), col("e.d").as("b"))
+      val seeds = t(s, dir, "supplier").where(col("s_suppkey") % 10 === 0)
+        .select((col("s_suppkey").cast("long") * 2 + 1).as("seed"))
+      graft.ops.Graph.bfsHops(edges, "a", "b", seeds, "seed", maxHops = 3)
+    }),
+
     "g1_pagerank" -> ((s, dir) => {
       // disjoint LONG node ids (customers even, suppliers odd) — long
       // keys hash/shuffle several times cheaper than string-prefixed ones
@@ -1943,6 +1962,21 @@ object SparkEntry {
     // unrolled rounds, all-integer micro-unit ranks (`//` floor division
     // matches Spark's `div` on the non-negative ranks), so both engines
     // compute the identical long at every node after every round
+    // BFS distance == MIN(d) over the depth-bounded recursive closure;
+    // UNION (not UNION ALL) dedups (node, d) pairs so the recursion
+    // terminates at the bound
+    "g3_bfs_hops" ->
+      """WITH RECURSIVE p AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM p
+               UNION ALL SELECT b, a FROM p),
+         sd AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_suppkey % 10 = 0),
+         r AS (SELECT node, 0 AS d FROM sd
+               UNION
+               SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node WHERE r.d < 3)
+         SELECT CAST(node AS BIGINT) AS node, CAST(MIN(d) AS BIGINT) AS hops
+         FROM r GROUP BY 1""",
+
     "g1_pagerank" ->
       """WITH p AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

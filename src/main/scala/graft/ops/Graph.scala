@@ -122,6 +122,57 @@ object Graph {
     ranks
   }
 
+  /** Multi-source BFS shortest hop distance, bounded depth — "how far is
+    * every node from this seed set" (influence radius, crawl frontier
+    * depth, link-distance features for graph-quality gates).
+    *
+    * Level-synchronous frontier expansion: round d joins the previous
+    * frontier against the edge table, anti-joins everything already
+    * labeled, and labels the survivors d. Because expansion is
+    * breadth-first, the FIRST label a node receives is its minimum hop
+    * distance — a pure function of the graph, replayable by a recursive
+    * SQL engine as `MIN(depth)` over the reachability closure.
+    *
+    * Scale shape: every round is one equi-join on the node key (the
+    * frontier side shuffle-hash-built — no stats after a checkpoint, and
+    * a broadcast hint would die at 1e9 nodes) + one distinct + one
+    * anti-join, all nodes-sized; frontier and label relations are
+    * eagerly checkpointed so round k never replays rounds 1..k-1. The
+    * per-round `isEmpty` early-exit ships ONE boolean to the driver,
+    * never data. Unreached nodes are absent from the result (no
+    * sentinel ∞ row — the caller left-joins if it wants one).
+    *
+    * @param maxHops inclusive depth bound; also the round bound, so a
+    *                1000-hop chain costs 1000 rounds — BFS depth, not
+    *                graph size, is this operator's latency axis
+    * @return (node, hops) with hops in [0, maxHops], seeds at 0
+    */
+  def bfsHops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var known = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint(true)
+    var frontier = known.select("node")
+    var d = 0L
+    while (d < maxHops && !frontier.isEmpty) {
+      d += 1
+      val next = e.join(frontier.hint("shuffle_hash"), e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(known, Seq("node"), "left_anti")
+        .withColumn("hops", lit(d))
+        .localCheckpoint(true)
+      known = known.union(next).localCheckpoint(true)
+      frontier = next.select("node")
+    }
+    known
+  }
+
   /** Co-occurrence graph construction: undirected entity pairs sharing
     * at least `minShared` distinct items — the similarity-graph builder
     * behind co-purchase, co-citation, and shared-shingle graphs (the

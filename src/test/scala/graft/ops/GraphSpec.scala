@@ -100,4 +100,36 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(eg == Set((1L, 2L, 2L)))
   }
+
+  private def hops(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int): Map[Long, Long] = {
+    // undirected: feed both orientations
+    val e = (edges ++ edges.map(_.swap)).toDF("s", "d")
+    Graph.bfsHops(e, "s", "d", seeds.toDF("seed"), "seed", maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("bfsHops: path graph distances; depth bound truncates; unreached absent") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(hops(path, Seq(1L), 10) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // bound cuts the frontier: node 5 (4 hops away) is ABSENT, not capped
+    assert(hops(path, Seq(1L), 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // disconnected component never appears
+    assert(!hops(path :+ (100L, 101L), Seq(1L), 10).contains(100L))
+  }
+
+  test("bfsHops: multi-seed takes the minimum; a shortcut beats the long way") {
+    // 1-2-3-4-5 plus shortcut 1-5: node 5 is 1 hop, node 4 is 2 (via 5)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L))
+    assert(hops(g, Seq(1L), 10) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+    // seeds at both ends: distances fold to the nearer seed; a seeded
+    // node already reached stays 0 (labels never downgrade)
+    assert(hops(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), Seq(1L, 5L), 10) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("bfsHops: maxHops=0 labels exactly the seed set") {
+    assert(hops(Seq((1L, 2L)), Seq(1L), 0) == Map(1L -> 0L))
+  }
 }
