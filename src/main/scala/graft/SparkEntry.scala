@@ -417,6 +417,27 @@ object SparkEntry {
           array_contains(col("cand_items"), col("item")).cast("int").as("in_sketch"))
     }),
 
+    // ---- data-quality constraint report — the pre-publish pipeline
+    //      gate: completeness/uniqueness/bounds/accepted-values compiled
+    //      into ONE agg pass (integer metrics only), plus a referential-
+    //      integrity anti-join row. o_custkey uniqueness is a DESIGNED
+    //      failure (customers reorder), so both report polarities are
+    //      exercised ----
+    "x23_dq_report" -> ((s, dir) => {
+      import graft.ops.DataQuality._
+      val orders = t(s, dir, "orders")
+      val rep = report(orders, Seq(
+        rowCount(1L),
+        completeness("o_custkey", 10000L),
+        completeness("o_orderdate", 10000L),
+        uniqueness("o_orderkey"),
+        uniqueness("o_custkey"),
+        bounds("o_totalprice", lit(0.0), lit(1000000.0)),
+        acceptedValues("o_orderstatus", Seq("F", "O", "P"))))
+      rep.unionAll(refViolations(
+        orders, "o_custkey", t(s, dir, "customer"), "c_custkey", "ref_orders_customer"))
+    }),
+
     // ---- Count-Min sketch — point-frequency estimates from a KB-scale
     //      additive sketch (the estimate complement of x17's membership
     //      summary). Counters are pure SUMs, so the sketch is
@@ -2105,6 +2126,56 @@ object SparkEntry {
          n AS (SELECT COUNT(*) AS n_total FROM it)
          SELECT item, cnt, n_total, 1 AS in_sketch
          FROM ex CROSS JOIN n WHERE cnt * 51 > n_total""",
+
+    // each constraint replayed as its defining aggregate; integer
+    // metrics (counts, surpluses, floored basis points) only
+    "x23_dq_report" ->
+      """SELECT check_name, CAST(metric AS BIGINT) AS metric, passed FROM (
+         SELECT 'row_count' AS check_name, CAST(COUNT(*) AS BIGINT) AS metric,
+           CASE WHEN COUNT(*) >= 1 THEN 1 ELSE 0 END AS passed FROM orders
+         UNION ALL
+         SELECT 'completeness_o_custkey',
+           10000 * COUNT(o_custkey) // GREATEST(COUNT(*), 1),
+           CASE WHEN 10000 * COUNT(o_custkey) // GREATEST(COUNT(*), 1) >= 10000
+                THEN 1 ELSE 0 END
+         FROM orders
+         UNION ALL
+         SELECT 'completeness_o_orderdate',
+           10000 * COUNT(o_orderdate) // GREATEST(COUNT(*), 1),
+           CASE WHEN 10000 * COUNT(o_orderdate) // GREATEST(COUNT(*), 1) >= 10000
+                THEN 1 ELSE 0 END
+         FROM orders
+         UNION ALL
+         SELECT 'uniqueness_o_orderkey', COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey),
+           CASE WHEN COUNT(o_orderkey) = COUNT(DISTINCT o_orderkey) THEN 1 ELSE 0 END
+         FROM orders
+         UNION ALL
+         SELECT 'uniqueness_o_custkey', COUNT(o_custkey) - COUNT(DISTINCT o_custkey),
+           CASE WHEN COUNT(o_custkey) = COUNT(DISTINCT o_custkey) THEN 1 ELSE 0 END
+         FROM orders
+         UNION ALL
+         SELECT 'bounds_o_totalprice',
+           COALESCE(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END), 0),
+           CASE WHEN COALESCE(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END), 0) = 0
+                THEN 1 ELSE 0 END
+         FROM orders
+         UNION ALL
+         SELECT 'accepted_o_orderstatus',
+           COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END), 0),
+           CASE WHEN COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END), 0) = 0
+                THEN 1 ELSE 0 END
+         FROM orders
+         UNION ALL
+         SELECT 'ref_orders_customer',
+           (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL),
+           CASE WHEN (SELECT COUNT(*) FROM orders o
+                      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                      WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) = 0
+                THEN 1 ELSE 0 END
+         )""",
 
     // every CMS counter replayed exactly: counter[j][b] = Σ counts of
     // items hashing to b in row j, estimate = min over rows

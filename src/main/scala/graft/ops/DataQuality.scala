@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint checking (the Deequ/dbt-test
+  * shape): a list of constraints compiles into ONE aggregation pass over
+  * the table, returning a constraint-sized report — never a per-rule
+  * scan. The pipeline gate every warehouse load runs before publishing a
+  * table.
+  *
+  * Determinism: every metric is an INTEGER — row/violation counts,
+  * duplicate surpluses, basis-point fractions (`10000·x div n`, floored)
+  * — so the report replays bit-for-bit in any engine; no double ratios
+  * cross the boundary.
+  *
+  * Scale notes: the single agg pass is map-side partial everywhere
+  * except `uniqueness`, whose exact `count(distinct)` shuffles the
+  * column's distinct values (the exact tier — at corpus scale swap in
+  * `approx_count_distinct`, accepting HLL error on the dup-surplus
+  * metric; same trade documented on x14's profiler). Referential
+  * integrity is necessarily a join, not an aggregate: it's a separate
+  * [[refViolations]] relation the caller unions in, planned as an
+  * anti-join the optimizer can broadcast when the dimension is small.
+  */
+object DataQuality {
+
+  /** One constraint: a named integer aggregate metric + a pass predicate
+    * over it.
+    */
+  final case class Check(name: String, metric: Column, pass: Column => Column)
+
+  /** Fraction of non-null values, floored to basis points, must reach
+    * `minBp` (10000 = fully populated). The `greatest(count, 1)` guard
+    * keeps an empty table at metric 0 instead of an ANSI
+    * division-by-zero — empty fails any positive bar, which is the
+    * right polarity for a load gate.
+    */
+  def completeness(c: String, minBp: Long): Check =
+    Check(s"completeness_$c",
+      expr(s"10000 * count(`$c`) div greatest(count(*), 1)"), m => m >= minBp)
+
+  /** Duplicate surplus (non-null count − distinct count) must be 0. */
+  def uniqueness(c: String): Check =
+    Check(s"uniqueness_$c",
+      expr(s"count(`$c`) - count(distinct `$c`)"), m => m === 0L)
+
+  /** Count of non-null values outside [lo, hi] must be 0. */
+  def bounds(c: String, lo: Column, hi: Column): Check =
+    Check(s"bounds_$c",
+      sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L)), m => m <= 0L)
+
+  /** Count of non-null values outside the accepted set must be 0. */
+  def acceptedValues(c: String, accepted: Seq[String]): Check =
+    Check(s"accepted_$c",
+      sum(when(col(c).isNotNull && !col(c).isin(accepted: _*), 1L).otherwise(0L)),
+      m => m <= 0L)
+
+  /** Row count must lie in [lo, hi] (hi = Long.MaxValue for "at least"). */
+  def rowCount(lo: Long, hi: Long = Long.MaxValue): Check =
+    Check("row_count", count(lit(1)), m => m >= lo && m <= hi)
+
+  /** Compile the checks into one agg pass; returns
+    * (check_name, metric, passed) — `sum` metrics over an empty table
+    * evaluate NULL, reported as 0 (an empty table violates nothing but
+    * `rowCount`).
+    */
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks given")
+    require(checks.map(_.name).distinct.size == checks.size, "duplicate check names")
+    val agg = df.agg(
+      coalesce(checks.head.metric, lit(0L)).cast("long").as(checks.head.name),
+      checks.tail.map(c => coalesce(c.metric, lit(0L)).cast("long").as(c.name)): _*)
+    val rows = checks.map(c => struct(
+      lit(c.name).as("check_name"),
+      col(c.name).as("metric"),
+      c.pass(col(c.name)).cast("int").as("passed")))
+    agg.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** Referential integrity as a report row: count of fact rows whose
+    * non-null key has no partner in the dimension (nulls are
+    * completeness's business, not membership's).
+    */
+  def refViolations(
+      fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      name: String): DataFrame = {
+    fact.where(col(factKey).isNotNull)
+      .join(dim.select(col(dimKey).as(factKey)).distinct(), Seq(factKey), "left_anti")
+      .agg(count(lit(1)).as("metric"))
+      .select(lit(name).as("check_name"), col("metric"),
+        (col("metric") === 0L).cast("int").as("passed"))
+  }
+}
