@@ -259,6 +259,18 @@ object SparkEntry {
     //      web-corpus pipelines gate crawl quality with. 5 power
     //      iterations, damping 0.85, all-integer micro-unit ranks so
     //      accumulation order cannot move a single bit ----
+    // ---- V: sparse TF-IDF cosine top-k — lexical retrieval over the
+    //      inverted index (one word-keyed equi-join, never |Q|·|corpus|);
+    //      integer tf/df/weights/dots + correctly-rounded sqrt/div make
+    //      the ranking engine-exact. The sparse complement of v1's dense
+    //      tier ----
+    "v11_sparse_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Similarity.sparseCosineTopK(
+        docs, "doc_id", "text",
+        docs.where(col("doc_id") % 25 === 0).select("doc_id"), "doc_id", k = 5)
+    }),
+
     // ---- G: multi-source BFS hop distance over the trade graph —
     //      every node's link distance from a seeded supplier set,
     //      bounded depth. Level-synchronous expansion == MIN(depth)
@@ -1983,6 +1995,35 @@ object SparkEntry {
     // unrolled rounds, all-integer micro-unit ranks (`//` floor division
     // matches Spark's `div` on the non-negative ranks), so both engines
     // compute the identical long at every node after every round
+    // the whole sparse pipeline replayed: same tokenization as t12, the
+    // same milli-nat idf quantization, integer dots/norms, rank by RAW
+    // cosine (round only for display) with id tie-break
+    "v11_sparse_topk" ->
+      """WITH w0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+                     FROM documents),
+         tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w0 GROUP BY 1, 2),
+         dfr AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+         wt AS (SELECT doc_id, word,
+                  tf * CAST(ROUND((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000) AS BIGINT) AS w
+                FROM tf JOIN dfr USING (word) CROSS JOIN n),
+         nm AS (SELECT doc_id, SUM(w * w) AS n2 FROM wt GROUP BY 1),
+         q AS (SELECT doc_id AS query_id, word, w AS wq FROM wt WHERE doc_id % 25 = 0),
+         dt AS (SELECT q.query_id, wt.doc_id AS neighbor_id, SUM(q.wq * wt.w) AS dot
+                FROM q JOIN wt USING (word) WHERE wt.doc_id <> q.query_id
+                GROUP BY 1, 2),
+         sc AS (SELECT dt.query_id, dt.neighbor_id,
+                  CAST(dot AS DOUBLE) /
+                    sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+                FROM dt JOIN nm a ON a.doc_id = dt.query_id
+                         JOIN nm b ON b.doc_id = dt.neighbor_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+               FROM sc)
+         SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
+         FROM r WHERE rank <= 5""",
+
     // BFS distance == MIN(d) over the depth-bounded recursive closure;
     // UNION (not UNION ALL) dedups (node, d) pairs so the recursion
     // terminates at the bound

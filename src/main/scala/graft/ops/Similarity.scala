@@ -152,6 +152,73 @@ object Similarity {
     bfSlot.persist(rankTopK(scored, k))
   }
 
+  /** Sparse TF-IDF cosine top-k over TEXT — the term-at-a-time inverted-
+    * index formulation (the sparse complement of the dense ANN tiers:
+    * lexical retrieval, BM25-family scoring, "more like this"). Never a
+    * |Q|·|corpus| pass: a query doc only meets the docs it SHARES A TERM
+    * WITH, via one equi-join on the word — the inverted index IS the
+    * join, and selectivity is the whole point of sparse retrieval.
+    *
+    * Determinism is engineered layer by layer so any engine replays the
+    * ranking exactly: tf and df are integers; idf becomes a fixed-point
+    * milli-nat LONG (`round((ln((N+1)/(df+1)) + 1) · 1000)` — the t12
+    * smoothing, quantized like t19's micro-nats so a libm ulp can't
+    * move a weight); weights, norms-squared, and dots are then pure
+    * integer sums (order-free, overflow-checked: ≪ 2^53, so even the
+    * final double casts are exact); the only floating steps are one
+    * IEEE division and `sqrt` — both CORRECTLY ROUNDED by spec in every
+    * engine, unlike ln/exp. Rank by raw cosine, ties by neighbor id.
+    *
+    * Scale shape: tokenize once, two vocabulary-keyed hash aggregates,
+    * then the postings join keyed on the word with map-side partial
+    * dot sums collapsing the fan-out before the exchange; the bounded
+    * heap keeps the per-query shuffle at k rows. The classic hazard is
+    * the stop-word head — a term in f docs fans out f·|q∩term| pairs —
+    * so `maxDf` DROPS terms above a document-frequency ceiling before
+    * the join (they carry ~zero idf weight anyway; same guard as
+    * `Graph.coOccurrenceEdges.maxItemEntities`). Default keeps all.
+    *
+    * @param queryIds one-column relation of query doc ids (subset of
+    *                 `docs`)
+    * @return (query_id, neighbor_id, cosine, rank) — rank 1..k,
+    *         self-match excluded, cosine rounded to 6 for display only
+    */
+  def sparseCosineTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryIds: DataFrame,
+      queryIdCol: String,
+      k: Int,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val n = docs.where(col(textCol).isNotNull).agg(count(lit(1)).as("n_docs"))
+    val weights = tf.join(dfreq, Seq("word")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"),
+        (col("tf") * expr(
+          "cast(round((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000) as bigint)")).as("w"))
+    val norms = weights.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val q = weights
+      .join(queryIds.select(col(queryIdCol).as("doc_id")).distinct(), Seq("doc_id"))
+      .select(col("doc_id").as("query_id"), col("word"), col("w").as("wq"))
+    val dots = q
+      .join(weights.withColumnRenamed("doc_id", "neighbor_id"), Seq("word"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("wq") * col("w")).as("dot"))
+    val scored = dots
+      .join(norms.select(col("doc_id").as("query_id"), col("n2").as("n2q")), Seq("query_id"))
+      .join(norms.select(col("doc_id").as("neighbor_id"), col("n2").as("n2n")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("dot").cast("double") /
+          sqrt(col("n2q").cast("double") * col("n2n").cast("double"))).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
     * re-rank: from each query's candidate pool, greedily select `k`
     * results maximizing `λ·relevance − (1−λ)·max-similarity-to-already-

@@ -410,4 +410,48 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getAs[Int]("round"), r.getAs[Long]("neighbor_id")))
     assert(out.toSeq == Seq((1, 1L), (2, 2L)), out.toSeq) // k=5 but only 2 rows
   }
+
+  private def sparse(docs: Seq[(Long, String)], qIds: Seq[Long], k: Int,
+      maxDf: Long = Long.MaxValue) =
+    Similarity.sparseCosineTopK(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      qIds.toDF("doc_id"), "doc_id", k, maxDf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+
+  test("sparseCosineTopK: exact duplicate ranks first at 1.0; disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),        // exact duplicate of the query
+      (3L, "alpha beta delta"),        // partial overlap
+      (4L, "zeta eta theta"))          // no shared term
+    val out = sparse(docs, Seq(1L), 10)
+    assert(out.head == ((1L, 2L, 1.0, 1)), out.head)
+    assert(out.map(_._2).toSet == Set(2L, 3L)) // 4 shares nothing -> absent
+    assert(out(1)._3 < 1.0 && out(1)._3 > 0.0)
+  }
+
+  test("sparseCosineTopK: self excluded; rarer overlap outscores common-word overlap") {
+    // q shares the corpus-wide word 'the' with 5, but the rare word
+    // 'xylophone' with 6 — idf must rank 6 first
+    val docs = Seq(
+      (1L, "the xylophone plays"),
+      (5L, "the the the common words here"),
+      (6L, "xylophone solo tonight"),
+      (7L, "the filler"), (8L, "the filler"), (9L, "the filler"))
+    val out = sparse(docs, Seq(1L), 10)
+    assert(!out.exists(_._2 == 1L))
+    assert(out.head._2 == 6L, out.toSeq)
+  }
+
+  test("sparseCosineTopK: maxDf drops the stop-word head before the join") {
+    // 'the' appears in every doc; with maxDf = 2 it cannot create
+    // candidates, so docs sharing ONLY 'the' disappear
+    val docs = Seq(
+      (1L, "the unique1"), (2L, "the unique2"), (3L, "the unique1 extra"))
+    val all = sparse(docs, Seq(1L), 10)
+    assert(all.map(_._2).toSet == Set(2L, 3L))
+    val capped = sparse(docs, Seq(1L), 10, maxDf = 2)
+    assert(capped.map(_._2).toSet == Set(3L)) // only the 'unique1' pairing survives
+  }
 }
