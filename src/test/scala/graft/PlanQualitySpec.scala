@@ -353,4 +353,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     // pruning reaches the scan: the untouched wide columns never load
     assert(!p.contains("props"), p)
   }
+
+  test("v11: sparse retrieval joins the inverted index — no scored-pair window, " +
+       "partial top-k below the exchange, partial dot sums collapse the fan-out") {
+    val p = plan("v11_sparse_topk")
+    // the bounded heap, not a row_number over all scored pairs
+    assert(p.contains("partial_top_k_by_score"), p)
+    assert(!p.contains(" Window "), p)
+    // the postings join collapses map-side: the dot aggregate has a
+    // partial_sum before its exchange
+    assert(p.contains("partial_sum"), p)
+    // corpus relations never cartesian; the BroadcastNestedLoopJoins in
+    // this plan are all the ONE-ROW n_docs count crossing into the
+    // weights projection (once per consumer subtree), asserted by their
+    // build side being an IdentityBroadcastMode of a one-row aggregate
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length ==
+      "BroadcastExchange IdentityBroadcastMode".r.findAllIn(p).length, p)
+  }
+
+  test("e23: interval coverage — the three sweep windows share ONE sort and " +
+       "one key exchange; both collapse aggs reuse the partitioning") {
+    val p = plan("e23_interval_coverage")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert("\\+- Sort ".r.findAllIn(p).length == 1, p)
+    // pruning: the untouched wide events columns never load
+    assert(!p.contains("props"), p)
+  }
 }
