@@ -268,7 +268,19 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       graft.ops.Similarity.sparseCosineTopK(
         docs, "doc_id", "text",
-        docs.where(col("doc_id") % 25 === 0).select("doc_id"), "doc_id", k = 5)
+        docs.where(col("doc_id") % 100 === 0).select("doc_id"), "doc_id", k = 5)
+    }),
+
+    // ---- V: BM25 top-k retrieval — the Okapi ranking law over the
+    //      same inverted index as v11: quantized idf (df>N/2 goes
+    //      legitimately negative), IEEE-exact tf saturation + length
+    //      normalization, per-term rounding into an order-free LONG
+    //      sum ----
+    "v12_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Similarity.bm25TopK(
+        docs, "doc_id", "text",
+        docs.where(col("doc_id") % 100 === 0).select("doc_id"), "doc_id", k = 5)
     }),
 
     // ---- G: multi-source BFS hop distance over the trade graph —
@@ -1995,6 +2007,36 @@ object SparkEntry {
     // unrolled rounds, all-integer micro-unit ranks (`//` floor division
     // matches Spark's `div` on the non-negative ranks), so both engines
     // compute the identical long at every node after every round
+    // the Okapi law verbatim: same literals (2.2 = 1+k1, 0.25 = 1-b),
+    // same rounding points, rank by the exact integer score
+    "v12_bm25_topk" ->
+      """WITH w0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+                     FROM documents),
+         tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w0 GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         st AS (SELECT (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL) AS n_docs,
+                       (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_dl),
+         dfr AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+         idf AS (SELECT word,
+                   CAST(ROUND(ln((n_docs - df + 0.5) / (df + 0.5)) * 1000) AS BIGINT) AS idf_fp,
+                   CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                 FROM dfr CROSS JOIN st),
+         q AS (SELECT DISTINCT doc_id AS query_id, word FROM w0 WHERE doc_id % 100 = 0),
+         t AS (SELECT q.query_id, tf.doc_id AS neighbor_id,
+                 CAST(ROUND(idf_fp * ((CAST(tf AS DOUBLE) * 2.2) /
+                   (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                    (CAST(dl.dl AS DOUBLE) / avgdl))))) AS BIGINT) AS term_fp
+               FROM q JOIN tf USING (word) JOIN idf USING (word)
+                      JOIN dl ON dl.doc_id = tf.doc_id
+               WHERE tf.doc_id <> q.query_id),
+         sc AS (SELECT query_id, neighbor_id, CAST(SUM(term_fp) AS BIGINT) AS score_fp
+                FROM t GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, score_fp,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score_fp DESC, neighbor_id ASC) AS INTEGER) AS rank
+               FROM sc)
+         SELECT query_id, neighbor_id, score_fp, rank FROM r WHERE rank <= 5""",
+
     // the whole sparse pipeline replayed: same tokenization as t12, the
     // same milli-nat idf quantization, integer dots/norms, rank by RAW
     // cosine (round only for display) with id tie-break
@@ -2008,7 +2050,7 @@ object SparkEntry {
                   tf * CAST(ROUND((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000) AS BIGINT) AS w
                 FROM tf JOIN dfr USING (word) CROSS JOIN n),
          nm AS (SELECT doc_id, SUM(w * w) AS n2 FROM wt GROUP BY 1),
-         q AS (SELECT doc_id AS query_id, word, w AS wq FROM wt WHERE doc_id % 25 = 0),
+         q AS (SELECT doc_id AS query_id, word, w AS wq FROM wt WHERE doc_id % 100 = 0),
          dt AS (SELECT q.query_id, wt.doc_id AS neighbor_id, SUM(q.wq * wt.w) AS dot
                 FROM q JOIN wt USING (word) WHERE wt.doc_id <> q.query_id
                 GROUP BY 1, 2),

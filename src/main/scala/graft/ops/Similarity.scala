@@ -197,10 +197,24 @@ object Similarity {
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
     val n = docs.where(col(textCol).isNotNull).agg(count(lit(1)).as("n_docs"))
-    val weights = tf.join(dfreq, Seq("word")).crossJoin(broadcast(n))
-      .select(col("doc_id"), col("word"),
-        (col("tf") * expr(
-          "cast(round((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000) as bigint)")).as("w"))
+    // The weighted postings feed FOUR consumers (query side, corpus
+    // side, both norm joins): uncached, each re-runs the tokenize +
+    // two aggregates — and worse, the replays chain through the
+    // vocabulary-sized aggregate stages AQE coalesces to one partition,
+    // serializing the whole query (measured 28 s wall ≈ CPU at sf0.1 vs
+    // ~8 s cached). One bounded cached copy; repartitioned by word
+    // FIRST so every consumer inherits full-width partitioning instead
+    // of the coalesced read. (At corpus scale this relation is
+    // |doc,term| — MEMORY_AND_DISK spills; the cache trades one
+    // materialization for four subtree replays, the same call the
+    // brute-force slot makes.)
+    val par = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val weights = postingsSlot.persist(
+      tf.join(dfreq, Seq("word")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"),
+          (col("tf") * expr(
+            "cast(round((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000) as bigint)")).as("w"))
+        .repartition(par, col("word")))
     val norms = weights.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
     val q = weights
       .join(queryIds.select(col(queryIdCol).as("doc_id")).distinct(), Seq("doc_id"))
@@ -217,6 +231,76 @@ object Similarity {
         (col("dot").cast("double") /
           sqrt(col("n2q").cast("double") * col("n2n").cast("double"))).as("cosine"))
     rankTopK(scored, k)
+  }
+
+  /** BM25 top-k retrieval (Robertson–Spärck Jones, the Okapi form with
+    * k1/b in basis points) — the default lexical ranker; same inverted-
+    * index join shape as [[sparseCosineTopK]], different scoring law
+    * (idf with the −df numerator, tf saturation, length normalization).
+    * The query side contributes its DISTINCT terms (the classic
+    * short-query form — query-side tf saturation is a no-op at 1 and
+    * ignoring it keeps the score a pure corpus-side function).
+    *
+    * Determinism: idf quantizes to milli-nat LONGs (only `ln` is
+    * engine-ulp-unsafe); the saturation term is pure IEEE +,·,/ over
+    * exact-integer-valued doubles — deterministic given the identical
+    * expression tree, which the oracle spells verbatim, with 1−b folded
+    * to a literal; each per-term product then ROUNDS to an integer
+    * before the order-free LONG sum. Scores can be NEGATIVE (the classic
+    * idf goes below zero once df > N/2) — stop-word-heavy overlaps
+    * legitimately rank below zero rather than being clamped.
+    *
+    * @return (query_id, neighbor_id, score_fp, rank) — score in rounded
+    *         milli-nat units (BIGINT), rank 1..k, self excluded, ties on
+    *         equal scores break by neighbor id
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryIds: DataFrame,
+      queryIdCol: String,
+      k: Int,
+      k1Bp: Int = 12000,
+      bBp: Int = 7500,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val k1 = k1Bp / 10000.0
+    val b = bBp / 10000.0
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    // dl BEFORE any df filtering: length normalization sees the true doc
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val stats = docs.where(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("total_dl")))
+    val idf = dfreq.crossJoin(broadcast(stats))
+      .select(col("word"),
+        expr("cast(round(ln((n_docs - df + 0.5) / (df + 0.5)) * 1000) as bigint)").as("idf_fp"),
+        expr("cast(total_dl as double) / cast(n_docs as double)").as("avgdl"))
+    val qTerms = words
+      .join(queryIds.select(col(queryIdCol).as("doc_id")).distinct(), Seq("doc_id"))
+      .select(col("doc_id").as("query_id"), col("word")).distinct()
+    val terms = qTerms
+      .join(tf.withColumnRenamed("doc_id", "neighbor_id"), Seq("word"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .join(idf, Seq("word"))
+      .join(dl.withColumnRenamed("doc_id", "neighbor_id"), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr(
+          s"""cast(round(idf_fp * ((cast(tf as double) * ${1.0 + k1}) /
+             |(cast(tf as double) + $k1 * (${1.0 - b} + $b *
+             |(cast(dl as double) / avgdl))))) as bigint)""".stripMargin.replace("\n", " "))
+          .as("term_fp"))
+    val scored = terms.groupBy("query_id", "neighbor_id")
+      .agg(sum(col("term_fp")).as("score_fp"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("score_fp").cast("double").as("cosine"))
+    rankTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine").cast("long").as("score_fp"), col("rank"))
   }
 
   /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
@@ -386,6 +470,7 @@ object Similarity {
   private val lshCandSlot = new CacheSlot
   private val bfSlot = new CacheSlot
   private val pqCentSlot = new CacheSlot
+  private val postingsSlot = new CacheSlot
 
   /** Build the IVF index: pick centroids (deterministic sample, optional
     * Lloyd refinement), then assign every corpus vector to its nearest

@@ -444,6 +444,54 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.head._2 == 6L, out.toSeq)
   }
 
+  private def bm25(docs: Seq[(Long, String)], qIds: Seq[Long], k: Int) =
+    Similarity.bm25TopK(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      qIds.toDF("doc_id"), "doc_id", k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+
+  test("bm25TopK: tf saturates — 10x the term is nowhere near 10x the score") {
+    val docs = Seq(
+      (1L, "quark lepton"),
+      (2L, "quark boson boson boson boson boson boson boson boson boson"),
+      (3L, Seq.fill(10)("quark").mkString(" ") + " gluon gluon gluon gluon gluon gluon gluon gluon gluon gluon"),
+      (4L, "unrelated words entirely"), (5L, "other filler text"),
+      // enough non-matching docs that idf('quark') = ln((N-3+.5)/3.5) > 0
+      (6L, "pad a"), (7L, "pad b"), (8L, "pad c"), (9L, "pad d"), (10L, "pad e"))
+    val out = bm25(docs, Seq(1L), 10)
+    val byId = out.map(o => o._2 -> o._3).toMap
+    // doc 3 has 10x the tf of doc 2 on 'quark' at 2x the length; with
+    // k1=1.2 the saturated gain must stay under ~2.2x, nowhere near 10x
+    assert(byId(3L) < byId(2L) * 3, out.toSeq)
+    assert(byId(3L) > byId(2L), out.toSeq) // but still larger
+  }
+
+  test("bm25TopK: length normalization — same tf, shorter doc ranks first") {
+    val docs = Seq(
+      (1L, "quark probe"),
+      (2L, "quark short"),
+      (3L, "quark padded with many extra words that dilute the match badly"),
+      (4L, "noise one"), (5L, "noise two"),
+      (6L, "pad a"), (7L, "pad b"), (8L, "pad c"), (9L, "pad d"), (10L, "pad e"))
+    val out = bm25(docs, Seq(1L), 10)
+    assert(out.head._2 == 2L, out.toSeq)
+    assert(out.map(_._2).take(2).toSet == Set(2L, 3L), out.toSeq)
+  }
+
+  test("bm25TopK: a term in more than half the corpus contributes negatively") {
+    // 'common' in 4/5 docs -> idf = ln((5-4+0.5)/(4+0.5)) < 0; a doc
+    // sharing ONLY that term must score below zero
+    val docs = Seq(
+      (1L, "common rare1"),
+      (2L, "common only"),
+      (3L, "common x"), (4L, "common y"), (5L, "standalone z"))
+    val out = bm25(docs, Seq(1L), 10)
+    val byId = out.map(o => o._2 -> o._3).toMap
+    assert(byId(2L) < 0L, out.toSeq)
+    assert(!byId.contains(5L)) // shares nothing
+  }
+
   test("sparseCosineTopK: maxDf drops the stop-word head before the join") {
     // 'the' appears in every doc; with maxDf = 2 it cannot create
     // candidates, so docs sharing ONLY 'the' disappear
