@@ -568,6 +568,22 @@ object SparkEntry {
     //      EXPLICIT parquet schema (no inference pass) through the
     //      PERMISSIVE corrupt-line-quarantine path; the oracle is the
     //      original table, so the check is byte-exact roundtrip ----
+    // ---- SRC6: RFC 4180 quoted-CSV roundtrip — the general form of
+    //      SRC1's pipe format, with separators and quotes IN the data:
+    //      every text gains a `, "quoted, field"` tail, crosses the CSV
+    //      boundary (doubled-quote dialect), and must come back
+    //      byte-exact against the oracle recomputing the same injection
+    //      from the original table ----
+    "src6_csv_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(", \"quoted, field\" tail")))
+      val scratch = java.nio.file.Files.createTempDirectory("graft_src6_csv_").toFile
+      org.apache.spark.graft.sparkShims.deleteDirOnExit(scratch)
+      graft.sources.CsvSource.write(docs, scratch.getAbsolutePath)
+      graft.sources.CsvSource.read(s, scratch.getAbsolutePath, docs.schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     "src3_jsonl_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // unique-by-construction scratch dir (the old pid+dir.hashCode tag
@@ -1999,6 +2015,12 @@ object SparkEntry {
 
     "src3_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    // the injected tail exercises separator+quote-in-data; roundtrip
+    // must return it byte-exact
+    "src6_csv_roundtrip" ->
+      """SELECT doc_id, text || ', "quoted, field" tail' AS text,
+           lang, source, n_chars FROM documents""",
 
     "src4_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
