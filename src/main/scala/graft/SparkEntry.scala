@@ -406,6 +406,49 @@ object SparkEntry {
     //      double grid). Ties in `value` are rank-interchangeable, so
     //      the picked VALUE is deterministic even though row_number
     //      ties are not ----
+    // ---- E: OHLC bars — open/high/low/close + volume per (type, hour),
+    //      the candlestick aggregation every metrics warehouse runs.
+    //      Open/close pick by a TOTAL order ((ts, event_id) both ways),
+    //      so equal-timestamp ties cannot flip the bar; sums go through
+    //      exact decimals ----
+    "e24_ohlc" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"), col("ts"), col("event_id"), col("value"))
+      val wa = Window.partitionBy("event_type", "h")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wd = Window.partitionBy("event_type", "h")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev.withColumn("ra", row_number().over(wa))
+        .withColumn("rd", row_number().over(wd))
+        .groupBy(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .agg(max(when(col("ra") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max(when(col("rd") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+    }),
+
+    // ---- winsorization — clip a metric at its exact per-group
+    //      [p05, p95] (x15's portable integer-rank percentiles), report
+    //      cut points, clip counts, and the exact clipped sum: the
+    //      outlier-capping pass feature pipelines run before scaling ----
+    "x24_winsorize" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("value")
+      val ranked = events(s, dir).select(col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val cuts = ranked.groupBy("event_type").agg(
+        max(when(col("rn") === expr("(500 * n + 9999) div 10000"), col("value"))).as("p05"),
+        max(when(col("rn") === expr("(9500 * n + 9999) div 10000"), col("value"))).as("p95"))
+      ranked.join(cuts, Seq("event_type"))
+        .withColumn("v_wins", least(greatest(col("value"), col("p05")), col("p95")))
+        .groupBy("event_type")
+        .agg(max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+          sum((col("value") < col("p05")).cast("long")).as("n_low"),
+          sum((col("value") > col("p95")).cast("long")).as("n_high"),
+          dsum(col("v_wins")).as("sum_wins"))
+    }),
+
     "x15_percentiles" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("value")
       events(s, dir).select(col("event_type"), col("value"))
@@ -2210,6 +2253,42 @@ object SparkEntry {
 
     // same manual disc-percentile formulation — integer rank targets,
     // so both engines pick the value at the identical rank
+    // both row_number directions over the same (ts, event_id) total
+    // order: the tie-proof open/close pick
+    "e24_ohlc" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value
+                    FROM events),
+         r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, h
+                   ORDER BY ts ASC, event_id ASC) AS ra,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, h
+                   ORDER BY ts DESC, event_id DESC) AS rd
+               FROM b)
+         SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM r GROUP BY 1, 2""",
+
+    // x15's integer rank targets pick the cut values; clipping and the
+    // counts replay exactly
+    "x24_winsorize" ->
+      """WITH r AS (SELECT event_type, value,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rn,
+                      COUNT(*) OVER (PARTITION BY event_type) AS n
+                    FROM events),
+         c AS (SELECT event_type,
+                 MAX(CASE WHEN rn = (500 * n + 9999) // 10000 THEN value END) AS p05,
+                 MAX(CASE WHEN rn = (9500 * n + 9999) // 10000 THEN value END) AS p95
+               FROM r GROUP BY 1)
+         SELECT r.event_type, MAX(c.p05) AS p05, MAX(c.p95) AS p95,
+           CAST(SUM(CASE WHEN r.value < c.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN r.value > c.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(CAST(LEAST(GREATEST(r.value, c.p05), c.p95) AS DECIMAL(18,2))) AS DOUBLE) AS sum_wins
+         FROM r JOIN c USING (event_type) GROUP BY 1""",
+
     "x15_percentiles" ->
       """WITH r AS (SELECT event_type, value,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
