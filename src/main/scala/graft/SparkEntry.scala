@@ -323,6 +323,22 @@ object SparkEntry {
     //      mining via the inverted-index join, then the degree-ordered
     //      node-iterator (out-degree O(sqrt m) under the orientation,
     //      so wedge volume is m^1.5 regardless of hub skew) ----
+    // ---- G: label-propagation communities over the co-purchase
+    //      projection (one-mode first — synchronous LPA oscillates on
+    //      bipartite structure): 3 deterministic rounds, most-frequent
+    //      neighbor label, ties to the smallest ----
+    "g4_label_prop" -> ((s, dir) => {
+      val rel = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      val pairs = graft.ops.Graph.coOccurrenceEdges(rel, "cust", "part", minShared = 3)
+      val edges = pairs.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+        .select(col("e.s").as("a"), col("e.d").as("b"))
+      graft.ops.Graph.labelPropagation(edges, "a", "b", rounds = 3)
+    }),
+
     "g2_triangles" -> ((s, dir) => {
       val rel = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
@@ -2174,6 +2190,40 @@ object SparkEntry {
 
     // triangles enumerated independently (id-ordered a<b<c joins — the
     // orientation trick is the ENGINE's plan, not the semantics)
+    // three synchronous rounds unrolled; per-round argmax as row_number
+    // (count DESC, label ASC) — the mirror of the struct-max
+    "g4_label_prop" ->
+      """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         e AS (SELECT a.c AS s1, b.c AS s2 FROM cp a JOIN cp b
+               ON a.p = b.p AND a.c < b.c
+               GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         eb AS (SELECT s1 AS src, s2 AS dst FROM e UNION ALL SELECT s2, s1 FROM e),
+         n AS (SELECT DISTINCT src AS node FROM eb),
+         l0 AS (SELECT node, CAST(node AS BIGINT) AS label FROM n),
+         c1 AS (SELECT eb.dst AS node, l.label, COUNT(*) AS c
+                FROM eb JOIN l0 l ON eb.src = l.node GROUP BY 1, 2),
+         w1 AS (SELECT node, label FROM (SELECT node, label,
+                  ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                FROM c1) WHERE rn = 1),
+         l1 AS (SELECT n.node, COALESCE(w.label, CAST(n.node AS BIGINT)) AS label
+                FROM n LEFT JOIN w1 w USING (node)),
+         c2 AS (SELECT eb.dst AS node, l.label, COUNT(*) AS c
+                FROM eb JOIN l1 l ON eb.src = l.node GROUP BY 1, 2),
+         w2 AS (SELECT node, label FROM (SELECT node, label,
+                  ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                FROM c2) WHERE rn = 1),
+         l2 AS (SELECT n.node, COALESCE(w.label, CAST(n.node AS BIGINT)) AS label
+                FROM n LEFT JOIN w2 w USING (node)),
+         c3 AS (SELECT eb.dst AS node, l.label, COUNT(*) AS c
+                FROM eb JOIN l2 l ON eb.src = l.node GROUP BY 1, 2),
+         w3 AS (SELECT node, label FROM (SELECT node, label,
+                  ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                FROM c3) WHERE rn = 1),
+         l3 AS (SELECT n.node, COALESCE(w.label, CAST(n.node AS BIGINT)) AS label
+                FROM n LEFT JOIN w3 w USING (node))
+         SELECT node, label AS community FROM l3""",
+
     "g2_triangles" ->
       """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
                      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),

@@ -122,6 +122,63 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007), fixed-round
+    * deterministic form — community detection over an undirected edge
+    * table (content clusters from similarity graphs, account rings from
+    * interaction graphs).
+    *
+    * Round 0 labels every node with its own id; each round relabels v
+    * with the most frequent label among its NEIGHBORS, ties to the
+    * smallest label, isolated/unreached nodes keeping their label. The
+    * argmax is `max(struct(count, -label))` — lexicographic struct max
+    * IS (count DESC, label ASC), computed entirely map-side-partial —
+    * and because the update is a pure function of the previous label
+    * relation, a fixed round count replays exactly in SQL (row_number
+    * argmax per round). Asynchronous/randomized LPA variants converge
+    * faster but are order-dependent; the synchronous form is the one an
+    * oracle can check, and its known oscillation risk on bipartite
+    * structure is bounded by the fixed round budget (callers on
+    * two-mode graphs should project to one mode first — see
+    * [[coOccurrenceEdges]]).
+    *
+    * Scale shape: identical to [[pageRank]] — the CSR-style adjacency
+    * builds once into the shared slot (same plan → same cache entry),
+    * each round joins two nodes-sized relations (rank side
+    * shuffle-hash), fan-out regenerates in-pipeline via explode, label
+    * counts collapse map-side before the exchange, and each round's
+    * labels checkpoint eagerly so round k never replays 1..k-1.
+    *
+    * @return (node, community)
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val adj = edgeSlot.persist(
+      e.groupBy("src").agg(collect_list(col("dst")).as("dsts"),
+        count(lit(1)).as("outdeg")))
+    val nodes = nodeSlot.persist(
+      adj.select(col("src").as("node"))
+        .union(adj.select(explode(col("dsts")).as("node"))).distinct())
+    var labels = nodes.withColumn("label", col("node").cast("long"))
+    for (_ <- 1 to rounds) {
+      val counts = adj.join(labels.hint("shuffle_hash"), adj("src") === labels("node"))
+        .select(explode(col("dsts")).as("node"), col("label"))
+        .groupBy("node", "label").agg(count(lit(1)).as("c"))
+      val winners = counts.groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("label"))
+      labels = nodes.join(winners, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("label"), col("node").cast("long")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   /** Multi-source BFS shortest hop distance, bounded depth — "how far is
     * every node from this seed set" (influence radius, crawl frontier
     * depth, link-distance features for graph-quality gates).

@@ -132,4 +132,38 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
   test("bfsHops: maxHops=0 labels exactly the seed set") {
     assert(hops(Seq((1L, 2L)), Seq(1L), 0) == Map(1L -> 0L))
   }
+
+  private def lpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val e = (edges ++ edges.map(_.swap)).toDF("s", "d")
+    Graph.labelPropagation(e, "s", "d", rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation: two cliques joined by one bridge edge keep distinct communities") {
+    val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val out = lpa(cliqueA ++ cliqueB :+ ((4L, 11L)), rounds = 4)
+    // within each clique every node converges to the clique's min id
+    assert((1L to 4L).map(out).toSet.size == 1, out)
+    assert((11L to 14L).map(out).toSet.size == 1, out)
+    assert(out(1L) != out(12L), out) // the bridge does not merge them
+  }
+
+  test("labelPropagation: tie votes pick the smallest label; star collapses to hub-adjacent min") {
+    // a path 1-2-3: node 2 sees labels {1,3} tied -> picks 1
+    val one = lpa(Seq((1L, 2L), (2L, 3L)), rounds = 1)
+    assert(one(2L) == 1L, one)
+    // round-1 leaves ends swapped (2's label); fixed rounds replay
+    // deterministically rather than converging — that's the contract
+    assert(one(1L) == 2L && one(3L) == 2L, one)
+  }
+
+  test("labelPropagation: a node with no in-edges keeps its own label") {
+    // directed feed: 1 -> 2 only (no symmetrization here)
+    val out = Graph.labelPropagation(
+      Seq((1L, 2L)).toDF("s", "d"), "s", "d", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L, out) // never receives a vote
+    assert(out(2L) == 1L, out)
+  }
 }
