@@ -521,6 +521,38 @@ object SparkEntry {
         orders, "o_custkey", t(s, dir, "customer"), "c_custkey", "ref_orders_customer"))
     }),
 
+    // ---- HLL sketch-union rollup — per-group distinct sketches union
+    //      into a global estimate WITHOUT rescanning the fact table: the
+    //      two-level rollup `approx_count_distinct` can't express (its
+    //      partials aren't a value you can store per group). Gates:
+    //      every tier sits within 5% of exact, and the union drifts
+    //      ≤ 5% from the direct global sketch (not exact equality: the
+    //      datasketches impl keeps small sketches in exact coupon mode,
+    //      and the union's promotion to estimating mode can move the
+    //      estimate — the bound, not the registers, is the contract) ----
+    "x25_hll_union" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val per = li.groupBy("l_returnflag").agg(
+        expr("hll_sketch_agg(l_suppkey)").as("sk"),
+        countDistinct(col("l_suppkey")).as("d"))
+      val perOk = per.select(
+        (expr("100 * hll_sketch_estimate(sk)").between(col("d") * 95, col("d") * 105))
+          .cast("int").as("ok"))
+        .agg(min(col("ok")).as("per_group_ok"), count(lit(1)).as("n_flags"))
+      val union = per.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"))
+      val direct = li.agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(l_suppkey))").as("est_direct"),
+        countDistinct(col("l_suppkey")).as("d_global"))
+      perOk.crossJoin(union).crossJoin(direct)
+        .select(col("n_flags"), col("d_global"),
+          (abs(col("est_union") - col("est_direct")) * 100 <= col("d_global") * 5)
+            .cast("int").as("union_close_direct"),
+          col("per_group_ok"),
+          (col("est_union") * 100).between(col("d_global") * 95, col("d_global") * 105)
+            .cast("int").as("global_ok"))
+    }),
+
     // ---- Count-Min sketch — point-frequency estimates from a KB-scale
     //      additive sketch (the estimate complement of x17's membership
     //      summary). Counters are pure SUMs, so the sketch is
@@ -2360,6 +2392,15 @@ object SparkEntry {
          n AS (SELECT COUNT(*) AS n_total FROM it)
          SELECT item, cnt, n_total, 1 AS in_sketch
          FROM ex CROSS JOIN n WHERE cnt * 51 > n_total""",
+
+    // the deterministic side recomputed (group count, exact distinct);
+    // the sketch gates are Spark-side guarantees, literal-1 like the
+    // recall gates
+    "x25_hll_union" ->
+      """SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS d_global,
+           1 AS union_close_direct, 1 AS per_group_ok, 1 AS global_ok
+         FROM lineitem""",
 
     // each constraint replayed as its defining aggregate; integer
     // metrics (counts, surpluses, floored basis points) only
