@@ -715,13 +715,28 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDupPairs(
+      df.select(
+        col(idCol).as("doc_id"),
+        graft.functions.SimHash.simhash64(TextAnalysis.tokens(col(textCol))).as("sig")),
+      "doc_id", "sig", maxHamming)
+
+  /** Pigeonhole hamming join over any precomputed 64-bit signature
+    * column (SimHash, image aHash, audio fingerprint): 4 chunks of 16
+    * bits guarantee that any pair within hamming ≤ 3 agrees on at least
+    * one whole chunk, so candidates come from 4 equi-joins instead of
+    * all pairs; the exact `bit_count(xor)` verify then keeps no false
+    * positives. EXACT for maxHamming ≤ 3 — never a recall trade.
+    */
+  def hammingNearDupPairs(
+      sig: DataFrame,
+      idCol: String,
+      sigCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 chunks of 16 bits cover hamming<=3")
-    val sig = df.select(
-      col(idCol).as("doc_id"),
-      graft.functions.SimHash.simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
-
-    val chunks = sig.select(
+    val s = sig.select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
+    val chunks = s.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 to 3).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk_idx", "chunk")))

@@ -133,6 +133,76 @@ object Multimodal {
       }
   }
 
+  /** 8×8 grayscale PNG whose 64 pixel bytes come from an md5 chain of
+    * the doc's GROUP key (`id % groupMod`) — so every doc in a group
+    * carries the same base image — with variant `v = id div groupMod`
+    * perturbing ONE pixel (`(p+128) mod 256` at index `v mod 64`).
+    * Exact and near duplicate images therefore exist BY CONSTRUCTION,
+    * and every pixel is recomputable from md5 hex in plain SQL, which
+    * is what lets an oracle replay the whole perceptual-hash dedup
+    * end-to-end (the m2 recipe, extended from stats to dedup).
+    */
+  def syntheticGrayPngPayload(
+      df: DataFrame, idCol: String, groupMod: Int, parallelism: Int): Dataset[MediaPayload] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    balanced(df.select(col(idCol).cast("long").as("media_id")), parallelism)
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val k = id % groupMod
+          val v = id / groupMod
+          val px = new Array[Int](64)
+          var j = 0
+          while (j < 4) {
+            val dg = md.digest(s"gray:$k:$j".getBytes("UTF-8"))
+            var i = 0
+            while (i < 16) { px(j * 16 + i) = dg(i) & 0xff; i += 1 }
+            j += 1
+          }
+          if (v > 0) {
+            val i = (v % 64).toInt
+            px(i) = (px(i) + 128) % 256
+          }
+          val argb = px.map(p => 0xff000000 | (p << 16) | (p << 8) | p)
+          MediaPayload(id, ImageCodec.encodePng(8, 8, argb))
+        }
+      }
+  }
+
+  /** Average-hash (aHash) perceptual fingerprint over a REAL decode:
+    * bit i set iff pixel i is at or above the image mean, compared in
+    * integers (`64·p_i ≥ Σp` — never a double mean). The standard
+    * cheap perceptual hash; pairs within a hamming radius are near-
+    * duplicate images. Payloads are expected 8×8 already (the general
+    * flow resizes first — [[Multimodal.resizePass]]); undecodable or
+    * wrong-size payloads drop.
+    */
+  case class ImageHash(media_id: Long, ahash: Long)
+
+  def aHash64(media: DataFrame, parallelism: Int): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    balanced(media.select(col("media_id"), col("payload"))
+      .where(col("payload").isNotNull), parallelism)
+      .mapPartitions(_.flatMap { r =>
+        ImageCodec.decode(r.getAs[Array[Byte]](1)) match {
+          case Some(d) if d.width == 8 && d.height == 8 =>
+            val gray = d.pixels.map(p => (p >> 16) & 0xff) // r==g==b for gray
+            val tot = gray.sum
+            var hash = 0L
+            var i = 0
+            while (i < 64) {
+              if (64L * gray(i) >= tot) hash |= (1L << i)
+              i += 1
+            }
+            Some(ImageHash(r.getLong(0), hash))
+          case _ => None
+        }
+      })
+  }
+
   /** Decoded image statistics — REAL javax.imageio decode. Rows whose
     * payload is not a decodable image get format "bin" and null stats.
     */

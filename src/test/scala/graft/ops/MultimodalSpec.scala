@@ -269,4 +269,42 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     // sampled frames are the REAL encoded chunks: they decode
     sampled.foreach(f => assert(ImageCodec.decode(f.frame).isDefined))
   }
+
+  test("aHash64: integer-mean bit rule, computed through a REAL PNG roundtrip") {
+    // pixels 0..63: mean 31.5, so 64*p >= sum(=2016) iff p >= 31.5 iff p >= 32
+    val px = (0 until 64).toArray
+    val argb = px.map(p => 0xff000000 | (p << 16) | (p << 8) | p)
+    val media = Seq((1L, ImageCodec.encodePng(8, 8, argb))).toDF("media_id", "payload")
+    val h = Multimodal.aHash64(media, 1).collect().head.ahash
+    val expected = (32 until 64).foldLeft(0L)((acc, i) => acc | (1L << i))
+    assert(h == expected, f"$h%016x vs $expected%016x")
+    // bit 63 exercises the sign bit: expected is negative
+    assert(h < 0L)
+  }
+
+  test("aHash64: exact duplicates hash equal; one flipped pixel moves few bits") {
+    val base = Array.tabulate(64)(i => (i * 37) % 256)
+    def png(p: Array[Int]) =
+      ImageCodec.encodePng(8, 8, p.map(v => 0xff000000 | (v << 16) | (v << 8) | v))
+    val variant = base.clone(); variant(10) = (variant(10) + 128) % 256
+    val media = Seq((1L, png(base)), (2L, png(base)), (3L, png(variant)))
+      .toDF("media_id", "payload")
+    val hs = Multimodal.aHash64(media, 1).collect().map(h => h.media_id -> h.ahash).toMap
+    assert(hs(1L) == hs(2L))
+    val d = java.lang.Long.bitCount(hs(1L) ^ hs(3L))
+    assert(d >= 1 && d <= 4, s"hamming $d")
+    // the pair flow finds exactly the pairs within the radius
+    val pairs = Dedup.hammingNearDupPairs(
+      Multimodal.aHash64(media, 1).toDF(), "media_id", "ahash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)))
+  }
+
+  test("aHash64: undecodable and non-8x8 payloads drop") {
+    val media = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, ImageCodec.encodePng(4, 4, Array.fill(16)(0xff000000)))
+    ).toDF("media_id", "payload")
+    assert(Multimodal.aHash64(media, 1).isEmpty)
+  }
 }
