@@ -534,6 +534,39 @@ object SparkEntry {
         orders, "o_custkey", t(s, dir, "customer"), "c_custkey", "ref_orders_customer"))
     }),
 
+    // ---- recursive CTE (Spark 4's WITH RECURSIVE) — hierarchy walk
+    //      over a derived 10-ary tree on customer keys: every node's
+    //      root ancestor and depth. The SQL-surface feature the
+    //      unrolled-round oracles (g1/g4/t24) work around; here the
+    //      ENGINE recurses and DuckDB runs the same statement ----
+    "x26_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""WITH RECURSIVE anc AS (
+                 SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+                 FROM customer_v WHERE c_custkey < 10
+                 UNION ALL
+                 SELECT c.c_custkey, anc.root, anc.depth + 1
+                 FROM customer_v c JOIN anc ON c.c_custkey div 10 = anc.node
+                 WHERE c.c_custkey >= 10
+               )
+               SELECT node, root, CAST(depth AS BIGINT) AS depth FROM anc""")
+    }),
+
+    // ---- k-anonymity audit — group sizes over a quasi-identifier
+    //      tuple (nation, segment, coarsened balance): any group below
+    //      k is re-identifiable and must be generalized or suppressed
+    //      before release. The privacy gate for published training
+    //      data; pure integer grouping, exactly replayable ----
+    "x27_k_anonymity" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"),
+          col("c_mktsegment"),
+          expr("cast(floor(c_acctbal / 1000) as bigint)").as("bal_bucket"))
+        .agg(count(lit(1)).as("group_size"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"),
+          col("group_size"),
+          (col("group_size") >= 5).cast("int").as("k_ok"))),
+
     // ---- HLL sketch-union rollup — per-group distinct sketches union
     //      into a global estimate WITHOUT rescanning the fact table: the
     //      two-level rollup `approx_count_distinct` can't express (its
@@ -2405,6 +2438,25 @@ object SparkEntry {
          n AS (SELECT COUNT(*) AS n_total FROM it)
          SELECT item, cnt, n_total, 1 AS in_sketch
          FROM ex CROSS JOIN n WHERE cnt * 51 > n_total""",
+
+    // the same recursion, dialect-translated (div -> //)
+    "x26_recursive_cte" ->
+      """WITH RECURSIVE anc AS (
+           SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+           FROM customer WHERE c_custkey < 10
+           UNION ALL
+           SELECT c.c_custkey, anc.root, anc.depth + 1
+           FROM customer c JOIN anc ON c.c_custkey // 10 = anc.node
+           WHERE c.c_custkey >= 10
+         )
+         SELECT node, root, CAST(depth AS BIGINT) AS depth FROM anc""",
+
+    "x27_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           COUNT(*) AS group_size,
+           CASE WHEN COUNT(*) >= 5 THEN 1 ELSE 0 END AS k_ok
+         FROM customer GROUP BY 1, 2, 3""",
 
     // the deterministic side recomputed (group count, exact distinct);
     // the sketch gates are Spark-side guarantees, literal-1 like the
