@@ -534,6 +534,24 @@ object SparkEntry {
         orders, "o_custkey", t(s, dir, "customer"), "c_custkey", "ref_orders_customer"))
     }),
 
+    // ---- order-independent table checksum — the cross-system
+    //      reconciliation primitive ("does the replica hold exactly the
+    //      rows the source holds?") without moving the data: each row
+    //      serializes to a canonical string (integers/strings only —
+    //      double formatting is engine-specific), hashes through md5,
+    //      and the hashes SUM (order-free, exact through DECIMAL(38),
+    //      folded mod 2^62 into a BIGINT). Any inserted, deleted, or
+    //      changed row moves the digest; computable engine-by-engine
+    //      and compared as one number ----
+    "x28_table_checksum" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(expr(
+          """cast(conv(substr(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                                             o_orderpriority)), 1, 15), 16, 10)
+             as decimal(38,0))""").as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("cast(pmod(sum(h), 4611686018427387904) as bigint)").as("checksum"))),
+
     // ---- recursive CTE (Spark 4's WITH RECURSIVE) — hierarchy walk
     //      over a derived 10-ary tree on customer keys: every node's
     //      root ancestor and depth. The SQL-surface feature the
@@ -2438,6 +2456,15 @@ object SparkEntry {
          n AS (SELECT COUNT(*) AS n_total FROM it)
          SELECT item, cnt, n_total, 1 AS in_sketch
          FROM ex CROSS JOIN n WHERE cnt * 51 > n_total""",
+
+    // same canonical serialization, same md5-prefix hash, same
+    // sum-mod fold — the digest must agree engine to engine
+    "x28_table_checksum" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+                       o_orderstatus, o_orderpriority)), 1, 15))::BIGINT)
+                % 4611686018427387904 AS BIGINT) AS checksum
+         FROM orders""",
 
     // the same recursion, dialect-translated (div -> //)
     "x26_recursive_cte" ->
