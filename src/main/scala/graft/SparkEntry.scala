@@ -462,14 +462,22 @@ object SparkEntry {
     //      cut points, clip counts, and the exact clipped sum: the
     //      outlier-capping pass feature pipelines run before scaling ----
     "x24_winsorize" -> ((s, dir) => {
+      // cuts from the value-level histogram (x15's scale shape — rows
+      // never enter a window); the raw rows then only pay one
+      // broadcast-able cuts join + one agg
+      val ev = events(s, dir).select(col("event_type"), col("value"))
+      val vc = ev.groupBy("event_type", "value").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("event_type").orderBy("value")
-      val ranked = events(s, dir).select(col("event_type"), col("value"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-      val cuts = ranked.groupBy("event_type").agg(
-        max(when(col("rn") === expr("(500 * n + 9999) div 10000"), col("value"))).as("p05"),
-        max(when(col("rn") === expr("(9500 * n + 9999) div 10000"), col("value"))).as("p95"))
-      ranked.join(cuts, Seq("event_type"))
+      val cuts = vc.withColumn("hi", sum(col("c")).over(w))
+        .withColumn("lo", col("hi") - col("c") + 1)
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(
+          max(when(expr("(500 * n + 9999) div 10000").between(col("lo"), col("hi")),
+            col("value"))).as("p05"),
+          max(when(expr("(9500 * n + 9999) div 10000").between(col("lo"), col("hi")),
+            col("value"))).as("p95"))
+      ev.join(cuts, Seq("event_type"))
         .withColumn("v_wins", least(greatest(col("value"), col("p05")), col("p95")))
         .groupBy("event_type")
         .agg(max(col("p05")).as("p05"), max(col("p95")).as("p95"),
@@ -479,15 +487,29 @@ object SparkEntry {
     }),
 
     "x15_percentiles" -> ((s, dir) => {
+      // Scale shape: the rows NEVER enter a window. A per-row
+      // row_number window partitioned by event_type would be one task
+      // per type (5 tasks at any data size — the serial choke point);
+      // instead the map-side-partial (type, value) histogram collapses
+      // the data to distinct values (cent-granular → bounded), and the
+      // tiny value-level relation carries the cumulative-rank window.
+      // Value at rank r is the value whose cumulative range [lo, hi]
+      // contains r — identical to the row_number formulation for every
+      // r, tie rows being rank-interchangeable.
+      val vc = events(s, dir).groupBy("event_type", "value")
+        .agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("event_type").orderBy("value")
-      events(s, dir).select(col("event_type"), col("value"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      vc.withColumn("hi", sum(col("c")).over(w))
+        .withColumn("lo", col("hi") - col("c") + 1)
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
         .groupBy("event_type")
         .agg(max("n").as("n"),
-          max(when(col("rn") === expr("(5000 * n + 9999) div 10000"), col("value"))).as("p50"),
-          max(when(col("rn") === expr("(9000 * n + 9999) div 10000"), col("value"))).as("p90"),
-          max(when(col("rn") === expr("(9900 * n + 9999) div 10000"), col("value"))).as("p99"))
+          max(when(expr("(5000 * n + 9999) div 10000").between(col("lo"), col("hi")),
+            col("value"))).as("p50"),
+          max(when(expr("(9000 * n + 9999) div 10000").between(col("lo"), col("hi")),
+            col("value"))).as("p90"),
+          max(when(expr("(9900 * n + 9999) div 10000").between(col("lo"), col("hi")),
+            col("value"))).as("p99"))
     }),
 
     // ---- one-pass heavy hitters via the misra_gries aggregate — the

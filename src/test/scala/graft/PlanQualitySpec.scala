@@ -372,6 +372,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       "BroadcastExchange IdentityBroadcastMode".r.findAllIn(p).length, p)
   }
 
+  test("x15/x24: exact percentiles rank over the VALUE histogram, never the rows") {
+    // a row_number window partitioned by event_type is one task per
+    // type at any data size; the histogram form keeps per-row work in
+    // map-side-partial aggregates and windows only distinct values
+    for (q <- Seq("x15_percentiles", "x24_winsorize")) {
+      val p = plan(q)
+      assert(!p.contains("row_number"), s"$q rows entered a window:\n$p")
+      assert(p.contains("partial_count"), s"$q histogram not map-side partial:\n$p")
+    }
+  }
+
   test("e23: interval coverage — the three sweep windows share ONE sort and " +
        "one key exchange; both collapse aggs reuse the partitioning") {
     val p = plan("e23_interval_coverage")
