@@ -556,6 +556,29 @@ object SparkEntry {
         orders, "o_custkey", t(s, dir, "customer"), "c_custkey", "ref_orders_customer"))
     }),
 
+    // ---- table diff — the drill-down x28's checksum triggers: FULL
+    //      OUTER join source vs target on the key, classify every row
+    //      added / removed / changed / same by null-side and value
+    //      comparison. The target derives from source deterministically
+    //      (drop keys ≡0 mod 97, flip status for ≡0 mod 13, inject
+    //      key+10^9 rows), so both engines build the same diff ----
+    "x29_table_diff" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
+      val dst = src.where(col("k") % 97 =!= 0)
+        .select(col("k"),
+          when(col("k") % 13 === 0, lit("X")).otherwise(col("v")).as("v"))
+        .unionAll(src.where(col("k") % 5 === 0)
+          .select((col("k") + 1000000000L).as("k"), col("v")))
+      src.as("a").join(dst.as("b"), col("a.k") === col("b.k"), "full_outer")
+        .select(
+          when(col("a.k").isNull, "added")
+            .when(col("b.k").isNull, "removed")
+            .when(col("a.v") =!= col("b.v"), "changed")
+            .otherwise("same").as("diff_type"))
+        .groupBy("diff_type").agg(count(lit(1)).as("n"))
+    }),
+
     // ---- order-independent table checksum — the cross-system
     //      reconciliation primitive ("does the replica hold exactly the
     //      rows the source holds?") without moving the data: each row
@@ -2478,6 +2501,20 @@ object SparkEntry {
          n AS (SELECT COUNT(*) AS n_total FROM it)
          SELECT item, cnt, n_total, 1 AS in_sketch
          FROM ex CROSS JOIN n WHERE cnt * 51 > n_total""",
+
+    "x29_table_diff" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS v FROM orders),
+         dst AS (SELECT k, CASE WHEN k % 13 = 0 THEN 'X' ELSE v END AS v
+                 FROM src WHERE k % 97 <> 0
+                 UNION ALL
+                 SELECT k + 1000000000, v FROM src WHERE k % 5 = 0)
+         SELECT CASE WHEN a.k IS NULL THEN 'added'
+                     WHEN b.k IS NULL THEN 'removed'
+                     WHEN a.v <> b.v THEN 'changed'
+                     ELSE 'same' END AS diff_type,
+           COUNT(*) AS n
+         FROM src a FULL OUTER JOIN dst b ON a.k = b.k
+         GROUP BY 1""",
 
     // same canonical serialization, same md5-prefix hash, same
     // sum-mod fold — the digest must agree engine to engine
