@@ -272,6 +272,22 @@ object SparkEntry {
     //      web-corpus pipelines gate crawl quality with. 5 power
     //      iterations, damping 0.85, all-integer micro-unit ranks so
     //      accumulation order cannot move a single bit ----
+    // ---- T: held-out LM scoring — train the bigram model on even doc
+    //      ids, score the odd ones with add-one smoothing. Unseen
+    //      events fire BY CONSTRUCTION: scored docs ≡1 mod 7 get a
+    //      doc-unique `zzqx<n>` token appended, forcing both the
+    //      unseen-bigram and unseen-context branches ----
+    "t28_lm_heldout" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.where(col("doc_id") % 2 === 0)
+      val score = docs.where(col("doc_id") % 2 === 1)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 1,
+            concat(col("text"), lit(" zzqx"), col("doc_id") % 100))
+            .otherwise(col("text")))
+      graft.ops.TextAnalysis.lmScoreHeldOut(train, score, "doc_id", "text")
+    }),
+
     // ---- V: sparse TF-IDF cosine top-k — lexical retrieval over the
     //      inverted index (one word-keyed equi-join, never |Q|·|corpus|);
     //      integer tf/df/weights/dots + correctly-rounded sqrt/div make
@@ -3538,6 +3554,39 @@ object SparkEntry {
     // fixed-point micro-nat terms (round half away from zero, both
     // engines) summed as exact integers; bucket thresholds are long
     // cross-multiplications — see TextAnalysis.lmScore
+    // add-one smoothing replayed: (c2+1)/(c1+V) with left-join zeros,
+    // V = train vocab + 1; same micro-nat quantization points
+    "t28_lm_heldout" ->
+      """WITH tr AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+                     FROM documents WHERE doc_id % 2 = 0),
+         s0 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 1
+                       THEN text || ' zzqx' || CAST(doc_id % 100 AS VARCHAR)
+                       ELSE text END AS text
+                FROM documents WHERE doc_id % 2 = 1),
+         sw AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM s0),
+         bgt AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                   i -> struct_pack(w1 := w[i], w2 := w[i+1])), recursive := true)
+                 FROM tr WHERE len(w) >= 2),
+         bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                   i -> struct_pack(w1 := w[i], w2 := w[i+1])), recursive := true)
+                 FROM sw WHERE len(w) >= 2),
+         c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgt GROUP BY 1, 2),
+         c1 AS (SELECT w1, COUNT(*) AS c1 FROM bgt GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT w) + 1 AS v
+               FROM (SELECT unnest(w) AS w FROM tr)),
+         sc AS (SELECT bgs.doc_id, COUNT(*) AS n_bigrams,
+                  CAST(SUM(CAST(round(ln(
+                    CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE) /
+                    (COALESCE(c1.c1, 0) + v.v)) * 1000000, 0) AS BIGINT)) AS BIGINT)
+                    AS logprob_fp
+                FROM bgs LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+                CROSS JOIN v
+                GROUP BY bgs.doc_id)
+         SELECT doc_id, n_bigrams, logprob_fp,
+           CAST(-((-logprob_fp) // n_bigrams) AS BIGINT) AS avg_fp
+         FROM sc""",
+
     "t19_lm_score" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),

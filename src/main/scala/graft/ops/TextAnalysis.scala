@@ -263,6 +263,58 @@ object TextAnalysis {
           .otherwise("middle"))
   }
 
+  /** Held-out bigram-LM scoring with add-one smoothing — the true CCNet
+    * shape ([[lmScore]]'s trained-on-self form has no unseen-event
+    * branch; a model scoring NEW text must): train counts come from one
+    * corpus, scored docs from another, and every probability is
+    * `(c2 + 1) / (c1 + V)` with `V = |train vocabulary| + 1`. Unseen
+    * events need no token mapping at all: an unseen bigram of a seen
+    * context coalesces to `1/(c1+V)` and an unseen context to `1/V` —
+    * exactly the shared `<unk>` slot of the add-one convention, falling
+    * out of two left joins.
+    *
+    * Determinism: the t19 recipe — each term quantizes to micro-nat
+    * LONGs before the order-free sum; `avg_fp` is floored integer
+    * division. Scale: two tokenize passes, vocabulary-sized model
+    * relations, the scoring join is bigram-keyed with map-side partial
+    * sums; V is a one-row broadcast.
+    *
+    * @return (id, n_bigrams, logprob_fp, avg_fp) for every scored doc
+    *         with ≥ 1 bigram
+    */
+  def lmScoreHeldOut(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def bigrams(df: DataFrame) = df
+      .repartition(col(idCol))
+      .select(col(idCol), tokens(lower(col(textCol))).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col(idCol),
+        explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> named_struct('w1', w[i], 'w2', w[i+1]))")).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bgT = bigrams(train)
+    val c2 = bgT.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bgT.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = train.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .agg((countDistinct(col("w")) + 1).as("v"))
+    val termFp = round(
+      log((coalesce(col("c2"), lit(0L)) + lit(1)).cast("double") /
+        (coalesce(col("c1"), lit(0L)) + col("v"))) * 1e6, 0).cast("long")
+    bigrams(score)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(termFp).as("logprob_fp"))
+      // negate-divide-negate: Spark's `div` truncates toward zero while
+      // SQL floor-division floors — they agree only on NON-NEGATIVE
+      // operands, and logprob_fp is always negative
+      .withColumn("avg_fp", expr("-((-logprob_fp) div n_bigrams)"))
+  }
+
   /** Gopher-style rule gate (Rae et al. 2021, appendix A): the published
     * document-quality heuristics as one shuffle-free projection, each
     * rule an EXACT integer comparison so any engine reproduces the

@@ -287,4 +287,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       .select(c.as("v")).head()
     assert(n.isNullAt(0))
   }
+
+  test("lmScoreHeldOut: add-one smoothing, hand-computed for all three branches") {
+    // train "a b a c": bigrams (a,b),(b,a),(a,c); c1: a=2, b=1; V = 3+1
+    val train = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    def scoreOf(text: String): (Long, Long, Long) = {
+      val r = TextAnalysis
+        .lmScoreHeldOut(train, Seq((9L, text)).toDF("doc_id", "text"), "doc_id", "text")
+        .collect().head
+      (r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    def fp(p: Double): Long = math.round(math.log(p) * 1e6)
+    // seen bigram: p(b|a) = (1+1)/(2+4); unseen w2 of seen w1: p(z|b) = 1/(1+4)
+    val (n1, lp1, avg1) = scoreOf("a b z")
+    assert(n1 == 2L)
+    assert(lp1 == fp(2.0 / 6) + fp(1.0 / 5), s"$lp1")
+    assert(avg1 == -((-lp1) / 2))
+    // unseen context: p(r|q) = 1/V = 1/4
+    val (n2, lp2, _) = scoreOf("q r")
+    assert(n2 == 1L && lp2 == fp(1.0 / 4), s"$lp2")
+  }
 }
