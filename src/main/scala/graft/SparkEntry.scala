@@ -739,6 +739,46 @@ object SparkEntry {
           col("v_filled"), col("is_gap"))
     }),
 
+    // ---- E: CDC apply — fold an insert/update/delete change log into
+    //      the current snapshot: last operation per key wins (total
+    //      order: seq, then op-kind for same-seq ties), deletes drop
+    //      the key. The log derives deterministically from orders
+    //      (every key gets an INSERT; ≡0 mod 3 an UPDATE at seq 2;
+    //      ≡0 mod 7 a DELETE at seq 3), so both engines fold the same
+    //      log. One key-partitioned window ----
+    "e25_cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
+      val log = base.select(col("k"), lit(1L).as("seq"), lit("I").as("op"), col("v"))
+        .unionAll(base.where(col("k") % 3 === 0)
+          .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+            concat(col("v"), lit("2")).as("v")))
+        .unionAll(base.where(col("k") % 7 === 0)
+          .select(col("k"), lit(3L).as("seq"), lit("D").as("op"), lit(null).cast("string").as("v")))
+      val w = Window.partitionBy("k").orderBy(col("seq").desc, col("op").desc)
+      log.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("op") =!= "D")
+        .select(col("k"), col("op").as("last_op"), col("v"))
+    }),
+
+    // ---- E: sequence-gap detection — the data-loss monitor for event
+    //      feeds carrying a per-key increasing sequence: report every
+    //      hole (prev_id+1 .. id-1) per user. lag() over one key
+    //      window; events ≡0 mod 11 are dropped first so gaps exist by
+    //      construction ----
+    "e26_sequence_gaps" -> ((s, dir) =>
+      events(s, dir)
+        .where(col("event_id") % 11 =!= 0)
+        .select(col("user_id"), col("event_id"))
+        .withColumn("prev_id",
+          lag(col("event_id"), 1).over(
+            Window.partitionBy("user_id").orderBy("event_id")))
+        .where(col("prev_id").isNotNull && col("event_id") > col("prev_id") + 1)
+        .select(col("user_id"),
+          (col("prev_id") + 1).as("gap_start"),
+          (col("event_id") - 1).as("gap_end"),
+          (col("event_id") - col("prev_id") - 1).as("n_missing"))),
+
     // ---- E: interval union / coverage — per-user activity windows
     //      ([ts, ts+30min)) merged so overlaps count ONCE: total covered
     //      time, merged-island count, active span. The uptime/duty-cycle
@@ -2676,6 +2716,27 @@ object SparkEntry {
            (o.v IS NULL) AS is_gap
          FROM grid g LEFT JOIN obs o
            ON g.user_id = o.user_id AND g.bucket = o.bucket""",
+
+    "e25_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS v FROM orders),
+         log AS (SELECT k, 1 AS seq, 'I' AS op, v FROM base
+                 UNION ALL
+                 SELECT k, 2, 'U', v || '2' FROM base WHERE k % 3 = 0
+                 UNION ALL
+                 SELECT k, 3, 'D', NULL FROM base WHERE k % 7 = 0),
+         r AS (SELECT k, seq, op, v,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn
+               FROM log)
+         SELECT k, op AS last_op, v FROM r WHERE rn = 1 AND op <> 'D'""",
+
+    "e26_sequence_gaps" ->
+      """WITH e AS (SELECT user_id, event_id FROM events WHERE event_id % 11 <> 0),
+         l AS (SELECT user_id, event_id,
+                 LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id
+               FROM e)
+         SELECT user_id, prev_id + 1 AS gap_start, event_id - 1 AS gap_end,
+           event_id - prev_id - 1 AS n_missing
+         FROM l WHERE prev_id IS NOT NULL AND event_id > prev_id + 1""",
 
     // the same sweep-line windows replayed: running-max-of-ends island
     // flags, running-sum island ids, per-island collapse
