@@ -603,7 +603,10 @@ object SparkEntry {
     //      and the hashes SUM (order-free, exact through DECIMAL(38),
     //      folded mod 2^62 into a BIGINT). Any inserted, deleted, or
     //      changed row moves the digest; computable engine-by-engine
-    //      and compared as one number ----
+    //      and compared as one number. Serialized columns must be
+    //      NON-NULL (as here): concat_ws SKIPS nulls, so ('a', NULL,
+    //      'b') and ('a', 'b', NULL) would collide — nullable columns
+    //      need coalesce-to-sentinel before joining the serialization ----
     "x28_table_checksum" -> ((s, dir) =>
       t(s, dir, "orders")
         .select(expr(

@@ -70,4 +70,16 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[Exception](spark.sql("SELECT obfuscate_name()").head())
     assert(e.getMessage.contains("obfuscate_name"))
   }
+
+  test("count_min callable from spark.sql; estimate is a plain projection") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(5L, 5L, 5L, 9L).toDF("item").createOrReplaceTempView("cms_sql")
+    val r = spark.sql(
+      """WITH sk AS (SELECT count_min(item, 2, 16) AS cms FROM cms_sql)
+         SELECT element_at(cms, cast(
+           conv(substr(md5(concat(0, ':', 5)), 1, 8), 16, 10) % 16 + 1 as int)) AS c0
+         FROM sk""").head()
+    assert(r.getLong(0) >= 3L) // row-0 cell holds at least item 5's count
+  }
 }
