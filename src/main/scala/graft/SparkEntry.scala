@@ -1970,6 +1970,29 @@ object SparkEntry {
       graft.ops.Multimodal.videoFrameStats(media, 0).toDF()
         .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+
+    // ---- M: video keyframe detection — scene changes by consecutive-
+    //      frame mean difference over the REAL demux+decode pass: frame
+    //      0 always keys; later frames key when the channel-mean L1
+    //      diff exceeds the bar. m4's synthetic frames increment means
+    //      by (1,2,3)/frame mod 256, so the diff is 6 everywhere except
+    //      the wraparound — scene cuts exist by construction and the
+    //      oracle replays them arithmetically. The frame-sampling
+    //      pattern video training pipelines run before captioning ----
+    "m6_video_keyframes" -> ((s, dir) => {
+      val media = graft.ops.Multimodal
+        .syntheticAviPayload(t(s, dir, "documents"), "doc_id", "text", 32).toDF()
+      val f = graft.ops.Multimodal.videoFrameStats(media, 0).toDF()
+      val w = Window.partitionBy("media_id").orderBy("frame_idx")
+      f.withColumn("pr", lag(col("mean_r"), 1).over(w))
+        .withColumn("pg", lag(col("mean_g"), 1).over(w))
+        .withColumn("pb", lag(col("mean_b"), 1).over(w))
+        .withColumn("d", (abs(col("mean_r") - col("pr")) +
+          abs(col("mean_g") - col("pg")) + abs(col("mean_b") - col("pb"))).cast("long"))
+        .where(col("pr").isNull || col("d") > 40)
+        .select(col("media_id"), col("frame_idx"),
+          coalesce(col("d"), lit(-1L)).as("diff_sum"))
     })
   )
 
@@ -4199,6 +4222,27 @@ object SparkEntry {
            CAST((('0x' || substr(h, 1, 2))::INT + frame_idx) % 256 AS DOUBLE) AS mean_r,
            CAST((('0x' || substr(h, 3, 2))::INT + 2 * frame_idx) % 256 AS DOUBLE) AS mean_g,
            CAST((('0x' || substr(h, 5, 2))::INT + 3 * frame_idx) % 256 AS DOUBLE) AS mean_b
-         FROM f"""
+         FROM f""",
+
+    // the same md5 frame arithmetic, lagged: diff 6 everywhere except
+    // the mod-256 wrap, where one channel jumps ~255
+    "m6_video_keyframes" ->
+      """WITH f AS (
+           SELECT doc_id, md5(text) AS h,
+                  CAST(unnest(range(0, 2 + (('0x' || substr(md5(text), 17, 2))::INT % 4))) AS INT) AS frame_idx
+           FROM documents WHERE text IS NOT NULL),
+         m AS (SELECT doc_id AS media_id, frame_idx,
+                 (('0x' || substr(h, 1, 2))::INT + frame_idx) % 256 AS r,
+                 (('0x' || substr(h, 3, 2))::INT + 2 * frame_idx) % 256 AS g,
+                 (('0x' || substr(h, 5, 2))::INT + 3 * frame_idx) % 256 AS b
+               FROM f),
+         l AS (SELECT media_id, frame_idx, r, g, b,
+                 LAG(r, 1) OVER w AS pr, LAG(g, 1) OVER w AS pg, LAG(b, 1) OVER w AS pb
+               FROM m
+               WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx))
+         SELECT media_id, frame_idx,
+           CAST(COALESCE(abs(r - pr) + abs(g - pg) + abs(b - pb), -1) AS BIGINT) AS diff_sum
+         FROM l
+         WHERE pr IS NULL OR abs(r - pr) + abs(g - pg) + abs(b - pb) > 40"""
   )
 }
