@@ -272,6 +272,21 @@ object SparkEntry {
     //      web-corpus pipelines gate crawl quality with. 5 power
     //      iterations, damping 0.85, all-integer micro-unit ranks so
     //      accumulation order cannot move a single bit ----
+    // ---- D: URL blocklist — domain-SUFFIX matching as a hash join
+    //      (C4/RefinedWeb's URL gate): hosts synthesize from doc ids
+    //      (every fifth gets a cdn. subdomain), patterns block a whole
+    //      zone, an exact host, and a deeper host; the longest match
+    //      wins where zones nest ----
+    "d12_url_blocklist" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(when(col("doc_id") % 5 === 0, lit("cdn.")).otherwise(lit("")),
+          lit("d"), col("doc_id") % 97, lit(".s"), col("doc_id") % 7, lit(".com"))
+          .as("host"))
+      val pats = s.range(1).select(explode(array(
+        lit("s3.com"), lit("d17.s3.com"), lit("d11.s4.com"), lit("nomatch.org"))).as("p"))
+      graft.ops.Corpus.urlBlocklist(urls, "doc_id", "host", pats, "p")
+    }),
+
     // ---- T: held-out LM scoring — train the bigram model on even doc
     //      ids, score the odd ones with add-one smoothing. Unseen
     //      events fire BY CONSTRUCTION: scored docs ≡1 mod 7 get a
@@ -3641,6 +3656,26 @@ object SparkEntry {
     // fixed-point micro-nat terms (round half away from zero, both
     // engines) summed as exact integers; bucket thresholds are long
     // cross-multiplications — see TextAnalysis.lmScore
+    // reversed-label prefixes joined against reversed patterns; the
+    // longest (most specific) match survives per doc
+    "d12_url_blocklist" ->
+      """WITH u AS (SELECT doc_id,
+             (CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END) ||
+             'd' || CAST(doc_id % 97 AS VARCHAR) || '.s' ||
+             CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+           FROM documents),
+         r AS (SELECT doc_id, list_reverse(string_split(host, '.')) AS ls FROM u),
+         p AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+                 k -> array_to_string(list_slice(ls, 1, k), '.'))) AS rp
+               FROM r),
+         pat AS (SELECT unnest(['s3.com', 'd17.s3.com', 'd11.s4.com', 'nomatch.org']) AS mp),
+         pr AS (SELECT array_to_string(list_reverse(string_split(mp, '.')), '.') AS rp, mp
+                FROM pat),
+         m AS (SELECT p.doc_id, pr.mp FROM p JOIN pr USING (rp)),
+         w AS (SELECT doc_id, mp, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY length(mp) DESC, mp) AS rn FROM m)
+         SELECT doc_id, mp AS matched_pattern FROM w WHERE rn = 1""",
+
     // add-one smoothing replayed: (c2+1)/(c1+V) with left-join zeros,
     // V = train vocab + 1; same micro-nat quantization points
     "t28_lm_heldout" ->

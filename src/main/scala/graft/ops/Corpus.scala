@@ -317,6 +317,46 @@ object Corpus {
     *
     * @return (idCol, n_shared_ngrams) — contaminated train docs only
     */
+  /** URL blocklist filtering by DOMAIN SUFFIX — the C4/RefinedWeb URL
+    * gate: a pattern `example.com` blocks the host itself and every
+    * subdomain (`a.b.example.com`), never `notexample.com`. The match
+    * is exact label-suffix equality, computed scalably: each host
+    * reverses its labels (`com.example.b.a`) and explodes its ≤ depth
+    * label-PREFIXES; patterns reverse once into a (presumably small,
+    * but not broadcast-hinted) lookup; blocking is one equi-join on
+    * the prefix string. Fan-out is bounded by label depth (hosts have
+    * ~3-6 labels), and no LIKE/regex scan ever runs against the corpus
+    * — suffix semantics become hash-joinable keys, the only shape that
+    * survives a 10^11-row URL table.
+    *
+    * @param urls     (idCol, hostCol) relation — one row per document
+    * @param patterns one-column relation of blocked domains (apex or
+    *                 subdomain, no wildcards — the suffix rule IS the
+    *                 wildcard)
+    * @return (idCol, matched_pattern) — blocked docs only, the
+    *         LONGEST matching pattern per doc (deterministic: most
+    *         specific wins; ties impossible, suffixes of one host
+    *         differ in length)
+    */
+  def urlBlocklist(
+      urls: DataFrame,
+      idCol: String,
+      hostCol: String,
+      patterns: DataFrame,
+      patternCol: String): DataFrame = {
+    val rev = (c: Column) => array_join(reverse(split(c, "\\.")), ".")
+    val hostPrefixes = urls.select(col(idCol), split(rev(col(hostCol)), "\\.").as("ls"))
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(ls)), k -> array_join(slice(ls, 1, k), '.'))")).as("rp"))
+    val pats = patterns.select(rev(col(patternCol)).as("rp"),
+      col(patternCol).as("matched_pattern"))
+    hostPrefixes.join(pats, Seq("rp"))
+      .groupBy(col(idCol))
+      .agg(max(struct(length(col("matched_pattern")).as("l"),
+        col("matched_pattern").as("p"))).as("m"))
+      .select(col(idCol), col("m.p").as("matched_pattern"))
+  }
+
   def decontaminate(
       train: DataFrame,
       eval: DataFrame,

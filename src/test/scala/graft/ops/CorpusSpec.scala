@@ -342,4 +342,22 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(out.toSet == expected)
   }
+
+  test("urlBlocklist: suffix semantics — subdomains block, lookalikes don't, longest wins") {
+    val urls = Seq(
+      (1L, "example.com"),            // exact apex match
+      (2L, "a.b.example.com"),        // deep subdomain -> blocked
+      (3L, "notexample.com"),         // label boundary: NOT blocked
+      (4L, "example.com.evil.org"),   // suffix spoof: NOT blocked
+      (5L, "cdn.special.example.com"),// matches apex AND the deeper pattern
+      (6L, "clean.org"))
+      .toDF("id", "host")
+    val pats = Seq("example.com", "special.example.com").toDF("p")
+    val out = Corpus.urlBlocklist(urls, "id", "host", pats, "p")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "example.com",
+      2L -> "example.com",
+      5L -> "special.example.com")) // most specific wins
+  }
 }
