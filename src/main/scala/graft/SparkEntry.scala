@@ -631,6 +631,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           expr("cast(pmod(sum(h), 4611686018427387904) as bigint)").as("checksum"))),
 
+    // ---- distribution window battery — ntile / percent_rank /
+    //      cume_dist over a per-customer total order (w2 covers
+    //      lag/frames/rank; this closes the distribution functions).
+    //      percent_rank and cume_dist are exact small-integer ratios —
+    //      IEEE division is deterministic, both engines compute the
+    //      same doubles ----
+    "x30_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .where(col("o_custkey") % 10 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+    }),
+
     // ---- recursive CTE (Spark 4's WITH RECURSIVE) — hierarchy walk
     //      over a derived 10-ary tree on customer keys: every node's
     //      root ancestor and depth. The SQL-surface feature the
@@ -2598,6 +2615,14 @@ object SparkEntry {
          n AS (SELECT COUNT(*) AS n_total FROM it)
          SELECT item, cnt, n_total, 1 AS in_sketch
          FROM ex CROSS JOIN n WHERE cnt * 51 > n_total""",
+
+    "x30_window_dist" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+         FROM orders WHERE o_custkey % 10 = 0
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""",
 
     "x29_table_diff" ->
       """WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS v FROM orders),
