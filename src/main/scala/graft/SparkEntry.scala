@@ -774,6 +774,37 @@ object SparkEntry {
           col("v_filled"), col("is_gap"))
     }),
 
+    // ---- E: position-based multi-touch attribution — the U-shaped
+    //      credit model (first 40%, last 40%, middles share 20%) over
+    //      each user's touches in the 7 days before their FIRST
+    //      purchase. Credit is integer basis points with the division
+    //      remainder pinned to the earliest middle touch, so the split
+    //      sums to exactly 10000 and replays exactly; n=1 takes all,
+    //      n=2 splits 50/50 ----
+    "e28_multi_touch" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val conv = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"))).as("c"))
+        .select(col("user_id"), col("c.ts").as("conv_ts"))
+      val touches = ev.where(col("event_type").isin("view", "click"))
+        .join(conv, Seq("user_id"))
+        .where(col("ts") < col("conv_ts") &&
+          col("ts") >= col("conv_ts") - expr("interval 7 days"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      touches
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("credit_bp",
+          when(col("n") === 1, 10000L)
+            .when(col("n") === 2, 5000L)
+            .when(col("pos") === 1 || col("pos") === col("n"), 4000L)
+            .when(col("pos") === 2, expr("2000 div (n - 2) + 2000 % (n - 2)"))
+            .otherwise(expr("2000 div (n - 2)")))
+        .select(col("user_id"), col("event_id"), col("pos"), col("n").as("n_touches"),
+          col("credit_bp"))
+    }),
+
     // ---- E: CDC apply — fold an insert/update/delete change log into
     //      the current snapshot: last operation per key wins (total
     //      order: seq, then op-kind for same-seq ties), deletes drop
@@ -2782,6 +2813,33 @@ object SparkEntry {
            (o.v IS NULL) AS is_gap
          FROM grid g LEFT JOIN obs o
            ON g.user_id = o.user_id AND g.bucket = o.bucket""",
+
+    // the same first-purchase anchor, the same U-split with the
+    // remainder pinned to the earliest middle
+    "e28_multi_touch" ->
+      """WITH conv AS (SELECT user_id, MIN(ts) AS conv_ts
+                       FROM (SELECT user_id, ts,
+                               ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS rn
+                             FROM events WHERE event_type = 'purchase')
+                       WHERE rn = 1 GROUP BY user_id),
+         t AS (SELECT e.user_id, e.event_id, e.ts
+               FROM events e JOIN conv USING (user_id)
+               WHERE e.event_type IN ('view', 'click')
+                 AND e.ts < conv.conv_ts
+                 AND e.ts >= conv.conv_ts - INTERVAL 7 DAY),
+         r AS (SELECT user_id, event_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS BIGINT) AS pos,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n
+               FROM t)
+         SELECT user_id, event_id, pos, CAST(n AS BIGINT) AS n_touches,
+           CAST(CASE WHEN n = 1 THEN 10000
+                     WHEN n = 2 THEN 5000
+                     WHEN pos = 1 OR pos = n THEN 4000
+                     WHEN pos = 2 THEN 2000 // (n - 2) + 2000 % (n - 2)
+                     ELSE 2000 // (n - 2) END AS BIGINT) AS credit_bp
+         FROM r""",
 
     "e25_cdc_apply" ->
       """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS v FROM orders),
