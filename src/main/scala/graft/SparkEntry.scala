@@ -1761,6 +1761,19 @@ object SparkEntry {
       s.table("e20_sink").select("stream_id", "hist_id", "jaccard")
     }),
 
+    // ---- E: STREAMING OHLC — the candlestick bars as pick aggregates
+    //      (min_by/max_by over the (ts, event_id) total order) running
+    //      under real watermarked streaming state; the oracle is e24's
+    //      row_number formulation restated, so the query PROVES the two
+    //      forms agree ----
+    "e27_streaming_ohlc" -> ((s, dir) => {
+      val stream = graft.streaming.EventStreams
+        .readNsEventStream(s, s"$dir/events.parquet")
+        .withWatermark("ts", "1 hour")
+      graft.streaming.EventStreams.runToCompleteTable(
+        s, graft.streaming.EventStreams.ohlcAgg(stream), "e27_sink")
+    }),
+
     "e7_streaming_hourly" -> ((s, dir) => {
       val stream = graft.streaming.EventStreams
         .readNsEventStream(s, s"$dir/events.parquet")
@@ -2813,6 +2826,26 @@ object SparkEntry {
            (o.v IS NULL) AS is_gap
          FROM grid g LEFT JOIN obs o
            ON g.user_id = o.user_id AND g.bucket = o.bucket""",
+
+    // e24's window formulation restated per (type, hour) — if the pick
+    // aggregates and the row_number picks ever disagreed, this hash
+    // would catch it
+    "e27_streaming_ohlc" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value
+                    FROM events),
+         r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, h
+                   ORDER BY ts ASC, event_id ASC) AS ra,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, h
+                   ORDER BY ts DESC, event_id DESC) AS rd
+               FROM b)
+         SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM r GROUP BY 1, 2""",
 
     // the same first-purchase anchor, the same U-split with the
     // remainder pinned to the earliest middle

@@ -146,6 +146,27 @@ object EventStreams {
     windowedAgg(events.withWatermark("ts", watermark), windowLength)
   }
 
+  /** OHLC bars as PICK AGGREGATES — `min_by`/`max_by` over the
+    * (ts, event_id) total order — rather than the batch query's two
+    * row_number windows (e24): window FUNCTIONS cannot run under
+    * streaming state, pick AGGREGATES can, and over a total order the
+    * two formulations provably agree (which is exactly what the e27
+    * oracle checks, being e24's SQL restated). Works for both the
+    * batch twin and the watermarked stream.
+    */
+  def ohlcAgg(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("total_value"))
+
   /** Stream-static enrichment: join each micro-batch against a (small,
     * slowly-changing) dimension table, then roll up per window and
     * dimension attribute — the standard streaming-dimension pattern.
