@@ -383,10 +383,24 @@ object EventStreams {
     * appending a second copy. This is the hook for arbitrary batch-side
     * logic (MERGE-style upserts, multi-table fan-out) that the
     * declarative sinks can't express.
+    *
+    * `checkpoint` makes the run INCREMENTAL ACROSS INVOCATIONS: with a
+    * persistent checkpoint location, a later run of the same query
+    * processes only files that arrived since the previous run ended —
+    * the "process today's crawl, not the whole corpus" mode every
+    * recurring ingest needs. Without it Spark uses a throwaway
+    * checkpoint and each invocation reprocesses everything. Returns the
+    * terminated query so callers can audit `recentProgress` (e.g. that
+    * an incremental run read exactly the new rows).
     */
-  def runToTable(df: DataFrame, table: String): Unit = {
-    val q = df.writeStream
+  def runToTable(
+      df: DataFrame,
+      table: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer0 = df.writeStream
       .outputMode(OutputMode.Append())
+    val writer = checkpoint.fold(writer0)(c => writer0.option("checkpointLocation", c))
+    val q = writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -418,6 +432,7 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    q
   }
 
   /** Run a COMPLETE-mode streaming aggregation to completion with the
