@@ -272,6 +272,15 @@ object SparkEntry {
     //      web-corpus pipelines gate crawl quality with. 5 power
     //      iterations, damping 0.85, all-integer micro-unit ranks so
     //      accumulation order cannot move a single bit ----
+    // ---- D: containment (overlap-coefficient) near-dup — the
+    //      asymmetric tier that catches doc-inside-doc: shared shingles
+    //      normalized by the SMALLER set. sharedTailDocs embeds doc
+    //      k%40's text inside every doc of its group, so containment
+    //      pairs exist by construction where Jaccard stays low ----
+    "d13_containment" -> ((s, dir) =>
+      graft.ops.Dedup.overlapPairs(
+        sharedTailDocs(s, dir, 40, " "), "doc_id", "text", n = 3, minBp = 9000L)),
+
     // ---- D: URL blocklist — domain-SUFFIX matching as a hash join
     //      (C4/RefinedWeb's URL gate): hosts synthesize from doc ids
     //      (every fifth gets a cdn. subdomain), patterns block a whole
@@ -3772,6 +3781,30 @@ object SparkEntry {
     // fixed-point micro-nat terms (round half away from zero, both
     // engines) summed as exact integers; bucket thresholds are long
     // cross-multiplications — see TextAnalysis.lmScore
+    // d4's shingle CTE over the shared-tail construction; containment
+    // thresholds replay as integer cross-multiplications
+    "d13_containment" ->
+      """WITH aug AS (SELECT d.doc_id,
+                        d.text || ' ' || s.text AS text
+                      FROM documents d JOIN documents s ON s.doc_id = d.doc_id % 40),
+         t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM aug),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(w)-1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS s
+                FROM t),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared
+                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2)
+         SELECT i.id_a, i.id_b, CAST(i.shared AS BIGINT) AS shared,
+           CAST(LEAST(a.n, b.n) AS BIGINT) AS n_small,
+           CAST(i.shared * 10000 // LEAST(a.n, b.n) AS BIGINT) AS contain_bp
+         FROM inter i JOIN sz a ON a.doc_id = i.id_a JOIN sz b ON b.doc_id = i.id_b
+         WHERE i.shared * 10000 >= 9000 * LEAST(a.n, b.n)""",
+
     // reversed-label prefixes joined against reversed patterns; the
     // longest (most specific) match survives per doc
     "d12_url_blocklist" ->

@@ -722,6 +722,47 @@ object Dedup {
         graft.functions.SimHash.simhash64(TextAnalysis.tokens(col(textCol))).as("sig")),
       "doc_id", "sig", maxHamming)
 
+  /** Overlap-coefficient (Szymkiewicz–Simpson / containment) near-dup
+    * pairs — the ASYMMETRIC complement of the Jaccard tier: normalizing
+    * the shared-shingle count by the SMALLER document's shingle set
+    * catches doc-inside-doc (quotes, mirrored articles embedded in
+    * boilerplate, clone fragments) that Jaccard structurally misses —
+    * a short doc fully contained in a long one has tiny Jaccard but
+    * containment ≈ 1.
+    *
+    * Same inverted-index shape as `ngramJaccardPairs` (group by
+    * shingle, pair within the group — never all-pairs), same integer
+    * cross-multiplied threshold (`shared·10000 ≥ minBp·min(na,nb)` —
+    * floors only over-generate, never lose a pair). The prefix-filter
+    * acceleration doesn't port here (it prunes by JACCARD-infeasible
+    * size ratios, which containment exactly wants to keep), so this is
+    * the exact tier; at corpus scale pair the candidate generation
+    * with a hot-shingle cap like `coOccurrenceEdges.maxItemEntities`.
+    *
+    * @return (id_a, id_b, shared, n_small, contain_bp) pairs at or
+    *         above the threshold, id_a < id_b
+    */
+  def overlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minBp: Long = 9000L): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.NGramShingles.ngram_shingles(col(textCol), n)).as("g"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("g"), col("doc_id").as("id_a"))
+    val b = sh.select(col("g"), col("doc_id").as("id_b"))
+    a.join(b, Seq("g")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .where(col("shared") * 10000 >= lit(minBp) * least(col("na"), col("nb")))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        least(col("na"), col("nb")).as("n_small"),
+        expr("shared * 10000 div least(na, nb)").as("contain_bp"))
+  }
+
   /** Pigeonhole hamming join over any precomputed 64-bit signature
     * column (SimHash, image aHash, audio fingerprint): 4 chunks of 16
     * bits guarantee that any pair within hamming ≤ 3 agrees on at least

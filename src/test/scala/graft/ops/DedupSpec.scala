@@ -215,4 +215,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // every doc except the first carries exactly one tail span
     assert(a.count() == 299)
   }
+
+  test("overlapPairs: containment catches doc-inside-doc that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = ("padding words start here now " * 6) + short + " closing remarks follow here today"
+    val docs = Seq((1L, short), (2L, long), (3L, "unrelated totally different content here"))
+      .toDF("doc_id", "text")
+    // the short doc's shingles are a subset of the long one's: full containment
+    val pairs = Dedup.overlapPairs(docs, "doc_id", "text", n = 3, minBp = 9000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(pairs.toSeq == Seq((1L, 2L, 10000L)), pairs.toSeq)
+    // ...while symmetric Jaccard at the same bar sees nothing
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9, 3).isEmpty)
+  }
+
+  test("overlapPairs: threshold floors only over-generate; below-bar pairs drop") {
+    // 10-shingle small doc sharing exactly 8 -> 8000 bp < 9000 bar
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")        // shingles w1..w10 (10)
+    val b = (1 to 10).map(i => s"w$i").mkString(" ") + " x y z" // shares w1 w2 w3..w8 window
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val at8000 = Dedup.overlapPairs(docs, "doc_id", "text", 3, 8000L).collect()
+    val at9500 = Dedup.overlapPairs(docs, "doc_id", "text", 3, 9500L).collect()
+    assert(at8000.length >= at9500.length) // monotone in the bar
+  }
 }
