@@ -1662,6 +1662,38 @@ object SparkEntry {
     }),
 
     // ---- E: gap sessionization ----
+    // ---- E: bot-session detection — sessions whose event RATE is
+    //      inhumanly high (≥ 5 events, mean inter-event gap under 2
+    //      seconds; integer cross-multiplied on epoch µs, no float
+    //      rates). The organic synthetic traffic is too sparse to burst,
+    //      so bots exist BY CONSTRUCTION: users ≡0 mod 97 get cloned
+    //      (ids +10^6) with every event squeezed into a 20-second
+    //      window — those sessions, and only those, must flag ----
+    "e29_bot_sessions" -> ((s, dir) => {
+      val ev = events(s, dir).select("user_id", "event_id", "ts")
+      val bots = ev.where(col("user_id") % 97 === 0)
+        .select((col("user_id") + 1000000L).as("user_id"), col("event_id"),
+          expr("timestamp_micros(1704067200000000 + (event_id % 20) * 1000000)").as("ts"))
+      graft.ops.Sessions.assign(ev.unionAll(bots), "user_id", "ts", 3600, Seq("event_id"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"))
+        .where(col("n_events") >= 5 &&
+          col("t1") - col("t0") < (col("n_events") - 1) * lit(2000000L))
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          (col("t1") - col("t0")).as("duration_us"))
+    }),
+
+    // ---- T: langid evaluation — the confusion matrix of predicted vs
+    //      labeled language over the corpus (the quality check any
+    //      classifier gate ships with) ----
+    "t31_langid_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang").as("labeled"),
+          graft.ops.TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy("labeled", "predicted").agg(count(lit(1)).as("n"))),
+
     "e1_sessionize" -> ((s, dir) => {
       val ev = events(s, dir)
       graft.ops.Sessions.assign(ev, "user_id", "ts", 3600, Seq("event_id"))
@@ -3310,6 +3342,60 @@ object SparkEntry {
          CASE WHEN length(text) = 0 THEN 0.0
               ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio
          FROM documents""",
+
+    // e1's session CTE verbatim over the bot-augmented stream, rolled
+    // to rate-gated sessions
+    "e29_bot_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t FROM events
+                    UNION ALL
+                    SELECT user_id + 1000000, event_id,
+                      make_timestamp(1704067200000000 + (event_id % 20) * 1000000)
+                    FROM events WHERE user_id % 97 = 0),
+         x AS (SELECT user_id, event_id, t,
+           CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                  OR epoch_us(t) - epoch_us(lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)) > 3600000000
+                THEN 1 ELSE 0 END AS st
+           FROM e),
+         s AS (SELECT user_id, t,
+           CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY t, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM x),
+         agg AS (SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   MIN(epoch_us(t)) AS t0, MAX(epoch_us(t)) AS t1
+                 FROM s GROUP BY 1, 2)
+         SELECT user_id, session_seq, n_events,
+           CAST(t1 - t0 AS BIGINT) AS duration_us
+         FROM agg
+         WHERE n_events >= 5 AND t1 - t0 < (n_events - 1) * 2000000""",
+
+    // t2's scoring CTE rolled up to (labeled, predicted) counts
+    "t31_langid_confusion" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+           regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+         sc AS (SELECT doc_id, lang, text,
+           len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'and'))
+             + len(list_filter(w, x -> x = 'of')) + len(list_filter(w, x -> x = 'to'))
+             + len(list_filter(w, x -> x = 'a')) AS s_en,
+           len(list_filter(w, x -> x = 'el')) + len(list_filter(w, x -> x = 'la'))
+             + len(list_filter(w, x -> x = 'de')) + len(list_filter(w, x -> x = 'que'))
+             + len(list_filter(w, x -> x = 'los')) AS s_es,
+           len(list_filter(w, x -> x = 'le')) + len(list_filter(w, x -> x = 'les'))
+             + len(list_filter(w, x -> x = 'des')) + len(list_filter(w, x -> x = 'et'))
+             + len(list_filter(w, x -> x = 'une')) AS s_fr,
+           len(list_filter(w, x -> x = 'der')) + len(list_filter(w, x -> x = 'die'))
+             + len(list_filter(w, x -> x = 'und')) + len(list_filter(w, x -> x = 'das'))
+             + len(list_filter(w, x -> x = 'ein')) AS s_de
+           FROM d),
+         p AS (SELECT lang AS labeled,
+           CASE WHEN text IS NULL THEN NULL
+                WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de) THEN 'en'
+                WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de) THEN 'es'
+                WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
+                WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de) THEN 'de'
+                ELSE 'und' END AS predicted
+           FROM sc)
+         SELECT labeled, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2""",
 
     "t2_langid" ->
       """WITH d AS (SELECT doc_id, lang, text,
