@@ -640,6 +640,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           expr("cast(pmod(sum(h), 4611686018427387904) as bigint)").as("checksum"))),
 
+    // ---- ordered string aggregation (LISTAGG) — each customer's
+    //      order-status history as one ordered string. collect_list is
+    //      arrival-ordered (nondeterministic under parallelism), so the
+    //      rows carry their own (date, key) sort key into sort_array
+    //      before joining — the only deterministic formulation ----
+    "x31_listagg" -> ((s, dir) =>
+      t(s, dir, "orders").where(col("o_custkey") % 25 === 0)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          expr("""array_join(transform(
+                    sort_array(collect_list(named_struct(
+                      'd', date_format(o_orderdate, 'yyyy-MM-dd'),
+                      'k', o_orderkey, 's', o_orderstatus))),
+                    x -> x.s), '')""").as("status_history"))),
+
     // ---- distribution window battery — ntile / percent_rank /
     //      cume_dist over a per-customer total order (w2 covers
     //      lag/frames/rank; this closes the distribution functions).
@@ -2700,6 +2715,13 @@ object SparkEntry {
          n AS (SELECT COUNT(*) AS n_total FROM it)
          SELECT item, cnt, n_total, 1 AS in_sketch
          FROM ex CROSS JOIN n WHERE cnt * 51 > n_total""",
+
+    "x31_listagg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+           string_agg(o_orderstatus, ''
+             ORDER BY strftime(o_orderdate, '%Y-%m-%d'), o_orderkey) AS status_history
+         FROM orders WHERE o_custkey % 25 = 0
+         GROUP BY o_custkey""",
 
     "x30_window_dist" ->
       """SELECT o_custkey, o_orderkey,
