@@ -1185,11 +1185,9 @@ object SparkEntry {
     }),
 
     // ---- T: language identification ----
-    "t2_langid" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"), col("lang"),
-        graft.ops.TextAnalysis.langId(col("text")).as("lang_pred"))
-    }),
+    "t2_langid" -> ((s, dir) =>
+      graft.ops.TextAnalysis.withLangPred(t(s, dir, "documents"), "text")
+        .select("doc_id", "lang", "lang_pred")),
 
     // ---- T: quality scoring ----
     "t3_quality" -> ((s, dir) => {
@@ -1704,9 +1702,8 @@ object SparkEntry {
     //      labeled language over the corpus (the quality check any
     //      classifier gate ships with) ----
     "t31_langid_confusion" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("lang").as("labeled"),
-          graft.ops.TextAnalysis.langId(col("text")).as("predicted"))
+      graft.ops.TextAnalysis.withLangPred(t(s, dir, "documents"), "text")
+        .select(col("lang").as("labeled"), col("lang_pred").as("predicted"))
         .groupBy("labeled", "predicted").agg(count(lit(1)).as("n"))),
 
     "e1_sessionize" -> ((s, dir) => {
