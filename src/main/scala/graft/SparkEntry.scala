@@ -107,6 +107,20 @@ object SparkEntry {
       graft.ops.Dedup.hammingNearDupPairs(hashes, "media_id", "ahash", 3)
     }),
 
+    // ---- M: audio fingerprint near-dup — the clip-level aHash over a
+    //      REAL WAV decode (step waves, 64 md5-derived segment levels,
+    //      one-segment variants per group): segment-sum bits vs the
+    //      clip mean, pigeonhole hamming pairs. The ×128+64 level
+    //      mapping and the 25-sample segment factor cancel in the mean
+    //      comparison, so the oracle replays on the raw md5 bytes —
+    //      container encode, PCM decode, and hashing all hash-checked ----
+    "m7_audio_neardup" -> ((s, dir) => {
+      val media = graft.ops.Multimodal
+        .syntheticStepWavPayload(t(s, dir, "documents"), "doc_id", 40, 32).toDF()
+      val hashes = graft.ops.Multimodal.audioHash64(media, 0).toDF()
+      graft.ops.Dedup.hammingNearDupPairs(hashes, "media_id", "ahash", 3)
+    }),
+
     // ---- AIR1: the reference's three airline pipelines end-to-end
     //      (ingest coercion -> mart -> compensation) under the driver's
     //      oracle. venta/pasajero are shaped deterministically from
@@ -3718,6 +3732,33 @@ object SparkEntry {
          CAST(('0x' || substr(md5(text), 3, 2))::INT AS DOUBLE) AS mean_g,
          CAST(('0x' || substr(md5(text), 5, 2))::INT AS DOUBLE) AS mean_b
          FROM documents WHERE text IS NOT NULL""",
+
+    // m5's bit arithmetic with the 'wav:' seed chain: the affine level
+    // mapping cancels in 64·s_i ≥ Σ, so raw md5 bytes ARE the levels
+    "m7_audio_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 40 AS k, doc_id // 40 AS v FROM documents),
+         js AS (SELECT unnest(generate_series(0, 3)) AS j),
+         i16 AS (SELECT unnest(generate_series(0, 15)) AS ii),
+         px0 AS (SELECT d.doc_id, d.v, js.j * 16 + i16.ii AS i,
+                   ('0x' || substr(md5('wav:' || d.k::VARCHAR || ':' || js.j::VARCHAR),
+                                   2 * i16.ii + 1, 2))::INT AS p
+                 FROM d CROSS JOIN js CROSS JOIN i16),
+         px AS (SELECT doc_id, i,
+                  CASE WHEN v > 0 AND i = v % 64 THEN (p + 128) % 256 ELSE p END AS p
+                FROM px0),
+         s AS (SELECT doc_id, SUM(p) AS tot FROM px GROUP BY 1),
+         bits AS (SELECT px.doc_id, px.i,
+                    CASE WHEN 64 * px.p >= s.tot THEN 1 ELSE 0 END AS b
+                  FROM px JOIN s USING (doc_id)),
+         h AS (SELECT doc_id,
+                 CAST(SUM(CASE WHEN i = 63 THEN 0 ELSE b * (1::BIGINT << i) END) AS BIGINT)
+                   + CASE WHEN MAX(CASE WHEN i = 63 THEN b ELSE 0 END) = 1
+                          THEN (-9223372036854775807 - 1) ELSE 0 END AS ahash
+               FROM bits GROUP BY 1),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  bit_count(xor(a.ahash, b.ahash)) AS hamming
+                FROM h a JOIN h b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pr WHERE hamming <= 3""",
 
     // pixels from md5 hex, integer mean bits, signed 64-bit assembly
     // (bit 63 contributes -2^63 in two's complement), all-pairs

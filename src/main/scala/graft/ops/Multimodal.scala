@@ -256,6 +256,88 @@ object Multimodal {
       }
   }
 
+  /** Step-wave WAV whose 64 segment amplitudes come from an md5 chain of
+    * the doc's GROUP key, variant `id div groupMod` perturbing ONE
+    * segment — the audio sibling of [[syntheticGrayPngPayload]]: near-
+    * duplicate CLIPS exist by construction, every amplitude replays from
+    * md5 hex in SQL, and the payload is REAL RIFF/WAVE bytes (PCM-16 is
+    * lossless, so decode returns the exact levels).
+    * Segment i holds `samplesPerSeg` constant samples at level
+    * `byte_i · 128 + 64` (never zero, ≤ 32704 < Short.MaxValue).
+    */
+  def syntheticStepWavPayload(
+      df: DataFrame, idCol: String, groupMod: Int, parallelism: Int): Dataset[MediaPayload] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val samplesPerSeg = 25
+    balanced(df.select(col(idCol).cast("long").as("media_id")), parallelism)
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val k = id % groupMod
+          val v = id / groupMod
+          val lvl = new Array[Int](64)
+          var j = 0
+          while (j < 4) {
+            val dg = md.digest(s"wav:$k:$j".getBytes("UTF-8"))
+            var i = 0
+            while (i < 16) { lvl(j * 16 + i) = dg(i) & 0xff; i += 1 }
+            j += 1
+          }
+          if (v > 0) {
+            val i = (v % 64).toInt
+            lvl(i) = (lvl(i) + 128) % 256
+          }
+          val samples = new Array[Short](64 * samplesPerSeg)
+          var s = 0
+          while (s < samples.length) {
+            samples(s) = (lvl(s / samplesPerSeg) * 128 + 64).toShort
+            s += 1
+          }
+          MediaPayload(id, AudioCodec.encodeWavPcm16(8000, samples))
+        }
+      }
+  }
+
+  /** Audio fingerprint over a REAL decode — the clip-level analogue of
+    * [[aHash64]]: the decoded samples split into 64 equal segments, and
+    * bit i is set iff segment i's exact integer sample SUM is at or
+    * above the clip mean (`64·sum_i ≥ Σ` — integers throughout; PCM-16
+    * decode is lossless so no tolerance is needed). Clips within a
+    * hamming radius are near-duplicate audio; pairing shares
+    * `Dedup.hammingNearDupPairs` with text simhash and image aHash.
+    * Clips whose length isn't divisible by 64 drop (the general flow
+    * resamples first).
+    */
+  def audioHash64(media: DataFrame, parallelism: Int): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    balanced(media.select(col("media_id"), col("payload"))
+      .where(col("payload").isNotNull), parallelism)
+      .mapPartitions(_.flatMap { r =>
+        AudioCodec.decode(r.getAs[Array[Byte]](1)) match {
+          case Some(pcm) if pcm.samples.length % 64 == 0 && pcm.samples.nonEmpty =>
+            val seg = pcm.samples.length / 64
+            val sums = new Array[Long](64)
+            var i = 0
+            while (i < pcm.samples.length) {
+              sums(i / seg) += pcm.samples(i)
+              i += 1
+            }
+            val tot = sums.sum
+            var hash = 0L
+            var b = 0
+            while (b < 64) {
+              if (64L * sums(b) >= tot) hash |= (1L << b)
+              b += 1
+            }
+            Some(ImageHash(r.getLong(0), hash))
+          case _ => None
+        }
+      })
+  }
+
   /** Synthesized video payload: a REAL RIFF/AVI container (MPNG codec —
     * motion-PNG, each `00dc` chunk one standalone PNG) whose frame
     * count, dimensions, and per-frame solid colors derive from md5 of a

@@ -307,4 +307,21 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     ).toDF("media_id", "payload")
     assert(Multimodal.aHash64(media, 1).isEmpty)
   }
+
+  test("audioHash64: segment-sum bits through a REAL WAV roundtrip; bad lengths drop") {
+    // 64 segments of 2 samples: segments 0..31 low (100), 32..63 high
+    // (1000) -> mean sits between, bits = high half exactly
+    val samples = Array.tabulate(128)(i => (if (i < 64) 100 else 1000).toShort)
+    val media = Seq(
+      (1L, AudioCodec.encodeWavPcm16(8000, samples)),
+      (2L, AudioCodec.encodeWavPcm16(8000, samples)),            // exact dup
+      (3L, AudioCodec.encodeWavPcm16(8000, samples.take(100))),  // 100 % 64 != 0 -> drops
+      (4L, Array[Byte](9, 9, 9)))                                 // undecodable
+      .toDF("media_id", "payload")
+    val hs = Multimodal.audioHash64(media, 1).collect().map(h => h.media_id -> h.ahash).toMap
+    assert(hs.keySet == Set(1L, 2L))
+    val expected = (32 until 64).foldLeft(0L)((acc, i) => acc | (1L << i))
+    assert(hs(1L) == expected, f"${hs(1L)}%016x")
+    assert(hs(1L) == hs(2L))
+  }
 }
