@@ -654,6 +654,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           expr("cast(pmod(sum(h), 4611686018427387904) as bigint)").as("checksum"))),
 
+    // ---- approx-percentile rank-error gate — Spark's GK quantile
+    //      sketch vs the exact multiset: the returned value's exact
+    //      rank window must cover a rank within n/100 of the 0.5·n
+    //      target (the sketch's ε-rank guarantee at accuracy 1000,
+    //      checked with a wide margin; integer rank arithmetic
+    //      throughout). The quantile member of the sketch-gate family
+    //      (x4 distinct, x25 HLL union, x17 MG, x22 CMS) ----
+    "x32_approx_pct_gate" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("value"))
+      val apx = ev.groupBy("event_type")
+        .agg(expr("approx_percentile(value, 0.5, 1000)").as("apx"))
+      ev.join(apx, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum((col("value") < col("apx")).cast("long")).as("rk_lo"),
+          sum((col("value") <= col("apx")).cast("long")).as("rk_hi"))
+        .select(col("event_type"), col("n"),
+          // the value's rank window [rk_lo+1, rk_hi] must approach the
+          // median target within n/100 ranks (100x the sketch's bound)
+          (col("rk_hi") * 200 >= col("n") * 99 &&
+            (col("rk_lo") + 1) * 200 <= col("n") * 101).cast("int").as("rank_ok"))
+    }),
+
     // ---- ordered string aggregation (LISTAGG) — each customer's
     //      order-status history as one ordered string. collect_list is
     //      arrival-ordered (nondeterministic under parallelism), so the
@@ -2726,6 +2749,11 @@ object SparkEntry {
          n AS (SELECT COUNT(*) AS n_total FROM it)
          SELECT item, cnt, n_total, 1 AS in_sketch
          FROM ex CROSS JOIN n WHERE cnt * 51 > n_total""",
+
+    // exact side recomputed; the sketch guarantee is the literal-1 gate
+    "x32_approx_pct_gate" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, 1 AS rank_ok
+         FROM events GROUP BY 1""",
 
     "x31_listagg" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
