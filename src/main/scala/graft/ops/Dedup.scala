@@ -531,30 +531,13 @@ object Dedup {
     }
   }
 
-  /** Round-state materialization: a RELIABLE checkpoint when the session
-    * has a checkpoint directory (survives executor loss — required with
-    * dynamic allocation; set `sparkContext.setCheckpointDir` on
-    * clusters), else a localCheckpoint (executor-resident blocks; right
-    * for local mode, unsafe under decommission). Either way the plan
-    * truncates to a leaf, which is the point — the doubling self-join
-    * would otherwise grow the logical plan ~4^rounds.
-    *
-    * The reliable path persists BEFORE checkpointing: an unpersisted
-    * `checkpoint(eager=true)` runs the plan twice (the eager action,
-    * then the checkpoint-write job recomputing every partition), and
-    * these are exactly the plans the loop exists to not recompute. The
-    * transient cache is dropped once the files are written — the
-    * checkpoint FILES are the round state from then on, and
-    * [[org.apache.spark.sql.graft.shims.releaseCheckpoint]] deletes
-    * them when the loop retires the round.
+  /** Round-state materialization — see [[CheckpointCut.cut]] (reliable
+    * checkpoint when a checkpoint dir is configured, localCheckpoint
+    * otherwise; shared by every iterative operator in the engine). Kept
+    * as a local alias because the doubling self-join here would
+    * otherwise grow the logical plan ~4^rounds.
     */
-  private def checkpointed(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
-      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = cached.checkpoint(true)
-      cached.unpersist(blocking = false)
-      out
-    } else df.localCheckpoint(true)
+  private def checkpointed(df: DataFrame): DataFrame = CheckpointCut.cut(df)
 
   private def converge(pairs: DataFrame, maxIter: Int): DataFrame = {
     import org.apache.spark.sql.graft.shims.releaseCheckpoint

@@ -24,12 +24,17 @@ import org.apache.spark.sql.functions._
   * result, and the fixed iteration count makes the whole computation a
   * pure integer function of the edge set. No float enters at any point.
   *
-  * Semantics: classic power iteration with teleport mass `1 - damping`,
-  * except dangling-node mass is DROPPED rather than redistributed (each
-  * iteration a sink node's rank contributes to nobody). That is a
-  * documented, deterministic variant — redistribution would need a
-  * global scalar per round (one extra tiny agg) and is not required for
-  * the ranking use case, where only relative order matters.
+  * Semantics: classic power iteration with teleport mass `1 - damping`.
+  * By default dangling-node mass is DROPPED rather than redistributed
+  * (each iteration a sink node's rank contributes to nobody) — a
+  * documented, deterministic variant, sufficient where only relative
+  * order matters. `redistributeDangling = true` switches to the
+  * textbook variant: each round one tiny scalar agg sums the sink
+  * nodes' rank (a sum of longs — order-immune), and every node credits
+  * `dangling_fp div N` into its pre-damping sum. The scalar rides a
+  * scalar subquery, so it executes once per round, never per row, and
+  * the computation stays all-integer either way. Default stays off for
+  * bit-compat with the drop variant's oracles.
   *
   * Scale shape (the 100 TB contract): each iteration is
   *   edges ⋈ ranks (shuffle on `src`) → groupBy `dst` (shuffle) →
@@ -39,10 +44,15 @@ import org.apache.spark.sql.functions._
   * node set are reused every round, so both are persisted for the loop
   * and handed to operator-owned [[CacheSlot]]s (bounded: one copy per
   * operator, not per call). Each round's rank frame is cut from the
-  * growing lineage with an eager `localCheckpoint` — the same recipe
-  * that took MMR from 56 s to 11 s — so round k's plan does not replay
-  * rounds 1..k-1. Checkpoint state is nodes-sized (id + one long), the
-  * smallest relation in the computation.
+  * growing lineage with an eager [[CheckpointCut.cut]] — the same
+  * recipe that took MMR from 56 s to 11 s — so round k's plan does not
+  * replay rounds 1..k-1, and retired rounds release their storage as
+  * the loop advances. On a cluster, set a checkpoint directory
+  * (`sparkContext.setCheckpointDir`) and the round state becomes a
+  * RELIABLE checkpoint: losing an executor mid-round-40 of a 100-round
+  * job recovers from files instead of failing the query. Checkpoint
+  * state is nodes-sized (id + one long), the smallest relation in the
+  * computation.
   *
   * Overflow bound: `dampingBp · Σ contribs` must fit a long. Total rank
   * mass is ≤ nodes · 1e6, so a single node absorbing the ENTIRE graph's
@@ -67,7 +77,8 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iterations: Int = 5,
-      dampingBp: Int = 8500): DataFrame = {
+      dampingBp: Int = 8500,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(dampingBp >= 0 && dampingBp <= 10000, "dampingBp is basis points")
 
@@ -98,8 +109,13 @@ object Graph {
         .union(adj.select(explode(col("dsts")).as("node"))).distinct())
 
     val baseFp = ((10000L - dampingBp) * 1000000L) / 10000L
+    // dangling redistribution needs the node count as a divisor; ONE
+    // driver-side scalar off the cached node set, fetched only when the
+    // flag is on (default path ships nothing to the driver)
+    val nNodes = if (redistributeDangling) nodes.count() else 0L
     var ranks = nodes.withColumn("rank_fp", lit(1000000L))
     for (_ <- 1 to iterations) {
+      val prev = ranks
       // SHUFFLE_HASH on the rank side: the checkpointed rank frame has
       // no catalyst stats, so the unhinted plan degenerates to a
       // per-round SortMergeJoin. Hash-building per partition instead
@@ -112,12 +128,28 @@ object Graph {
       val sums = adj.join(ranks.hint("shuffle_hash"), adj("src") === ranks("node"))
         .select(explode(col("dsts")).as("node"), expr("rank_fp div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
-      ranks = nodes.join(sums, Seq("node"), "left")
+      // dangling-mass redistribution (flag; default OFF for bit-compat
+      // with the documented drop variant): the round's sink mass is ONE
+      // tiny scalar agg — sum of rank over nodes with no out-edges —
+      // inlined as a scalar subquery (executes once per round, never a
+      // per-row join), every node crediting `dangling_fp div N` into its
+      // pre-damping sum. Still all-integer: the scalar is a sum of
+      // longs (order-immune) and the share a long floor division.
+      val share =
+        if (!redistributeDangling) lit(0L)
+        else org.apache.spark.sql.graft.shims.scalarSubquery(
+          ranks.join(adj.select(col("src").as("node")), Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dang"))
+            .select(expr(s"dang div ${nNodes}L").as("share_fp")))
+      ranks = CheckpointCut.cut(nodes.join(sums, Seq("node"), "left")
+        .select(col("node"), (coalesce(col("m"), lit(0L)) + share).as("m2"))
         .select(col("node"),
           (lit(baseFp) +
-            expr(s"(${dampingBp}L * coalesce(m, 0L)) div 10000")).as("rank_fp"))
-        // nodes-sized (id + long); cuts round-k lineage from replaying 1..k-1
-        .localCheckpoint(true)
+            expr(s"(${dampingBp}L * m2) div 10000")).as("rank_fp")))
+      // nodes-sized (id + long); the cut keeps round-k lineage from
+      // replaying 1..k-1, and the retired round's state (blocks or
+      // checkpoint files) is released once the new round is materialized
+      CheckpointCut.release(prev)
     }
     ranks
   }
@@ -165,16 +197,17 @@ object Graph {
         .union(adj.select(explode(col("dsts")).as("node"))).distinct())
     var labels = nodes.withColumn("label", col("node").cast("long"))
     for (_ <- 1 to rounds) {
+      val prev = labels
       val counts = adj.join(labels.hint("shuffle_hash"), adj("src") === labels("node"))
         .select(explode(col("dsts")).as("node"), col("label"))
         .groupBy("node", "label").agg(count(lit(1)).as("c"))
       val winners = counts.groupBy("node")
         .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
         .select(col("node"), (-col("m.neg")).as("label"))
-      labels = nodes.join(winners, Seq("node"), "left")
+      labels = CheckpointCut.cut(nodes.join(winners, Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("label"), col("node").cast("long")).as("label"))
-        .localCheckpoint(true)
+          coalesce(col("label"), col("node").cast("long")).as("label")))
+      CheckpointCut.release(prev)
     }
     labels.select(col("node"), col("label").as("community"))
   }
@@ -213,20 +246,28 @@ object Graph {
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    var known = seeds.select(col(seedCol).as("node")).distinct()
-      .withColumn("hops", lit(0L)).localCheckpoint(true)
+    var known = CheckpointCut.cut(seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hops", lit(0L)))
     var frontier = known.select("node")
+    var frontierState: DataFrame = null
     var d = 0L
     while (d < maxHops && !frontier.isEmpty) {
       d += 1
-      val next = e.join(frontier.hint("shuffle_hash"), e("src") === frontier("node"))
-        .select(col("dst").as("node")).distinct()
-        .join(known, Seq("node"), "left_anti")
-        .withColumn("hops", lit(d))
-        .localCheckpoint(true)
-      known = known.union(next).localCheckpoint(true)
+      val next = CheckpointCut.cut(
+        e.join(frontier.hint("shuffle_hash"), e("src") === frontier("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(known, Seq("node"), "left_anti")
+          .withColumn("hops", lit(d)))
+      val prevKnown = known
+      known = CheckpointCut.cut(known.union(next))
+      // both retired states are fully folded into the new `known` cut;
+      // release them (blocks or reliable-checkpoint files) eagerly
+      CheckpointCut.release(prevKnown)
+      if (frontierState != null) CheckpointCut.release(frontierState)
+      frontierState = next
       frontier = next.select("node")
     }
+    if (frontierState != null) CheckpointCut.release(frontierState)
     known
   }
 

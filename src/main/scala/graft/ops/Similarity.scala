@@ -317,15 +317,17 @@ object Similarity {
     * shuffles on query_id only — never another corpus pass.
     *
     * The pool and each round's picks are MATERIALIZED eagerly
-    * (`localCheckpoint`): a purely declarative unrolling would
+    * ([[CheckpointCut.cut]]): a purely declarative unrolling would
     * reference each round's frames twice (pick + remaining), doubling
     * the shared subtree per round — 2^k re-executions of the retrieval
     * lineage (measured 56 s for k=5 at sf0.1; materialized: ~2 s). The
     * checkpoint state is poolSize·|Q| rows — the retrieve-then-rerank
-    * contract already bounds that. Caveat: localCheckpoint blocks are
-    * executor-local; on a cluster, a lost executor fails the query
-    * (rerun) rather than recomputing lineage — the right trade for an
-    * interactive re-rank. `k` is a re-rank depth (5–20).
+    * contract already bounds that. With no checkpoint dir the state is
+    * executor-local blocks (a lost executor fails the query — an
+    * acceptable trade for an interactive re-rank); with
+    * `sparkContext.setCheckpointDir` configured the rounds become
+    * RELIABLE checkpoints and survive executor loss, the right default
+    * for scheduled pipeline runs. `k` is a re-rank depth (5–20).
     *
     * Cross-engine determinism (same doctrine as [[TextAnalysis.tfidf]]):
     * the MMR score is ROUNDED to 6 decimals before the argmax and ties
@@ -356,11 +358,10 @@ object Similarity {
       s"lambdaBp must be in [0, 10000], got $lambdaBp")
     // pool materialized ONCE — the retrieval lineage (a brute-force or
     // ANN pass) must never re-execute inside the round loop
-    val cand = candidates
+    val cand = CheckpointCut.cut(candidates
       .join(vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")),
         Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("rel"), col("vec"))
-      .localCheckpoint(true)
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("vec")))
     val byMmr = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("mmr").desc, col("neighbor_id").asc)
     var picks = List.empty[DataFrame]
@@ -378,14 +379,16 @@ object Similarity {
           .withColumn("mmr",
             round((lit(lambdaBp) * col("rel") - lit(10000 - lambdaBp) * col("maxsim"))
               / lit(10000.0), 6))
-      val pick = scored
+      val pick = CheckpointCut.cut(scored
         .withColumn("rn", row_number().over(byMmr)).where(col("rn") === 1)
         .select(col("query_id"), col("neighbor_id"), col("rel"), col("vec"),
-          col("mmr"), lit(r).as("round"))
-        .localCheckpoint(true) // ≤ |Q| rows; cuts the round's lineage
+          col("mmr"), lit(r).as("round"))) // ≤ |Q| rows; cuts the round's lineage
       picks = picks :+ pick
       selected = picks.reduce(_ unionByName _)
     }
+    // every pick is its own checkpoint leaf, so the returned union no
+    // longer reads the pool — release its storage (the picks stay)
+    CheckpointCut.release(cand)
     selected.select(col("query_id"), col("neighbor_id"), col("round"), col("mmr"))
   }
 

@@ -476,7 +476,7 @@ object TextAnalysis {
     require(merges >= 1 && merges <= 64, s"merges must be in [1, 64], got $merges")
     val sep = "|"
     val sep2 = "||"
-    var words = docs
+    var words = CheckpointCut.cut(docs
       .select(explode(tokens(col(textCol))).as("w"))
       .where(!col("w").contains(sep))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -484,14 +484,14 @@ object TextAnalysis {
         concat(lit(sep2),
           array_join(regexp_extract_all(col("w"), lit("."), lit(0)), sep2),
           lit(sep2)).as("rep"),
-        col("freq"))
-      // vocabulary-sized (the only corpus-derived relation); cuts the
-      // corpus scan out of every round's lineage
-      .localCheckpoint(true)
+        col("freq")))
+    // vocabulary-sized (the only corpus-derived relation); the cut keeps
+    // the corpus scan out of every round's lineage, reliably
+    // checkpointed when a checkpoint dir is set (executor-loss-safe)
     var picks = List.empty[DataFrame]
     for (round <- 1 to merges) {
       val syms = filter(split(col("rep"), "\\|\\|"), x => x =!= "")
-      val best = words
+      val best = CheckpointCut.cut(words
         .select(col("freq"), syms.as("s"))
         // sequence(0, -1) DESCENDS (the t22 lesson): a fully-merged
         // single-symbol word must not fabricate a bogus pair
@@ -504,18 +504,22 @@ object TextAnalysis {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1)
-        .select(col("l"), col("r"), col("cnt"), lit(round).as("merge_rank"))
-        .localCheckpoint(true) // one row; ends the round's lineage
+        .select(col("l"), col("r"), col("cnt"), lit(round).as("merge_rank")))
+      // one row; ends the round's lineage
       picks = picks :+ best
-      words = words
+      val prevWords = words
+      words = CheckpointCut.cut(words
         .crossJoin(broadcast(best.select(col("l").as("_l"), col("r").as("_r"))))
         .select(
           replace(col("rep"),
             concat(lit(sep), col("_l"), lit(sep2), col("_r"), lit(sep)),
             concat(lit(sep), col("_l"), col("_r"), lit(sep))).as("rep"),
-          col("freq"))
-        .localCheckpoint(true) // vocabulary-sized
+          col("freq"))) // vocabulary-sized
+      CheckpointCut.release(prevWords)
     }
+    // the returned union reads only the one-row `best` leaves; the final
+    // word table has no readers left
+    CheckpointCut.release(words)
     picks.reduce(_ unionByName _)
       .select(col("merge_rank"), col("l").as("lhs"), col("r").as("rhs"),
         col("cnt").as("pair_count"))

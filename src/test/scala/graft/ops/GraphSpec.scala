@@ -158,6 +158,58 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(one(1L) == 2L && one(3L) == 2L, one)
   }
 
+  test("dangling redistribution: hand-computed rounds, mass conserved, default off unchanged") {
+    def rr(iters: Int) =
+      Graph.pageRank(Seq("A" -> "B").toDF("src", "dst"), "src", "dst",
+        iterations = iters, redistributeDangling = true)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // round 1: B is the only sink, share = 1e6 div 2 = 500000
+    //   A = 150000 + 8500*(0 + 500000) div 10000       = 575000
+    //   B = 150000 + 8500*(1000000 + 500000) div 10000 = 1425000
+    val r1 = rr(1)
+    assert(r1 == Map("A" -> 575000L, "B" -> 1425000L))
+    // round 2: share = 1425000 div 2 = 712500
+    //   A = 150000 + 8500*712500 div 10000              = 755625
+    //   B = 150000 + 8500*(575000 + 712500) div 10000   = 1244375
+    val r2 = rr(2)
+    assert(r2 == Map("A" -> 755625L, "B" -> 1244375L))
+    // total mass is conserved under redistribution (the drop variant leaks it)
+    assert(r1.values.sum == 2000000L && r2.values.sum == 2000000L)
+    // flag off stays bit-compatible with the documented drop variant
+    assert(ranks(Seq("A" -> "B"), 2) == Map("A" -> 150000L, "B" -> 277500L))
+  }
+
+  test("reliable checkpoints when a checkpoint dir is set; retired rounds release their files") {
+    // the cluster path: with a checkpoint dir, every round's state is
+    // checkpoint FILES (survives executor loss), and rounds 1..k-1 are
+    // deleted as the loop advances — only the final state remains
+    val dir = java.nio.file.Files.createTempDirectory("graph-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val out = Graph.pageRank(
+        Seq("A" -> "B", "B" -> "C", "C" -> "A").toDF("src", "dst"),
+        "src", "dst", iterations = 3)
+      out.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          assert(l.rdd.getCheckpointFile.isDefined,
+            "round state must be a RELIABLE checkpoint when a dir is configured")
+        case other => fail(s"expected a checkpoint leaf, got ${other.getClass}")
+      }
+      val byNode = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // same integers as the localCheckpoint path (cycle fixed point)
+      assert(byNode.values.forall(_ == 1000000L))
+      import scala.jdk.CollectionConverters._
+      val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+        .count(_.getFileName.toString.startsWith("rdd-"))
+      assert(rddDirs == 1, s"leaked checkpoint dirs: $rddDirs")
+      // BFS too: known/frontier states all release except the returned one
+      val hops = Graph.bfsHops(Seq(1L -> 2L, 2L -> 3L).toDF("s", "d"), "s", "d",
+        Seq(1L).toDF("seed"), "seed", maxHops = 3)
+      assert(hops.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("labelPropagation: a node with no in-edges keeps its own label") {
     // directed feed: 1 -> 2 only (no symmetrization here)
     val out = Graph.labelPropagation(
