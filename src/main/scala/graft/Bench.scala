@@ -71,7 +71,12 @@ object Bench {
     val errJson = errors
       .map { case (k, v) => s"${JsonUtil.quote(k)}:${JsonUtil.quote(v)}" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$totalCpu,"queries":$qs,"jobs":$js,"cpu":$cs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    // self-describing keys (the r5 post-mortem: a loaded-box tail capture
+    // read the cpu map as wall time): per-query WALL seconds live under
+    // "queries" (the driver contract) and the cpu map is named
+    // "cpu_secs"; the wall map goes LAST so a truncated tail capture
+    // ends with wall, not cpu
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$totalCpu,"cpu_secs":$cs,"jobs":$js,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","queries":$qs}"""
     // Belt and braces for the driver's tail capture: the round-3 artifact
     // was truncated mid-line on a loaded box ("parsed": null), losing the
     // per-query map. The file copy survives any stdout truncation.

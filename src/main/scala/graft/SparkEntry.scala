@@ -1717,12 +1717,14 @@ object SparkEntry {
     //      seconds; integer cross-multiplied on epoch µs, no float
     //      rates). The organic synthetic traffic is too sparse to burst,
     //      so bots exist BY CONSTRUCTION: users ≡0 mod 97 get cloned
-    //      (ids +10^6) with every event squeezed into a 20-second
-    //      window — those sessions, and only those, must flag ----
+    //      into the NEGATIVE id range (-user_id - 1: disjoint from any
+    //      organic non-negative id space at every scale factor, unlike
+    //      a fixed +10^6 offset) with every event squeezed into a
+    //      20-second window — those sessions, and only those, flag ----
     "e29_bot_sessions" -> ((s, dir) => {
       val ev = events(s, dir).select("user_id", "event_id", "ts")
       val bots = ev.where(col("user_id") % 97 === 0)
-        .select((col("user_id") + 1000000L).as("user_id"), col("event_id"),
+        .select((-col("user_id") - 1L).as("user_id"), col("event_id"),
           expr("timestamp_micros(1704067200000000 + (event_id % 20) * 1000000)").as("ts"))
       graft.ops.Sessions.assign(ev.unionAll(bots), "user_id", "ts", 3600, Seq("event_id"))
         .groupBy(col("user_id"), col("session_seq"))
@@ -3409,7 +3411,7 @@ object SparkEntry {
     "e29_bot_sessions" ->
       """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t FROM events
                     UNION ALL
-                    SELECT user_id + 1000000, event_id,
+                    SELECT -user_id - 1, event_id,
                       make_timestamp(1704067200000000 + (event_id % 20) * 1000000)
                     FROM events WHERE user_id % 97 = 0),
          x AS (SELECT user_id, event_id, t,

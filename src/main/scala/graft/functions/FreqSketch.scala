@@ -26,6 +26,19 @@ import org.apache.spark.sql.types._
   * therefore gate on the guarantee (membership of true heavy hitters),
   * never on raw weights.
   */
+private[functions] object FreqSketch {
+  /** Integral items are accepted and widened to BIGINT at eval — the
+    * usability INT columns deserve (`count_min(int_col, 4, 256)` just
+    * works, like Spark's own integral widening). STRINGS stay rejected:
+    * a silent string→number coercion would null out unparseable items
+    * and corrupt the hash domain without a diagnostic.
+    */
+  def integralItem(item: Expression): Boolean = item.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+}
+
 final class MgBuffer(val k: Int) {
   val counts = new java.util.HashMap[Long, Long](k * 2)
 
@@ -69,7 +82,8 @@ final class MgBuffer(val k: Int) {
 }
 
 /** `misra_gries(item, k)` — bounded-space frequent-items aggregate over
-  * a BIGINT column: the one-pass heavy-hitters scale path. The exact
+  * an integral column (INT and narrower widen to BIGINT; strings are
+  * rejected): the one-pass heavy-hitters scale path. The exact
   * alternative (groupBy item + count + filter) shuffles the full
   * per-key count table; this aggregate's exchange carries at most k
   * counters per partition regardless of key cardinality, so a 100 TB
@@ -93,9 +107,9 @@ case class MisraGries(
   override def children: Seq[Expression] = Seq(item, kExpr)
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    if (item.dataType != LongType) {
+    if (!FreqSketch.integralItem(item)) {
       TypeCheckResult.TypeCheckFailure(
-        s"misra_gries requires a BIGINT item, got ${item.dataType.sql}")
+        s"misra_gries requires an integral item (widened to BIGINT), got ${item.dataType.sql}")
     } else if (!kExpr.foldable ||
         !(kExpr.dataType == IntegerType || kExpr.dataType == LongType)) {
       TypeCheckResult.TypeCheckFailure("misra_gries: k must be an integer literal")
@@ -119,7 +133,7 @@ case class MisraGries(
 
   override def update(buffer: MgBuffer, input: InternalRow): MgBuffer = {
     val v = item.eval(input)
-    if (v != null) buffer.updateOne(v.asInstanceOf[Long])
+    if (v != null) buffer.updateOne(v.asInstanceOf[Number].longValue())
     buffer
   }
 
@@ -232,7 +246,8 @@ final class CmsBuffer(val depth: Int, val width: Int) {
 }
 
 /** `count_min(item, depth, width)` — Count-Min sketch (Cormode &
-  * Muthukrishnan 2005) over a BIGINT column: the point-frequency
+  * Muthukrishnan 2005) over an integral column (INT and narrower widen
+  * to BIGINT; strings are rejected): the point-frequency
   * complement of [[MisraGries]]'s membership summary. The exchange
   * carries depth·width counters per partition (KBs) regardless of key
   * cardinality; a point estimate is `min_j counters[j][h_j(x)]`, which
@@ -267,9 +282,9 @@ case class CountMinSketch(
   }
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    if (item.dataType != LongType) {
+    if (!FreqSketch.integralItem(item)) {
       TypeCheckResult.TypeCheckFailure(
-        s"count_min requires a BIGINT item, got ${item.dataType.sql}")
+        s"count_min requires an integral item (widened to BIGINT), got ${item.dataType.sql}")
     } else {
       posIntLit(depthExpr, "depth").orElse(posIntLit(widthExpr, "width")).getOrElse {
         if (depthExpr.eval().asInstanceOf[Number].longValue() *
@@ -289,7 +304,7 @@ case class CountMinSketch(
 
   override def update(buffer: CmsBuffer, input: InternalRow): CmsBuffer = {
     val v = item.eval(input)
-    if (v != null) buffer.updateOne(v.asInstanceOf[Long])
+    if (v != null) buffer.updateOne(v.asInstanceOf[Number].longValue())
     buffer
   }
 

@@ -329,6 +329,12 @@ object Corpus {
     * — suffix semantics become hash-joinable keys, the only shape that
     * survives a 10^11-row URL table.
     *
+    * Both sides NORMALIZE before matching — lowercase plus trailing
+    * root-dot strip — because DNS names are case-insensitive and
+    * `example.com.` is the same fully-qualified host as `example.com`:
+    * an uppercase host or a root-dotted crawl URL must not slip past
+    * the gate (the C4/RefinedWeb gates normalize the same way).
+    *
     * @param urls     (idCol, hostCol) relation — one row per document
     * @param patterns one-column relation of blocked domains (apex or
     *                 subdomain, no wildcards — the suffix rule IS the
@@ -344,7 +350,11 @@ object Corpus {
       hostCol: String,
       patterns: DataFrame,
       patternCol: String): DataFrame = {
-    val rev = (c: Column) => array_join(reverse(split(c, "\\.")), ".")
+    // DNS normalization: case-fold and strip one trailing root dot on
+    // BOTH sides (hosts and patterns) so 'CDN.Example.COM' and
+    // 'example.com.' match the entry 'example.com'
+    val norm = (c: Column) => regexp_replace(lower(c), "\\.$", "")
+    val rev = (c: Column) => array_join(reverse(split(norm(c), "\\.")), ".")
     val hostPrefixes = urls.select(col(idCol), split(rev(col(hostCol)), "\\.").as("ls"))
       .select(col(idCol), explode(expr(
         "transform(sequence(1, size(ls)), k -> array_join(slice(ls, 1, k), '.'))")).as("rp"))

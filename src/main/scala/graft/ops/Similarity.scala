@@ -164,10 +164,22 @@ object Similarity {
     * milli-nat LONG (`round((ln((N+1)/(df+1)) + 1) · 1000)` — the t12
     * smoothing, quantized like t19's micro-nats so a libm ulp can't
     * move a weight); weights, norms-squared, and dots are then pure
-    * integer sums (order-free, overflow-checked: ≪ 2^53, so even the
-    * final double casts are exact); the only floating steps are one
-    * IEEE division and `sqrt` — both CORRECTLY ROUNDED by spec in every
+    * integer sums (order-free); the only floating steps are one IEEE
+    * division and `sqrt` — both CORRECTLY ROUNDED by spec in every
     * engine, unlike ln/exp. Rank by raw cosine, ties by neighbor id.
+    *
+    * Overflow is GUARDED, not assumed: (1) each posting weight must be
+    * < 2^31 (`raise_error` otherwise — a violation needs tf ~ 2·10^6 of
+    * one term in one doc, i.e. adversarial garbage), so a single w²
+    * < 2^62 can never wrap a long on its own; (2) each doc's Σw² must
+    * land in [0, 2^53) (`raise_error` otherwise), which both keeps the
+    * final double casts exact and catches accumulated wraparound —
+    * a wrapped sum lands in the checked-bad [2^53, 2^64) region unless
+    * its mod-2^64 residue falls back inside the 2^53 window (~2^-11 of
+    * the ring; the residual, documented assumption). Dots then need no
+    * check of their own: by Cauchy–Schwarz, |dot| ≤ √(n2q·n2n) < 2^53
+    * whenever both norms pass. Both guards are codegen'd conditionals
+    * riding the existing passes — no extra job, no extra shuffle.
     *
     * Scale shape: tokenize once, two vocabulary-keyed hash aggregates,
     * then the postings join keyed on the word with map-side partial
@@ -214,8 +226,19 @@ object Similarity {
         .select(col("doc_id"), col("word"),
           (col("tf") * expr(
             "cast(round((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000) as bigint)")).as("w"))
+        // guard (1): a posting weight ≥ 2^31 would let w² wrap a long
+        .select(col("doc_id"), col("word"), expr(
+          "if(w < 2147483648L, w, raise_error(concat(" +
+            "'sparseCosineTopK weight overflow: tf*idf_fp = ', w, " +
+            "' >= 2^31 for term ', word, ' in doc ', doc_id)))").as("w"))
         .repartition(par, col("word")))
-    val norms = weights.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    // guard (2): Σw² must sit in [0, 2^53) — exact double casts AND the
+    // wraparound catch; Cauchy–Schwarz then bounds every dot for free
+    val norms = weights.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2raw"))
+      .select(col("doc_id"), expr(
+        "if(n2raw >= 0 and n2raw < 9007199254740992L, n2raw, " +
+          "raise_error(concat('sparseCosineTopK norm overflow: sum(w*w) = ', " +
+          "n2raw, ' outside [0, 2^53) for doc ', doc_id)))").as("n2"))
     val q = weights
       .join(queryIds.select(col(queryIdCol).as("doc_id")).distinct(), Seq("doc_id"))
       .select(col("doc_id").as("query_id"), col("word"), col("w").as("wq"))

@@ -72,6 +72,21 @@ class FreqSketchSpec extends AnyFunSuite with SparkSpec {
       Seq("x").toDF("item").agg(expr("misra_gries(item, 5)")).collect())
   }
 
+  test("integral items widen to BIGINT: INT columns sketch identically to their LONG cast") {
+    // the usability contract: count_min(int_col, d, w) == count_min(cast(int_col as bigint), d, w)
+    val ints = Seq(7, 7, 7, 8, 9, 7, 8).toDF("item")
+    val viaInt = ints.agg(expr("count_min(item, 4, 64)")).collect().head.getSeq[Long](0)
+    val viaLong = ints.select(col("item").cast("bigint").as("item"))
+      .agg(expr("count_min(item, 4, 64)")).collect().head.getSeq[Long](0)
+    assert(viaInt == viaLong)
+    val mgInt = ints.agg(expr("misra_gries(item, 2)")).collect().head
+      .getSeq[Row](0).map(x => (x.getLong(0), x.getLong(1)))
+    assert(mgInt.head._1 == 7L) // the true heavy hitter survives
+    // strings still rejected — no silent coercion into the hash domain
+    intercept[Exception](
+      Seq("x").toDF("item").agg(expr("count_min(item, 4, 64)")).collect())
+  }
+
   // ------------------------------------------------------------------
   // count_min
   // ------------------------------------------------------------------

@@ -360,4 +360,20 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       2L -> "example.com",
       5L -> "special.example.com")) // most specific wins
   }
+
+  test("urlBlocklist: DNS normalization — case folds, trailing root dot strips, both sides") {
+    val urls = Seq(
+      (1L, "CDN.Example.COM"),   // uppercase host must still block
+      (2L, "example.com."),      // fully-qualified root dot must still block
+      (3L, "sub.blocked.ORG"))   // matches a pattern that itself needs normalizing
+      .toDF("id", "host")
+    val pats = Seq("example.com", "Blocked.org.").toDF("p")
+    val out = Corpus.urlBlocklist(urls, "id", "host", pats, "p")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // matched_pattern keeps the caller's original spelling
+    assert(out == Map(
+      1L -> "example.com",
+      2L -> "example.com",
+      3L -> "Blocked.org."))
+  }
 }
