@@ -1207,7 +1207,7 @@ object SparkEntry {
 
     // ---- D: exact n-gram Jaccard pairs ----
     "d4_ngram_jaccard" -> ((s, dir) =>
-      graft.ops.Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text", 0.8)),
+      graft.ops.Dedup.ngramJaccardPairsAuto(t(s, dir, "documents"), "doc_id", "text", 0.8)),
 
     // ---- T: token counts + character ratios ----
     "t1_text_stats" -> ((s, dir) => {

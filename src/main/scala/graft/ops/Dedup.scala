@@ -474,6 +474,70 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact all-pairs n-gram Jaccard with ADAPTIVE tier selection — same
+    * result set as both tiers above, picking between them from the
+    * corpus's measured shingle-frequency skew instead of statically.
+    *
+    * The trade being arbitrated (measured in `tools.ProfileD4`): the
+    * prefix filter wins quadratically on skewed corpora (a shared
+    * boilerplate shingle posts in k docs → k² naive candidate rows) but
+    * its frequency/rank/sort machinery costs ~2× over the naive inverted
+    * index on benign near-uniform corpora. The decision statistic is
+    * exactly the naive tier's candidate-row volume: `cand =
+    * Σ_s df(s)·(df(s)−1)/2` over the shingle document frequencies,
+    * versus the corpus's posting count `P = Σ_s df(s)` (≈ the linear
+    * work both tiers pay anyway). `cand ≤ candPerPosting·P` → the
+    * posting lists are short and near-uniform, naive's single self-join
+    * is the cheaper plan; above it the quadratic head dominates and the
+    * prefix tier pays for itself. The default cutoff is the log-midpoint
+    * of the measured regimes: benign sf0.1 corpus ratio ≈ 4.9 → naive
+    * (warm 1.3 s vs prefix 2.9 s); the same corpus replicated 10×
+    * (every doc 10 exact copies — the crawl-dedup regime) ratio ≈ 49 →
+    * prefix; a 20k-doc corpus sharing an 8-word header ratio ≈ thousands
+    * → prefix (5.6 s vs naive 64 s). Near the cutoff the tiers are
+    * within ~2× of each other, so misrouting there is benign by
+    * construction.
+    *
+    * Cost of deciding: ONE extra scalar aggregation over the shingle-hash
+    * frequency table (a map-side-combining groupBy on fixed-width longs
+    * — the same first pass the prefix tier runs anyway) and one driver
+    * scalar. The shingle table itself is persisted through the shared
+    * slot before deciding, so the dispatched tier's identical plan is a
+    * cache HIT, not a recompute; `df` is double-counted by Spark's
+    * cost model, never by execution. df products are summed as doubles —
+    * this is a cost estimate, and `df(s)²` for a web-scale shared
+    * shingle can exceed Long.
+    */
+  def ngramJaccardPairsAuto(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int = 3,
+      candPerPosting: Double = 16.0): DataFrame = {
+    val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sh = shingleSlot.persist(df.repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.NGramShingles.ngram_shingles(col(textCol), n).as("sh")))
+    val stats = sh.select(explode(col("sh")).as("tok"))
+      .select(xxhash64(col("tok")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("tok_df"))
+      .agg(
+        coalesce(sum(col("tok_df")), lit(0L)).as("postings"),
+        coalesce(sum(col("tok_df").cast("double") *
+          (col("tok_df") - lit(1)).cast("double") / 2), lit(0.0)).as("cand"))
+      .head()
+    val postings = stats.getLong(0)
+    val cand = stats.getDouble(1)
+    val usePrefix = cand > candPerPosting * postings.toDouble
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"ngramJaccardPairsAuto: postings=$postings candidateRows=$cand " +
+        s"ratio=${if (postings == 0) 0.0 else cand / postings} cutoff=$candPerPosting " +
+        s"-> ${if (usePrefix) "prefix-filter" else "naive inverted-index"} tier")
+    if (usePrefix) ngramJaccardPairsPrefix(df, idCol, textCol, threshold, n)
+    else ngramJaccardPairs(df, idCol, textCol, threshold, n)
+  }
+
   // ------------------------------------------------ duplicate clustering
 
   /** Connected components over near-duplicate pairs: every doc that

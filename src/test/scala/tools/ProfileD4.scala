@@ -36,6 +36,8 @@ object ProfileD4 {
         graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8).count())
       time(s"sf-prefix run$i")(
         graft.ops.Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 0.8).count())
+      time(s"sf-auto run$i")(
+        graft.ops.Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text", 0.8).count())
     }
 
     // stopword-headed corpus: every doc shares an 8-word boilerplate
@@ -60,6 +62,8 @@ object ProfileD4 {
         graft.ops.Dedup.ngramJaccardPairs(skew, "doc_id", "text", 0.7).count())
       time(s"skew-prefix run$i")(
         graft.ops.Dedup.ngramJaccardPairsPrefix(skew, "doc_id", "text", 0.7).count())
+      time(s"skew-auto run$i")(
+        graft.ops.Dedup.ngramJaccardPairsAuto(skew, "doc_id", "text", 0.7).count())
     }
     spark.stop()
   }

@@ -32,21 +32,31 @@ def cell(v):
         return repr(v)  # full precision
     return str(v)
 
+skip = set(os.environ.get("ORACLE_SKIP", "").split(",")) - {""}
+timing = os.environ.get("ORACLE_TIMING", "") == "1"
+import time
+
 fails = 0
 for d in sorted(glob.glob(f"{out_dir}/*/")):
     name = os.path.basename(d.rstrip("/"))
+    if name in skip:
+        print(f"  [skipped] {name} (ORACLE_SKIP)")
+        continue
     spark_df = pd.concat(
         [pd.read_parquet(p) for p in glob.glob(f"{d}/*.parquet")],
         ignore_index=True) if glob.glob(f"{d}/*.parquet") else pd.DataFrame()
     if name not in oracles:
         print(f"  [rows-only] {name}: {len(spark_df)} rows")
         continue
+    t0 = time.time()
     try:
         duck_df = con.execute(oracles[name]).fetchdf()
     except Exception as e:
         print(f"✗ {name}: oracle SQL ERROR: {e}")
         fails += 1
         continue
+    if timing:
+        print(f"  [oracle {time.time()-t0:.1f}s] {name}", flush=True)
     s, o = canon(spark_df), canon(duck_df)
     if list(s.columns) != list(o.columns):
         print(f"✗ {name}: column mismatch spark={list(s.columns)} duck={list(o.columns)}")
