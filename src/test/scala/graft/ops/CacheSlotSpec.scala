@@ -28,8 +28,8 @@ class CacheSlotSpec extends AnyFunSuite with SparkSpec {
     assert(!cachedPlans(b))
   }
 
-  test("different-plan handover releases the previous occupant") {
-    val slot = new CacheSlot
+  test("capacity 1: different-plan handover releases the previous occupant") {
+    val slot = new CacheSlot(1)
     val a = slot.persist(Seq(1).toDF("x"))
     a.count()
     assert(cachedPlans(a))
@@ -38,5 +38,27 @@ class CacheSlotSpec extends AnyFunSuite with SparkSpec {
     assert(!cachedPlans(a), "previous occupant leaked")
     assert(cachedPlans(b))
     slot.clear()
+  }
+
+  test("capacity 2: two corpora coexist; a third evicts the least-recently-used") {
+    val slot = new CacheSlot(2)
+    val a = slot.persist(Seq(1).toDF("x"))
+    val b = slot.persist(Seq(1, 2).toDF("x"))
+    a.count(); b.count()
+    // the concurrent-session case: alternating plans must BOTH stay
+    // cached (a single-occupant slot recomputes every call here)
+    assert(cachedPlans(a) && cachedPlans(b))
+    assert(slot.persist(Seq(1).toDF("x")) eq a, "same-plan call must return the cached handle")
+    // a touched `a` -> `b` is now least-recently-used and must go first
+    val c = slot.persist(Seq(1, 2, 3).toDF("x"))
+    c.count()
+    assert(!cachedPlans(b), "LRU occupant leaked past capacity")
+    assert(cachedPlans(a) && cachedPlans(c))
+    slot.clear()
+    assert(!cachedPlans(a) && !cachedPlans(c))
+  }
+
+  test("default capacity is >= 2 (concurrent-session churn bound)") {
+    assert(CacheSlot.defaultCapacity >= 2)
   }
 }

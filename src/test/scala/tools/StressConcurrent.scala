@@ -27,17 +27,23 @@ object StressConcurrent {
     val spark = graft.EngineSession.local("*", "stress-concurrent")
     spark.sparkContext.setLogLevel("WARN")
 
-    def rowHash(df: DataFrame): (Long, Long) = {
+    def rowHash(df: DataFrame): (BigDecimal, Long) = {
+      // order-insensitive content hash: per-row xxhash64 summed as
+      // DECIMAL(38,0) — a LONG sum of uniform 64-bit values overflows
+      // almost surely, and ANSI mode (the Spark 4 default) throws on it
       val cols = df.columns.map(c => col(c).cast("string"))
       val r = df.select(
-        coalesce(sum(xxhash64(concat_ws("", cols: _*))), lit(0L)).as("h"),
+        coalesce(sum(xxhash64(concat_ws("", cols: _*)).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("h"),
         count(lit(1)).as("n")).head()
-      (r.getLong(0), r.getLong(1))
+      (BigDecimal(r.getDecimal(0)), r.getLong(1))
     }
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = graft.streaming.EventStreams.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
     val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
     Seq(docs, emb, events, lineitem).foreach(_.count()) // warm FS cache
 
@@ -89,7 +95,7 @@ object StressConcurrent {
     val corpusA = docs.where(col("doc_id") % 2 === 0)
     val corpusB = docs.where(col("doc_id") % 2 === 1)
     val rounds = 4
-    def churn(c: DataFrame): (Long, Long) =
+    def churn(c: DataFrame): (BigDecimal, Long) =
       rowHash(graft.ops.Dedup.minhashNearDup(c, "doc_id", "text", 0.8))
     val expA = churn(corpusA)
     val expB = churn(corpusB)
@@ -117,7 +123,7 @@ object StressConcurrent {
 
     // ---- phase 3: label-memo LRU under concurrent distinct pair plans ----
     println("== phase 3: connected-components memo (4-entry LRU) x 2 threads ==")
-    def cc(c: DataFrame): (Long, Long) = {
+    def cc(c: DataFrame): (BigDecimal, Long) = {
       val pairs = graft.ops.Dedup.minhashNearDup(c, "doc_id", "text", 0.8)
       rowHash(graft.ops.Dedup.connectedComponents(pairs))
     }
