@@ -1693,6 +1693,55 @@ object SparkEntry {
           nProbe = 12, refine = 100, refineWith = Some(emb)))
     }),
 
+    // ---- V: incremental growth of the written raw-vector index —
+    //      build+write on HALF the corpus, [[Similarity.ivfAppend]] the
+    //      other half against the FROZEN centroids (no retrain), compact
+    //      the append-grown bucket files, probe the loaded result
+    //      against the whole corpus. The gate is load-bearing in both
+    //      columns: a lost append batch fails n_index exactly and drags
+    //      recall to ~0.5 (half the true neighbors aren't indexed) ----
+    "v13_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 10 === 0)
+      val base = emb.where(col("vec_id") % 2 === 0)
+      val grow = emb.where(col("vec_id") % 2 === 1)
+      val idx = graft.ops.Similarity.ivfBuild(
+        base, "vec_id", "embedding", nCentroids = 16, kmeansIters = 1, persist = false)
+      graft.ops.Similarity.ivfWrite(idx, "graft_v13_index")
+      graft.ops.Similarity.ivfAppend(s, "graft_v13_index", grow, "vec_id", "embedding")
+      graft.sources.Bucketing.compactBucketed(s, "graft_v13_index_cells")
+      val loaded = graft.ops.Similarity.ivfLoad(s, "graft_v13_index")
+      recallGate(
+        graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+        graft.ops.Similarity.ivfProbe(loaded, q, "vec_id", "embedding", 5, nProbe = 8))
+        .crossJoin(loaded.cells.agg(count(lit(1)).as("n_index")))
+    }),
+
+    // ---- V: incremental growth of the written COMPRESSED index —
+    //      same split as v13 through [[Similarity.ivfPqAppend]]: the new
+    //      half encodes against the frozen coarse centroids AND frozen
+    //      PQ codebooks (one narrow pass over the batch only — never a
+    //      re-train, never a corpus re-encode), lands as bucket-spec-
+    //      preserving appends, compacts, and probes with exact refine ----
+    "v14_ivfpq_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 10 === 0)
+      val base = emb.where(col("vec_id") % 2 === 0)
+      val grow = emb.where(col("vec_id") % 2 === 1)
+      val idx = graft.ops.Similarity.ivfPqBuild(
+        base, "vec_id", "embedding", nCentroids = 16, m = 16, ksub = 64,
+        iters = 1, persist = false)
+      graft.ops.Similarity.ivfPqWrite(idx, "graft_v14_index")
+      graft.ops.Similarity.ivfPqAppend(s, "graft_v14_index", grow, "vec_id", "embedding")
+      graft.sources.Bucketing.compactBucketed(s, "graft_v14_index_cells")
+      val loaded = graft.ops.Similarity.ivfPqLoad(s, "graft_v14_index")
+      recallGate(
+        graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+        graft.ops.Similarity.ivfPqProbe(loaded, q, "vec_id", "embedding", 5,
+          nProbe = 12, refine = 100, refineWith = Some(emb)))
+        .crossJoin(loaded.cells.agg(count(lit(1)).as("n_index")))
+    }),
+
     // ---- T: fixed-length token windows with overlap (stride <
     //      maxTokens) — the max-seq-len chunking step upstream of t15's
     //      packing ----
@@ -2175,7 +2224,7 @@ object SparkEntry {
     * asserted by the engine side ([[recallGate]]) and pinned to 1 here.
     * Shared by v3i AND v5 — same gate, same oracle.
     */
-  private val ivfRecallOracle: String =
+  private val ivfRecallCtes: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
        s AS (SELECT query_id, c.vec_id AS neighbor_id,
          list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE))
@@ -2184,8 +2233,22 @@ object SparkEntry {
          FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
        r AS (SELECT query_id,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-         FROM s)
-       SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok FROM r WHERE rank <= 5"""
+         FROM s)"""
+
+  private val ivfRecallOracle: String =
+    ivfRecallCtes +
+      "\n       SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok FROM r WHERE rank <= 5"
+
+  /** v13/v14's oracle: the recall count plus the EXACT grown index row
+    * count — append correctness is pinned by both (a lost append batch
+    * fails n_index exactly and drags recall to ~0.5 besides).
+    */
+  private val ivfAppendOracle: String =
+    ivfRecallCtes +
+      """
+       SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok,
+              (SELECT COUNT(*) FROM embeddings) AS n_index
+       FROM r WHERE rank <= 5"""
 
   /** t24's oracle, generated: BPE merge rounds unroll to CTE chains
     * (the g1 recipe). Round i recounts pairs from the round-(i-1)
@@ -3738,6 +3801,8 @@ object SparkEntry {
     "v6_pq_recall" -> ivfRecallOracle,
     "v7_ivfpq_recall" -> ivfRecallOracle,
     "v8_ivfpq_disk_index" -> ivfRecallOracle,
+    "v13_ivf_append" -> ivfAppendOracle,
+    "v14_ivfpq_append" -> ivfAppendOracle,
 
     "v4_lsh_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
