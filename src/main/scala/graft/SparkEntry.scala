@@ -1742,6 +1742,25 @@ object SparkEntry {
         .crossJoin(loaded.cells.agg(count(lit(1)).as("n_index")))
     }),
 
+    // ---- V: fixed-point k-means cluster assignment — the clustering
+    //      step under cluster-balanced curation and SemDeDup-style
+    //      cell-wise dedup, made first-class: md5-picked seeds, 2 Lloyd
+    //      rounds on integer-quantized vectors (order-immune sums, the
+    //      g1 recipe applied to geometry), struct-min argmin with exact
+    //      tie-breaks. The oracle replays every round bit-for-bit ----
+    "v15_kmeans" -> ((s, dir) =>
+      graft.ops.Clustering.kmeansAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)),
+
+    // ---- V: cluster-balanced sampling — k-means cells, then exactly
+    //      nPer ids per cell by md5 priority through the bounded-heap
+    //      sampler: every semantic region contributes the same count
+    //      no matter how over-crawled it is ----
+    "v16_cluster_sample" -> ((s, dir) =>
+      graft.ops.Clustering.clusterBalancedSample(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2, nPer = 10)),
+
     // ---- T: fixed-length token windows with overlap (stride <
     //      maxTokens) — the max-seq-len chunking step upstream of t15's
     //      packing ----
@@ -2249,6 +2268,48 @@ object SparkEntry {
        SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok,
               (SELECT COUNT(*) FROM embeddings) AS n_index
        FROM r WHERE rank <= 5"""
+
+  /** v15/v16's oracle, shared: the two Lloyd rounds unrolled (the g1
+    * recipe applied to geometry). Every value is an integer-valued
+    * double — quantized coordinates, squared-difference sums, floored
+    * cell means — so SUM order can't move a bit and the engines agree
+    * exactly; ties argmin to the smaller cell id in both.
+    */
+  private val kmeansOracleCtes: String =
+    """WITH q AS (
+         SELECT vec_id,
+                unnest(range(1, len(embedding)+1)) AS pos,
+                unnest(list_transform(embedding, x -> ROUND(x::DOUBLE * 1000))) AS qv
+         FROM embeddings),
+       seeds AS (
+         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                  CAST(vec_id AS VARCHAR)) AS cid
+         FROM embeddings QUALIFY cid <= 8),
+       c0 AS (SELECT s.cid, q.pos, q.qv AS cv FROM seeds s JOIN q ON q.vec_id = s.vec_id),
+       d1 AS (SELECT q.vec_id, c.cid, SUM((q.qv - c.cv)*(q.qv - c.cv)) AS dist
+              FROM q JOIN c0 c USING (pos) GROUP BY 1,2),
+       a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) rn
+              FROM d1) WHERE rn=1),
+       m1 AS (SELECT a.cid, q.pos, FLOOR(SUM(q.qv)/COUNT(*)) AS mv
+              FROM a1 a JOIN q USING (vec_id) GROUP BY 1,2),
+       c1 AS (SELECT c0.cid, c0.pos, COALESCE(m1.mv, c0.cv) AS cv
+              FROM c0 LEFT JOIN m1 USING (cid, pos)),
+       d2 AS (SELECT q.vec_id, c.cid, SUM((q.qv - c.cv)*(q.qv - c.cv)) AS dist
+              FROM q JOIN c1 c USING (pos) GROUP BY 1,2),
+       a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) rn
+              FROM d2) WHERE rn=1),
+       m2 AS (SELECT a.cid, q.pos, FLOOR(SUM(q.qv)/COUNT(*)) AS mv
+              FROM a2 a JOIN q USING (vec_id) GROUP BY 1,2),
+       c2 AS (SELECT c1.cid, c1.pos, COALESCE(m2.mv, c1.cv) AS cv
+              FROM c1 LEFT JOIN m2 USING (cid, pos)),
+       df AS (SELECT q.vec_id, c.cid, SUM((q.qv - c.cv)*(q.qv - c.cv)) AS dist
+              FROM q JOIN c2 c USING (pos) GROUP BY 1,2),
+       fin AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist AS dist_fp
+               FROM (SELECT vec_id, cid, dist,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) rn
+                     FROM df) WHERE rn=1)"""
 
   /** t24's oracle, generated: BPE merge rounds unroll to CTE chains
     * (the g1 recipe). Round i recounts pairs from the round-(i-1)
@@ -3803,6 +3864,20 @@ object SparkEntry {
     "v8_ivfpq_disk_index" -> ivfRecallOracle,
     "v13_ivf_append" -> ivfAppendOracle,
     "v14_ivfpq_append" -> ivfAppendOracle,
+
+    "v15_kmeans" -> (kmeansOracleCtes +
+      """
+       SELECT vec_id, cluster, dist_fp FROM fin"""),
+
+    "v16_cluster_sample" -> (kmeansOracleCtes +
+      """
+       SELECT cluster, vec_id, sample_rank FROM (
+         SELECT cluster, vec_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)) || CAST(vec_id AS VARCHAR))
+                  AS INTEGER) AS sample_rank
+         FROM fin)
+       WHERE sample_rank <= 10"""),
 
     "v4_lsh_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding

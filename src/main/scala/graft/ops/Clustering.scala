@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-point Lloyd k-means over an embedding column — the clustering
+  * workhorse under cluster-balanced curation, SemDeDup-style semantic
+  * dedup (Abbas et al. 2023 cluster first, dedup within cells), and
+  * data-mixture design. The IVF tier ([[Similarity.kmeansCentroids]])
+  * keeps a float k-means as an INTERNAL detail whose output is only
+  * consumed through recall gates; this operator makes the cluster
+  * assignment itself a first-class, warehouse-replayable result.
+  *
+  * Determinism design (the g1/PageRank recipe, applied to geometry):
+  * every arithmetic step stays on INTEGER-VALUED doubles, so no sum
+  * depends on accumulation order and an independent engine replays the
+  * rounds bit-for-bit:
+  *
+  *  - vectors quantize ONCE to `round(x * scaleFp)` — integer-valued,
+  *    exact in double below 2^53;
+  *  - distances are sums of squared integer differences (exact);
+  *  - argmin ties break to the smaller centroid id (struct-min);
+  *  - recenter is `floor(sum / n)` per dimension — sum is exact (see
+  *    bounds below), the quotient's floor is exact whenever the cell
+  *    count n < 1e8 (a correctly-rounded double quotient cannot cross
+  *    an integer boundary unless the divisor exceeds ~1/ulp of the
+  *    quotient — documented, asserted nowhere because cells at 1e8
+  *    members mean k was chosen absurdly small for the corpus);
+  *  - seeds are the k rows with the smallest md5(id) — a content-
+  *    stable uniform draw both engines can compute, NOT a sampled or
+  *    RNG-dependent pick;
+  *  - empty cells keep their previous centroid (left-join coalesce),
+  *    so k never silently shrinks.
+  *
+  * Exactness bounds, with B = scaleFp · max|x|: per-dimension cell
+  * sums need n·B < 2^53 and distances need dim·(2B)^2 < 2^53. At the
+  * defaults (scaleFp=1000, unit-scale embeddings, dim ≤ 4096) that
+  * allows corpora of ~10^9 vectors per cell and dims to 4096 with
+  * room to spare. Quantization at 1e-3 moves an assignment only for
+  * points near-equidistant between centroids at that resolution —
+  * exactly the points where float k-means is itself ulp-unstable; the
+  * trade buys bit-replayability.
+  *
+  * Scale shape (what survives 100 TB):
+  *  - assignment is ONE narrow codegen pass per round: the centroid
+  *    set collapses to a single array row that broadcasts to every
+  *    corpus partition (`k·dim` doubles — KBs for any sane k); the
+  *    corpus NEVER shuffles;
+  *  - recenter's exchange carries one dim-length accumulator per
+  *    (partition × cell) via [[graft.functions.VectorSum]] — never the
+  *    corpus×dim explode a posexplode+groupBy formulation would ship;
+  *  - the quantized corpus is cached once in a bounded [[CacheSlot]]
+  *    (re-reading parquet per round is the naive alternative);
+  *  - per-round centroid plans cut through [[CheckpointCut]] (k rows —
+  *    the cut is cheap and keeps the final plan from nesting `iters`
+  *    corpus passes; reliable files when a checkpoint dir is set).
+  */
+object Clustering {
+
+  private val corpusSlot = new CacheSlot
+
+  private def seedOrder(id: Column): Seq[Column] =
+    Seq(md5(id.cast("string")).asc, id.cast("string").asc)
+
+  /** Assign every vector to one of k Lloyd-refined cells.
+    *
+    * @param corpus  input table
+    * @param idCol   unique id column (any castable-to-string type)
+    * @param vecCol  `array<float|double>` embedding column, dense
+    *                (null elements are caller error)
+    * @param k       number of cells
+    * @param iters   Lloyd refinement rounds over the md5-picked seeds
+    * @param scaleFp fixed-point quantization scale (see bounds above)
+    * @return (idCol, cluster LONG, dist_fp DOUBLE) — dist_fp is the
+    *         exact integer squared distance to the winning centroid in
+    *         quantized units, a ready-made quality/outlier signal
+    */
+  def kmeansAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2,
+      scaleFp: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(scaleFp >= 1, s"scaleFp must be >= 1, got $scaleFp")
+
+    val qv = transform(col(vecCol), x => round(x.cast("double") * scaleFp))
+    val q = corpusSlot.persist(
+      corpus.select(col(idCol).as("km_id"), qv.as("qv")))
+
+    // seeds: k smallest md5(id) — content-stable, engine-independent;
+    // re-keyed to dense 1..k cell ids via row_number over that order
+    val seedW = Window.orderBy(seedOrder(col("km_id")): _*)
+    var cent: DataFrame = q
+      .orderBy(seedOrder(col("km_id")): _*)
+      .limit(k)
+      .select(row_number().over(seedW).cast("long").as("cid"),
+        col("qv").as("cv"))
+
+    def assign(c: DataFrame): DataFrame = {
+      // centroid set → ONE array row, broadcast; argmin in a single
+      // codegen pass (struct-min: dist ASC, cid ASC — exact integer
+      // comparisons, so the tie-break is deterministic, not ulp-lucky)
+      val centArr = c.agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      q.crossJoin(broadcast(centArr))
+        .select(col("km_id"), col("qv"),
+          array_min(transform(col("cents"), cc => struct(
+            aggregate(
+              zip_with(col("qv"), cc.getField("cv"), (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x).as("dist"),
+            cc.getField("cid").as("cid")))).as("win"))
+        .select(col("km_id"), col("qv"),
+          col("win.cid").as("cluster"), col("win.dist").as("dist_fp"))
+    }
+
+    var r = 0
+    while (r < iters) {
+      val assigned = assign(cent)
+      val means = assigned
+        .groupBy(col("cluster").as("cid"))
+        .agg(graft.functions.VectorSum.vector_sum(col("qv")).as("vsum"),
+          count(lit(1)).as("n"))
+        .select(col("cid"),
+          transform(col("vsum"), x => floor(x / col("n")).cast("double")).as("mv"))
+      val prev = cent
+      cent = CheckpointCut.cut(
+        prev.join(means, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv")))
+      if (r > 0) CheckpointCut.release(prev)
+      r += 1
+    }
+
+    assign(cent)
+      .select(col("km_id").as(idCol), col("cluster"), col("dist_fp"))
+  }
+
+  /** Cluster-balanced sampling: k-means the corpus, then draw a fixed
+    * `nPer` ids per cell by md5 priority ([[Corpus.sampleFixedPerStratum]]
+    * — the bounded-heap path, no Window over the corpus). This is the
+    * curation shape that keeps a mixture from collapsing onto its head
+    * clusters: every semantic region contributes the same count no
+    * matter how over-crawled it is.
+    *
+    * @return (cluster LONG, idCol, sample_rank INT)
+    */
+  def clusterBalancedSample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      nPer: Int,
+      scaleFp: Int = 1000): DataFrame = {
+    val assigned = kmeansAssign(corpus, idCol, vecCol, k, iters, scaleFp)
+    Corpus.sampleFixedPerStratum(assigned, Seq("cluster"), idCol, nPer)
+  }
+}
