@@ -414,6 +414,26 @@ object SparkEntry {
       graft.ops.Graph.triangleCounts(edges, "src", "dst")
     }),
 
+    // ---- G: personalized PageRank — teleport concentrated on a seed
+    //      set (every 10th supplier), rank = proximity to the seeds:
+    //      the seed-expansion primitive ("more pages like these
+    //      trusted ones"). Same integer fixed-point rounds as g1, base
+    //      term zero for non-seeds ----
+    "g5_personalized_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(explode(array(
+        struct(col("a").as("s"), col("b").as("d")),
+        struct(col("b").as("s"), col("a").as("d")))).as("e"))
+        .select(col("e.s").as("a"), col("e.d").as("b"))
+      val seeds = t(s, dir, "supplier").where(col("s_suppkey") % 10 === 0)
+        .select((col("s_suppkey").cast("long") * 2 + 1).as("seed"))
+      graft.ops.Graph.personalizedPageRank(
+        edges, "a", "b", seeds, "seed", iterations = 3)
+    }),
+
     // ---- SRC5: hive-partitioned parquet roundtrip — documents
     //      partitioned by lang, read back pruned to two partitions
     //      (the filter eliminates the other directories at planning
@@ -1761,6 +1781,15 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, iters = 2, nPer = 10)),
 
+    // ---- V: clustering-quality gate — per-cell separation margins
+    //      (dist to 2nd-nearest minus nearest centroid, exact integers):
+    //      near-zero-margin cells sit on assignment boundaries and are
+    //      the noise a curation pipeline should not stratify on. Same
+    //      single broadcast-codegen corpus pass as assignment ----
+    "v17_kmeans_margin" -> ((s, dir) =>
+      graft.ops.Clustering.marginGate(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)),
+
     // ---- T: fixed-length token windows with overlap (stride <
     //      maxTokens) — the max-seq-len chunking step upstream of t15's
     //      packing ----
@@ -1804,6 +1833,16 @@ object SparkEntry {
         .select(col("user_id"), col("session_seq"), col("n_events"),
           (col("t1") - col("t0")).as("duration_us"))
     }),
+
+    // ---- E: first-order Markov transition matrix over per-user event
+    //      sequences — the behavioral fingerprint (bot flows are
+    //      near-deterministic rows; organic users spread). ONE window
+    //      shuffle on user_id, then a |type|²-row rollup; probability
+    //      as floored basis points, a pure integer function of the
+    //      event set ----
+    "e30_markov_transitions" -> ((s, dir) =>
+      graft.ops.Sessions.transitionMatrix(
+        events(s, dir), "user_id", "ts", "event_type", Seq("event_id"))),
 
     // ---- T: langid evaluation — the confusion matrix of predicted vs
     //      labeled language over the corpus (the quality check any
@@ -2703,6 +2742,34 @@ object SparkEntry {
                                   FROM ed JOIN r4 ON ed.src = r4.node GROUP BY dst) s USING (node))
          SELECT node, rank_fp FROM r5""",
 
+    // three personalized rounds: teleport base only for seed nodes,
+    // seeds start with the whole initial mass
+    "g5_personalized_pagerank" ->
+      """WITH p AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM p
+               UNION ALL SELECT b, a FROM p),
+         deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+         n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         sd AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_suppkey % 10 = 0),
+         ns AS (SELECT n.node, (sd.node IS NOT NULL) AS is_seed
+                FROM n LEFT JOIN sd USING (node)),
+         r0 AS (SELECT node, CAST(CASE WHEN is_seed THEN 1000000 ELSE 0 END AS BIGINT) AS rank_fp FROM ns),
+         r1 AS (SELECT ns.node, CAST(CASE WHEN ns.is_seed THEN 150000 ELSE 0 END
+                       + (8500 * CAST(COALESCE(s.m, 0) AS BIGINT)) // 10000 AS BIGINT) AS rank_fp
+                FROM ns LEFT JOIN (SELECT dst AS node, SUM(rank_fp // outdeg) AS m
+                                   FROM ed JOIN r0 ON ed.src = r0.node GROUP BY dst) s USING (node)),
+         r2 AS (SELECT ns.node, CAST(CASE WHEN ns.is_seed THEN 150000 ELSE 0 END
+                       + (8500 * CAST(COALESCE(s.m, 0) AS BIGINT)) // 10000 AS BIGINT) AS rank_fp
+                FROM ns LEFT JOIN (SELECT dst AS node, SUM(rank_fp // outdeg) AS m
+                                   FROM ed JOIN r1 ON ed.src = r1.node GROUP BY dst) s USING (node)),
+         r3 AS (SELECT ns.node, CAST(CASE WHEN ns.is_seed THEN 150000 ELSE 0 END
+                       + (8500 * CAST(COALESCE(s.m, 0) AS BIGINT)) // 10000 AS BIGINT) AS rank_fp
+                FROM ns LEFT JOIN (SELECT dst AS node, SUM(rank_fp // outdeg) AS m
+                                   FROM ed JOIN r2 ON ed.src = r2.node GROUP BY dst) s USING (node))
+         SELECT node, rank_fp FROM r3""",
+
     // triangles enumerated independently (id-ordered a<b<c joins — the
     // orientation trick is the ENGINE's plan, not the semantics)
     // three synchronous rounds unrolled; per-round argmax as row_number
@@ -3555,6 +3622,17 @@ object SparkEntry {
          FROM agg
          WHERE n_events >= 5 AND t1 - t0 < (n_events - 1) * 2000000""",
 
+    "e30_markov_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts::TIMESTAMP AS t FROM events),
+         pr AS (SELECT event_type AS from_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS to_type
+                FROM e),
+         c AS (SELECT from_type, to_type, COUNT(*) AS n
+               FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+                CAST((n * 10000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_bp
+         FROM c""",
+
     // t2's scoring CTE rolled up to (labeled, predicted) counts
     "t31_langid_confusion" ->
       """WITH d AS (SELECT doc_id, lang, text,
@@ -3878,6 +3956,17 @@ object SparkEntry {
                   AS INTEGER) AS sample_rank
          FROM fin)
        WHERE sample_rank <= 10"""),
+
+    "v17_kmeans_margin" -> (kmeansOracleCtes +
+      """,
+       rk AS (SELECT vec_id, cid, dist,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+              FROM df),
+       mg AS (SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster, b.dist - a.dist AS margin_fp
+              FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2)
+       SELECT cluster, COUNT(*) AS n, SUM(margin_fp) AS margin_sum_fp,
+              MIN(margin_fp) AS min_margin_fp, MAX(margin_fp) AS max_margin_fp
+       FROM mg GROUP BY cluster"""),
 
     "v4_lsh_neardup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding

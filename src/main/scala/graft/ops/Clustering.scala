@@ -83,6 +83,22 @@ object Clustering {
       k: Int,
       iters: Int = 2,
       scaleFp: Int = 1000): DataFrame = {
+    val (_, cent, assign) = lloyd(corpus, idCol, vecCol, k, iters, scaleFp)
+    assign(cent)
+      .select(col("km_id").as(idCol), col("cluster"), col("dist_fp"))
+  }
+
+  /** The Lloyd machinery shared by [[kmeansAssign]] and
+    * [[marginGate]]: quantized corpus, refined centroids, and the
+    * single-pass assignment closure.
+    */
+  private def lloyd(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scaleFp: Int): (DataFrame, DataFrame, DataFrame => DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(scaleFp >= 1, s"scaleFp must be >= 1, got $scaleFp")
@@ -132,9 +148,57 @@ object Clustering {
       if (r > 0) CheckpointCut.release(prev)
       r += 1
     }
+    (q, cent, assign)
+  }
 
-    assign(cent)
-      .select(col("km_id").as(idCol), col("cluster"), col("dist_fp"))
+  /** Clustering-quality gate: per-cell separation margins. For every
+    * point the margin is `dist2 - dist1` — exact integer squared
+    * distance to the SECOND-nearest centroid minus the nearest (0 when
+    * two centroids tie for the point; ties order by cell id exactly as
+    * [[kmeansAssign]]'s argmin, so the pair both engines pick is the
+    * same pair). A cell full of near-zero margins sits on a boundary —
+    * its members would flip cells under tiny perturbations, the
+    * assignment noise a curation pipeline should not stratify on.
+    *
+    * The margin pass rides the SAME single broadcast-codegen scan as
+    * assignment (one `array_sort` over the k-element struct array
+    * replaces the argmin `array_min` — k·dim work per row either way);
+    * the per-cell rollup is an ordinary partial-final agg of exact
+    * integers, so the whole gate is one corpus pass, zero extra
+    * shuffles over plain assignment.
+    *
+    * @return per-cell (cluster, n BIGINT, margin_sum_fp DOUBLE — exact
+    *         integer sum, min_margin_fp / max_margin_fp DOUBLE): the
+    *         warehouse-replayable margin profile of the clustering
+    */
+  def marginGate(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2,
+      scaleFp: Int = 1000): DataFrame = {
+    require(k >= 2, s"margins need k >= 2 centroids, got $k")
+    val (q, cent, _) = lloyd(corpus, idCol, vecCol, k, iters, scaleFp)
+    val centArr = cent.agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    q.crossJoin(broadcast(centArr))
+      .select(col("km_id"),
+        // sorted (dist, cid) struct array: [0] is the winner (argmin with
+        // the id tie-break), [1] the runner-up — one pass, k log k per row
+        array_sort(transform(col("cents"), cc => struct(
+          aggregate(
+            zip_with(col("qv"), cc.getField("cv"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("dist"),
+          cc.getField("cid").as("cid")))).as("ds"))
+      .select(
+        element_at(col("ds"), 1).getField("cid").as("cluster"),
+        (element_at(col("ds"), 2).getField("dist") -
+          element_at(col("ds"), 1).getField("dist")).as("margin_fp"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("margin_fp")).as("margin_sum_fp"),
+        min(col("margin_fp")).as("min_margin_fp"),
+        max(col("margin_fp")).as("max_margin_fp"))
   }
 
   /** Cluster-balanced sampling: k-means the corpus, then draw a fixed

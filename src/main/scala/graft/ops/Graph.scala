@@ -70,6 +70,7 @@ object Graph {
 
   private val edgeSlot = new CacheSlot
   private val nodeSlot = new CacheSlot
+  private val seedSlot = new CacheSlot
   private val orientSlot = new CacheSlot
 
   def pageRank(
@@ -149,6 +150,74 @@ object Graph {
       // nodes-sized (id + long); the cut keeps round-k lineage from
       // replaying 1..k-1, and the retired round's state (blocks or
       // checkpoint files) is released once the new round is materialized
+      CheckpointCut.release(prev)
+    }
+    ranks
+  }
+
+  /** Personalized PageRank (Haveliwala 2002): the teleport vector
+    * concentrates on a SEED set instead of spreading uniformly — rank
+    * measures proximity to the seeds, the primitive under seed-expanded
+    * crawl frontiers ("find more pages like these trusted ones"),
+    * related-entity retrieval, and local community scoring.
+    *
+    * Same all-integer fixed-point discipline as [[pageRank]]: seeds
+    * start with 1e6 micro-units and everyone else 0; each round a node's
+    * rank is `base + (dampingBp · Σ contribs) div 10000` where `base` is
+    * the uniform teleport share for seed nodes and ZERO for non-seeds.
+    * Total teleport mass stays |seeds|·(1-d)·1e6 per round — the exact
+    * personalized analogue of the uniform variant — and every sum is a
+    * sum of longs, so accumulation order cannot move a bit and a SQL
+    * oracle replays the rounds exactly. Dangling mass is dropped (the
+    * [[pageRank]] default; PPR consumers rank by proximity order).
+    *
+    * Scale shape: identical loop to [[pageRank]] — shared adjacency/node
+    * slots (same edge plan → same cached artifact), three key-partitioned
+    * exchanges per round, nodes-sized checkpoint state. The seed FLAG
+    * joins into the node relation ONCE before the loop (left-semi shape,
+    * not per-round): rounds never touch the seed table again.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int = 3,
+      dampingBp: Int = 8500): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(dampingBp >= 0 && dampingBp <= 10000, "dampingBp is basis points")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    require(e.schema(0).dataType == e.schema(1).dataType,
+      s"src/dst types differ: ${e.schema(0).dataType} vs ${e.schema(1).dataType}")
+    val adj = edgeSlot.persist(
+      e.groupBy("src").agg(collect_list(col("dst")).as("dsts"),
+        count(lit(1)).as("outdeg")))
+    val plainNodes = nodeSlot.persist(
+      adj.select(col("src").as("node"))
+        .union(adj.select(explode(col("dsts")).as("node"))).distinct())
+    // seed flag folded into the node relation ONCE (nodes-sized, cached
+    // for the loop in its own slot — flagged nodes are a different plan
+    // than pageRank's and must not evict the shared plain node set)
+    val nodes = seedSlot.persist(
+      plainNodes.join(
+          seeds.select(col(seedCol).as("node")).distinct()
+            .withColumn("is_seed", lit(true)),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed")))
+
+    val baseFp = ((10000L - dampingBp) * 1000000L) / 10000L
+    var ranks = nodes.select(col("node"),
+      when(col("is_seed"), lit(1000000L)).otherwise(lit(0L)).as("rank_fp"))
+    for (_ <- 1 to iterations) {
+      val prev = ranks
+      val sums = adj.join(ranks.hint("shuffle_hash"), adj("src") === ranks("node"))
+        .select(explode(col("dsts")).as("node"), expr("rank_fp div outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("m"))
+      ranks = CheckpointCut.cut(nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed"), lit(baseFp)).otherwise(lit(0L)) +
+            expr(s"(${dampingBp}L * coalesce(m, 0L)) div 10000")).as("rank_fp")))
       CheckpointCut.release(prev)
     }
     ranks

@@ -134,4 +134,41 @@ object Sessions {
       .groupBy(col(userCol), col("session_seq"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral fingerprint under bot detection (bot flows have
+    * near-deterministic rows), next-event prediction baselines, and
+    * funnel design. Each user's events order by (ts, tiebreak…); every
+    * consecutive pair emits one (from_type, to_type) transition; counts
+    * aggregate globally with the probability as FIXED-POINT basis points
+    * `(n · 10000) div from_total` — integer floor division, so the
+    * result is a pure function of the event set (no float ratio whose
+    * last ulp could differ across engines).
+    *
+    * Scale shape: ONE shuffle on the user key for the lead() window —
+    * sequences live per-user, so the window partitions by user and never
+    * globally sorts — then the transition groupBy's map-side partial
+    * collapses to ≤ |type|² rows per partition before the second
+    * (trivially small) exchange. The per-type totals reuse the counted
+    * matrix itself (a |type|²-row window), NOT a second pass over events.
+    *
+    * @param tieBreak extra ordering columns after ts (determinism when
+    *                 one user has simultaneous events)
+    * @return (from_type, to_type, n BIGINT, p_bp BIGINT) — `p_bp` the
+    *         floored basis-point probability P(to | from)
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol) +: tieBreak.map(col): _*)
+    val pairs = events
+      .select((Seq(col(userCol), col(tsCol), col(typeCol).as("from_type")) ++
+        tieBreak.map(col)): _*)
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    val counted = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counted.select(col("from_type"), col("to_type"), col("n"),
+      expr("(n * 10000) div sum(n) over (partition by from_type)").as("p_bp"))
+  }
 }

@@ -83,4 +83,26 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     assert(byCell.values.forall(_.map(_._3).sorted.toSeq == (1 to 5)))
     assert(out.map(_._2).distinct.length == out.length) // ids never repeat
   }
+
+  test("margin gate: identical centroids give zero margins; separated cells positive ones") {
+    // 5 identical points, k=2 -> both centroids equal -> every margin 0,
+    // everything ties into cell 1
+    val same = (1L to 5L).map(i => i -> Seq(3.0, 4.0))
+    val z = Clustering.marginGate(same.toDF("id", "v"), "id", "v", k = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(z.toSeq == Seq((1L, 5L, 0.0, 0.0, 0.0)))
+
+    // two tight groups far apart: margins are large and integral, counts split
+    val rows = (1L to 20L).map(i =>
+      i -> Seq((i % 2).toDouble * 100.0 + i.toDouble / 1000.0))
+    val out = Clustering.marginGate(rows.toDF("id", "v"), "id", "v", k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.length == 2 && out.map(_._2).sum == 20)
+    assert(out.forall { case (_, _, s, mn, mx) =>
+      mn > 0.0 && mx >= mn && s >= mn && s == math.floor(s) &&
+        mn == math.floor(mn) && mx == math.floor(mx)
+    }, out.toSeq)
+  }
 }

@@ -218,4 +218,36 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) == 1L, out) // never receives a vote
     assert(out(2L) == 1L, out)
   }
+
+  private def ppr(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.personalizedPageRank(edges.toDF("s", "d"), "s", "d",
+      seeds.toDF("seed"), "seed", iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("personalized pagerank: two hand-computed rounds on a 2-cycle, seed {A}") {
+    // r0: A=1e6, B=0; outdeg 1 each
+    // r1: A = 150000 + 0.85*0 = 150000 ; B = 0 + 0.85*1e6 = 850000
+    val r1 = ppr(Seq(1L -> 2L, 2L -> 1L), Seq(1L), 1)
+    assert(r1 == Map(1L -> 150000L, 2L -> 850000L))
+    // r2: A = 150000 + 0.85*850000 = 872500 ; B = 0.85*150000 = 127500
+    val r2 = ppr(Seq(1L -> 2L, 2L -> 1L), Seq(1L), 2)
+    assert(r2 == Map(1L -> 872500L, 2L -> 127500L))
+  }
+
+  test("personalized pagerank: seed dominates, farthest node trails") {
+    // chain 1<->2<->3<->4: at finite iteration counts the mass travels in
+    // waves (pointwise hop-monotonicity does NOT hold round by round —
+    // node 3 can transiently outrank node 2), but the endpoints are
+    // stable: the seed holds the max, the farthest node the min
+    val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 2L -> 1L, 3L -> 2L, 4L -> 3L)
+    val out = ppr(chain, Seq(1L), 4)
+    assert(out(1L) == out.values.max && out(4L) == out.values.min, out)
+  }
+
+  test("personalized pagerank: a seed absent from the graph contributes nothing") {
+    val out = ppr(Seq(1L -> 2L, 2L -> 1L), Seq(99L), 2)
+    assert(out == Map(1L -> 0L, 2L -> 0L)) // no teleport mass anywhere
+  }
 }

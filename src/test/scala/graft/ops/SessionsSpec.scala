@@ -137,4 +137,36 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     assert(out(0).getAs[Long]("n_events") == 2)
     assert(out(1).getAs[Long]("n_events") == 1)
   }
+
+  test("transition matrix: counts per ordered pair, floored basis points") {
+    import spark.implicits._
+    // user 1: A B A C  -> A>B, B>A, A>C ; user 2: A B -> A>B
+    // from A: {B:2, C:1} -> p_bp 6666 / 3333 ; from B: {A:1} -> 10000
+    val df = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "C"),
+      (2L, 1L, "A"), (2L, 2L, "B"))
+      .toDF("user_id", "seq", "event_type")
+      .withColumn("ts", expr("timestamp_micros(seq * 1000000)"))
+    val out = Sessions.transitionMatrix(df, "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("A", "B") -> (2L, 6666L),
+      ("A", "C") -> (1L, 3333L),
+      ("B", "A") -> (1L, 10000L)))
+  }
+
+  test("transition matrix: sequences never cross users; tie-break column orders simultaneous events") {
+    import spark.implicits._
+    // both events at the SAME ts — the event_id tie-break decides X>Y,
+    // and user 2's isolated single event emits nothing
+    val df = Seq(
+      (1L, 10L, "X"), (1L, 20L, "Y"),
+      (2L, 1L, "Z"))
+      .toDF("user_id", "event_id", "event_type")
+      .withColumn("ts", expr("timestamp_micros(1000000)"))
+    val out = Sessions.transitionMatrix(df, "user_id", "ts", "event_type", Seq("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("X", "Y") -> 1L))
+  }
 }
