@@ -1790,6 +1790,16 @@ object SparkEntry {
       graft.ops.Clustering.marginGate(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)),
 
+    // ---- V: exact DBSCAN over the cosine ε-neighborhood graph —
+    //      density clustering with a NOISE class (k-means assigns every
+    //      outlier somewhere; curation wants them out). Core/border/
+    //      noise with deterministic border ties; clusters = connected
+    //      components of the core-core subgraph ----
+    "v18_dbscan" -> ((s, dir) =>
+      graft.ops.Clustering.dbscan(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, minPts = 5)),
+
     // ---- T: fixed-length token windows with overlap (stride <
     //      maxTokens) — the max-seq-len chunking step upstream of t15's
     //      packing ----
@@ -3956,6 +3966,33 @@ object SparkEntry {
                   AS INTEGER) AS sample_rank
          FROM fin)
        WHERE sample_rank <= 10"""),
+
+    "v18_dbscan" ->
+      """WITH RECURSIVE p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.3),
+         sym AS (SELECT id_a AS id, id_b AS nb FROM p UNION ALL SELECT id_b, id_a FROM p),
+         cnt AS (SELECT id, COUNT(*) AS n FROM sym GROUP BY id),
+         core AS (SELECT id FROM cnt WHERE n + 1 >= 5),
+         cp AS (SELECT id_a, id_b FROM p
+                WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)),
+         ce AS (SELECT id_a AS src, id_b AS dst FROM cp UNION SELECT id_b, id_a FROM cp),
+         reach(src, dst) AS (SELECT src, dst FROM ce
+           UNION SELECT r.src, ce.dst FROM reach r JOIN ce ON r.dst = ce.src),
+         cl AS (SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src),
+         corelab AS (SELECT c.id, COALESCE(cl.cluster_id, c.id) AS cluster_id
+                     FROM core c LEFT JOIN cl ON c.id = cl.id),
+         border AS (SELECT s.id, MIN(k.cluster_id) AS cluster_id
+                    FROM sym s JOIN corelab k ON s.nb = k.id
+                    WHERE s.id NOT IN (SELECT id FROM core) GROUP BY s.id)
+         SELECT e.vec_id,
+           CASE WHEN c.id IS NOT NULL THEN 'core'
+                WHEN b.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+           COALESCE(c.cluster_id, b.cluster_id) AS cluster_id
+         FROM embeddings e LEFT JOIN corelab c ON e.vec_id = c.id
+         LEFT JOIN border b ON e.vec_id = b.id""",
 
     "v17_kmeans_margin" -> (kmeansOracleCtes +
       """,

@@ -210,6 +210,66 @@ object Clustering {
     *
     * @return (cluster LONG, idCol, sample_rank INT)
     */
+  /** Exact DBSCAN (Ester et al. 1996) over the cosine ε-neighborhood
+    * graph: neighbors are pairs with cosine ≥ `threshold`; a point is
+    * CORE when its neighborhood (point itself included — the textbook
+    * minPts convention) reaches `minPts`; clusters are connected
+    * components of the core-core subgraph labeled by smallest member
+    * id; a BORDER point attaches to the smallest cluster id among its
+    * core neighbors (the deterministic resolution of DBSCAN's
+    * order-dependent border tie); everything else is NOISE. Density
+    * clustering complements [[kmeansAssign]] where cluster count is
+    * unknown and outliers must stay OUT of every cell (k-means has no
+    * noise concept — every point lands somewhere).
+    *
+    * Scale shape: composition of proven tiers — the pair pass is
+    * [[Similarity.embeddingNearDup]] (or the sign-LSH bucketed path for
+    * corpus scale), core detection one partial-combine count on uniform
+    * id keys, clustering [[Dedup.connectedComponents]] (pointer-doubling
+    * O(log d) rounds, reliable checkpoints under a checkpoint dir), and
+    * the border attach two semi/anti joins plus a min-agg. No step
+    * shuffles vectors — after the pair pass everything is (id, id) pairs.
+    *
+    * @return (idCol, role STRING core|border|noise, cluster_id — id type,
+    *         null for noise)
+    */
+  def dbscan(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      minPts: Int,
+      scalePath: Boolean = false): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val pairs = (if (scalePath)
+      Similarity.lshEmbeddingNearDup(embeddings, idCol, vecCol, threshold)
+    else Similarity.embeddingNearDup(embeddings, idCol, vecCol, threshold))
+      .select("id_a", "id_b")
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val cores = sym.groupBy("id").agg(count(lit(1)).as("n_nb"))
+      .where(col("n_nb") + 1 >= minPts).select("id")
+    val corePairs = pairs
+      .join(cores.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(cores.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    // isolated cores (no core neighbor) fall out of the CC relation and
+    // label themselves — k never silently loses a dense singleton
+    val cc = Dedup.connectedComponents(corePairs)
+    val coreLab = cores.join(cc, cores("id") === cc("doc_id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val borderLab = sym
+      .join(coreLab.select(col("id").as("nb"), col("cluster_id").as("nb_cl")),
+        Seq("nb"))
+      .join(cores, Seq("id"), "left_anti")
+      .groupBy("id").agg(min(col("nb_cl")).as("cluster_id"))
+    val assigned = coreLab.select(col("id"), lit("core").as("role"), col("cluster_id"))
+      .unionByName(borderLab.select(col("id"), lit("border").as("role"), col("cluster_id")))
+    embeddings.select(col(idCol).as("id"))
+      .join(assigned, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("role"), lit("noise")).as("role"), col("cluster_id"))
+  }
+
   def clusterBalancedSample(
       corpus: DataFrame,
       idCol: String,

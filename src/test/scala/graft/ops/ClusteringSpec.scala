@@ -105,4 +105,35 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
         mn == math.floor(mn) && mx == math.floor(mx)
     }, out.toSeq)
   }
+
+  test("dbscan: core clique, border attaches, isolated point is noise") {
+    // unit vectors on angles; neighbor iff cosine >= cos(10°). The
+    // 5-clique at 0..8° is pairwise within 10° -> each has 4 neighbors
+    // + self = minPts 5 -> all core, one cluster labeled by min id.
+    // 14.5° reaches only 6° and 8° (2 neighbors < 4) -> border.
+    // 90° reaches nobody -> noise.
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val rows = Seq(
+      1L -> v(0), 2L -> v(2), 3L -> v(4), 4L -> v(6), 5L -> v(8),
+      6L -> v(14.5), 7L -> v(90))
+    val out = Clustering.dbscan(rows.toDF("id", "vec"), "id", "vec",
+      threshold = math.cos(math.toRadians(10)), minPts = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    (1L to 5L).foreach(i => assert(out(i) == ("core", 1L), s"id $i: ${out(i)}"))
+    assert(out(6L) == ("border", 1L), out(6L))
+    assert(out(7L) == ("noise", -1L), out(7L))
+  }
+
+  test("dbscan: two dense regions become two clusters; minPts gates density") {
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val a = Seq(1L -> v(0), 2L -> v(2), 3L -> v(4))       // clique A
+    val b = Seq(10L -> v(180), 11L -> v(182), 12L -> v(184)) // clique B, opposite
+    val out = Clustering.dbscan((a ++ b).toDF("id", "vec"), "id", "vec",
+      threshold = math.cos(math.toRadians(10)), minPts = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.values.forall(_._1 == "core"))
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).distinct == Seq(1L))
+    assert(Seq(10L, 11L, 12L).map(out(_)._2).distinct == Seq(10L))
+  }
 }
