@@ -1862,6 +1862,81 @@ object SparkEntry {
         .select(col("lang").as("labeled"), col("lang_pred").as("predicted"))
         .groupBy("labeled", "predicted").agg(count(lit(1)).as("n"))),
 
+    // ---- G: bounded Bellman–Ford — weighted shortest path over the
+    //      trade graph (edge cost = cheapest lineitem quantity on the
+    //      relation), the weighted complement of g3's hop counting.
+    //      3 relaxation rounds == min-cost over ≤3-edge paths; the
+    //      oracle unrolls the integer rounds exactly ----
+    "g6_sssp" -> ((s, dir) => {
+      val weighted = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .agg(min(col("l_quantity").cast("long")).as("w"))
+      val edges = weighted.select(explode(array(
+        struct(col("a").as("s"), col("b").as("d"), col("w")),
+        struct(col("b").as("s"), col("a").as("d"), col("w")))).as("e"))
+        .select(col("e.s").as("a"), col("e.d").as("b"), col("e.w").as("w"))
+      val seeds = t(s, dir, "supplier").where(col("s_suppkey") % 10 === 0)
+        .select((col("s_suppkey").cast("long") * 2 + 1).as("seed"))
+      graft.ops.Graph.ssspBellmanFord(edges, "a", "b", "w", seeds, "seed",
+        maxRounds = 3)
+    }),
+
+    // ---- E: gaps-and-islands — longest consecutive-day activity
+    //      streak per user (engagement/habit metric). One user-keyed
+    //      exchange shared by the distinct, both windows, and the
+    //      aggregates ----
+    "e31_streaks" -> ((s, dir) =>
+      graft.ops.Sessions.longestStreak(events(s, dir), "user_id", "ts")
+        .withColumnRenamed("user", "user_id")),
+
+    // ---- E: per-type daily-volume OLS trend — exact integer
+    //      slope numerator/denominator plus a portable floored
+    //      micro-slope (Spark div truncates, DuckDB // floors; the
+    //      positive-mod subtraction makes them agree) ----
+    "e32_trend" -> ((s, dir) => {
+      val ev = events(s, dir)
+      // day index OFFSET FROM THE SERIES START (scalar min via one-row
+      // cross join) keeps x small — the olsTrend exactness bound
+      val days = ev.select(col("event_type"),
+        expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").as("day"))
+      val d0 = days.agg(min(col("day")).as("day0"))
+      val daily = days.crossJoin(d0)
+        .groupBy(col("event_type"), (col("day") - col("day0")).as("x"))
+        .agg(count(lit(1)).as("y"))
+      graft.ops.TimeSeries.olsTrend(daily, "event_type", "x", "y")
+        .withColumnRenamed("key", "event_type")
+    }),
+
+    // ---- T: DSIR importance selection — keep the 100 docs whose
+    //      hashed-n-gram log-likelihood ratio most favors the TARGET
+    //      distribution (the 'en'-labeled slice) over the raw corpus.
+    //      The target corpus never moves — only its bucket histogram ----
+    "t32_dsir_select" -> ((s, dir) =>
+      graft.ops.Classifier.dsirSelect(
+        t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 4096, topK = 100)),
+
+    // ---- X: UNPIVOT/melt — the inverse relational transform of x8's
+    //      pivot: per-status order metrics melted to (status, metric,
+    //      value) rows. Exact DECIMAL cells: a DOUBLE melt of money
+    //      would reformat across engines ----
+    "x33_unpivot" -> ((s, dir) => {
+      val m = t(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("decimal(18,2)").as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .as("total_price"),
+          max(col("o_totalprice").cast("decimal(18,2)")).as("max_price"))
+      // melt in DECIMAL (exact), surface as DOUBLE — the dsum recipe:
+      // a decimal cell crosses pandas/parquet as Decimal on one side
+      // and float on the other, so the exact value converts ONCE at
+      // the boundary
+      m.select(col("o_orderstatus"), expr(
+        """stack(3, 'n_orders', n_orders, 'total_price', total_price,
+                    'max_price', max_price) AS (metric, value)"""))
+        .withColumn("value", col("value").cast("double"))
+    }),
+
     "e1_sessionize" -> ((s, dir) => {
       val ev = events(s, dir)
       graft.ops.Sessions.assign(ev, "user_id", "ts", 3600, Seq("event_id"))
@@ -3671,6 +3746,111 @@ object SparkEntry {
                 ELSE 'und' END AS predicted
            FROM sc)
          SELECT labeled, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2""",
+
+    // bounded Bellman–Ford == 3 unrolled relax-and-min rounds over the
+    // same integer weights (g1's unrolling recipe, min instead of sum)
+    "g6_sssp" ->
+      """WITH p AS (SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+                      MIN(CAST(l_quantity AS BIGINT)) AS w
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    GROUP BY 1, 2),
+         e AS (SELECT a AS src, b AS dst, w FROM p
+               UNION ALL SELECT b, a, w FROM p),
+         d0 AS (SELECT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS dist
+                FROM supplier WHERE s_suppkey % 10 = 0),
+         d1 AS (SELECT node, MIN(dist) AS dist FROM (
+                  SELECT node, dist FROM d0
+                  UNION ALL SELECT e.dst, d0.dist + e.w FROM d0 JOIN e ON e.src = d0.node)
+                GROUP BY node),
+         d2 AS (SELECT node, MIN(dist) AS dist FROM (
+                  SELECT node, dist FROM d1
+                  UNION ALL SELECT e.dst, d1.dist + e.w FROM d1 JOIN e ON e.src = d1.node)
+                GROUP BY node),
+         d3 AS (SELECT node, MIN(dist) AS dist FROM (
+                  SELECT node, dist FROM d2
+                  UNION ALL SELECT e.dst, d2.dist + e.w FROM d2 JOIN e ON e.src = d2.node)
+                GROUP BY node)
+         SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist FROM d3""",
+
+    // day − row_number() is constant exactly while days are consecutive;
+    // both engines floor the positive epoch division
+    "e31_streaks" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS t FROM events),
+         d AS (SELECT DISTINCT user_id, epoch_us(t) // 86400000000 AS day FROM e),
+         r AS (SELECT user_id, day,
+                 day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+               FROM d),
+         st AS (SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start_day
+                FROM r GROUP BY 1, 2),
+         mx AS (SELECT user_id, MAX(len) AS longest FROM st GROUP BY 1)
+         SELECT st.user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(MIN(CASE WHEN len = longest THEN start_day END) AS BIGINT)
+             AS longest_streak_start_day
+         FROM st JOIN mx USING (user_id) GROUP BY 1""",
+
+    // exact integer OLS sums; the positive-mod subtraction makes the
+    // floored // and Spark's truncating div agree on negative slopes
+    "e32_trend" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+                    FROM events),
+         d0 AS (SELECT MIN(day) AS day0 FROM e),
+         daily AS (SELECT event_type, day - day0 AS x, COUNT(*) AS y
+                   FROM e, d0 GROUP BY 1, 2),
+         a AS (SELECT event_type, COUNT(*) AS n_points, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy_raw, SUM(x * x) AS sxx_raw
+               FROM daily GROUP BY 1),
+         b AS (SELECT event_type, n_points,
+                 n_points * sxy_raw - sx * sy AS sxy,
+                 n_points * sxx_raw - sx * sx AS sxx
+               FROM a)
+         SELECT event_type, CAST(n_points AS BIGINT) AS n_points,
+           CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
+           CAST(CASE WHEN sxx = 0 THEN NULL ELSE
+             (sxy * 1000000 - ((sxy * 1000000 % sxx + sxx) % sxx)) // sxx END
+             AS BIGINT) AS slope_micro
+         FROM b""",
+
+    // t22's feature/bucket recipe + the DSIR log-ratio weights: the
+    // identical IEEE tree (two exact-integer-double products, one
+    // divide, one ln, micro-nat round) on both engines
+    "t32_dsir_select" ->
+      """WITH d AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '\S+') AS w
+                    FROM documents),
+         f AS (SELECT doc_id, lang = 'en' AS is_tgt,
+                 unnest(w || list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS f
+               FROM d WHERE len(w) >= 1),
+         b AS (SELECT doc_id, is_tgt,
+                 ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket FROM f),
+         c AS (SELECT bucket, COUNT(*) AS cr,
+                 SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ct FROM b GROUP BY 1),
+         tt AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM c),
+         wt AS (SELECT bucket,
+                  CAST(ROUND(LN((CAST(ct + 1 AS DOUBLE) * CAST(nr + 4096 AS DOUBLE)) /
+                    (CAST(cr + 1 AS DOUBLE) * CAST(nt + 4096 AS DOUBLE))) * 1000000)
+                    AS BIGINT) AS w_fp
+                FROM c, tt),
+         sc AS (SELECT doc_id, COUNT(*) AS n_features, CAST(SUM(w_fp) AS BIGINT) AS weight_fp
+                FROM b JOIN wt USING (bucket) GROUP BY 1)
+         SELECT doc_id, n_features, weight_fp FROM sc
+         ORDER BY weight_fp DESC, doc_id LIMIT 100""",
+
+    // pivot's inverse: the metric matrix melted back to rows; DECIMAL
+    // cells so money crosses engines exactly
+    "x33_unpivot" ->
+      """WITH m AS (SELECT o_orderstatus,
+                      CAST(COUNT(*) AS DECIMAL(18,2)) AS n_orders,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                        AS total_price,
+                      CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                        AS max_price
+                    FROM orders GROUP BY 1)
+         SELECT o_orderstatus, metric, CAST(value AS DOUBLE) AS value FROM (
+           SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM m
+           UNION ALL SELECT o_orderstatus, 'total_price', total_price FROM m
+           UNION ALL SELECT o_orderstatus, 'max_price', max_price FROM m)""",
 
     "t2_langid" ->
       """WITH d AS (SELECT doc_id, lang, text,

@@ -77,4 +77,78 @@ object Classifier {
       .agg(count(lit(1)).as("n_features"), sum("weight_fp").as("score_fp"))
       .withColumn("label", when(col("score_fp") >= 0L, "keep").otherwise("drop"))
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely a TARGET-domain hashed-n-gram
+    * model finds it than the raw-corpus model, and keep the top-k. The
+    * standard recipe for skewing a web crawl toward a quality domain
+    * (Wikipedia-like, code-like) without training a classifier — the
+    * "model" is two bucket-count histograms.
+    *
+    * Per bucket b, with add-one smoothing over the `buckets`-sized
+    * space: `w(b) = ln(p_target(b) / p_raw(b))`, and a document's
+    * importance is the sum of `w` over its feature OCCURRENCES (its
+    * log-likelihood ratio under the two bag-of-features models).
+    *
+    * Cross-engine determinism: per-bucket weights become fixed-point
+    * micro-nats (`round(ln(·)·10⁶)` as LONG — the t19/t23 recipe) via
+    * the identical IEEE tree in both engines: each count factor is an
+    * exact-integer double (exact below 2^53 — at the default 2¹² bucket
+    * space that holds to ~10¹⁵ corpus tokens), one correctly-rounded
+    * multiply per side, one divide, one ln. Per-doc sums are then
+    * integer, immune to accumulation order; selection order is
+    * (weight_fp DESC, id ASC) — total.
+    *
+    * Scale shape: one tokenize/hash pass (the t22 feature path), one
+    * buckets-sized count aggregate with map-side partials, corpus-total
+    * scalars via a one-row cross join, a buckets-sized weights join
+    * (AQE broadcasts it), one integer aggregate to doc grain, and a
+    * TakeOrderedAndProject top-k — never a global sort of the corpus.
+    * The target corpus never moves: only its bucket HISTOGRAM leaves
+    * the aggregation, which is why DSIR scales where classifier
+    * training doesn't.
+    *
+    * @param isTarget predicate Column over `docs` rows defining the
+    *                 target distribution (e.g. a trusted source flag)
+    * @param topK     documents to keep (weight DESC, id ASC)
+    * @return (idCol, n_features, weight_fp) for the k selected docs
+    */
+  def dsirSelect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 4096,
+      topK: Int = 100): DataFrame = {
+    require(buckets > 0, "bucket space must be positive")
+    require(topK > 0, "topK must be positive")
+    val base = docs
+      .repartition(col(idCol))
+      .select(col(idCol), isTarget.cast("boolean").as("is_tgt"),
+        TextAnalysis.tokens(lower(col(textCol))).as("w"))
+      .where(size(col("w")) >= 1)
+    val feats = base.select(col(idCol), col("is_tgt"),
+        explode(concat(col("w"), expr(
+          """IF(size(w) >= 2,
+                transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])),
+                array())"""))).as("f"))
+      .select(col(idCol), col("is_tgt"), bucketOf(col("f"), buckets).as("bucket"))
+    // raw = ALL docs (the distribution documents are drawn from), so
+    // every doc feature is present in the raw histogram by construction;
+    // ct coalesces to 0 for buckets the target never hits
+    val counts = feats.groupBy("bucket")
+      .agg(count(lit(1)).as("cr"), sum(col("is_tgt").cast("long")).as("ct"))
+    val totals = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val weights = counts.crossJoin(totals).select(col("bucket"),
+      expr(
+        s"""CAST(ROUND(LN((CAST(ct + 1 AS DOUBLE) * CAST(nr + $buckets AS DOUBLE)) /
+           |(CAST(cr + 1 AS DOUBLE) * CAST(nt + $buckets AS DOUBLE))) * 1000000) AS BIGINT)"""
+          .stripMargin).as("w_fp"))
+    feats.join(weights, Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"), sum("w_fp").as("weight_fp"))
+      .orderBy(col("weight_fp").desc, col(idCol).asc)
+      .limit(topK)
+  }
 }

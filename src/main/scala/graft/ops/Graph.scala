@@ -406,6 +406,70 @@ object Graph {
     *
     * @return (node, n_triangles)
     */
+  /** Weighted single-source (or multi-source) shortest path — bounded
+    * Bellman–Ford, the weighted complement of [[bfsHops]] (which counts
+    * edges; this sums a cost column: latency graphs, toll/route costs,
+    * minimum-cost reach in a trade network).
+    *
+    * Determinism design: weights are LONG (callers quantize money/time
+    * to integer units first), distances are LONG sums, and each round is
+    * the pure relaxation
+    *
+    *   `dist_k(v) = min(dist_{k-1}(v), min over edges (u,v) of
+    *                    dist_{k-1}(u) + w(u,v))`
+    *
+    * — a min over exact integers, immune to accumulation order, so an
+    * independent engine replays the rounds bit-for-bit by unrolling them
+    * (the g1/g4 oracle recipe). After k rounds, dist(v) is exactly the
+    * cheapest path of ≤ k edges — a well-defined result even when the
+    * round budget is below the graph's diameter (and the reason there is
+    * no early-exit nondeterminism to document).
+    *
+    * Scale shape: each round is ONE equi-join of the edge relation
+    * against the nodes-sized distance relation (shuffle-hash on the
+    * stats-less checkpointed side — broadcast would die at 1e9 nodes)
+    * followed by a map-side-partial min aggregate; round state is
+    * checkpoint-cut ([[CheckpointCut]]: reliable files when a checkpoint
+    * dir is set, executor-local blocks otherwise) and retired rounds are
+    * released eagerly. Rounds, not graph size, are the latency axis.
+    * Negative weights are UNSUPPORTED (not checked — a validation scan
+    * would cost a full edge pass): the ≤ k-edge-path semantics stay
+    * well-defined, but the result is no longer "shortest path" once a
+    * negative cycle exists; callers own the non-negativity contract the
+    * way they own integer quantization.
+    *
+    * @param maxRounds relaxation rounds (≥ 0); distances are exact for
+    *                  all paths of at most this many edges
+    * @return (node, dist) for nodes reachable within `maxRounds` edges;
+    *         seeds at 0, unreached nodes absent (caller left-joins for ∞)
+    */
+  def ssspBellmanFord(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
+    var dist = CheckpointCut.cut(seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)))
+    var r = 0
+    while (r < maxRounds) {
+      r += 1
+      val relaxed = e.join(dist.hint("shuffle_hash"), e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val prev = dist
+      dist = CheckpointCut.cut(
+        prev.unionAll(relaxed).groupBy("node").agg(min("dist").as("dist")))
+      CheckpointCut.release(prev)
+    }
+    dist
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e0 = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),

@@ -171,4 +171,53 @@ object Sessions {
     counted.select(col("from_type"), col("to_type"), col("n"),
       expr("(n * 10000) div sum(n) over (partition by from_type)").as("p_bp"))
   }
+
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands engagement metric (DAU streaks, habit scoring,
+    * retention-risk flags). Works on any integer "period index" (epoch
+    * day here; weeks or months are a caller-side division away).
+    *
+    * The island identity: over a user's DISTINCT active days ordered
+    * ascending, `day − row_number()` is constant exactly while days are
+    * consecutive — each constant value names one streak. Every step is
+    * integer arithmetic on the event-time epoch, so the result replays
+    * exactly in any engine.
+    *
+    * Scale shape: ONE exchange on the user key; the distinct, both
+    * window passes, and the two aggregates all reuse that partitioning
+    * (the e23 sweep-line recipe). Output is users-sized; only per-user
+    * counters cross the final aggregation.
+    *
+    * @param tsCol event-time column castable to TIMESTAMP; activity days
+    *              are UTC calendar days of the epoch (`floor(epoch_us /
+    *              86400e6)` — no session-timezone dependence)
+    * @return (user, n_active_days, n_streaks, longest_streak,
+    *          longest_streak_start_day) — start day ties broken to the
+    *          EARLIEST streak of maximal length
+    */
+  def longestStreak(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = events
+      .select(col(userCol).as("user"),
+        // cast-to-long on a timestamp is whole seconds (floored), and
+        // 86400 divides cleanly: day = floor(epoch_s / 86400) — but
+        // pre-1970 rows would truncate toward zero, so use the portable
+        // positive-mod floor there too
+        expr(s"""(CAST(CAST($tsCol AS TIMESTAMP) AS LONG) -
+                 ((CAST(CAST($tsCol AS TIMESTAMP) AS LONG) % 86400 + 86400) % 86400))
+                 div 86400""").as("day"))
+      .distinct()
+    val byDay = Window.partitionBy(col("user")).orderBy(col("day"))
+    val streaks = days
+      .withColumn("island", col("day") - row_number().over(byDay))
+      .groupBy(col("user"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    streaks.groupBy(col("user"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        // earliest start among maximal-length streaks: max of
+        // (len, -start_day) picks len DESC then start_day ASC
+        (-max(struct(col("len"), (-col("start_day")).as("neg_start")))
+          .getField("neg_start")).as("longest_streak_start_day"))
+  }
 }

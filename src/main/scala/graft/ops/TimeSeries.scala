@@ -154,4 +154,60 @@ object TimeSeries {
         sum(col("i_e") - col("i_s")).as("covered_us"),
         (max(col("i_e")) - min(col("i_s"))).as("span_us"))
   }
+
+  /** Per-key OLS trend over integer (x, y) observations — the "is this
+    * metric growing?" primitive (daily-volume trend per event type,
+    * per-source crawl growth, per-tenant usage slope). Closed-form
+    * simple linear regression, kept EXACT:
+    *
+    *   sxy = n·Σxy − Σx·Σy      (slope numerator)
+    *   sxx = n·Σx² − (Σx)²      (slope denominator, ≥ 0; 0 ⇔ one
+    *                             distinct x — slope undefined, NULL out)
+    *
+    * Both are integer expressions over map-side-partial integer sums —
+    * no division, no doubles, immune to accumulation order — and the
+    * reported `slope_micro = ⌊10⁶·sxy / sxx⌋` uses the PORTABLE floor
+    * division `(a − ((a % b + b) % b)) div b` (Spark's bare `div`
+    * truncates toward zero, DuckDB's `//` floors — they disagree exactly
+    * when the numerator is negative, i.e. on every downward trend; both
+    * `%` operators are C-style, so the positive-mod subtraction makes
+    * the operand exactly divisible and the disagreement vanishes).
+    *
+    * Caller contract (documented, not checked — the bound depends on
+    * data the operator would have to scan): x should be SMALL integers
+    * (offset from the series start, e.g. day index — the query layer
+    * subtracts min(x) before calling); with |x| ≤ X and |y| ≤ Y the
+    * exactness bound is n·X·(10⁶·n·Y) < 2⁶³ — day-grain series with
+    * million-scale daily counts stay exact for ~10⁴ days.
+    *
+    * Scale shape: ONE hash aggregate on the key (5 integer partials),
+    * then a row-local projection. Key cardinality is the output size;
+    * nothing else leaves the executors.
+    *
+    * @return (key, n_points, sxy, sxx, slope_micro) — slope_micro NULL
+    *         when all x coincide
+    */
+  def olsTrend(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val agg = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy_raw"), sum(x * x).as("sxx_raw"))
+      .select(col("key"), col("n_points"),
+        (col("n_points") * col("sxy_raw") - col("sx") * col("sy")).as("sxy"),
+        (col("n_points") * col("sxx_raw") - col("sx") * col("sx")).as("sxx"))
+    // `a div b` truncates toward zero, but here it floors: the positive
+    // mod makes (num − pm) exactly divisible by sxx, so truncation and
+    // floor coincide and the LONG result is exact (no double quotient —
+    // Spark's `/` on longs is a double divide, unsafe past 2^53)
+    agg.withColumn("slope_micro", expr(
+      """CASE WHEN sxx = 0 THEN CAST(NULL AS BIGINT) ELSE
+           (sxy * 1000000L -
+            ((sxy * 1000000L % sxx + sxx) % sxx)) div sxx END"""))
+  }
 }

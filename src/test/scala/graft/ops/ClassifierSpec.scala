@@ -80,4 +80,52 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == manual)
   }
+
+  test("dsirSelect: target-like docs outrank raw-only docs; identical text ties on weight") {
+    val docs = Seq(
+      (1L, "good words here", true),   // the target slice
+      (2L, "good words here", false),  // same text, NOT target — same weight
+      (3L, "bad junk junk", false),
+      (4L, "bad junk junk", false)).toDF("doc_id", "text", "tgt")
+    val out = Classifier.dsirSelect(docs, "doc_id", "text",
+        isTarget = col("tgt"), buckets = 512, topK = 4)
+      .select("doc_id", "weight_fp").as[(Long, Long)].collect()
+    val byId = out.toMap
+    // docs 1/2 share every feature, so their weights are identical and
+    // strictly above the junk docs' (whose features never occur in the
+    // target histogram → negative log-ratios)
+    assert(byId(1L) == byId(2L))
+    assert(byId(3L) == byId(4L))
+    assert(byId(1L) > byId(3L))
+    // selection order: weight DESC then id ASC
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("dsirSelect: topK truncates at the (weight DESC, id ASC) boundary") {
+    // equal-length docs: DSIR weights sum over feature OCCURRENCES, so
+    // ranking across different doc lengths mixes length into the score —
+    // the discriminating case is same-length, different-content
+    val docs = Seq(
+      (10L, "alpha alpha", true), (11L, "alpha alpha", false),
+      (12L, "omega omega", false)).toDF("doc_id", "text", "tgt")
+    val kept = Classifier.dsirSelect(docs, "doc_id", "text",
+        isTarget = col("tgt"), buckets = 512, topK = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 11L)) // the tied target-like pair wins; id breaks nothing here
+  }
+
+  test("dsirSelect: weight is the exact integer sum of per-bucket micro-nat log-ratios") {
+    // ONE doc, one token, replicated so counts are non-trivial: verify
+    // the fixed-point weight against an independently computed value
+    val docs = Seq(
+      (1L, "zz", true), (2L, "zz", true), (3L, "zz", false)).toDF("doc_id", "text", "tgt")
+    val out = Classifier.dsirSelect(docs, "doc_id", "text",
+        isTarget = col("tgt"), buckets = 512, topK = 3)
+      .select("doc_id", "n_features", "weight_fp").as[(Long, Long, Long)].collect()
+    // single bucket b: cr=3, ct=2, nr=3, nt=2, B=512
+    // w = round(ln((3·515)/(4·514)) · 1e6) = round(ln(1545/2056)·1e6)
+    val expect = Math.round(Math.log((2.0 + 1.0) * (3.0 + 512.0) /
+      ((3.0 + 1.0) * (2.0 + 512.0))) * 1e6)
+    assert(out.toSet == Set((1L, 1L, expect), (2L, 1L, expect), (3L, 1L, expect)))
+  }
 }

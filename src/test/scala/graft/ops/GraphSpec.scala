@@ -250,4 +250,39 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val out = ppr(Seq(1L -> 2L, 2L -> 1L), Seq(99L), 2)
     assert(out == Map(1L -> 0L, 2L -> 0L)) // no teleport mass anywhere
   }
+
+  private def sssp(
+      edges: Seq[(Long, Long, Long)], seeds: Seq[Long], rounds: Int): Map[Long, Long] = {
+    val e = edges.toDF("src", "dst", "w")
+    val s = seeds.toDF("seed")
+    Graph.ssspBellmanFord(e, "src", "dst", "w", s, "seed", rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("sssp: relaxation beats the direct edge (the Bellman–Ford case)") {
+    // A=1 -> B=2 (w 5), A -> C=3 (w 10), B -> C (w 2): the 2-edge path
+    // A->B->C costs 7, cheaper than the direct 10 — round 2 must relax it
+    val e = Seq((1L, 2L, 5L), (1L, 3L, 10L), (2L, 3L, 2L))
+    assert(sssp(e, Seq(1L), 1) == Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+    assert(sssp(e, Seq(1L), 2) == Map(1L -> 0L, 2L -> 5L, 3L -> 7L))
+  }
+
+  test("sssp: maxRounds bounds the path LENGTH — a node 3 edges out is absent at 2 rounds") {
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    val r2 = sssp(chain, Seq(1L), 2)
+    assert(!r2.contains(4L))
+    assert(sssp(chain, Seq(1L), 3)(4L) == 3L)
+  }
+
+  test("sssp: multi-seed takes the cheapest seed; seeds stay at 0 even on a cheap cycle") {
+    // both endpoints seeded; middle node takes min(4, 2) from the nearer seed
+    val e = Seq((1L, 2L, 4L), (3L, 2L, 2L), (2L, 1L, 0L))
+    val out = sssp(e, Seq(1L, 3L), 3)
+    assert(out == Map(1L -> 0L, 2L -> 2L, 3L -> 0L))
+  }
+
+  test("sssp: zero rounds returns exactly the deduplicated seed set") {
+    val out = sssp(Seq((1L, 2L, 1L)), Seq(1L, 1L, 9L), 0)
+    assert(out == Map(1L -> 0L, 9L -> 0L))
+  }
 }

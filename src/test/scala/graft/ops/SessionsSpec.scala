@@ -169,4 +169,42 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(out == Map(("X", "Y") -> 1L))
   }
+
+  private def streaks(rows: (Long, String)*) = {
+    import spark.implicits._
+    val df = rows.toSeq.toDF("user_id", "t")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    Sessions.longestStreak(df, "user_id", "ts")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+  }
+
+  test("streaks: islands split on missing days; repeats within a day collapse") {
+    // user 1: days {d,d+1,d+2}, {d+4,d+5}, {d+9} — three islands
+    val out = streaks(
+      (1L, "2024-01-01 09:00:00"), (1L, "2024-01-01 23:00:00"), // same day twice
+      (1L, "2024-01-02 05:00:00"), (1L, "2024-01-03 00:00:00"),
+      (1L, "2024-01-05 12:00:00"), (1L, "2024-01-06 12:00:00"),
+      (1L, "2024-01-10 12:00:00"),
+      (2L, "2024-01-07 01:00:00")) // single-day user: streak 1
+    val day0 = 19723L // 2024-01-01 UTC as epoch day
+    assert(out(1L) == ((6L, 3L, 3L, day0)))
+    assert(out(2L) == ((1L, 1L, 1L, day0 + 6)))
+  }
+
+  test("streaks: equal-length maxima report the EARLIEST start") {
+    val out = streaks(
+      (1L, "2024-02-01 10:00:00"), (1L, "2024-02-02 10:00:00"),
+      (1L, "2024-02-10 10:00:00"), (1L, "2024-02-11 10:00:00"))
+    val (active, nStreaks, longest, start) = out(1L)
+    assert(active == 4L && nStreaks == 2L && longest == 2L)
+    assert(start == 19754L) // 2024-02-01, not the later equal streak
+  }
+
+  test("streaks: day boundary is UTC-midnight of the epoch — 23:59:59 and 00:00:01 are consecutive days") {
+    val out = streaks(
+      (1L, "2024-03-01 23:59:59"), (1L, "2024-03-02 00:00:01"))
+    assert(out(1L)._3 == 2L) // one 2-day streak, not a single day
+  }
 }

@@ -100,4 +100,33 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       assert(out.toSeq == Seq(expect), s"perm=$perm -> ${out.toSeq}")
     }
   }
+
+  private def trend(rows: (String, Long, Long)*): Map[String, (Long, Long, Long, Option[Long])] =
+    TimeSeries.olsTrend(rows.toSeq.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+
+  test("olsTrend: hand-checked exact slopes, up and down") {
+    val out = trend(
+      // y = 2x + 1 exactly: sxy = 3·13−3·9 = 12, sxx = 3·5−9 = 6 → 2.0
+      ("up", 0L, 1L), ("up", 1L, 3L), ("up", 2L, 5L),
+      // y = 5 − 2x: sxy = −12 → −2.0, exactly divisible
+      ("dn", 0L, 5L), ("dn", 1L, 3L), ("dn", 2L, 1L))
+    assert(out("up") == ((3L, 12L, 6L, Some(2000000L))))
+    assert(out("dn") == ((3L, -12L, 6L, Some(-2000000L))))
+  }
+
+  test("olsTrend: negative non-divisible slope FLOORS (the Spark-div-vs-SQL-// trap)") {
+    // x∈{0,1,3}, y=(1,1,0): sxy = 3·1−4·2 = −5, sxx = 3·10−16 = 14
+    // slope = −5e6/14 = −357142.857… → floor −357143 (truncation: −357142)
+    val out = trend(("k", 0L, 1L), ("k", 1L, 1L), ("k", 3L, 0L))
+    assert(out("k") == ((3L, -5L, 14L, Some(-357143L))))
+  }
+
+  test("olsTrend: a single distinct x has no slope — NULL, never a divide error") {
+    val out = trend(("k", 7L, 1L), ("k", 7L, 9L))
+    val (n, _, sxx, slope) = out("k")
+    assert(n == 2L && sxx == 0L && slope.isEmpty, out("k"))
+  }
 }
