@@ -1937,6 +1937,53 @@ object SparkEntry {
         .withColumn("value", col("value").cast("double"))
     }),
 
+    // ---- G: Adamic–Adar link prediction over the high-volume trade
+    //      subgraph (quantity ≥ 48 keeps it sparse — the guard a real
+    //      deployment sets with maxDegree). Predicts NEW pairs from
+    //      shared neighbors weighted 1/ln(deg) ----
+    "g7_adamic_adar" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_quantity") >= 48)
+        .select((col("o_custkey") * 2).as("x"), (col("l_suppkey") * 2 + 1).as("y"))
+        .distinct()
+      graft.ops.Graph.adamicAdar(pairs, "x", "y", maxDegree = 10000L, topK = 100)
+    }),
+
+    // ---- E: RFM customer segmentation — recency/frequency/monetary
+    //      quintile scores against exact-percentile population cuts ----
+    "e33_rfm" -> ((s, dir) =>
+      graft.ops.Sessions.rfmSegments(
+        events(s, dir).where(col("event_type") === "purchase"),
+        "user_id", "ts", "value")
+        .withColumnRenamed("user", "user_id")),
+
+    // ---- X: HLL audience overlap — |A∩B| by sketch inclusion-
+    //      exclusion (viewers vs purchasers), gated against the exact
+    //      intersection; only exact counts and gate bits cross to the
+    //      oracle (estimates are engine-specific) ----
+    "x34_hll_overlap" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val a = ev.where(col("event_type") === "view").select("user_id")
+      val b = ev.where(col("event_type") === "purchase").select("user_id")
+      val ska = a.agg(expr("hll_sketch_agg(user_id)").as("ska"),
+        countDistinct(col("user_id")).as("d_a"))
+      val skb = b.agg(expr("hll_sketch_agg(user_id)").as("skb"),
+        countDistinct(col("user_id")).as("d_b"))
+      val inter = a.distinct().join(b.distinct(), Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("d_inter"))
+      ska.crossJoin(skb).crossJoin(inter)
+        .select(col("d_a"), col("d_b"), col("d_inter"),
+          (expr("hll_sketch_estimate(ska)") * 100)
+            .between(col("d_a") * 95, col("d_a") * 105).cast("int").as("a_ok"),
+          (expr("hll_sketch_estimate(skb)") * 100)
+            .between(col("d_b") * 95, col("d_b") * 105).cast("int").as("b_ok"),
+          (abs(expr("""hll_sketch_estimate(ska) + hll_sketch_estimate(skb)
+                       - hll_sketch_estimate(hll_union(ska, skb))""")
+            - col("d_inter")) * 100 <= col("d_inter") * 10)
+            .cast("int").as("inter_ok"))
+    }),
+
     "e1_sessionize" -> ((s, dir) => {
       val ev = events(s, dir)
       graft.ops.Sessions.assign(ev, "user_id", "ts", 3600, Seq("event_id"))
@@ -3851,6 +3898,85 @@ object SparkEntry {
            SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM m
            UNION ALL SELECT o_orderstatus, 'total_price', total_price FROM m
            UNION ALL SELECT o_orderstatus, 'max_price', max_price FROM m)""",
+
+    // same wedge join, same fixed-point 1/ln(deg) weights, same
+    // (score DESC, a, b) top-100 boundary order
+    "g7_adamic_adar" ->
+      """WITH p0 AS (SELECT DISTINCT o_custkey * 2 AS x, l_suppkey * 2 + 1 AS y
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                     WHERE l_quantity >= 48),
+         e0 AS (SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM p0),
+         adj AS (SELECT a AS w, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+         wts AS (SELECT w, CAST(ROUND(1000000 / LN(CAST(deg AS DOUBLE))) AS BIGINT) AS w_fp
+                 FROM (SELECT w, COUNT(*) AS deg FROM adj GROUP BY w)
+                 WHERE deg >= 2 AND deg <= 10000),
+         pr AS (SELECT a1.n AS a, a2.n AS b, COUNT(*) AS n_common,
+                  CAST(SUM(w.w_fp) AS BIGINT) AS score_fp
+                FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.n < a2.n
+                JOIN wts w ON w.w = a1.w
+                GROUP BY 1, 2),
+         nn AS (SELECT pr.a, pr.b, pr.n_common, pr.score_fp FROM pr
+                ANTI JOIN e0 ON pr.a = e0.a AND pr.b = e0.b)
+         SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(n_common AS BIGINT) AS n_common, score_fp
+         FROM nn ORDER BY score_fp DESC, a, b LIMIT 100""",
+
+    // exact integer metrics, exact histogram-rank quintile cuts,
+    // strictly-greater (recency strictly-less) scoring
+    "e33_rfm" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                    FROM events WHERE event_type = 'purchase'),
+         ref AS (SELECT MAX(day) AS ref_day FROM e),
+         m AS (SELECT user_id, MAX(ref_day) - MAX(day) AS r_days,
+                 COUNT(*) AS f_n, CAST(SUM(cents) AS BIGINT) AS m_cents
+               FROM e, ref GROUP BY user_id),
+         nn AS (SELECT COUNT(*) AS n FROM m),
+         rc AS (SELECT MIN(CASE WHEN cum >= (2000 * n + 9999) // 10000 THEN v END) AS t20,
+                  MIN(CASE WHEN cum >= (4000 * n + 9999) // 10000 THEN v END) AS t40,
+                  MIN(CASE WHEN cum >= (6000 * n + 9999) // 10000 THEN v END) AS t60,
+                  MIN(CASE WHEN cum >= (8000 * n + 9999) // 10000 THEN v END) AS t80
+                FROM (SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+                      FROM (SELECT r_days AS v, COUNT(*) AS cnt FROM m GROUP BY 1)), nn),
+         fc AS (SELECT MIN(CASE WHEN cum >= (2000 * n + 9999) // 10000 THEN v END) AS t20,
+                  MIN(CASE WHEN cum >= (4000 * n + 9999) // 10000 THEN v END) AS t40,
+                  MIN(CASE WHEN cum >= (6000 * n + 9999) // 10000 THEN v END) AS t60,
+                  MIN(CASE WHEN cum >= (8000 * n + 9999) // 10000 THEN v END) AS t80
+                FROM (SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+                      FROM (SELECT f_n AS v, COUNT(*) AS cnt FROM m GROUP BY 1)), nn),
+         mc AS (SELECT MIN(CASE WHEN cum >= (2000 * n + 9999) // 10000 THEN v END) AS t20,
+                  MIN(CASE WHEN cum >= (4000 * n + 9999) // 10000 THEN v END) AS t40,
+                  MIN(CASE WHEN cum >= (6000 * n + 9999) // 10000 THEN v END) AS t60,
+                  MIN(CASE WHEN cum >= (8000 * n + 9999) // 10000 THEN v END) AS t80
+                FROM (SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+                      FROM (SELECT m_cents AS v, COUNT(*) AS cnt FROM m GROUP BY 1)), nn),
+         sc AS (SELECT m.user_id, m.r_days, m.f_n, m.m_cents,
+                  1 + CAST(m.r_days < rc.t80 AS BIGINT) + CAST(m.r_days < rc.t60 AS BIGINT)
+                    + CAST(m.r_days < rc.t40 AS BIGINT) + CAST(m.r_days < rc.t20 AS BIGINT)
+                    AS r_score,
+                  1 + CAST(m.f_n > fc.t20 AS BIGINT) + CAST(m.f_n > fc.t40 AS BIGINT)
+                    + CAST(m.f_n > fc.t60 AS BIGINT) + CAST(m.f_n > fc.t80 AS BIGINT)
+                    AS f_score,
+                  1 + CAST(m.m_cents > mc.t20 AS BIGINT) + CAST(m.m_cents > mc.t40 AS BIGINT)
+                    + CAST(m.m_cents > mc.t60 AS BIGINT) + CAST(m.m_cents > mc.t80 AS BIGINT)
+                    AS m_score
+                FROM m, rc, fc, mc)
+         SELECT user_id, r_days, f_n, m_cents,
+           CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+             CAST(m_score AS VARCHAR) AS segment
+         FROM sc""",
+
+    // only exact counts and gate bits cross engines (x25's recipe):
+    // the sketch estimates themselves are implementation-specific
+    "x34_hll_overlap" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS d_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS d_b,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a SEMI JOIN b USING (user_id)) AS d_inter,
+           1 AS a_ok, 1 AS b_ok, 1 AS inter_ok""",
 
     "t2_langid" ->
       """WITH d AS (SELECT doc_id, lang, text,

@@ -470,6 +470,66 @@ object Graph {
     dist
   }
 
+  /** Adamic–Adar link prediction (Adamic & Adar 2003): score candidate
+    * node pairs by their shared neighbors, each common neighbor w
+    * contributing `1 / ln(deg(w))` — rare shared neighbors are strong
+    * evidence, hubs are weak evidence. The standard similar-entity /
+    * missing-link signal over co-purchase, co-citation, and
+    * shared-reference graphs.
+    *
+    * Determinism: the per-center contribution becomes fixed-point
+    * micro-units ONCE — `round(10⁶ / ln(deg))` as LONG via the same
+    * double tree in any engine (one exact-integer-double cast, one ln,
+    * one divide, one round — the t19 recipe) — and pair scores are then
+    * integer sums, immune to accumulation order. Only centers with
+    * deg ≥ 2 can be common neighbors, so `ln(deg) > 0` always.
+    *
+    * Scale shape: the inverted-index wedge join ([[coOccurrenceEdges]]'
+    * shape): adjacency grouped by center, pairs generated within the
+    * group, NEVER all-pairs of nodes; the pair aggregate is map-side
+    * partial, so wedge fan-out collapses before the exchange. Wedges
+    * are quadratic in center degree — `maxDegree` DROPS super-hub
+    * centers before pairing (standard AA practice: a hub's 1/ln(deg)
+    * weight is near-noise anyway; set it at corpus scale). Existing
+    * edges are anti-joined out (link PREDICTION proposes new links);
+    * the global top-k is TakeOrderedAndProject, never a full sort.
+    *
+    * @param maxDegree hub guard — centers with more neighbors are
+    *                  dropped before the quadratic wedge fan-out
+    * @param topK      pairs kept, ordered (score_fp DESC, a ASC, b ASC)
+    * @return (a, b, n_common, score_fp) with a < b
+    */
+  def adamicAdar(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxDegree: Long = Long.MaxValue,
+      topK: Int = 100): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val adj = e0.select(explode(array(
+        struct(col("a").as("w"), col("b").as("n")),
+        struct(col("b").as("w"), col("a").as("n")))).as("x"))
+      .select(col("x.w").as("w"), col("x.n").as("n"))
+    val centers = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= 2L && col("deg") <= maxDegree)
+      .select(col("w"),
+        expr("CAST(ROUND(1000000 / LN(CAST(deg AS DOUBLE))) AS BIGINT)").as("w_fp"))
+    val viaCenter = adj.join(centers, Seq("w"))
+    val pairs = viaCenter.select(col("w"), col("n").as("n1"), col("w_fp"))
+      .join(viaCenter.select(col("w"), col("n").as("n2")), Seq("w"))
+      .where(col("n1") < col("n2"))
+      .groupBy(col("n1").as("a"), col("n2").as("b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w_fp")).as("score_fp"))
+    pairs.join(e0, Seq("a", "b"), "left_anti")
+      .orderBy(col("score_fp").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e0 = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),

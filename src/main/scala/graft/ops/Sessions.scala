@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -195,6 +195,72 @@ object Sessions {
     *          longest_streak_start_day) — start day ties broken to the
     *          EARLIEST streak of maximal length
     */
+  /** RFM segmentation — the classic customer-value rollup (Recency /
+    * Frequency / Monetary, quintile-scored): per user, days since last
+    * event, event count, and exact-cent value sum, each scored 1–5
+    * against the population's exact 20/40/60/80th-percentile cuts, and
+    * concatenated into the familiar "RFM" segment code ("555" = best).
+    *
+    * Determinism design: metrics are integers (epoch days, counts,
+    * DECIMAL-exact cents), and the quintile cuts are EXACT discrete
+    * percentiles via the x15 formulation — value at rank
+    * `(p_bp·n + 9999) div 10000` over the VALUE HISTOGRAM (never a
+    * row_number over users) — so every cut is a well-defined population
+    * value and every score a pure integer comparison. Scoring is
+    * strictly-greater against the cuts (recency strictly-less: recent =
+    * good), so ties at a cut land deterministically in the lower
+    * bucket. The reference day is `max(day)` over the input — a
+    * content-stable anchor both engines agree on.
+    *
+    * Scale shape: one user-keyed aggregate builds the metric relation;
+    * each cut set is a histogram aggregate (distinct-values-sized, the
+    * x15 scale fix) joined back as ONE one-row scalar row; scoring is a
+    * row-local projection. Nothing user-sized crosses a window.
+    *
+    * @return (user, r_days, f_n, m_cents, r_score, f_score, m_score,
+    *          segment)
+    */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val dayExpr = expr(s"""(CAST(CAST($tsCol AS TIMESTAMP) AS LONG) -
+      ((CAST(CAST($tsCol AS TIMESTAMP) AS LONG) % 86400 + 86400) % 86400))
+      div 86400""")
+    val base = events.select(col(userCol).as("user"), dayExpr.as("day"),
+      (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val refDay = base.agg(max(col("day")).as("ref_day"))
+    val metrics = base.crossJoin(refDay).groupBy("user")
+      .agg((max(col("ref_day")) - max(col("day"))).as("r_days"), // ref_day is constant
+        count(lit(1)).as("f_n"), sum(col("cents")).as("m_cents"))
+    // exact discrete quintile cuts over the metric HISTOGRAM (x15):
+    // one row out per metric, joined back as a scalar
+    def cuts(c: String): DataFrame = {
+      val hist = metrics.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val withN = cum.crossJoin(metrics.agg(count(lit(1)).as("n")))
+      withN.agg(
+        min(when(col("cum") >= expr("(2000 * n + 9999) div 10000"), col("v"))).as(s"${c}_t20"),
+        min(when(col("cum") >= expr("(4000 * n + 9999) div 10000"), col("v"))).as(s"${c}_t40"),
+        min(when(col("cum") >= expr("(6000 * n + 9999) div 10000"), col("v"))).as(s"${c}_t60"),
+        min(when(col("cum") >= expr("(8000 * n + 9999) div 10000"), col("v"))).as(s"${c}_t80"))
+    }
+    def gtScore(v: Column, p: String) =
+      (lit(1L) + (v > col(s"${p}_t20")).cast("long") + (v > col(s"${p}_t40")).cast("long")
+        + (v > col(s"${p}_t60")).cast("long") + (v > col(s"${p}_t80")).cast("long"))
+    // recency: LOWER is better — strictly-less against the cuts from the top
+    def ltScore(v: Column, p: String) =
+      (lit(1L) + (v < col(s"${p}_t80")).cast("long") + (v < col(s"${p}_t60")).cast("long")
+        + (v < col(s"${p}_t40")).cast("long") + (v < col(s"${p}_t20")).cast("long"))
+    metrics.crossJoin(cuts("r_days")).crossJoin(cuts("f_n")).crossJoin(cuts("m_cents"))
+      .select(col("user"), col("r_days"), col("f_n"), col("m_cents"),
+        ltScore(col("r_days"), "r_days").as("r_score"),
+        gtScore(col("f_n"), "f_n").as("f_score"),
+        gtScore(col("m_cents"), "m_cents").as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+  }
+
   def longestStreak(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val days = events
       .select(col(userCol).as("user"),

@@ -285,4 +285,31 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val out = sssp(Seq((1L, 2L, 1L)), Seq(1L, 1L, 9L), 0)
     assert(out == Map(1L -> 0L, 9L -> 0L))
   }
+
+  private def aa(edges: Seq[(Long, Long)], maxDeg: Long = Long.MaxValue) =
+    Graph.adamicAdar(edges.toDF("s", "d"), "s", "d", maxDegree = maxDeg, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+
+  test("adamic-adar: path endpoints score 1/ln(deg) of the shared center; adjacent pairs are excluded") {
+    // path 1-2-3: pair (1,3) shares center 2 (deg 2); pairs (1,2)/(2,3)
+    // are existing edges and must not be proposed
+    val out = aa(Seq(1L -> 2L, 2L -> 3L))
+    val w2 = Math.round(1e6 / Math.log(2.0))
+    assert(out == Map((1L, 3L) -> ((1L, w2))))
+  }
+
+  test("adamic-adar: rare shared neighbors outweigh hub neighbors") {
+    // pairs (1,2) share ONLY hub 9 (deg 4); pairs (3,4) share dedicated
+    // center 8 (deg 2): 1/ln(2) > 1/ln(4)
+    val out = aa(Seq(1L -> 9L, 2L -> 9L, 5L -> 9L, 6L -> 9L, 3L -> 8L, 4L -> 8L))
+    assert(out((3L, 4L))._2 > out((1L, 2L))._2)
+    assert(out((1L, 2L)) == ((1L, Math.round(1e6 / Math.log(4.0)))))
+  }
+
+  test("adamic-adar: maxDegree drops hub centers before the quadratic wedge fan-out") {
+    val star = Seq(1L -> 9L, 2L -> 9L, 3L -> 9L) // center 9 has deg 3
+    assert(aa(star, maxDeg = 2).isEmpty)
+    assert(aa(star).size == 3) // all three spoke pairs via the hub
+  }
 }

@@ -207,4 +207,36 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
       (1L, "2024-03-01 23:59:59"), (1L, "2024-03-02 00:00:01"))
     assert(out(1L)._3 == 2L) // one 2-day streak, not a single day
   }
+
+  test("rfm: perfect-quintile population scores 1..5; ties at a cut land in the lower bucket") {
+    import spark.implicits._
+    // user u (1..5): u purchases, all on day 2024-01-0(u+1), value 10·u
+    // each → r_days = 5−u, f_n = u, m_cents = 1000·u². With 5 distinct
+    // values per metric the exact quintile cuts are t20..t80 = the 1st
+    // .. 4th values, so f/m score u exactly; recency's best value TIES
+    // its own t20 cut (0 < 0 fails), so r_score tops out at 4 — the
+    // documented ties-down convention, symmetric with a shared-max f
+    val rows = for { u <- 1 to 5; _ <- 1 to u } yield
+      (u.toLong, f"2024-01-0${u + 1}%s 12:00:00", 10.0 * u)
+    val df = rows.toDF("user_id", "t", "value")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = Sessions.rfmSegments(df, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(7)))).toMap
+    assert(out(1L) == ((4L, 1L, 1000L, "111")))
+    assert(out(2L) == ((3L, 2L, 4000L, "122")))
+    assert(out(3L) == ((2L, 3L, 9000L, "233")))
+    assert(out(4L) == ((1L, 4L, 16000L, "344")))
+    assert(out(5L) == ((0L, 5L, 25000L, "455")))
+  }
+
+  test("rfm: cents are DECIMAL-exact — 0.1-dollar values never wobble a long cent") {
+    import spark.implicits._
+    val df = Seq((1L, "2024-01-01 00:00:00", 0.10), (1L, "2024-01-01 01:00:00", 0.20))
+      .toDF("user_id", "t", "value")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val m = Sessions.rfmSegments(df, "user_id", "ts", "value")
+      .select("m_cents").head().getLong(0)
+    assert(m == 30L) // 0.1+0.2 in double is 0.30000000000000004; cents must be 30
+  }
 }
