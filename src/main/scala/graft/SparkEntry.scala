@@ -1639,6 +1639,18 @@ object SparkEntry {
           nCentroids = 16, nProbe = 8, kmeansIters = 1))
     }),
 
+    // ---- V: scalar quantization (SQ8) — the third compression family
+    //      next to raw IVF and PQ: one min/max pass, byte-per-dim
+    //      codes, asymmetric (full-precision query vs dequantized
+    //      corpus) scoring; recall-gated against the exact baseline ----
+    "v20_sq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 10 === 0)
+      recallGate(
+        graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+        graft.ops.Similarity.sqTopK(emb, q, "vec_id", "embedding", 5, bits = 8))
+    }),
+
     // ---- V: the WRITTEN index path — ivfBuild → ivfWrite (cells
     //      bucketed+sorted by cell, centroid array as a table) →
     //      ivfLoad → ivfProbe, with the same recall gate as v3i. This
@@ -1949,6 +1961,44 @@ object SparkEntry {
         .distinct()
       graft.ops.Graph.adamicAdar(pairs, "x", "y", maxDegree = 10000L, topK = 100)
     }),
+
+    // ---- G: HITS over the DIRECTED customer→supplier purchase graph —
+    //      buyers are hubs, suppliers authorities (direction is the
+    //      point vs g1's undirected PageRank); 2 rounds, L∞-normalized
+    //      integer scores the oracle unrolls exactly ----
+    "g8_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.ops.Graph.hits(edges, "src", "dst", iterations = 2)
+    }),
+
+    // ---- G: 3-core of the high-volume trade graph (quantity ≥ 45
+    //      sparsifies like g7) — simultaneous peeling, 4 bounded rounds
+    //      the oracle unrolls; survivors with their in-core degree ----
+    "g9_kcore" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_quantity") >= 45)
+        .select((col("o_custkey") * 2).as("x"), (col("l_suppkey") * 2 + 1).as("y"))
+      graft.ops.Graph.kCore(pairs, "x", "y", k = 3, rounds = 4)
+    }),
+
+    // ---- E: cohort LTV triangle — first-purchase-week cohorts ×
+    //      weeks-since, exact-cent revenue and running cumulative ----
+    "e34_cohort_ltv" -> ((s, dir) =>
+      graft.ops.Sessions.cohortLtv(
+        events(s, dir).where(col("event_type") === "purchase"),
+        "user_id", "ts", "value", periodDays = 7)
+        .withColumn("age_periods", col("age_periods").cast("long"))),
+
+    // ---- E: top user journeys — each user's first 5 events as a
+    //      ">"-path, counted, top-20 (row_number bounds every user to 5
+    //      rows BEFORE any aggregation) ----
+    "e35_top_paths" -> ((s, dir) =>
+      graft.ops.Sessions.topPaths(events(s, dir),
+        "user_id", "ts", "event_type", "event_id", pathLen = 5, topN = 20)),
 
     // ---- E: RFM customer segmentation — recency/frequency/monetary
     //      quintile scores against exact-percentile population cuts ----
@@ -3921,6 +3971,98 @@ object SparkEntry {
            CAST(n_common AS BIGINT) AS n_common, score_fp
          FROM nn ORDER BY score_fp DESC, a, b LIMIT 100""",
 
+    // 2 unrolled HITS rounds: integer half-round sums, L∞ floor-division
+    // normalization (all values non-negative, so DuckDB's floor `//`
+    // equals Spark's truncating `div`)
+    "g8_hits" ->
+      """WITH p AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         n AS (SELECT src AS node FROM p UNION SELECT dst FROM p),
+         h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub_fp FROM n),
+         a1r AS (SELECT dst AS node, SUM(hub_fp) AS m
+                 FROM p JOIN h0 ON p.src = h0.node GROUP BY dst),
+         a1 AS (SELECT n.node, COALESCE(a1r.m, 0) * 1000000
+                  // GREATEST((SELECT COALESCE(MAX(m), 1) FROM a1r), 1) AS auth_fp
+                FROM n LEFT JOIN a1r USING (node)),
+         h1r AS (SELECT src AS node, SUM(auth_fp) AS m
+                 FROM p JOIN a1 ON p.dst = a1.node GROUP BY src),
+         h1 AS (SELECT n.node, COALESCE(h1r.m, 0) * 1000000
+                  // GREATEST((SELECT COALESCE(MAX(m), 1) FROM h1r), 1) AS hub_fp
+                FROM n LEFT JOIN h1r USING (node)),
+         a2r AS (SELECT dst AS node, SUM(hub_fp) AS m
+                 FROM p JOIN h1 ON p.src = h1.node GROUP BY dst),
+         a2 AS (SELECT n.node, COALESCE(a2r.m, 0) * 1000000
+                  // GREATEST((SELECT COALESCE(MAX(m), 1) FROM a2r), 1) AS auth_fp
+                FROM n LEFT JOIN a2r USING (node)),
+         h2r AS (SELECT src AS node, SUM(auth_fp) AS m
+                 FROM p JOIN a2 ON p.dst = a2.node GROUP BY src),
+         h2 AS (SELECT n.node, COALESCE(h2r.m, 0) * 1000000
+                  // GREATEST((SELECT COALESCE(MAX(m), 1) FROM h2r), 1) AS hub_fp
+                FROM n LEFT JOIN h2r USING (node))
+         SELECT CAST(h2.node AS BIGINT) AS node, CAST(h2.hub_fp AS BIGINT) AS hub_fp,
+           CAST(a2.auth_fp AS BIGINT) AS auth_fp
+         FROM h2 JOIN a2 USING (node)""",
+
+    // 4 unrolled simultaneous-peeling rounds (converged rounds are
+    // no-ops, so bounded rounds == the true 3-core once peeling settles)
+    "g9_kcore" ->
+      """WITH p AS (SELECT o_custkey * 2 AS x, l_suppkey * 2 + 1 AS y
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    WHERE l_quantity >= 45),
+         e0 AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM p),
+         k1 AS (SELECT node FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+                GROUP BY node HAVING COUNT(*) >= 3),
+         e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT node FROM k1)
+                  AND b IN (SELECT node FROM k1)),
+         k2 AS (SELECT node FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+                GROUP BY node HAVING COUNT(*) >= 3),
+         e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT node FROM k2)
+                  AND b IN (SELECT node FROM k2)),
+         k3 AS (SELECT node FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+                GROUP BY node HAVING COUNT(*) >= 3),
+         e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM k3)
+                  AND b IN (SELECT node FROM k3)),
+         k4 AS (SELECT node FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+                GROUP BY node HAVING COUNT(*) >= 3),
+         e4 AS (SELECT a, b FROM e3 WHERE a IN (SELECT node FROM k4)
+                  AND b IN (SELECT node FROM k4))
+         SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+         GROUP BY node""",
+
+    // exact integer epoch-week indices, DECIMAL-exact cents, cumulative
+    // over the weeks-sized triangle
+    "e34_cohort_ltv" ->
+      """WITH e AS (SELECT user_id,
+                      (epoch_us(ts::TIMESTAMP) // 86400000000) // 7 AS m,
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                    FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, MIN(m) AS cohort_m FROM e GROUP BY user_id),
+         cell AS (SELECT cohort_m, m - cohort_m AS age_periods,
+                    COUNT(DISTINCT e.user_id) AS n_users,
+                    CAST(SUM(cents) AS BIGINT) AS revenue_cents
+                  FROM e JOIN c USING (user_id) GROUP BY 1, 2),
+         w AS (SELECT *, CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_m
+                 ORDER BY age_periods ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_revenue_cents FROM cell)
+         SELECT strftime(DATE '1970-01-01' + CAST(cohort_m * 7 AS INT),
+             '%Y-%m-%d') AS cohort_start,
+           CAST(age_periods AS BIGINT) AS age_periods,
+           CAST(n_users AS BIGINT) AS n_users, revenue_cents, cum_revenue_cents
+         FROM w""",
+
+    // first-5 path per user (total order on ts, event_id), counted,
+    // top-20 on the (n_users DESC, path) boundary order
+    "e35_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts::TIMESTAMP, event_id) AS rn
+                    FROM events),
+         p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM r WHERE rn <= 5 GROUP BY user_id)
+         SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20""",
+
     // exact integer metrics, exact histogram-rank quintile cuts,
     // strictly-greater (recency strictly-less) scoring
     "e33_rfm" ->
@@ -4252,6 +4394,7 @@ object SparkEntry {
     // — they enforce the same contract via the shared recallGate helper,
     // and a drift between two copies would gate different invariants
     "v3i_ivf_recall" -> ivfRecallOracle,
+    "v20_sq_recall" -> ivfRecallOracle,
     "v5_ivf_disk_index" -> ivfRecallOracle,
     "v6_pq_recall" -> ivfRecallOracle,
     "v7_ivfpq_recall" -> ivfRecallOracle,

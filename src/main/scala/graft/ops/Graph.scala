@@ -72,6 +72,9 @@ object Graph {
   private val nodeSlot = new CacheSlot
   private val seedSlot = new CacheSlot
   private val orientSlot = new CacheSlot
+  private val hitsOutSlot = new CacheSlot
+  private val hitsInSlot = new CacheSlot
+  private val hitsNodeSlot = new CacheSlot
 
   def pageRank(
       edges: DataFrame,
@@ -528,6 +531,163 @@ object Graph {
     pairs.join(e0, Seq("a", "b"), "left_anti")
       .orderBy(col("score_fp").desc, col("a").asc, col("b").asc)
       .limit(topK)
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999): over a DIRECTED graph,
+    * a good authority is pointed to by good hubs and a good hub points
+    * to good authorities — the mutual-reinforcement pair PageRank
+    * collapses into one score. The classic use here is link-graph
+    * curation where direction matters: directories/aggregators (hubs)
+    * vs canonical content (authorities).
+    *
+    * Determinism: scores are fixed-point micro-units in a LONG. Each
+    * half-round is an integer sum over in/out-neighbors followed by
+    * L∞ normalization — `raw · 1e6 div max(raw)` — instead of the
+    * textbook L2 norm: long floor division is exact in any engine,
+    * while an L2 norm's sqrt-then-divide drifts by ulps across libms.
+    * The max itself is ONE scalar-subquery aggregate per half-round
+    * (order-immune), so the whole computation is a pure integer
+    * function of the edge set, replayable bit-for-bit by the oracle's
+    * unrolled rounds. Scores land in [0, 1e6], max-normalized (the
+    * best hub/authority reads 1e6, not a probability mass).
+    *
+    * Scale shape: the [[pageRank]] CSR recipe twice per round — the
+    * out-adjacency (src → dsts[]) propagates hub→authority, the
+    * in-adjacency (dst → srcs[]) propagates authority→hub; both built
+    * ONCE, cached in operator-owned [[CacheSlot]]s, hash-partitioned
+    * by their groupBy. Per round: two shuffle_hash joins of nodes-sized
+    * relations, two map-side-partial sums, two scalar-subquery maxes.
+    * Round state is nodes-sized (node + two longs), [[CheckpointCut]]
+    * like every iterative tier — reliable files on a cluster with a
+    * checkpoint dir, executor-local blocks in local mode.
+    *
+    * Overflow bound: raw auth ≤ indeg·1e6, and the normalization
+    * multiplies by 1e6 before dividing, so indeg (and outdeg) must stay
+    * below ~9·10⁶ — beyond that, scale the 1e6 unit down (same knob as
+    * pageRank's `unitFp` note).
+    *
+    * @param iterations full hub→auth→hub rounds (fixed count — the
+    *                   oracle unrolls them)
+    * @return (node, hub_fp, auth_fp) in micro-units, L∞-normalized
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val adjOut = hitsOutSlot.persist(
+      e.groupBy("src").agg(collect_list(col("dst")).as("dsts")))
+    val adjIn = hitsInSlot.persist(
+      e.groupBy("dst").agg(collect_list(col("src")).as("srcs")))
+    val nodes = hitsNodeSlot.persist(
+      adjOut.select(col("src").as("node"))
+        .union(adjOut.select(explode(col("dsts")).as("node"))).distinct())
+
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      // L∞ normalization: the round max is ONE one-row aggregate,
+      // crossed in as a scalar (the established one-row-cross shape) so
+      // the division stays a LONG `div` — floor-exact, never a double.
+      // The greatest(·,1) guard only fires on an edgeless graph; nodes
+      // with no contribution score 0
+      val mx = raw.agg(greatest(coalesce(max(col("m")), lit(1L)), lit(1L)).as("mx"))
+      nodes.join(raw, Seq("node"), "left").crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr("(coalesce(m, 0L) * 1000000L) div mx").as(outCol))
+    }
+
+    var hubs = nodes.withColumn("hub_fp", lit(1000000L))
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val prevH = hubs
+      val prevA = auths
+      // authority half-round: every edge ships its source's hub score
+      val aRaw = adjOut.join(hubs.hint("shuffle_hash"), adjOut("src") === hubs("node"))
+        .select(explode(col("dsts")).as("node"), col("hub_fp").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("m"))
+      auths = CheckpointCut.cut(normalized(aRaw, "auth_fp"))
+      // hub half-round: every edge ships its destination's FRESH
+      // authority score back (the in-adjacency direction)
+      val hRaw = adjIn.join(auths.hint("shuffle_hash"), adjIn("dst") === auths("node"))
+        .select(explode(col("srcs")).as("node"), col("auth_fp").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("m"))
+      hubs = CheckpointCut.cut(normalized(hRaw, "hub_fp"))
+      CheckpointCut.release(prevH)
+      if (prevA != null) CheckpointCut.release(prevA)
+    }
+    // the final round's cut state backs the returned plan — NOT released
+    // here (the caller's action consumes it; same contract as pageRank)
+    hubs.join(auths, Seq("node")).select("node", "hub_fp", "auth_fp")
+  }
+
+  /** k-core decomposition membership: the maximal subgraph in which
+    * every node keeps degree ≥ k — the standard dense-community /
+    * spam-farm / influential-subgraph extractor (Seidman 1983), and the
+    * graph-side analogue of the corpus quality gates: peel the sparse
+    * fringe, keep the load-bearing core.
+    *
+    * Semantics: SIMULTANEOUS peeling — each round recomputes degrees
+    * over the surviving edge set and drops every node below k at once.
+    * That makes the result order-independent (unlike sequential
+    * peeling) and a pure function of (edges, k): the fixed point is
+    * the k-core, and because converged rounds are no-ops, the bounded
+    * `rounds` result equals the true core whenever `rounds` covers the
+    * peeling depth — the oracle unrolls the same rounds and agrees
+    * even short of convergence. The early exit ships ONE long per
+    * round (the surviving-edge count), never data.
+    *
+    * Scale shape per round: one unionAll+groupBy degree aggregate
+    * (map-side partial) and two left_semi joins filtering the edge
+    * relation — all key-partitioned, nothing driver-side. Round state
+    * is the surviving EDGE set, [[CheckpointCut]] so round r never
+    * replays rounds 1..r-1 and dies reliably-recoverable on a cluster
+    * with a checkpoint dir. Peeling depth, not graph size, is the
+    * round axis (web graphs: tens of rounds strip the fringe).
+    *
+    * @param k      minimum degree kept (≥ 1)
+    * @param rounds peel-round bound (also the oracle's unroll count)
+    * @return (node, deg) — members of the surviving subgraph with
+    *         their within-subgraph degree
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = CheckpointCut.cut(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct())
+    var n = e.count()
+    var done = n == 0L
+    var r = 0
+    while (!done && r < rounds) {
+      r += 1
+      val keep = degrees(e).where(col("deg") >= k).select("node")
+      val prev = e
+      e = CheckpointCut.cut(e
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select("a", "b"))
+      val n2 = e.count()
+      CheckpointCut.release(prev)
+      done = n2 == n || n2 == 0L
+      n = n2
+    }
+    // the surviving edge set's cut state backs the returned degree plan
+    // — not released here (the caller's action consumes it)
+    degrees(e)
   }
 
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {

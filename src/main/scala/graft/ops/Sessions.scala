@@ -261,6 +261,92 @@ object Sessions {
           col("m_score").cast("string")))
   }
 
+  /** Cohort lifetime value: users grouped by first-activity period, a
+    * cell per (cohort, periods-since), revenue per cell, and the
+    * running cumulative — the standard retention-revenue triangle
+    * behind every LTV curve. `periodDays` sets the cohort granularity
+    * (7 = weekly; calendar-month cohorts are the same plan with a
+    * month index instead of the day quotient).
+    *
+    * Determinism: periods are integer indices — the e31 UTC epoch-day
+    * (positive-mod floor, so pre-1970 timestamps floor instead of
+    * truncating) floor-divided by `periodDays` with the same
+    * positive-mod trick — revenue is DECIMAL-exact cents (the e33
+    * recipe: doubles become cents ONCE through a decimal cast, sums
+    * are long sums), and the cumulative window orders by
+    * `age_periods`, which is DISTINCT within a cohort — a total order,
+    * no tie ambiguity.
+    *
+    * Scale shape: one user-keyed aggregate derives cohorts, one
+    * user-keyed join tags events (same key — the exchange is reused),
+    * one (cohort, age)-keyed aggregate collapses to the triangle,
+    * periods² rows at most; the cumulative window runs over THAT tiny
+    * relation, never the events. countDistinct is Spark's two-phase
+    * expand — no driver-side anything.
+    *
+    * @return (cohort_start "yyyy-MM-dd", age_periods, n_users,
+    *          revenue_cents, cum_revenue_cents)
+    */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val p = periodDays
+    val daySql = s"""(CAST(CAST($tsCol AS TIMESTAMP) AS LONG) -
+      ((CAST(CAST($tsCol AS TIMESTAMP) AS LONG) % 86400 + 86400) % 86400))
+      div 86400"""
+    val base = events.select(col(userCol).as("user"),
+      expr(s"""(($daySql) - ((($daySql) % $p + $p) % $p)) div $p""").as("m"),
+      (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val cohorts = base.groupBy("user").agg(min(col("m")).as("cohort_m"))
+    val cells = base.join(cohorts, Seq("user"))
+      .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("age_periods"))
+      .agg(countDistinct(col("user")).as("n_users"),
+        sum(col("cents")).as("revenue_cents"))
+    val w = Window.partitionBy("cohort_m").orderBy("age_periods")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(w))
+      .select(
+        date_format(date_add(to_date(lit("1970-01-01")),
+          (col("cohort_m") * p).cast("int")), "yyyy-MM-dd").as("cohort_start"),
+        col("age_periods"), col("n_users"), col("revenue_cents"),
+        col("cum_revenue_cents"))
+  }
+
+  /** Top event paths: each user's first `pathLen` events (by time, tie
+    * broken on `tieCol` — pass a unique event id for a total order)
+    * concatenated into a ">"-joined path, counted across users, top-N
+    * paths returned — the "common journeys" / funnel-discovery query.
+    *
+    * Scale shape: ROW_NUMBER bounds every user to `pathLen` rows BEFORE
+    * anything aggregates (never a per-user collect of the full history
+    * — a power user with 10⁶ events contributes `pathLen` rows, not a
+    * 10⁶-element array in one row); the groupBy-user assembly rides the
+    * window's existing user partitioning (exchange reuse, one shuffle
+    * end-to-end), and the top-N is TakeOrderedAndProject, never a
+    * global sort.
+    *
+    * @return (path, n_users), ordered (n_users DESC, path ASC), ≤ topN
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, pathLen: Int, topN: Int): DataFrame = {
+    require(pathLen >= 1 && topN >= 1, "pathLen and topN must be positive")
+    val byUser = Window.partitionBy("user")
+      .orderBy(col("ts").asc, col("tie").asc)
+    val first = events
+      .select(col(userCol).as("user"), col(tsCol).cast("timestamp").as("ts"),
+        col(tieCol).as("tie"), col(typeCol).as("et"))
+      .withColumn("rn", row_number().over(byUser))
+      .where(col("rn") <= pathLen)
+    val paths = first.groupBy("user")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(rn, et))), x -> x.et)"),
+        ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(topN)
+  }
+
   def longestStreak(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val days = events
       .select(col(userCol).as("user"),

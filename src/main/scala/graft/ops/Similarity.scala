@@ -152,6 +152,77 @@ object Similarity {
     bfSlot.persist(rankTopK(scored, k))
   }
 
+  /** Scalar-quantized (SQ) top-k — the third compression family next
+    * to raw IVF and PQ/ADC: each dimension is affinely quantized to
+    * `2^bits` levels against the corpus's per-dimension [min, max]
+    * (Faiss's SQ8 shape). At 8 bits the stored vector is one byte per
+    * dimension — 4× smaller than float32 — with near-lossless recall
+    * on typical embedding distributions; unlike PQ it needs NO
+    * training beyond one min/max pass and has no codebook to drift.
+    *
+    * Scoring is ASYMMETRIC (the ADC idea): the query stays full
+    * precision and scores against DEQUANTIZED corpus vectors
+    * (`min + code·span/levels`), so quantization error enters once,
+    * not twice. The scan shape is [[bruteForceTopK]]'s — this tier
+    * trades memory (the scan reads codes, not floats), not
+    * comparisons; combine with IVF cells for the sublinear path.
+    *
+    * Scale shape: the per-dimension stats are ONE posexplode aggregate
+    * collapsing to a single dims-sized row, crossed in as a broadcast
+    * scalar (the codebook pattern — the corpus never shuffles); encode
+    * + dequantize + score run in one codegen'd projection pass; the
+    * bounded heap keeps the per-query output at k rows. Codes here
+    * stay `array<int>` for inspectability — the production layout
+    * packs them through the PQ byte-code path (one byte/dim at 8
+    * bits), which changes storage, not semantics.
+    *
+    * Determinism: engine-internal only (quantization rounds doubles),
+    * so SQ results are gated like every approximate tier — a recall
+    * gate against the exact baseline ([[bruteForceTopK]]), whose
+    * oracle is fully deterministic.
+    *
+    * @param bits quantization width per dimension (8 → 256 levels)
+    * @return (query_id, neighbor_id, cosine, rank) — approximate
+    */
+  def sqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 8): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val levels = (1 << bits) - 1
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // per-dimension [min, max] over the corpus, folded to ONE row of
+    // (mins[], spans[]) — a constant-sized quantizer, broadcast like a
+    // codebook; a constant dimension (span 0) dequantizes to its min
+    val stats = c0
+      .select(posexplode(col("c_vec")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mn"), col("mx")))).as("s"))
+      .select(
+        expr("transform(s, e -> CAST(e.mn AS DOUBLE))").as("mins"),
+        expr("transform(s, e -> CAST(e.mx - e.mn AS DOUBLE))").as("spans"))
+    // encode (floats → codes) and dequantize (codes → doubles) in one
+    // pass — storage would keep `codes`; scoring uses the dequantized
+    // view. Spark SQL bracket indexing is 0-based, matching posexplode.
+    val dequant = c0.crossJoin(broadcast(stats))
+      .withColumn("codes", expr(
+        s"""transform(c_vec, (x, i) ->
+              CAST(round((CAST(x AS DOUBLE) - mins[i]) * $levels /
+                         nullif(spans[i], CAST(0.0 AS DOUBLE))) AS INT))"""))
+      .withColumn("dq_vec", expr(
+        s"""transform(codes, (q, i) ->
+              CAST(mins[i] + coalesce(q, 0) * spans[i] / $levels AS FLOAT))"""))
+      .select(col("neighbor_id"), col("dq_vec").as("c_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = dequant
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine_native(col("q_vec"), col("c_vec")))
+    rankTopK(scored, k)
+  }
+
   /** Sparse TF-IDF cosine top-k over TEXT — the term-at-a-time inverted-
     * index formulation (the sparse complement of the dense ANN tiers:
     * lexical retrieval, BM25-family scoring, "more like this"). Never a

@@ -312,4 +312,44 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(aa(star, maxDeg = 2).isEmpty)
     assert(aa(star).size == 3) // all three spoke pairs via the hub
   }
+
+  private def runHits(edges: Seq[(Long, Long)], iters: Int) =
+    Graph.hits(edges.toDF("s", "d"), "s", "d", iterations = iters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("hits: one hand-computed round — L-inf normalized integer scores") {
+    // 1→3, 2→3, 2→4. Auth half: raw 3=2e6, 4=1e6, max 2e6 →
+    // auth 3=1e6, 4=500000. Hub half: raw 1=auth(3)=1e6,
+    // 2=auth(3)+auth(4)=1.5e6, max 1.5e6 → hub 1=666666, 2=1e6.
+    val out = runHits(Seq(1L -> 3L, 2L -> 3L, 2L -> 4L), 1)
+    assert(out(1L) == ((666666L, 0L)))
+    assert(out(2L) == ((1000000L, 0L)))
+    assert(out(3L) == ((0L, 1000000L)))
+    assert(out(4L) == ((0L, 500000L)))
+  }
+
+  test("hits: pure sources have zero authority, pure sinks zero hub; self-loops dropped") {
+    val out = runHits(Seq(1L -> 2L, 2L -> 2L), 2) // self-loop on 2 ignored
+    assert(out(1L)._2 == 0L) // nothing points at 1
+    assert(out(2L)._1 == 0L) // 2 points at nothing (after self-loop drop)
+    assert(out(1L)._1 == 1000000L && out(2L)._2 == 1000000L)
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int, rounds: Int) =
+    Graph.kCore(edges.toDF("s", "d"), "s", "d", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("k-core: triangle survives a 2-core, tail is peeled; 3-core of a triangle is empty") {
+    val tri = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L)
+    assert(runKCore(tri, 2, 5) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(runKCore(tri, 3, 5).isEmpty)
+  }
+
+  test("k-core: peeling cascades — a chain dissolves round by round, and bounded rounds stop mid-peel") {
+    val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    assert(runKCore(chain, 2, 5).isEmpty) // full cascade
+    // one round only: endpoints 1,5 peel; 2,3,4 remain with the
+    // surviving middle edges (2,3),(3,4)
+    assert(runKCore(chain, 2, 1) == Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
 }

@@ -239,4 +239,56 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
       .select("m_cents").head().getLong(0)
     assert(m == 30L) // 0.1+0.2 in double is 0.30000000000000004; cents must be 30
   }
+
+  test("cohort LTV: weekly triangle — cohorts by first purchase, exact cents, running cumulative") {
+    import java.time.LocalDate
+    // u1 buys in week A and week A+1; u2 week A only; u3 first buys in
+    // week A+1 (its own cohort, even though week A+1 also holds u1 rev)
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 10.00),
+      (1L, "2024-01-10 10:00:00", 5.50),
+      (2L, "2024-01-02 10:00:00", 2.25),
+      (3L, "2024-01-11 10:00:00", 1.00))
+      .toDF("user_id", "t", "value")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = Sessions.cohortLtv(df, "user_id", "ts", "value", periodDays = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def weekStart(d: String) = {
+      val day = LocalDate.parse(d).toEpochDay
+      LocalDate.ofEpochDay(day / 7 * 7).toString
+    }
+    val wA = weekStart("2024-01-01")
+    val wB = weekStart("2024-01-11")
+    assert(out == Map(
+      (wA, 0L) -> ((2L, 1225L, 1225L)), // u1 1000 + u2 225
+      (wA, 1L) -> ((1L, 550L, 1775L)),  // u1's week-2 revenue, cum rolls
+      (wB, 0L) -> ((1L, 100L, 100L))))  // u3's own cohort
+  }
+
+  test("top paths: first-k ordered journey per user, counted, tie-broken on the id column") {
+    val df = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "login"),
+      (2L, 1L, "2024-01-01 10:01:00", "browse"),
+      (3L, 1L, "2024-01-01 10:02:00", "buy"),
+      (4L, 2L, "2024-01-01 11:00:00", "login"),
+      (5L, 2L, "2024-01-01 11:01:00", "browse"),
+      (6L, 2L, "2024-01-01 11:02:00", "buy"),
+      (7L, 3L, "2024-01-01 12:00:00", "login"),
+      (8L, 3L, "2024-01-01 12:01:00", "buy"),
+      // u4: SAME timestamp — event_id orders the path ("b" before "a")
+      (9L, 4L, "2024-01-01 13:00:00", "b"),
+      (10L, 4L, "2024-01-01 13:00:00", "a"))
+      .toDF("event_id", "user_id", "t", "event_type")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = Sessions.topPaths(df, "user_id", "ts", "event_type", "event_id",
+      pathLen = 3, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("login>browse>buy" -> 2L, "login>buy" -> 1L, "b>a" -> 1L))
+    // pathLen bounds the journey: only the first 2 events count
+    val short = Sessions.topPaths(df, "user_id", "ts", "event_type", "event_id",
+      pathLen = 2, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(short == Map("login>browse" -> 2L, "login>buy" -> 1L, "b>a" -> 1L))
+  }
 }

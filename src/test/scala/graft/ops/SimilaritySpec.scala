@@ -502,4 +502,42 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val capped = sparse(docs, Seq(1L), 10, maxDf = 2)
     assert(capped.map(_._2).toSet == Set(3L)) // only the 'unique1' pairing survives
   }
+
+  test("sqTopK: grid-aligned vectors quantize losslessly — SQ equals brute force exactly") {
+    // every coordinate sits on the 8-bit quantization grid of its
+    // dimension ([0,255] with 255 levels → integers are exact), so
+    // dequantization reproduces the floats and ranking matches the
+    // exact baseline bit-for-bit
+    val grid = Seq(
+      (0L, Array(255.0f, 0.0f)),
+      (1L, Array(254.0f, 1.0f)),
+      (2L, Array(0.0f, 255.0f)),
+      (3L, Array(128.0f, 128.0f))
+    ).toDF("vec_id", "embedding")
+    val q = grid.where($"vec_id" === 0L)
+    val bf = Similarity.bruteForceTopK(grid, q, "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val sq = Similarity.sqTopK(grid, q, "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(sq.toSeq == bf.toSeq)
+  }
+
+  test("sqTopK: a constant dimension (span 0) dequantizes to its min, never NaN") {
+    val c = Seq(
+      (0L, Array(1.0f, 5.0f)), // dim 1 constant = 5
+      (1L, Array(0.9f, 5.0f)),
+      (2L, Array(-1.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.sqTopK(c, c.where($"vec_id" === 0L), "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(out.forall(!_.getDouble(2).isNaN))
+  }
+
+  test("sqTopK: coarse quantization still recalls well-separated neighbors") {
+    val out = Similarity.sqTopK(corpus, corpus.where($"vec_id" === 0L),
+      "vec_id", "embedding", 1, bits = 4)
+      .collect().map(_.getLong(1))
+    assert(out.toSeq == Seq(1L)) // nearest cluster survives 16-level codes
+  }
 }
