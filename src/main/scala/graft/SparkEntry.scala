@@ -987,6 +987,21 @@ object SparkEntry {
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // ---- SRC7: XML roundtrip (the Wikipedia-dump interchange shape) —
+    //      every text gains a markup tail (`<`, `&`, quotes) that must
+    //      be escaped on write and restored byte-exact on read, with
+    //      surrounding-whitespace trimming disabled (the datasource
+    //      default would corrupt text) ----
+    "src7_xml_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" <tag attr=\"&x\"> & tail ")))
+      val scratch = java.nio.file.Files.createTempDirectory("graft_src7_xml_").toFile
+      org.apache.spark.graft.sparkShims.deleteDirOnExit(scratch)
+      graft.sources.XmlSource.write(docs, scratch.getAbsolutePath, rowTag = "doc")
+      graft.sources.XmlSource.read(s, scratch.getAbsolutePath, docs.schema, rowTag = "doc")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     "src3_jsonl_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // unique-by-construction scratch dir (the old pid+dir.hashCode tag
@@ -2810,6 +2825,12 @@ object SparkEntry {
 
     "src3_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    // the injected markup tail exercises XML escaping both ways; the
+    // trailing space pins ignoreSurroundingSpaces=false
+    "src7_xml_roundtrip" ->
+      """SELECT doc_id, text || ' <tag attr="&x"> & tail ' AS text,
+           lang, source, n_chars FROM documents""",
 
     // the injected tail exercises separator+quote-in-data; roundtrip
     // must return it byte-exact
