@@ -2008,6 +2008,15 @@ object SparkEntry {
         "user_id", "ts", "value", periodDays = 7)
         .withColumn("age_periods", col("age_periods").cast("long"))),
 
+    // ---- E: recency-weighted user value — dyadic half-life decay
+    //      (integer shift-and-floor-divide, no libm pow), 7-day
+    //      half-life anchored at max(day) ----
+    "e36_decay_score" -> ((s, dir) =>
+      graft.ops.TimeSeries.decayScore(
+        events(s, dir).where(col("event_type") === "purchase"),
+        "user_id", "ts", "value", halfLifeDays = 7)
+        .withColumnRenamed("key", "user_id")),
+
     // ---- E: top user journeys — each user's first 5 events as a
     //      ">"-path, counted, top-20 (row_number bounds every user to 5
     //      rows BEFORE any aggregation) ----
@@ -4071,6 +4080,24 @@ object SparkEntry {
            CAST(age_periods AS BIGINT) AS age_periods,
            CAST(n_users AS BIGINT) AS n_users, revenue_cents, cum_revenue_cents
          FROM w""",
+
+    // dyadic staircase decay: identical shift-and-floor-divide terms
+    // (DuckDB's `//` floors; the engine's positive-mod subtraction
+    // floors identically, so negative refund cents agree too)
+    "e36_decay_score" ->
+      """WITH e AS (SELECT user_id,
+                      epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                    FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT MAX(day) AS ref_day FROM e),
+         t AS (SELECT user_id, cents,
+                 (cents * 1000000) // (CAST(1 AS BIGINT)
+                   << CAST(LEAST((ref_day - day) // 7, 62) AS INT)) AS term_fp
+               FROM e, r)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(term_fp) AS BIGINT) AS decayed_fp
+         FROM t GROUP BY user_id""",
 
     // first-5 path per user (total order on ts, event_id), counted,
     // top-20 on the (n_users DESC, path) boundary order

@@ -210,4 +210,58 @@ object TimeSeries {
            (sxy * 1000000L -
             ((sxy * 1000000L % sxx + sxx) % sxx)) div sxx END"""))
   }
+
+  /** Recency-weighted value scoring with DYADIC half-life decay: each
+    * observation contributes `value · 2^-(age_days div halfLifeDays)` —
+    * the freshness-weighted engagement/quality feature (recent activity
+    * dominates, stale activity fades geometrically).
+    *
+    * The decay is a STAIRCASE: weight halves once per FULL half-life
+    * elapsed, implemented as `(cents · 1e6) div (1 << steps)` — a pure
+    * long shift-and-divide, so every term is an exact integer and the
+    * per-key sum is order-immune in any engine. The textbook smooth
+    * `2^(-age/h)` needs a fractional `pow` whose libm rounding differs
+    * across engines — the staircase trades within-half-life resolution
+    * for bit-for-bit determinism (same trade as t19's micro-nats), and
+    * preserves the ranking property that matters: strictly newer
+    * half-life cohorts strictly dominate older ones. Steps cap at 62
+    * (a long's shiftable range; anything ≥ 62 half-lives old scores 0
+    * micro-units anyway).
+    *
+    * The reference day is `max(day)` over the input — the content-
+    * stable anchor (e33's recipe), crossed in as ONE broadcast scalar
+    * row. Shape: one projection, one key-partitioned aggregate.
+    *
+    * @return (key, n_events, total_cents, decayed_fp) — decayed value
+    *         in micro-cent units
+    */
+  def decayScore(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    val daySql = s"""(CAST(CAST($tsCol AS TIMESTAMP) AS LONG) -
+      ((CAST(CAST($tsCol AS TIMESTAMP) AS LONG) % 86400 + 86400) % 86400))
+      div 86400"""
+    val base = df.select(col(keyCol).as("key"),
+      expr(daySql).as("day"),
+      (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val ref = base.agg(max(col("day")).as("ref_day"))
+    base.crossJoin(broadcast(ref))
+      .withColumn("pow2", expr(
+        s"""shiftleft(CAST(1 AS BIGINT),
+              CAST(least((ref_day - day) div $halfLifeDays, 62L) AS INT))"""))
+      // floored division via the positive-mod subtraction (olsTrend's
+      // portability trick): negative values (refunds) floor identically
+      // in Spark's truncating `div` and any flooring `//` oracle
+      .withColumn("term_fp", expr(
+        """((cents * 1000000L) -
+            (((cents * 1000000L) % pow2 + pow2) % pow2)) div pow2"""))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("total_cents"),
+        sum(col("term_fp")).as("decayed_fp"))
+  }
 }

@@ -129,4 +129,46 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     val (n, _, sxx, slope) = out("k")
     assert(n == 2L && sxx == 0L && slope.isEmpty, out("k"))
   }
+
+  private def decay(halfLife: Int, rows: (String, String, Double)*) = {
+    import spark.implicits._
+    val df = rows.toSeq.toDF("k", "t", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("t"))).drop("t")
+    TimeSeries.decayScore(df, "k", "ts", "value", halfLife)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+  }
+
+  test("decayScore: staircase halving per full half-life, anchored at the newest day") {
+    // ages 0 / 7 / 14 days at 7-day half-life → weights 1, 1/2, 1/4;
+    // all on one key: 100 + 50 + 25 cents-worth in micro-units
+    val out = decay(7,
+      ("u", "2024-03-15 12:00:00", 1.00),
+      ("u", "2024-03-08 12:00:00", 1.00),
+      ("u", "2024-03-01 12:00:00", 1.00))
+    assert(out("u") == ((3L, 300L, 100000000L + 50000000L + 25000000L)))
+  }
+
+  test("decayScore: within a half-life the weight does NOT change (the documented staircase)") {
+    val out = decay(7,
+      ("u", "2024-03-15 12:00:00", 1.00),
+      ("u", "2024-03-10 12:00:00", 1.00)) // 5 days old: still weight 1
+    assert(out("u") == ((2L, 200L, 200000000L)))
+  }
+
+  test("decayScore: negative refund cents FLOOR like the oracle's // (not truncate)") {
+    // -1 cent, 7 half-lives old: -1e6/128 = -7812.5 → floor -7813
+    val out = decay(1,
+      ("u", "2024-03-15 12:00:00", 5.00),
+      ("u", "2024-03-08 12:00:00", -0.01))
+    assert(out("u") == ((2L, 499L, 500000000L - 7813L)))
+  }
+
+  test("decayScore: ancient events cap at 62 half-lives and score 0, never a shift overflow") {
+    val out = decay(1,
+      ("u", "2024-03-15 12:00:00", 1.00),
+      ("u", "1970-01-01 12:00:00", 9999.99))
+    assert(out("u") == ((2L, 1000099L, 100000000L)))
+  }
 }
