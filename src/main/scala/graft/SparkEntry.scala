@@ -300,6 +300,23 @@ object SparkEntry {
     //      (every fifth gets a cdn. subdomain), patterns block a whole
     //      zone, an exact host, and a deeper host; the longest match
     //      wins where zones nest ----
+    // ---- D: canonical-URL dedup (the C4/RefinedWeb first pass) —
+    //      three messy variants of every page (www + case, root dot +
+    //      tracker param, default port + two trackers) must collapse
+    //      to ONE canonical key; smallest doc_id survives ----
+    "d14_url_canonical" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        expr("""CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN 'https://www.example' || (doc_id % 50) || '.com/p/' || (doc_id % 200)
+          WHEN 1 THEN 'HTTPS://Example' || (doc_id % 50) || '.com./p/' || (doc_id % 200)
+                      || '?utm_source=feed'
+          ELSE 'https://example' || (doc_id % 50) || '.com:443/p/' || (doc_id % 200)
+                      || '?gclid=abc&ref=tw#frag'
+          END""").as("url"))
+      graft.ops.Corpus.dedupByCanonicalUrl(urls, "doc_id", "url")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "d12_url_blocklist" -> ((s, dir) => {
       val urls = t(s, dir, "documents").select(col("doc_id"),
         concat(when(col("doc_id") % 5 === 0, lit("cdn.")).otherwise(lit("")),
@@ -4746,6 +4763,40 @@ object SparkEntry {
 
     // reversed-label prefixes joined against reversed patterns; the
     // longest (most specific) match survives per doc
+    // the same canonicalization pipeline in DuckDB's dialect (global
+    // regexp flags explicit; lower() preserves length so the scheme
+    // length locates '://' exactly as the engine does)
+    "d14_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN 'https://www.example' || CAST(doc_id % 50 AS VARCHAR)
+                         || '.com/p/' || CAST(doc_id % 200 AS VARCHAR)
+             WHEN 1 THEN 'HTTPS://Example' || CAST(doc_id % 50 AS VARCHAR)
+                         || '.com./p/' || CAST(doc_id % 200 AS VARCHAR) || '?utm_source=feed'
+             ELSE 'https://example' || CAST(doc_id % 50 AS VARCHAR)
+                         || '.com:443/p/' || CAST(doc_id % 200 AS VARCHAR)
+                         || '?gclid=abc&ref=tw#frag'
+           END AS url FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS nofrag FROM u),
+         s2 AS (SELECT doc_id, nofrag,
+                  lower(split_part(nofrag, '://', 1)) AS scheme FROM s1),
+         s3 AS (SELECT doc_id, scheme,
+                  substr(nofrag, length(scheme) + 4) AS rest FROM s2),
+         s4 AS (SELECT doc_id, scheme, rest,
+                  split_part(rest, '/', 1) AS hostport FROM s3),
+         s5 AS (SELECT doc_id, scheme,
+                  regexp_replace(regexp_replace(regexp_replace(lower(hostport),
+                    ':(80|443)$', ''), '\.+$', ''), '^www\.', '') AS host,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    substr(rest, length(hostport) + 1),
+                    '[?&](utm_[^&=#?]*|fbclid|gclid|ref)=[^&]*', '', 'g'),
+                    '^([^?&]*)&', '\1?'), '[?&]+$', '') AS pathq
+                FROM s4),
+         c AS (SELECT doc_id, scheme || '://' || host || pathq AS canonical_url FROM s5)
+         SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_aliases
+         FROM c GROUP BY canonical_url""",
+
     "d12_url_blocklist" ->
       """WITH u AS (SELECT doc_id,
              (CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END) ||

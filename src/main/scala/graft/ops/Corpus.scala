@@ -367,6 +367,59 @@ object Corpus {
       .select(col(idCol), col("m.p").as("matched_pattern"))
   }
 
+  /** URL canonicalization — the C4/RefinedWeb first-pass dedup key:
+    * crawls hit the same page through case-variant hosts, tracking
+    * params, default ports, fragments, and `www.` aliases, and the
+    * cheapest dedup in the whole pipeline is collapsing those BEFORE
+    * any content hashing. Canonical form, in order:
+    *
+    *   1. fragment dropped (`#…` is client-side);
+    *   2. scheme lowercased;
+    *   3. host lowercased, default port (`:80`/`:443`) stripped,
+    *      trailing root dots stripped, one leading `www.` stripped;
+    *   4. tracking params removed (`utm_*`, `fbclid`, `gclid`, `ref`)
+    *      with separator repair, then any dangling `?`/`&` trimmed —
+    *      CONTENT params are kept, in their original order (full
+    *      param sorting is deliberately out: it canonicalizes more
+    *      but breaks servers that are order-sensitive; the trackers
+    *      are the noise that actually fragments crawl keys).
+    *
+    * Everything is codegen'd string/regexp work — zero UDFs, one
+    * projection — and the expression is replayable in any engine with
+    * global regexp replace (the oracle does, in DuckDB's dialect).
+    * Contract: the input carries an explicit `scheme://` (crawl
+    * frontiers do; scheme-relative fragments are upstream's problem).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    // lower() preserves length, so the scheme's length locates '://'
+    val scheme = lower(split_part(noFrag, lit("://"), lit(1)))
+    val rest = noFrag.substr(length(scheme) + lit(4), length(noFrag))
+    val hostport = split_part(rest, lit("/"), lit(1))
+    val pathq = rest.substr(length(hostport) + lit(1), length(rest))
+    val host = regexp_replace(regexp_replace(regexp_replace(
+      lower(hostport), ":(80|443)$", ""), "\\.+$", ""), "^www\\.", "")
+    // tracker removal takes the LEADING separator with it (the
+    // separator anchors the param name — 'preref=2' must not lose its
+    // 'ref=2' tail), then the first surviving '&' is promoted back to
+    // '?' and any dangling separators trimmed
+    val cleanPathq = regexp_replace(regexp_replace(regexp_replace(
+      pathq, "[?&](utm_[^&=#?]*|fbclid|gclid|ref)=[^&]*", ""),
+      "^([^?&]*)&", "$1?"), "[?&]+$", "")
+    concat(scheme, lit("://"), host, cleanPathq)
+  }
+
+  /** Dedup by canonical URL: smallest id per canonical key survives
+    * (content-stable, order-immune). One projection + one key-
+    * partitioned min aggregate — the cheapest tier of the dedup stack.
+    *
+    * @return (canonical_url, survivor id, n_aliases)
+    */
+  def dedupByCanonicalUrl(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col("id")).as("id"), count(lit(1)).as("n_aliases"))
+
   def decontaminate(
       train: DataFrame,
       eval: DataFrame,

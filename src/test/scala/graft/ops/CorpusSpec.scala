@@ -376,4 +376,45 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       2L -> "example.com",
       3L -> "Blocked.org."))
   }
+
+  test("canonicalizeUrl: case, www, root dot, default port, fragment, trackers all collapse") {
+    val canon = Seq(
+      "https://www.Example.COM./p/1?utm_source=a&utm_medium=b#frag",
+      "HTTPS://example.com:443/p/1",
+      "https://example.com/p/1?gclid=x",
+      "https://example.com/p/1").toDF("url")
+      .select(Corpus.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(canon == Set("https://example.com/p/1"))
+  }
+
+  test("canonicalizeUrl: content params survive in order; separators repair around removed trackers") {
+    val out = Seq(
+      ("https://e.com/s?a=1&utm_source=x&b=2", "https://e.com/s?a=1&b=2"),
+      ("https://e.com/s?utm_source=x&a=1", "https://e.com/s?a=1"),
+      ("https://e.com/s?a=1&gclid=x", "https://e.com/s?a=1"),
+      ("http://e.com:80/s?ref=tw", "http://e.com/s"),
+      // non-default port and a 'reform=1' param (prefix of 'ref' must
+      // NOT match) are kept
+      ("https://e.com:8443/s?reform=1", "https://e.com:8443/s?reform=1"),
+      // 'ref' as a SUBSTRING of another param name must not match either
+      ("https://e.com/s?preref=2", "https://e.com/s?preref=2"),
+      // all params removed → no dangling '?'
+      ("https://e.com/s?utm_a=1&gclid=2", "https://e.com/s"))
+      .toDF("url", "want")
+      .select(Corpus.canonicalizeUrl(col("url")).as("c"), col("want"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    out.foreach { case (c, want) => assert(c == want, s"$c != $want") }
+  }
+
+  test("dedupByCanonicalUrl: smallest id survives with the alias count") {
+    val out = Corpus.dedupByCanonicalUrl(Seq(
+      (7L, "https://www.a.com/x"),
+      (3L, "https://a.com/x?utm_source=s"),
+      (9L, "https://b.com/y")).toDF("doc_id", "url"), "doc_id", "url")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      "https://a.com/x" -> ((3L, 2L)),
+      "https://b.com/y" -> ((9L, 1L))))
+  }
 }
