@@ -769,6 +769,28 @@ object SparkEntry {
     //      k is re-identifiable and must be generalized or suppressed
     //      before release. The privacy gate for published training
     //      data; pure integer grouping, exactly replayable ----
+    // ---- X: Pearson correlation matrix over the lineitem metrics —
+    //      exact decimal integer moments in ONE scan (k(k+3)/2 sums in
+    //      one codegen stage, not a job per pair), one fixed IEEE tree
+    //      for the closed form (see Stats.corrSql) ----
+    "x35_corr_matrix" -> ((s, dir) =>
+      graft.ops.Stats.corrMatrix(t(s, dir, "lineitem"), Seq(
+        "q" -> (col("l_quantity").cast("decimal(18,2)") * 100),
+        "p" -> (col("l_extendedprice").cast("decimal(18,2)") * 100),
+        "d" -> (col("l_discount").cast("decimal(18,4)") * 10000),
+        "t" -> (col("l_tax").cast("decimal(18,4)") * 10000)))),
+
+    // ---- X: l-diversity — x27's quasi-identifier groups must also
+    //      carry ≥ l DISTINCT sensitive values (k-anonymity alone
+    //      leaks when a group is homogeneous in the sensitive column) ----
+    "x36_l_diversity" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"),
+          expr("cast(floor(c_acctbal / 1000) as bigint)").as("bal_bucket"))
+        .agg(count(lit(1)).as("group_size"),
+          countDistinct(col("c_mktsegment")).as("l_distinct"))
+        .withColumn("l_ok", (col("l_distinct") >= 3).cast("int"))),
+
     "x27_k_anonymity" -> ((s, dir) =>
       t(s, dir, "customer")
         .groupBy(col("c_nationkey"),
@@ -2516,6 +2538,37 @@ object SparkEntry {
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
          FROM s)"""
 
+  /** x35's oracle, generated from the SAME [[graft.ops.Stats.corrSql]]
+    * closed form the engine evaluates — one definition of the IEEE
+    * tree, two engines replaying it over identical exact integer
+    * moments (decimal(38,0) sums engine-side, HUGEINT sums in DuckDB).
+    */
+  private def corrMatrixOracle: String = {
+    val vs = Seq("q", "p", "d", "t")
+    val pairs = for { i <- vs.indices; j <- i + 1 until vs.size } yield (vs(i), vs(j))
+    val corrSel = pairs.map { case (a, b) =>
+      graft.ops.Stats.corrSql(s"s_${a}_${b}", s"s_$a", s"s_$b",
+        s"s_${a}_${a}", s"s_${b}_${b}") + s" AS corr_${a}_${b}"
+    }.mkString(",\n           ")
+    val prodSums = (for { i <- vs.indices; j <- i until vs.size } yield {
+      val (a, b) = (vs(i), vs(j))
+      s"SUM(${a}*${b}) AS s_${a}_${b}"
+    }).mkString(", ")
+    s"""WITH b AS (SELECT
+           CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT) AS q,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS p,
+           CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS d,
+           CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS t
+         FROM lineitem),
+         m AS (SELECT COUNT(*) AS n,
+           SUM(q) AS s_q, SUM(p) AS s_p, SUM(d) AS s_d, SUM(t) AS s_t,
+           $prodSums
+         FROM b)
+         SELECT CAST(n AS BIGINT) AS n_rows,
+           $corrSel
+         FROM m"""
+  }
+
   private val ivfRecallOracle: String =
     ivfRecallCtes +
       "\n       SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok FROM r WHERE rank <= 5"
@@ -3226,6 +3279,18 @@ object SparkEntry {
            WHERE c.c_custkey >= 10
          )
          SELECT node, root, CAST(depth AS BIGINT) AS depth FROM anc""",
+
+    // IDENTICAL closed-form tree via Stats.corrSql (single definition,
+    // both engines); DuckDB sums in HUGEINT — exact 128-bit like the
+    // engine's decimal(38,0) sums
+    "x35_corr_matrix" -> corrMatrixOracle,
+
+    "x36_l_diversity" ->
+      """SELECT c_nationkey, CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           COUNT(*) AS group_size,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+           CASE WHEN COUNT(DISTINCT c_mktsegment) >= 3 THEN 1 ELSE 0 END AS l_ok
+         FROM customer GROUP BY 1, 2""",
 
     "x27_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
