@@ -2440,6 +2440,20 @@ object SparkEntry {
           date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
     }),
 
+    // ---- E37: LEFT-OUTER attribution — conversions AND the
+    //      did-not-convert rows; the streaming twin's outer rows emit
+    //      on watermark expiry (StreamJoinSpec proves equivalence) ----
+    "e37_attribution_outer" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.streaming.EventStreams.clickAttributionOuter(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "signup"), "7 days")
+        .select(col("click_id"), col("user_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"),
+          col("attributed"))
+    }),
+
     // ---- E6: dedup-within-watermark, batch twin (earliest arrival
     //      wins). event_id is unique in the source, so duplicates are
     //      injected 10 minutes later — the dedup must drop exactly
@@ -2738,6 +2752,17 @@ object SparkEntry {
            strftime(c.t, '%Y-%m-%d %H:%M:%S') AS click_ts,
            strftime(g.t, '%Y-%m-%d %H:%M:%S') AS signup_ts
          FROM c JOIN g ON c.user_id = g.user_id
+           AND c.t >= g.t AND c.t <= g.t + INTERVAL 7 DAY""",
+
+    "e37_attribution_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, ts::TIMESTAMP AS t FROM events),
+         c AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'click'),
+         g AS (SELECT user_id, t FROM e WHERE event_type = 'signup')
+         SELECT c.event_id AS click_id, c.user_id,
+           strftime(c.t, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(g.t, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+           CASE WHEN g.t IS NULL THEN 0 ELSE 1 END AS attributed
+         FROM c LEFT JOIN g ON c.user_id = g.user_id
            AND c.t >= g.t AND c.t <= g.t + INTERVAL 7 DAY""",
 
     "e6_dedup_watermark" ->

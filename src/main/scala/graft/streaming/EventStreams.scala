@@ -333,6 +333,36 @@ object EventStreams {
       .select(col("click_id"), col("user_id"), col("click_ts"), col("signup_ts"))
   }
 
+  /** LEFT-OUTER variant of [[clickAttribution]]: unmatched clicks ARE
+    * results — the "did not convert" rows every attribution report
+    * needs alongside the conversions. `attributed` flags the outcome;
+    * `signup_ts` is null on the outer rows.
+    *
+    * Streaming semantics are the interesting part: an outer row may
+    * only emit once the engine can PROVE no future signup will match,
+    * which happens when the watermark passes the click's join horizon
+    * — so unmatched results trail the conversions by up to
+    * (horizon + watermark delay) of event time, and rows still inside
+    * that horizon when the stream idles remain in state, unemitted
+    * (the standard outer-join tail contract; the batch twin reports
+    * them immediately). State stays bounded exactly as in the inner
+    * join: both sides' watermarks plus the time-bound condition give
+    * provable eviction.
+    */
+  def clickAttributionOuter(clicks: DataFrame, signups: DataFrame,
+                            horizon: String = "7 days"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+    val s = signups.select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+    c.join(s,
+      col("user_id") === col("s_user_id") &&
+        col("click_ts") >= col("signup_ts") &&
+        col("click_ts") <= col("signup_ts") + expr(s"INTERVAL $horizon"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("click_ts"), col("signup_ts"),
+        col("signup_ts").isNotNull.cast("int").as("attributed"))
+  }
+
   /** Streaming exact dedup on event id, state bounded by the watermark:
     * duplicates arriving within the watermark horizon are dropped, state
     * for ids older than the watermark is evicted (the only way streaming

@@ -79,4 +79,62 @@ class StreamJoinSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
   }
+
+  test("LEFT-OUTER stream-stream join emits unmatched clicks on watermark expiry, multi-batch == batch twin") {
+    // one row per file → one row per micro-batch. The outer rows are
+    // the point: u2's click precedes its signup (must emit UNMATCHED,
+    // but only once the watermark proves no earlier signup can still
+    // arrive), and the Jan 20 click is beyond u1's horizon (unmatched
+    // too). The far-future SENTINEL SIGNUP pushes the watermark past
+    // every click's horizon so the outer tail flushes — signups are
+    // the join's right side, so the sentinel itself can't appear in
+    // the output. Without it, clicks still inside their horizon would
+    // sit in state unemitted (the documented outer-tail contract).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin-outer").toString
+    def row(id: Long, t: String, u: Long, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), u, typ, 1.0, "{}")
+    val rows = Seq(
+      row(4L, "2024-01-01 08:00:00", 2, "click"),
+      row(5L, "2024-01-01 09:00:00", 2, "signup"),
+      row(1L, "2024-01-01 10:00:00", 1, "signup"),
+      row(2L, "2024-01-02 09:00:00", 1, "click"),
+      row(3L, "2024-01-20 09:00:00", 1, "click"),
+      // Sentinels must advance BOTH sides: the global watermark is the
+      // MIN across the two withWatermark nodes, so a signup-only
+      // sentinel leaves the click-side watermark at Jan 20 and the
+      // outer tail in state forever. The matched far-future pair moves
+      // both sides (and appears, attributed, in batch and stream
+      // alike); the final signup then gives the engine a batch that
+      // RUNS under the advanced watermark — outer-row eviction happens
+      // during a batch, and AvailableNow runs no trailing no-data
+      // batch, so the flush needs one more trigger after the advance
+      row(99L, "2024-03-01 00:00:00", 9, "signup"),
+      row(101L, "2024-03-01 00:01:00", 9, "click"),
+      row(100L, "2024-03-02 00:00:00", 9, "signup"))
+    for (r <- rows)
+      Seq(r).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.where(col("event_type") === "click"), df.where(col("event_type") === "signup"))
+
+    val (bc, bs) = split(spark.read.parquet(dir))
+    val batch = EventStreams.clickAttributionOuter(bc, bs)
+      .collect().map(_.toSeq).toSet
+    // clicks 3 and 4 are outer rows; clicks 2 and the sentinel click
+    // attributed
+    assert(batch.map(r => (r.head, r.last)) ==
+      Set((2L, 1), (3L, 0), (4L, 0), (101L, 1)))
+
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val (sc, ss) = split(stream)
+    val streamed = EventStreams.runToMemorySink(
+      spark,
+      EventStreams.clickAttributionOuter(
+        sc.withWatermark("ts", "1 hour"), ss.withWatermark("ts", "1 hour")),
+      "ssjoin_outer", OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
 }
