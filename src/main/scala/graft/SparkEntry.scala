@@ -2047,6 +2047,14 @@ object SparkEntry {
         "user_id", "ts", "value", periodDays = 7)
         .withColumn("age_periods", col("age_periods").cast("long"))),
 
+    // ---- E: seasonal-naive forecast backtest — per event_type daily
+    //      revenue forecast by last week's value; exact-cent MAE and
+    //      basis-point WMAPE over the overlap ----
+    "e38_forecast_backtest" -> ((s, dir) =>
+      graft.ops.TimeSeries.seasonalNaiveBacktest(
+        events(s, dir), "event_type", "ts", "value", seasonDays = 7)
+        .withColumnRenamed("key", "event_type")),
+
     // ---- E: recency-weighted user value — dyadic half-life decay
     //      (integer shift-and-floor-divide, no libm pow), 7-day
     //      half-life anchored at max(day) ----
@@ -4187,6 +4195,28 @@ object SparkEntry {
            CAST(age_periods AS BIGINT) AS age_periods,
            CAST(n_users AS BIGINT) AS n_users, revenue_cents, cum_revenue_cents
          FROM w""",
+
+    // seasonal-naive alignment and integer-floored MAE/WMAPE replayed
+    "e38_forecast_backtest" ->
+      """WITH e AS (SELECT event_type,
+                      epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                    FROM events),
+         d AS (SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS a
+               FROM e GROUP BY 1, 2),
+         j AS (SELECT d.event_type, d.a, f.a AS f
+               FROM d JOIN d f ON d.event_type = f.event_type
+                 AND d.day = f.day + 7),
+         s AS (SELECT event_type, COUNT(*) AS n_days,
+                 CAST(SUM(a) AS BIGINT) AS sum_actual_cents,
+                 CAST(SUM(ABS(a - f)) AS BIGINT) AS sum_abs_err_cents
+               FROM j GROUP BY 1)
+         SELECT event_type, n_days, sum_actual_cents, sum_abs_err_cents,
+           sum_abs_err_cents // n_days AS mae_cents,
+           CASE WHEN sum_actual_cents > 0
+             THEN (10000 * sum_abs_err_cents) // sum_actual_cents
+             ELSE NULL END AS wmape_bp
+         FROM s""",
 
     // dyadic staircase decay: identical shift-and-floor-divide terms
     // (DuckDB's `//` floors; the engine's positive-mod subtraction

@@ -211,6 +211,57 @@ object TimeSeries {
             ((sxy * 1000000L % sxx + sxx) % sxx)) div sxx END"""))
   }
 
+  /** Seasonal-naive forecast backtest: forecast each (key, day)'s
+    * value with the value one season earlier (`f(d) = a(d − season)`),
+    * then score the forecast over the overlap — the baseline every
+    * real forecasting system must beat, and the cheapest useful
+    * backtest at warehouse scale (one self-join, two aggregates; no
+    * model state).
+    *
+    * Metrics are exact integers: per-key MAE in floored cents
+    * (`Σ|a−f| div n`) and WMAPE in floored basis points
+    * (`10⁴·Σ|a−f| div Σa` — the WEIGHTED form: a per-day MAPE mean
+    * explodes on near-zero days and needs a float mean; the weighted
+    * ratio is one long division). Days with no prior-season actual
+    * are excluded (a backtest scores only days a forecast exists for).
+    *
+    * Shape: one (key, day)-aggregate builds the daily series, one
+    * equi-join on (key, day − season) aligns forecasts — same key
+    * partitioning both sides, AQE-sized — and one key-aggregate
+    * collapses to per-key scores. Nothing wider than the daily series
+    * ever shuffles.
+    *
+    * @return (key, n_days, sum_actual_cents, sum_abs_err_cents,
+    *          mae_cents, wmape_bp) — wmape_bp NULL when Σa = 0
+    */
+  def seasonalNaiveBacktest(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      seasonDays: Int = 7): DataFrame = {
+    require(seasonDays >= 1, s"seasonDays must be >= 1, got $seasonDays")
+    val daySql = s"""(CAST(CAST($tsCol AS TIMESTAMP) AS LONG) -
+      ((CAST(CAST($tsCol AS TIMESTAMP) AS LONG) % 86400 + 86400) % 86400))
+      div 86400"""
+    val daily = df.select(col(keyCol).as("key"), expr(daySql).as("day"),
+      (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy("key", "day").agg(sum(col("cents")).as("a"))
+    val actual = daily.select(col("key"), col("day"), col("a"))
+    val fc = daily.select(col("key"), (col("day") + seasonDays).as("day"),
+      col("a").as("f"))
+    actual.join(fc, Seq("key", "day"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("a")).as("sum_actual_cents"),
+        sum(abs(col("a") - col("f"))).as("sum_abs_err_cents"))
+      .withColumn("mae_cents", expr("sum_abs_err_cents div n_days"))
+      .withColumn("wmape_bp", expr(
+        """CASE WHEN sum_actual_cents > 0
+             THEN (10000L * sum_abs_err_cents) div sum_actual_cents
+             ELSE CAST(NULL AS BIGINT) END"""))
+  }
+
   /** Recency-weighted value scoring with DYADIC half-life decay: each
     * observation contributes `value · 2^-(age_days div halfLifeDays)` —
     * the freshness-weighted engagement/quality feature (recent activity

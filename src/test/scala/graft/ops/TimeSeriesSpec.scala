@@ -171,4 +171,45 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       ("u", "1970-01-01 12:00:00", 9999.99))
     assert(out("u") == ((2L, 1000099L, 100000000L)))
   }
+
+  private def backtest(season: Int, rows: (String, String, Double)*) = {
+    import spark.implicits._
+    val df = rows.toSeq.toDF("k", "t", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("t"))).drop("t")
+    TimeSeries.seasonalNaiveBacktest(df, "k", "ts", "value", season)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+  }
+
+  test("seasonalNaiveBacktest: hand-checked MAE and WMAPE; first season excluded") {
+    // 1-day season: days 1,2,3 with 1.00, 2.00, 4.00 → scored days are
+    // 2 (a=200, f=100) and 3 (a=400, f=200): Σa=600, Σ|e|=300,
+    // mae = 300 div 2 = 150, wmape = 10000·300 div 600 = 5000
+    val out = backtest(1,
+      ("k", "2024-03-01 10:00:00", 1.00),
+      ("k", "2024-03-02 10:00:00", 2.00),
+      ("k", "2024-03-03 10:00:00", 4.00))
+    assert(out("k") == ((2L, 600L, 300L, 150L, Some(5000L))))
+  }
+
+  test("seasonalNaiveBacktest: same-day events aggregate before forecasting; zero-sum actuals yield NULL wmape") {
+    // two events on day 2 sum to 0.00 → Σa over scored days = 0 →
+    // wmape NULL, mae still defined
+    val out = backtest(1,
+      ("k", "2024-03-01 10:00:00", 3.00),
+      ("k", "2024-03-02 10:00:00", 5.00),
+      ("k", "2024-03-02 11:00:00", -5.00))
+    assert(out("k") == ((1L, 0L, 300L, 300L, None)))
+  }
+
+  test("seasonalNaiveBacktest: a gap in the series scores only aligned days") {
+    // days 1 and 3 with a 7-day season=2: day 3 aligns to day 1 ✓;
+    // nothing else aligns
+    val out = backtest(2,
+      ("k", "2024-03-01 10:00:00", 2.00),
+      ("k", "2024-03-03 10:00:00", 2.50))
+    assert(out("k") == ((1L, 250L, 50L, 50L, Some(2000L))))
+  }
 }
