@@ -1693,6 +1693,24 @@ object SparkEntry {
           nCentroids = 16, nProbe = 8, kmeansIters = 1))
     }),
 
+    // ---- V: FILTERED ANN — search within a metadata predicate
+    //      (label = 3) via a semi-join on the probed cells BEFORE
+    //      scoring; index built once, predicate applied at probe (the
+    //      vector-DB filtered-search pattern); recall-gated against
+    //      the exact filtered baseline ----
+    "v21_filtered_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 10 === 0)
+      val allowed = emb.where(col("label") === 3).select("vec_id")
+      val idx = graft.ops.Similarity.ivfBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, kmeansIters = 1, persist = false)
+      recallGate(
+        graft.ops.Similarity.bruteForceTopK(
+          emb.where(col("label") === 3), q, "vec_id", "embedding", 5),
+        graft.ops.Similarity.ivfProbeFiltered(idx, q, "vec_id", "embedding", 5,
+          nProbe = 8, allowed))
+    }),
+
     // ---- V: scalar quantization (SQ8) — the third compression family
     //      next to raw IVF and PQ: one min/max pass, byte-per-dim
     //      codes, asymmetric (full-precision query vs dequantized
@@ -4580,6 +4598,12 @@ object SparkEntry {
     // and a drift between two copies would gate different invariants
     "v3i_ivf_recall" -> ivfRecallOracle,
     "v20_sq_recall" -> ivfRecallOracle,
+    // exact baseline restricted to the predicate (label = 3) — the
+    // same recall-gate recipe over the filtered corpus
+    "v21_filtered_topk" -> (ivfRecallCtes.replace(
+      "WHERE c.vec_id <> query_id",
+      "WHERE c.vec_id <> query_id AND c.label = 3") +
+      "\n       SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok FROM r WHERE rank <= 5"),
     "v5_ivf_disk_index" -> ivfRecallOracle,
     "v6_pq_recall" -> ivfRecallOracle,
     "v7_ivfpq_recall" -> ivfRecallOracle,

@@ -643,6 +643,47 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** FILTERED probe — the vector-DB "search within a metadata
+    * predicate" pattern (only label-X docs, only this tenant, only
+    * this date range): the allowed-id set SEMI-JOINS the probed cells
+    * BEFORE scoring, so the filter costs nothing in recall beyond the
+    * cell probing itself (post-rank filtering would need speculative
+    * over-fetch and still lose recall; pre-scoring filtering ranks k
+    * among exactly the eligible rows of the probed cells).
+    *
+    * Scale shape: identical to [[ivfProbe]] plus one semi-join keyed
+    * on the corpus id — when the predicate is selective the allowed
+    * set broadcasts (AQE runtime-sized); when it isn't, it shuffles
+    * against the probed cells only, never the whole corpus. The index
+    * is built ONCE and serves every predicate — the point of
+    * filter-at-probe over filter-at-build (a per-predicate index
+    * rebuild is the anti-pattern).
+    *
+    * @param allowed one-column relation of eligible corpus ids (any
+    *                name; the first column is used)
+    */
+  def ivfProbeFiltered(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      allowed: DataFrame): DataFrame = {
+    val ok = allowed.select(col(allowed.columns.head).as("neighbor_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(index.centroidArr))
+      .select(col("query_id"), col("q_vec"),
+        explode(graft.functions.IvfCells.top_cells(col("q_vec"), col("cents"), nProbe)).as("cell"))
+    val scored = index.cells
+      .join(ok, Seq("neighbor_id"), "left_semi")
+      .join(probes.repartition(col("cell")), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine_native(col("q_vec"), col("c_vec")))
+    rankTopK(scored, k)
+  }
+
   /** Persist an IVF index as TABLES — the cluster-scale materialization:
     * `cells` is written bucketed (and sorted) by `cell`, so a filter on
     * probed cell ids prunes to exactly those buckets at scan time

@@ -503,6 +503,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(capped.map(_._2).toSet == Set(3L)) // only the 'unique1' pairing survives
   }
 
+  test("ivfProbeFiltered: full probing equals the exact filtered baseline; disallowed ids never rank") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.95f, 0.05f), 2), // closest to 0 but WRONG label
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(-1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val q = labeled.where($"vec_id" === 0L)
+    val allowed = labeled.where($"label" === 1).select("vec_id")
+    val idx = Similarity.ivfBuild(labeled, "vec_id", "embedding",
+      nCentroids = 2, kmeansIters = 1, persist = false)
+    val filtered = Similarity.ivfProbeFiltered(idx, q, "vec_id", "embedding",
+      3, nProbe = 2, allowed)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val exact = Similarity.bruteForceTopK(labeled.where($"label" === 1), q,
+      "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(filtered.toSeq == exact.toSeq)
+    assert(!filtered.map(_._1).contains(2L)) // the closer wrong-label vec is invisible
+  }
+
   test("sqTopK: grid-aligned vectors quantize losslessly — SQ equals brute force exactly") {
     // every coordinate sits on the 8-bit quantization grid of its
     // dimension ([0,255] with 255 levels → integers are exact), so
