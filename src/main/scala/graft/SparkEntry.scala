@@ -2057,6 +2057,16 @@ object SparkEntry {
       graft.ops.Graph.kCore(pairs, "x", "y", k = 3, rounds = 4)
     }),
 
+    // ---- G: item-item collaborative filtering — suppliers co-bought
+    //      by the same customer, cosine over co-occurrence counts,
+    //      bounded-heap top-5 neighbors per supplier ----
+    "g10_itemcf" -> ((s, dir) => {
+      val rel = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("e"), col("l_suppkey").as("i"))
+      graft.ops.Graph.itemCf(rel, "e", "i", k = 5, minShared = 2L)
+    }),
+
     // ---- E: cohort LTV triangle — first-purchase-week cohorts ×
     //      weeks-since, exact-cent revenue and running cumulative ----
     "e34_cohort_ltv" -> ((s, dir) =>
@@ -4192,6 +4202,29 @@ object SparkEntry {
          SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS deg
          FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
          GROUP BY node""",
+
+    // integer co-occurrence counts and degrees; the only floating ops
+    // (one sqrt, one divide) are correctly rounded in any engine;
+    // heap order == (cosine DESC, neighbor ASC) row_number order
+    "g10_itemcf" ->
+      """WITH r AS (SELECT DISTINCT o_custkey AS e, l_suppkey AS i
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         p AS (SELECT a.i AS src, b.i AS dst, COUNT(*) AS n_shared
+               FROM r a JOIN r b ON a.e = b.e AND a.i < b.i
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         d AS (SELECT i, COUNT(*) AS deg FROM r GROUP BY i),
+         dir AS (SELECT src AS item, dst AS neighbor, n_shared FROM p
+                 UNION ALL SELECT dst, src, n_shared FROM p),
+         s AS (SELECT item, neighbor,
+                 ROUND(CAST(n_shared AS DOUBLE)
+                   / sqrt(CAST(da.deg AS DOUBLE) * CAST(db.deg AS DOUBLE)), 6) AS cosine
+               FROM dir JOIN d da ON da.i = dir.item JOIN d db ON db.i = dir.neighbor),
+         rk AS (SELECT item, neighbor, cosine,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY item
+                    ORDER BY cosine DESC, neighbor ASC) AS INT) AS rank FROM s)
+         SELECT CAST(item AS BIGINT) AS item, CAST(neighbor AS BIGINT) AS neighbor,
+           cosine, rank
+         FROM rk WHERE rank <= 5""",
 
     // exact integer epoch-week indices, DECIMAL-exact cents, cumulative
     // over the weeks-sized triangle

@@ -690,6 +690,66 @@ object Graph {
     degrees(e)
   }
 
+  /** Item-item collaborative filtering scores over the co-occurrence
+    * graph: cosine similarity `n_shared / √(deg_a·deg_b)` between
+    * items sharing raters/buyers/readers, top-k neighbors per item —
+    * the classic ItemCF / "customers also bought" primitive (Sarwar
+    * 2001), and the graph-side complement of the dense ([[graft.ops.Similarity]])
+    * and lexical (v11) retrieval tiers.
+    *
+    * Determinism: n_shared and degrees are exact integers from
+    * [[coOccurrenceEdges]]' inverted-index join; the score's only
+    * floating ops are one sqrt and one divide — both CORRECTLY
+    * ROUNDED by IEEE-754 spec in every engine (the sparse-cosine
+    * argument) — rounded to 6dp at the boundary; ranking ties break
+    * on the neighbor id.
+    *
+    * Scale shape: the pair relation is the guarded co-occurrence join
+    * (hub items droppable via `maxItemEntities` — the quadratic
+    * blow-up guard); degrees are one DISTINCT-pair aggregate joined
+    * back; the per-item top-k rides the bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]), so only k rows per item cross the
+    * final exchange — never a window sort over all pairs.
+    *
+    * @return (item, neighbor, cosine, rank), both directions of every
+    *         pair (a neighbor list per item; integral item ids — the
+    *         heap is the long-id tier, same contract as v1)
+    */
+  def itemCf(
+      rel: DataFrame,
+      entityCol: String,
+      itemCol: String,
+      k: Int,
+      minShared: Long = 2L,
+      maxItemEntities: Long = Long.MaxValue): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // role swap into coOccurrenceEdges' vocabulary: ItemCF pairs ITEMS
+    // sharing entities, so items are its "entities" and the shared
+    // users its "items" — the hub guard then drops bought-everything
+    // power users, exactly the ItemCF blow-up case
+    val pairs = coOccurrenceEdges(rel, itemCol, entityCol, minShared, maxItemEntities)
+    val deg = rel.select(col(entityCol).as("e"), col(itemCol).as("i")).distinct()
+      .groupBy("i").agg(count(lit(1)).as("deg"))
+    // both directions via explode (the g1 recipe — union would run the
+    // co-occurrence join twice)
+    val directed = pairs.select(explode(array(
+        struct(col("src").as("item"), col("dst").as("neighbor"), col("n_shared")),
+        struct(col("dst").as("item"), col("src").as("neighbor"), col("n_shared")))).as("x"))
+      .select("x.item", "x.neighbor", "x.n_shared")
+    val scored = directed
+      .join(deg.select(col("i").as("item"), col("deg").as("deg_a")), Seq("item"))
+      .join(deg.select(col("i").as("neighbor"), col("deg").as("deg_b")), Seq("neighbor"))
+      .withColumn("cosine", round(
+        col("n_shared").cast("double") /
+          sqrt(col("deg_a").cast("double") * col("deg_b").cast("double")), 6))
+    scored.groupBy("item")
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score(col("cosine"), col("neighbor").cast("long"), k).as("tk"))
+      .select(col("item"), posexplode(col("tk")))
+      .select(col("item"), col("col.neighbor_id").as("neighbor"),
+        col("col.cosine").as("cosine"), (col("pos") + 1).as("rank"))
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e0 = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),

@@ -345,6 +345,28 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(runKCore(tri, 3, 5).isEmpty)
   }
 
+  test("itemCf: hand-computed cosine over shared buyers; both directions; minShared gates") {
+    import spark.implicits._
+    // buyers 1,2 both buy items 10 and 20; buyer 3 buys 20 and 30 →
+    // only (10,20) shares ≥ 2 buyers. deg(10)=2, deg(20)=3 →
+    // cos = 2/sqrt(6)
+    val rel = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 20L), (3L, 30L)).toDF("u", "i")
+    val out = Graph.itemCf(rel, "u", "i", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getInt(3)))).toMap
+    val want = BigDecimal(2.0 / math.sqrt(6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map(
+      (10L, 20L) -> ((want, 1)),
+      (20L, 10L) -> ((want, 1))))
+    // duplicate purchase rows must not inflate counts
+    val dup = rel.union(rel)
+    assert(Graph.itemCf(dup, "u", "i", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((10L, 20L), (20L, 10L)))
+  }
+
   test("k-core: peeling cascades — a chain dissolves round by round, and bounded rounds stop mid-peel") {
     val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
     assert(runKCore(chain, 2, 5).isEmpty) // full cascade
