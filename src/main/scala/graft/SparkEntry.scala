@@ -2083,6 +2083,14 @@ object SparkEntry {
         events(s, dir), "event_type", "ts", "value", seasonDays = 7)
         .withColumnRenamed("key", "event_type")),
 
+    // ---- E: CUSUM changepoint detection — per event_type daily
+    //      revenue level-shift alarms (two windows over one sort replay
+    //      the recursion; all-integer floored mean/threshold) ----
+    "e39_cusum_changepoint" -> ((s, dir) =>
+      graft.ops.TimeSeries.cusumChangepoints(
+        events(s, dir), "event_type", "ts", "value", alarmPctOfMean = 50)
+        .withColumnRenamed("key", "event_type")),
+
     // ---- E: recency-weighted user value — dyadic half-life decay
     //      (integer shift-and-floor-divide, no libm pow), 7-day
     //      half-life anchored at max(day) ----
@@ -4268,6 +4276,40 @@ object SparkEntry {
              THEN (10000 * sum_abs_err_cents) // sum_actual_cents
              ELSE NULL END AS wmape_bp
          FROM s""",
+
+    // CUSUM via the prefix-sum identity C_t = S_t − min(0, min_{s≤t} S_s);
+    // the floored integer mean/threshold (DuckDB `//` floors; the engine's
+    // positive-mod subtraction floors identically) keep every C_t exact
+    "e39_cusum_changepoint" ->
+      """WITH e AS (SELECT event_type,
+                      epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                    FROM events),
+         d AS (SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS a
+               FROM e GROUP BY 1, 2),
+         st AS (SELECT event_type, COUNT(*) AS n_days,
+                  CAST(SUM(a) AS BIGINT) // COUNT(*) AS target_cents
+                FROM d GROUP BY 1),
+         st2 AS (SELECT *, (target_cents * 50) // 100 AS threshold_cents
+                 FROM st),
+         w AS (SELECT d.event_type, d.day, st2.n_days, st2.target_cents,
+                 st2.threshold_cents,
+                 CAST(SUM(d.a - st2.target_cents) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_t
+               FROM d JOIN st2 USING (event_type)),
+         c AS (SELECT *, s_t - LEAST(0, MIN(s_t) OVER (
+                 PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING)) AS cusum FROM w)
+         SELECT event_type, CAST(MAX(n_days) AS BIGINT) AS n_days,
+           CAST(MAX(target_cents) AS BIGINT) AS target_cents,
+           CAST(MAX(threshold_cents) AS BIGINT) AS threshold_cents,
+           CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+           CAST(COUNT(CASE WHEN cusum > threshold_cents THEN 1 END)
+             AS BIGINT) AS n_alarm_days,
+           MIN(CASE WHEN cusum > threshold_cents THEN day END)
+             AS first_alarm_day
+         FROM c GROUP BY event_type""",
 
     // dyadic staircase decay: identical shift-and-floor-divide terms
     // (DuckDB's `//` floors; the engine's positive-mod subtraction

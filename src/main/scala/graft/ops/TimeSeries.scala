@@ -262,6 +262,81 @@ object TimeSeries {
              ELSE CAST(NULL AS BIGINT) END"""))
   }
 
+  /** CUSUM changepoint detection over per-key daily series — "did this
+    * metric's level shift, and when?" (traffic-mix drift, crawl-source
+    * degradation, a pipeline stage silently doubling its output). The
+    * one-sided upward CUSUM with target μ and alarm threshold h:
+    *
+    *   C_t = max(0, C_{t−1} + (x_t − μ)),   alarm when C_t > h
+    *
+    * The recursion looks stateful, but the classic prefix-sum identity
+    * makes it two windows over ONE key-partitioned sort: with
+    * S_t = Σ_{s≤t}(x_s − μ) and S_0 = 0,
+    *
+    *   C_t = S_t − min(0, min_{s≤t} S_s)
+    *
+    * so the running sum and a clamped running min replay the recursion
+    * exactly — no iterative state, no UDF, no driver loop.
+    *
+    * Exactness discipline: daily values are integer cents; the target is
+    * the per-key FLOORED mean daily value (`Σa div n`, positive-mod floor
+    * so negative revenue days floor portably) and the threshold is
+    * `alarmPctOfMean`% of that mean (scale-free — the same query works at
+    * any SF) — so x−μ, S, min-S, and C are all exact longs and any engine
+    * replays the alarm set bit-for-bit. A float mean would put
+    * near-threshold days on either side depending on summation order.
+    *
+    * Scale shape: one (key, day) aggregate builds the daily series, one
+    * key aggregate derives μ/h (joined back on the key — same
+    * partitioning, AQE-sized), one key-partitioned sort feeds both
+    * windows and the final per-key collapse reuses it. Window state is
+    * the key's day count, bounded by the calendar, never the event count.
+    *
+    * @param alarmPctOfMean alarm threshold as a percentage of the mean
+    *                       daily value (e.g. 50 → alarm once cumulative
+    *                       excess exceeds half a typical day)
+    * @return (key, n_days, target_cents, threshold_cents, max_cusum,
+    *          n_alarm_days, first_alarm_day) — first_alarm_day is an
+    *          epoch-day LONG, NULL when the CUSUM never crosses
+    */
+  def cusumChangepoints(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      alarmPctOfMean: Int = 50): DataFrame = {
+    require(alarmPctOfMean >= 1, s"alarmPctOfMean must be >= 1, got $alarmPctOfMean")
+    val daySql = s"""(CAST(CAST($tsCol AS TIMESTAMP) AS LONG) -
+      ((CAST(CAST($tsCol AS TIMESTAMP) AS LONG) % 86400 + 86400) % 86400))
+      div 86400"""
+    val daily = df.select(col(keyCol).as("key"), expr(daySql).as("day"),
+      (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy("key", "day").agg(sum(col("cents")).as("a"))
+    // floored mean target and percentage threshold (positive-mod floor:
+    // Spark's `div` truncates, the subtraction makes it exact division)
+    val stats = daily.groupBy("key")
+      .agg(count(lit(1)).as("n_days"), sum(col("a")).as("sa"))
+      .select(col("key"), col("n_days"),
+        expr("(sa - ((sa % n_days + n_days) % n_days)) div n_days")
+          .as("target_cents"))
+      .withColumn("threshold_cents", expr(
+        s"""(target_cents * $alarmPctOfMean -
+             ((target_cents * $alarmPctOfMean % 100 + 100) % 100)) div 100"""))
+    val ord = Window.partitionBy("key").orderBy("day")
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(stats, Seq("key"))
+      .withColumn("s_t", sum(col("a") - col("target_cents")).over(run))
+      .withColumn("cusum", col("s_t") - least(lit(0L), min(col("s_t")).over(run)))
+      .groupBy("key")
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("target_cents")).as("target_cents"),
+        max(col("threshold_cents")).as("threshold_cents"),
+        max(col("cusum")).as("max_cusum"),
+        count(when(col("cusum") > col("threshold_cents"), 1)).as("n_alarm_days"),
+        min(when(col("cusum") > col("threshold_cents"), col("day")))
+          .as("first_alarm_day"))
+  }
+
   /** Recency-weighted value scoring with DYADIC half-life decay: each
     * observation contributes `value · 2^-(age_days div halfLifeDays)` —
     * the freshness-weighted engagement/quality feature (recent activity

@@ -212,4 +212,57 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       ("k", "2024-03-03 10:00:00", 2.50))
     assert(out("k") == ((1L, 250L, 50L, 50L, Some(2000L))))
   }
+
+  private def cusum(pct: Int, rows: (String, String, Double)*) = {
+    import spark.implicits._
+    val df = rows.toSeq.toDF("k", "t", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("t"))).drop("t")
+    TimeSeries.cusumChangepoints(df, "k", "ts", "value", pct)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+  }
+
+  test("cusumChangepoints: a level shift alarms on the shifted days, hand-replayed") {
+    // days 1-4 at 1.00, days 5-8 at 2.00 → target = 1200 div 8 = 150,
+    // threshold = 75. x−μ: −50×4 then +50×4; S runs −50..−200 then back
+    // to 0; runmin clamps at −200, so C = 0,0,0,0,50,100,150,200.
+    // Alarms (C>75): days 6,7,8 → first alarm 2024-03-06 = epoch day 19788.
+    val out = cusum(50,
+      ("k", "2024-03-01 10:00:00", 1.00), ("k", "2024-03-02 10:00:00", 1.00),
+      ("k", "2024-03-03 10:00:00", 1.00), ("k", "2024-03-04 10:00:00", 1.00),
+      ("k", "2024-03-05 10:00:00", 2.00), ("k", "2024-03-06 10:00:00", 2.00),
+      ("k", "2024-03-07 10:00:00", 2.00), ("k", "2024-03-08 10:00:00", 2.00))
+    assert(out("k") == ((8L, 150L, 75L, 200L, 3L, Some(19788L))))
+  }
+
+  test("cusumChangepoints: a flat series never alarms and first_alarm_day is NULL") {
+    val out = cusum(50,
+      ("k", "2024-03-01 10:00:00", 3.00),
+      ("k", "2024-03-02 10:00:00", 3.00),
+      ("k", "2024-03-03 10:00:00", 3.00))
+    assert(out("k") == ((3L, 300L, 150L, 0L, 0L, None)))
+  }
+
+  test("cusumChangepoints: the max(0,·) clamp forgets a dip — recovery restarts from zero") {
+    // 2.00, 1.00, 2.00 → target = 500 div 3 = 166 (floored), threshold 83.
+    // x−μ: 34, −66, 34; S: 34, −32, 2; min(0,runmin): 0, −32, −32;
+    // C: 34, 0, 34 — day 3's C equals day 1's, the dip did not persist.
+    val out = cusum(50,
+      ("k", "2024-03-01 10:00:00", 2.00),
+      ("k", "2024-03-02 10:00:00", 1.00),
+      ("k", "2024-03-03 10:00:00", 2.00))
+    assert(out("k") == ((3L, 166L, 83L, 34L, 0L, None)))
+  }
+
+  test("cusumChangepoints: negative sums FLOOR the mean and threshold like the oracle's //") {
+    // −1.00 and −0.51 → sum −151, target = floor(−75.5) = −76 (truncation
+    // would give −75), threshold = floor(−38.0) = −38. x−μ: −24, +25;
+    // S: −24, 1; C: 0, 25. Both C > −38 → both days alarm.
+    val out = cusum(50,
+      ("k", "2024-03-01 10:00:00", -1.00),
+      ("k", "2024-03-02 10:00:00", -0.51))
+    assert(out("k") == ((2L, -76L, -38L, 25L, 2L, Some(19783L))))
+  }
 }
