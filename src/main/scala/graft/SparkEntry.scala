@@ -431,6 +431,18 @@ object SparkEntry {
       graft.ops.Graph.triangleCounts(edges, "src", "dst")
     }),
 
+    // ---- G: degree assortativity — Newman's r over the same
+    //      co-purchase graph as g2: do hubs attach to hubs or to
+    //      leaves? (exact-moment Pearson, one scan over the
+    //      symmetrized edges) ----
+    "g11_assortativity" -> ((s, dir) => {
+      val rel = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      val edges = graft.ops.Graph.coOccurrenceEdges(rel, "cust", "part", minShared = 3)
+      graft.ops.Graph.assortativity(edges, "src", "dst")
+    }),
+
     // ---- G: personalized PageRank — teleport concentrated on a seed
     //      set (every 10th supplier), rank = proximity to the seeds:
     //      the seed-expansion primitive ("more pages like these
@@ -2627,6 +2639,39 @@ object SparkEntry {
          FROM m"""
   }
 
+  /** g11's oracle: rebuild the g2 co-purchase edges, symmetrize, take
+    * degree moments in HUGEINT, and evaluate the IDENTICAL closed-form
+    * Pearson tree ([[graft.ops.Stats.corrSql]]) the engine evaluates —
+    * the x35 determinism contract applied to graph structure.
+    */
+  private def assortativityOracle: String = {
+    val corr = graft.ops.Stats.corrSql(
+      "s_dx_dy", "s_dx", "s_dy", "s_dx_dx", "s_dy_dy")
+    s"""WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        e AS (SELECT a.c AS s1, b.c AS s2 FROM cp a JOIN cp b
+              ON a.p = b.p AND a.c < b.c
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        sym AS (SELECT s1 AS x, s2 AS y FROM e
+                UNION ALL SELECT s2 AS x, s1 AS y FROM e),
+        deg AS (SELECT x AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+        pr AS (SELECT CAST(dx.deg AS HUGEINT) AS dx,
+                 CAST(dy.deg AS HUGEINT) AS dy
+               FROM sym JOIN deg dx ON sym.x = dx.node
+                        JOIN deg dy ON sym.y = dy.node),
+        m AS (SELECT COUNT(*) AS n, SUM(dx) AS s_dx, SUM(dy) AS s_dy,
+                SUM(dx*dx) AS s_dx_dx, SUM(dx*dy) AS s_dx_dy,
+                SUM(dy*dy) AS s_dy_dy
+              FROM pr),
+        shape AS (SELECT COUNT(*) AS n_nodes, MAX(deg) AS max_degree FROM deg)
+        SELECT CAST(shape.n_nodes AS BIGINT) AS n_nodes,
+          CAST(m.n // 2 AS BIGINT) AS n_edges,
+          CAST(m.n AS BIGINT) AS n_endpoints,
+          CAST(shape.max_degree AS BIGINT) AS max_degree,
+          $corr AS assortativity
+        FROM m, shape"""
+  }
+
   private val ivfRecallOracle: String =
     ivfRecallCtes +
       "\n       SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok FROM r WHERE rank <= 5"
@@ -3171,6 +3216,8 @@ object SparkEntry {
                UNION ALL SELECT b FROM tri
                UNION ALL SELECT c FROM tri)
          SELECT node, COUNT(*) AS n_triangles FROM n GROUP BY node""",
+
+    "g11_assortativity" -> assortativityOracle,
 
     "src5_partitioned_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents

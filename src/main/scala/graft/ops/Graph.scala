@@ -776,4 +776,54 @@ object Graph {
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list — the one-number
+    * structural health check of a graph. Strongly negative means hubs
+    * attach to leaves (crawl frontiers, spam link farms, bot/organic
+    * mixing); near zero means degree-random wiring. At crawl scale this
+    * is the cheap first question to ask of a 100 TB link graph before
+    * paying for PageRank rounds.
+    *
+    * Computation: undirected edges are canonicalized and deduped (the
+    * [[triangleCounts]] discipline), degrees come from one node
+    * aggregate joined onto both endpoints, each edge contributes BOTH
+    * orientations (Newman's symmetric sum — otherwise r depends on
+    * which endpoint was stored as src), and the correlation rides
+    * [[Stats.corrMatrix]]: exact decimal moment sums in one scan, the
+    * shared closed-form IEEE tree ([[Stats.corrSql]]) at the end, so
+    * the oracle reproduces the bits. Graph-shape scalars (nodes, max
+    * degree) join in as one-row scalar crosses.
+    *
+    * Scale shape: two degree joins on the edge list (key-partitioned,
+    * AQE-sized) and ONE map-side-partial moment aggregate; nothing is
+    * ever materialized per node pair beyond the edges themselves.
+    *
+    * @return one row: (n_nodes, n_edges, n_endpoints, max_degree,
+    *         assortativity) — assortativity NULL on degenerate
+    *         (constant-degree) graphs, never a divide-by-zero NaN
+    */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val sym = e0.select(explode(array(
+        struct(col("a").as("x"), col("b").as("y")),
+        struct(col("b").as("x"), col("a").as("y")))).as("d"))
+      .select("d.x", "d.y")
+    val deg = sym.groupBy("x").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("x", "node")
+    val pairs = sym
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
+    val shape = deg.agg(
+      count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree"))
+    Stats.corrMatrix(pairs, Seq("dx" -> col("dx"), "dy" -> col("dy")))
+      .crossJoin(shape)
+      .select(col("n_nodes"), (col("n_rows") / 2).cast("long").as("n_edges"),
+        col("n_rows").as("n_endpoints"), col("max_degree"),
+        col("corr_dx_dy").as("assortativity"))
+  }
 }

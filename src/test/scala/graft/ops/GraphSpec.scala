@@ -374,4 +374,38 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     // surviving middle edges (2,3),(3,4)
     assert(runKCore(chain, 2, 1) == Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
+
+  private def assort(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val r = Graph.assortativity(edges.toDF("s", "d"), "s", "d").collect().head
+    ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+      Option(r.get(4)).map(_.asInstanceOf[Double]))
+  }
+
+  test("assortativity: a star is perfectly disassortative (r = −1)") {
+    // center 0 (deg 3) to leaves (deg 1): every endpoint pair is
+    // (3,1)/(1,3) → r = −1 exactly
+    val (shape, r) = assort(Seq(0L -> 1L, 0L -> 2L, 0L -> 3L))
+    assert(shape == ((4L, 3L, 6L, 3L)))
+    assert(r.contains(-1.0))
+  }
+
+  test("assortativity: P4 path hand-computed (r = −0.5); NULL on constant-degree graphs") {
+    // degrees 1,2,2,1 → moments n=6, Σd=10, Σd²=18, Σdxdy=16 →
+    // r = (96−100)/(108−100) = −0.5
+    val (shape, r) = assort(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L))
+    assert(shape == ((4L, 3L, 6L, 2L)))
+    assert(r.contains(-0.5))
+    // a triangle is degree-constant: zero variance → NULL, never NaN
+    val (triShape, triR) = assort(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L))
+    assert(triShape == ((3L, 3L, 6L, 2L)))
+    assert(triR.isEmpty)
+  }
+
+  test("assortativity: reversed and duplicate edges canonicalize; self-loops drop") {
+    val (shape, r) = assort(Seq(0L -> 1L, 1L -> 0L, 0L -> 1L,
+      0L -> 2L, 0L -> 3L, 2L -> 2L))
+    assert(shape == ((4L, 3L, 6L, 3L)))
+    assert(r.contains(-1.0))
+  }
 }
