@@ -488,6 +488,20 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         graft.ops.Classifier.syntheticWeights(s, 4096), 4096)),
 
+    // ---- T: classifier calibration — precision/recall/F1 at every
+    //      observed score threshold vs an is-English label; the sweep
+    //      runs over the distinct-score table, never the corpus ----
+    "t33_pr_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = graft.ops.Classifier.hashedLinearScore(
+        docs, "doc_id", "text",
+        graft.ops.Classifier.syntheticWeights(s, 4096), 4096)
+      graft.ops.Classifier.prCurve(
+        scored.join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("is_pos")), Seq("doc_id")),
+        "score_fp", "is_pos")
+    }),
+
     // ---- T: PMI collocations — corpus-wide phrase mining over
     //      adjacent bigrams, micro-nat fixed-point scores ----
     "t23_pmi" -> ((s, dir) =>
@@ -2639,6 +2653,21 @@ object SparkEntry {
          FROM m"""
   }
 
+  /** The t22 hashed-classifier score replayed in DuckDB — shared by the
+    * t22 oracle and t33's calibration sweep (one definition, the
+    * corrSql discipline applied to the feature path).
+    */
+  private val classifierScoreCtes: String =
+    """WITH wt AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS weight_fp
+                   FROM range(4096) t(i)),
+       d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+       f AS (SELECT doc_id,
+               unnest(w || list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS f
+             FROM d WHERE len(w) >= 1),
+       b AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket FROM f),
+       sc AS (SELECT doc_id, COUNT(*) AS n_features, CAST(SUM(weight_fp) AS BIGINT) AS score_fp
+              FROM b JOIN wt USING (bucket) GROUP BY doc_id)"""
+
   /** g11's oracle: rebuild the g2 co-purchase edges, symmetrize, take
     * degree moments in HUGEINT, and evaluate the IDENTICAL closed-form
     * Pearson tree ([[graft.ops.Stats.corrSql]]) the engine evaluates —
@@ -3226,18 +3255,39 @@ object SparkEntry {
     // the hashed classifier replayed exactly: same md5 bucketing, same
     // synthetic weight formula, integer score sum — engine-exact
     "t22_classifier" ->
-      """WITH wt AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS weight_fp
-                     FROM range(4096) t(i)),
-         d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
-         f AS (SELECT doc_id,
-                 unnest(w || list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS f
-               FROM d WHERE len(w) >= 1),
-         b AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket FROM f),
-         sc AS (SELECT doc_id, COUNT(*) AS n_features, CAST(SUM(weight_fp) AS BIGINT) AS score_fp
-                FROM b JOIN wt USING (bucket) GROUP BY doc_id)
+      (classifierScoreCtes + """
          SELECT doc_id, n_features, score_fp,
            CASE WHEN score_fp >= 0 THEN 'keep' ELSE 'drop' END AS label
-         FROM sc""",
+         FROM sc"""),
+
+    // the t22 score replayed, then the cumulative sweep over the
+    // distinct-score grain: tp/fp are DESC running sums, fn/tn derive
+    // from the one-row totals, ratios are floored basis points
+    "t33_pr_curve" ->
+      (classifierScoreCtes + """,
+         lab AS (SELECT sc.score_fp, (doc.lang = 'en') AS is_pos
+                 FROM sc JOIN documents doc USING (doc_id)
+                 WHERE doc.lang IS NOT NULL),
+         ps AS (SELECT score_fp AS threshold_fp,
+                  COUNT(CASE WHEN is_pos THEN 1 END) AS n_pos,
+                  COUNT(CASE WHEN NOT is_pos THEN 1 END) AS n_neg
+                FROM lab GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS total_pos,
+                   CAST(SUM(n_neg) AS BIGINT) AS total_neg FROM ps),
+         cum AS (SELECT threshold_fp,
+                   CAST(SUM(n_pos) OVER (ORDER BY threshold_fp DESC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+                   CAST(SUM(n_neg) OVER (ORDER BY threshold_fp DESC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+                 FROM ps)
+         SELECT threshold_fp, tp, fp,
+           CAST(tot.total_pos - tp AS BIGINT) AS fn,
+           CAST(tot.total_neg - fp AS BIGINT) AS tn,
+           (10000 * tp) // (tp + fp) AS precision_bp,
+           CASE WHEN tot.total_pos > 0 THEN (10000 * tp) // tot.total_pos
+             ELSE NULL END AS recall_bp,
+           (20000 * tp) // (tp + fp + tot.total_pos) AS f1_bp
+         FROM cum, tot"""),
 
     "t24_bpe_train" -> bpeOracleSql(8),
     "t26_bpe_encode" -> bpeEncodeOracleSql(8),

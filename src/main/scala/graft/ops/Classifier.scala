@@ -151,4 +151,65 @@ object Classifier {
       .orderBy(col("weight_fp").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  /** Precision/recall threshold sweep — the calibration step between
+    * training a quality classifier and running it corpus-wide: before
+    * committing a keep/drop cutoff over 100 TB, sweep every observed
+    * score threshold against a labeled slice and read off the
+    * confusion counts and P/R/F1 the cutoff would buy.
+    *
+    * At threshold τ a document is predicted positive iff score ≥ τ, so
+    * the whole curve falls out of ONE cumulative pass: aggregate to
+    * score grain (n_pos/n_neg per distinct score), then running sums
+    * ordered score-DESC give tp/fp at every τ simultaneously; fn/tn
+    * derive from the one-row totals. Ratios are floored basis points —
+    * pure integer division, engine-portable (precision's denominator
+    * tp+fp ≥ 1 at every emitted threshold by construction; F1 uses the
+    * identity 2tp+fp+fn = tp+fp+total_pos).
+    *
+    * Scale shape: one map-side-partial aggregate collapses the input
+    * to score grain BEFORE any window — the cumulative sweep runs over
+    * the distinct-score table (the e34 "window over the triangle,
+    * never the events" discipline), and the totals join in as a
+    * one-row scalar cross. The unpartitioned window is bounded by the
+    * input contract, not the corpus: calibration runs on the LABELED
+    * slice (a human- or LM-annotated sample, 10³–10⁶ rows by
+    * construction — labels are the expensive resource), never on the
+    * 100 TB corpus the resulting cutoff is applied to.
+    * NULL-label rows are dropped up front — an unlabeled row belongs
+    * to no side of the confusion matrix, and keeping its score would
+    * emit a threshold row with tp+fp = 0 (a divide-by-zero in any
+    * replaying engine).
+    *
+    * @param scoreCol integral score column (fixed-point)
+    * @param labelCol boolean ground-truth column
+    * @return one row per distinct score: (threshold_fp, tp, fp, fn,
+    *         tn, precision_bp, recall_bp, f1_bp); recall_bp NULL when
+    *         the labeled slice has no positives
+    */
+  def prCurve(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = scored
+      .where(col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("threshold_fp"))
+      .agg(count(when(col(labelCol), 1)).as("n_pos"),
+        count(when(!col(labelCol), 1)).as("n_neg"))
+    val totals = perScore.agg(
+      sum(col("n_pos")).cast("long").as("total_pos"),
+      sum(col("n_neg")).cast("long").as("total_neg"))
+    val desc = Window.orderBy(col("threshold_fp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .select(col("threshold_fp"),
+        sum(col("n_pos")).over(desc).as("tp"),
+        sum(col("n_neg")).over(desc).as("fp"))
+      .crossJoin(totals)
+      .select(col("threshold_fp"), col("tp"), col("fp"),
+        (col("total_pos") - col("tp")).as("fn"),
+        (col("total_neg") - col("fp")).as("tn"),
+        expr("(10000 * tp) div (tp + fp)").as("precision_bp"),
+        expr("""CASE WHEN total_pos > 0 THEN (10000 * tp) div total_pos
+                ELSE CAST(NULL AS BIGINT) END""").as("recall_bp"),
+        expr("(20000 * tp) div (tp + fp + total_pos)").as("f1_bp"))
+  }
 }

@@ -128,4 +128,38 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
       ((3.0 + 1.0) * (2.0 + 512.0))) * 1e6)
     assert(out.toSet == Set((1L, 1L, expect), (2L, 1L, expect), (3L, 1L, expect)))
   }
+
+  private def curve(rows: (Long, java.lang.Boolean)*) = {
+    val df = rows.toSeq.toDF("score_fp", "is_pos")
+    Classifier.prCurve(df, "score_fp", "is_pos")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          Option(r.get(6)).map(_.asInstanceOf[Long]), r.getLong(7)))).toMap
+  }
+
+  test("prCurve: hand-computed confusion counts and floored-bp ratios at every threshold") {
+    // scores 5(+), 5(−), 3(+), 1(−):
+    //   τ=5: tp=1 fp=1 fn=1 tn=1 → P 5000, R 5000, F1 5000
+    //   τ=3: tp=2 fp=1 fn=0 tn=1 → P 6666 (floored), R 10000, F1 8000
+    //   τ=1: tp=2 fp=2 fn=0 tn=0 → P 5000, R 10000, F1 6666
+    val out = curve(5L -> true, 5L -> false, 3L -> true, 1L -> false)
+    assert(out == Map(
+      5L -> ((1L, 1L, 1L, 1L, 5000L, Some(5000L), 5000L)),
+      3L -> ((2L, 1L, 0L, 1L, 6666L, Some(10000L), 8000L)),
+      1L -> ((2L, 2L, 0L, 0L, 5000L, Some(10000L), 6666L))))
+  }
+
+  test("prCurve: no positives in the labeled slice → recall NULL, precision/F1 zero") {
+    val out = curve(7L -> false, 2L -> false)
+    assert(out == Map(
+      7L -> ((0L, 1L, 0L, 1L, 0L, None, 0L)),
+      2L -> ((0L, 2L, 0L, 0L, 0L, None, 0L))))
+  }
+
+  test("prCurve: NULL labels count on neither side — totals and cumulatives agree") {
+    val out = curve(5L -> true, 5L -> null, 1L -> false)
+    assert(out == Map(
+      5L -> ((1L, 0L, 0L, 1L, 10000L, Some(10000L), 10000L)),
+      1L -> ((1L, 1L, 0L, 0L, 5000L, Some(10000L), 6666L))))
+  }
 }
