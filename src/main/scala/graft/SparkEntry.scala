@@ -1067,6 +1067,32 @@ object SparkEntry {
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // ---- SRC: WARC roundtrip — Content-Length framing must carry a
+    //      payload that LOOKS like a WARC record (embedded version
+    //      line + headers + CRLFs) byte-exact; content_length is the
+    //      parsed UTF-8 byte count ----
+    "src8_warc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          lit("\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\n tail ")))
+      val scratch = java.nio.file.Files.createTempDirectory("graft_src8_warc_").toFile
+      org.apache.spark.graft.sparkShims.deleteDirOnExit(scratch)
+      val recs = docs.select(
+        concat(lit("<urn:graft:doc:"), col("doc_id"), lit(">")).as("record_id"),
+        concat(lit("urn:graft:uri:"), col("doc_id")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        lit("text/plain; charset=utf-8").as("content_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      graft.sources.WarcSource.write(recs, scratch.getAbsolutePath)
+      graft.sources.WarcSource.read(s, scratch.getAbsolutePath)
+        .where(col("corrupt").isNull)
+        .select(
+          regexp_extract(col("record_id"), "doc:(-?\\d+)", 1)
+            .cast("long").as("doc_id"),
+          decode(col("payload"), "UTF-8").as("text"),
+          col("content_length"))
+    }),
+
     "src3_jsonl_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // unique-by-construction scratch dir (the old pid+dir.hashCode tag
@@ -3053,6 +3079,19 @@ object SparkEntry {
     "src7_xml_roundtrip" ->
       """SELECT doc_id, text || ' <tag attr="&x"> & tail ' AS text,
            lang, source, n_chars FROM documents""",
+
+    // the payload embeds a fake WARC record (version line, header,
+    // double CRLF): Content-Length framing must return it byte-exact,
+    // and content_length is the UTF-8 byte count (strlen, not length)
+    "src8_warc_roundtrip" ->
+      """SELECT doc_id,
+           text || (chr(13) || chr(10) || 'WARC/1.0' || chr(13) || chr(10)
+             || 'Content-Length: 0' || chr(13) || chr(10) || chr(13) || chr(10)
+             || ' tail ') AS text,
+           CAST(strlen(text || (chr(13) || chr(10) || 'WARC/1.0' || chr(13) || chr(10)
+             || 'Content-Length: 0' || chr(13) || chr(10) || chr(13) || chr(10)
+             || ' tail ')) AS BIGINT) AS content_length
+         FROM documents""",
 
     // the injected tail exercises separator+quote-in-data; roundtrip
     // must return it byte-exact

@@ -28,4 +28,18 @@ object sparkShims {
     */
   def deleteDirOnExit(dir: java.io.File): Unit =
     org.apache.spark.util.ShutdownHookManager.registerShutdownDeleteDir(dir)
+
+  /** A task-shippable supplier of the driver's Hadoop configuration,
+    * for sinks whose executors open `FileSystem` streams directly
+    * (e.g. the WARC writer). Spark's own wrapper
+    * (`org.apache.spark.util.SerializableConfiguration`) is
+    * `private[spark]`, so the public surface is a serializable closure
+    * over it — a plain `new Configuration()` in the task would drop
+    * the driver's filesystem settings (S3 credentials, defaultFS…).
+    */
+  def hadoopConfSupplier(
+      sc: SparkContext): () => org.apache.hadoop.conf.Configuration = {
+    val ser = new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration)
+    () => ser.value
+  }
 }
