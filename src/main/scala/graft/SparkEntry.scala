@@ -2135,6 +2135,14 @@ object SparkEntry {
         events(s, dir), "event_type", "ts", "value", seasonDays = 7)
         .withColumnRenamed("key", "event_type")),
 
+    // ---- E: lag autocorrelation — which season does each event_type's
+    //      daily revenue carry? Pearson over aligned (x_t, x_t−L) day
+    //      pairs at lags 1/7/14, exact moments + shared IEEE tree ----
+    "e41_autocorr" -> ((s, dir) =>
+      graft.ops.TimeSeries.autocorrelation(
+        events(s, dir), "event_type", "ts", "value", lags = Seq(1, 7, 14))
+        .withColumnRenamed("key", "event_type")),
+
     // ---- E: CUSUM changepoint detection — per event_type daily
     //      revenue level-shift alarms (two windows over one sort replay
     //      the recursion; all-integer floored mean/threshold) ----
@@ -2693,6 +2701,32 @@ object SparkEntry {
        b AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket FROM f),
        sc AS (SELECT doc_id, COUNT(*) AS n_features, CAST(SUM(weight_fp) AS BIGINT) AS score_fp
               FROM b JOIN wt USING (bucket) GROUP BY doc_id)"""
+
+  /** e41's oracle: the daily-series CTE, the lag-aligned self-join at
+    * the same lags, HUGEINT moments, and the shared Pearson tree.
+    */
+  private def autocorrOracle: String = {
+    val corr = graft.ops.Stats.corrSql("s_xy", "s_x", "s_y", "s_xx", "s_yy")
+    s"""WITH e AS (SELECT event_type,
+                     epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                   FROM events),
+        d AS (SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS a
+              FROM e GROUP BY 1, 2),
+        lags AS (SELECT CAST(unnest([1, 7, 14]) AS BIGINT) AS lag),
+        p AS (SELECT d.event_type, l.lag,
+                CAST(d.a AS HUGEINT) AS x, CAST(f.a AS HUGEINT) AS y
+              FROM d CROSS JOIN lags l
+              JOIN d f ON f.event_type = d.event_type
+                AND d.day = f.day + l.lag),
+        m AS (SELECT event_type, lag, COUNT(*) AS n,
+                SUM(x) AS s_x, SUM(y) AS s_y, SUM(x*x) AS s_xx,
+                SUM(x*y) AS s_xy, SUM(y*y) AS s_yy
+              FROM p GROUP BY 1, 2)
+        SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+          $corr AS acf
+        FROM m"""
+  }
 
   /** g11's oracle: rebuild the g2 co-purchase edges, symmetrize, take
     * degree moments in HUGEINT, and evaluate the IDENTICAL closed-form
@@ -4412,6 +4446,11 @@ object SparkEntry {
              THEN (10000 * sum_abs_err_cents) // sum_actual_cents
              ELSE NULL END AS wmape_bp
          FROM s""",
+
+    // pairwise-complete sample ACF: HUGEINT moments over the lag-aligned
+    // day pairs, then the IDENTICAL closed-form Pearson tree the engine
+    // evaluates (Stats.corrSql — one definition, both engines)
+    "e41_autocorr" -> autocorrOracle,
 
     // CUSUM via the prefix-sum identity C_t = S_t − min(0, min_{s≤t} S_s);
     // the floored integer mean/threshold (DuckDB `//` floors; the engine's

@@ -262,6 +262,62 @@ object TimeSeries {
              ELSE CAST(NULL AS BIGINT) END"""))
   }
 
+  /** Per-key lag autocorrelation over the daily series — the
+    * seasonality detector (WHICH season should e38's seasonal-naive
+    * use? does this metric have a weekly cycle at all?). For each
+    * requested lag L, the Pearson correlation of (x_t, x_{t−L}) over
+    * all aligned day pairs — the pairwise-complete sample ACF (robust
+    * to gaps in the series: only days with a lagged partner score).
+    *
+    * Determinism is the x35/g11 recipe: values integerize to exact
+    * cents once, every 1st/2nd-order moment is an exact decimal sum,
+    * and the ratio is the ONE shared closed-form IEEE tree
+    * ([[Stats.corrSql]]) both engines evaluate bit-for-bit.
+    * Constant-valued (zero-variance) windows → NULL, never NaN.
+    *
+    * Scale shape: one (key, day) aggregate builds the daily series
+    * once; each requested lag replicates it via an array-literal
+    * explode (|lags| is a handful — the replication is on the
+    * CALENDAR-sized daily table, never the events); the lag align is
+    * one key-partitioned self-join and the moments collapse with
+    * map-side partials. A (key, lag) with no aligned pairs emits no
+    * row.
+    *
+    * @return (key, lag, n_pairs, acf) — acf rounded to 6dp
+    */
+  def autocorrelation(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty, "need at least one lag")
+    require(lags.forall(_ >= 1), s"lags must be >= 1, got $lags")
+    require(lags.distinct.size == lags.size, s"duplicate lags in $lags")
+    val daySql = s"""(CAST(CAST($tsCol AS TIMESTAMP) AS LONG) -
+      ((CAST(CAST($tsCol AS TIMESTAMP) AS LONG) % 86400 + 86400) % 86400))
+      div 86400"""
+    val daily = df.select(col(keyCol).as("key"), expr(daySql).as("day"),
+      (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy("key", "day").agg(sum(col("cents")).as("a"))
+    val shifted = daily
+      .select(col("key"),
+        explode(array(lags.map(l => lit(l.toLong)): _*)).as("lag"),
+        (col("day") + col("lag")).as("day"), col("a").as("b"))
+    daily.join(shifted, Seq("key", "day"))
+      .select(col("key"), col("lag"),
+        col("a").cast("decimal(19,0)").as("x"),
+        col("b").cast("decimal(19,0)").as("y"))
+      .groupBy("key", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("s_x"), sum(col("y")).as("s_y"),
+        sum(col("x") * col("x")).as("s_xx"),
+        sum(col("x") * col("y")).as("s_xy"),
+        sum(col("y") * col("y")).as("s_yy"))
+      .select(col("key"), col("lag"), col("n").cast("long").as("n_pairs"),
+        expr(Stats.corrSql("s_xy", "s_x", "s_y", "s_xx", "s_yy")).as("acf"))
+  }
+
   /** CUSUM changepoint detection over per-key daily series — "did this
     * metric's level shift, and when?" (traffic-mix drift, crawl-source
     * degradation, a pipeline stage silently doubling its output). The

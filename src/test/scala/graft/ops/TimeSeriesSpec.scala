@@ -213,6 +213,43 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     assert(out("k") == ((1L, 250L, 50L, 50L, Some(2000L))))
   }
 
+  private def acf(lags: Seq[Int], rows: (String, String, Double)*) = {
+    import spark.implicits._
+    val df = rows.toSeq.toDF("k", "t", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("t"))).drop("t")
+    TimeSeries.autocorrelation(df, "k", "ts", "value", lags)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+  }
+
+  test("autocorrelation: a period-2 series scores −1 at lag 1 and +1 at lag 2") {
+    // daily values 1,3,1,3,1,3 → lag-1 pairs perfectly anti-aligned,
+    // lag-2 pairs identical (hand moments: n=5, r=−24/24 at lag 1)
+    val rows = (1 to 6).map(d =>
+      ("k", f"2024-03-$d%02d 10:00:00", if (d % 2 == 1) 1.00 else 3.00))
+    val out = acf(Seq(1, 2), rows: _*)
+    assert(out(("k", 1L)) == ((5L, Some(-1.0))))
+    assert(out(("k", 2L)) == ((4L, Some(1.0))))
+  }
+
+  test("autocorrelation: constant series → NULL (zero variance), never NaN; gaps align pairwise") {
+    val flat = acf(Seq(1),
+      ("k", "2024-03-01 10:00:00", 2.00),
+      ("k", "2024-03-02 10:00:00", 2.00),
+      ("k", "2024-03-03 10:00:00", 2.00))
+    assert(flat(("k", 1L)) == ((2L, None)))
+    // days 1,2,4,5: lag-1 aligns (2,1) and (5,4) only; a lag with no
+    // aligned pairs emits no row
+    val gap = acf(Seq(1, 10),
+      ("k", "2024-03-01 10:00:00", 1.00),
+      ("k", "2024-03-02 10:00:00", 2.00),
+      ("k", "2024-03-04 10:00:00", 3.00),
+      ("k", "2024-03-05 10:00:00", 5.00))
+    assert(gap(("k", 1L))._1 == 2L)
+    assert(!gap.contains(("k", 10L)))
+  }
+
   private def cusum(pct: Int, rows: (String, String, Double)*) = {
     import spark.implicits._
     val df = rows.toSeq.toDF("k", "t", "value")
