@@ -1750,6 +1750,14 @@ object SparkEntry {
     //      scoring; index built once, predicate applied at probe (the
     //      vector-DB filtered-search pattern); recall-gated against
     //      the exact filtered baseline ----
+    // ---- V: embedding drift — per-label centroid vs the corpus
+    //      centroid, exact integer L2² and the shared cosine tree
+    //      (the per-ingest-batch distribution-shift monitor) ----
+    "v22_embedding_drift" -> ((s, dir) =>
+      graft.ops.Similarity.embeddingDrift(
+        t(s, dir, "embeddings"), "embedding", "label")
+        .withColumnRenamed("slice", "label")),
+
     "v21_filtered_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") % 10 === 0)
@@ -2028,8 +2036,8 @@ object SparkEntry {
 
     // ---- E: per-type daily-volume OLS trend — exact integer
     //      slope numerator/denominator plus a portable floored
-    //      micro-slope (Spark div truncates, DuckDB // floors; the
-    //      positive-mod subtraction makes them agree) ----
+    //      micro-slope (BOTH Spark div and DuckDB // truncate; the
+    //      positive-mod subtraction makes truncation = floor) ----
     "e32_trend" -> ((s, dir) => {
       val ev = events(s, dir)
       // day index OFFSET FROM THE SERIES START (scalar min via one-row
@@ -2702,6 +2710,40 @@ object SparkEntry {
        sc AS (SELECT doc_id, COUNT(*) AS n_features, CAST(SUM(weight_fp) AS BIGINT) AS score_fp
               FROM b JOIN wt USING (bucket) GROUP BY doc_id)"""
 
+  /** v22's oracle: the v15 quantization replayed (ROUND(x·1000) per
+    * dimension), floored integer centroid means via `//`, exact
+    * HUGEINT moment sums, and the shared cosine tree
+    * ([[graft.ops.Stats.cosineOfMomentsSql]]).
+    */
+  private def embeddingDriftOracle: String = {
+    val cos = graft.ops.Stats.cosineOfMomentsSql("dot", "nc", "ng")
+    s"""WITH q AS (SELECT label,
+                     unnest(range(1, len(embedding)+1)) AS pos,
+                     CAST(unnest(list_transform(embedding,
+                       x -> ROUND(x::DOUBLE * 1000))) AS BIGINT) AS q
+                   FROM embeddings WHERE embedding IS NOT NULL),
+        sn AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings
+               WHERE embedding IS NOT NULL GROUP BY 1),
+        ss AS (SELECT label, pos, CAST(SUM(q) AS BIGINT) AS s
+               FROM q GROUP BY 1, 2),
+        gsums AS (SELECT pos, CAST(SUM(s) AS BIGINT) AS gs FROM ss GROUP BY 1),
+        gcnt AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS gn FROM sn),
+        c AS (SELECT ss.label, ss.pos,
+                (s - ((s % n_vecs + n_vecs) % n_vecs)) // n_vecs AS c
+              FROM ss JOIN sn USING (label)),
+        g AS (SELECT pos, (gs - ((gs % gn + gn) % gn)) // gn AS g
+              FROM gsums, gcnt),
+        m AS (SELECT c.label,
+                CAST(SUM(c.c * g.g) AS BIGINT) AS dot,
+                CAST(SUM(c.c * c.c) AS BIGINT) AS nc,
+                CAST(SUM(g.g * g.g) AS BIGINT) AS ng,
+                CAST(SUM((c.c - g.g) * (c.c - g.g)) AS BIGINT) AS l2_sq
+              FROM c JOIN g USING (pos) GROUP BY 1)
+        SELECT m.label, CAST(sn.n_vecs AS BIGINT) AS n_vecs, m.l2_sq,
+          $cos AS cosine_to_global
+        FROM m JOIN sn USING (label)"""
+  }
+
   /** e41's oracle: the daily-series CTE, the lag-aligned self-join at
     * the same lags, HUGEINT moments, and the shared Pearson tree.
     */
@@ -3137,8 +3179,8 @@ object SparkEntry {
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
 
     // the engine's fixed-point power iteration replayed exactly: 5
-    // unrolled rounds, all-integer micro-unit ranks (`//` floor division
-    // matches Spark's `div` on the non-negative ranks), so both engines
+    // unrolled rounds, all-integer micro-unit ranks (both `//` and
+    // Spark's `div` truncate — equal on the non-negative ranks), so both engines
     // compute the identical long at every node after every round
     // the Okapi law verbatim: same literals (2.2 = 1+k1, 0.25 = 1-b),
     // same rounding points, rank by the exact integer score
@@ -4453,8 +4495,9 @@ object SparkEntry {
     "e41_autocorr" -> autocorrOracle,
 
     // CUSUM via the prefix-sum identity C_t = S_t − min(0, min_{s≤t} S_s);
-    // the floored integer mean/threshold (DuckDB `//` floors; the engine's
-    // positive-mod subtraction floors identically) keep every C_t exact
+    // the floored integer mean/threshold (both engines' integer division
+    // TRUNCATES, so BOTH sides use the positive-mod subtraction — with a
+    // divisible operand truncation is floor) keep every C_t exact
     "e39_cusum_changepoint" ->
       """WITH e AS (SELECT event_type,
                       epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
@@ -4463,10 +4506,17 @@ object SparkEntry {
          d AS (SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS a
                FROM e GROUP BY 1, 2),
          st AS (SELECT event_type, COUNT(*) AS n_days,
-                  CAST(SUM(a) AS BIGINT) // COUNT(*) AS target_cents
+                  CAST(SUM(a) AS BIGINT) AS sa
                 FROM d GROUP BY 1),
-         st2 AS (SELECT *, (target_cents * 50) // 100 AS threshold_cents
+         st1 AS (SELECT event_type, n_days,
+                   (sa - ((sa % n_days + n_days) % n_days)) // n_days
+                     AS target_cents
                  FROM st),
+         st2 AS (SELECT *,
+                   (target_cents * 50
+                     - ((target_cents * 50 % 100 + 100) % 100)) // 100
+                     AS threshold_cents
+                 FROM st1),
          w AS (SELECT d.event_type, d.day, st2.n_days, st2.target_cents,
                  st2.threshold_cents,
                  CAST(SUM(d.a - st2.target_cents) OVER (
@@ -4487,18 +4537,22 @@ object SparkEntry {
          FROM c GROUP BY event_type""",
 
     // dyadic staircase decay: identical shift-and-floor-divide terms
-    // (DuckDB's `//` floors; the engine's positive-mod subtraction
-    // floors identically, so negative refund cents agree too)
+    // (both engines' integer division truncates, so the oracle carries
+    // the same positive-mod subtraction — negative refund cents agree)
     "e36_decay_score" ->
       """WITH e AS (SELECT user_id,
                       epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
                     FROM events WHERE event_type = 'purchase'),
          r AS (SELECT MAX(day) AS ref_day FROM e),
+         w AS (SELECT user_id, cents,
+                 (CAST(1 AS BIGINT)
+                   << CAST(LEAST((ref_day - day) // 7, 62) AS INT)) AS pw
+               FROM e, r),
          t AS (SELECT user_id, cents,
-                 (cents * 1000000) // (CAST(1 AS BIGINT)
-                   << CAST(LEAST((ref_day - day) // 7, 62) AS INT)) AS term_fp
-               FROM e, r)
+                 (cents * 1000000
+                   - ((cents * 1000000 % pw + pw) % pw)) // pw AS term_fp
+               FROM w)
          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(cents) AS BIGINT) AS total_cents,
            CAST(SUM(term_fp) AS BIGINT) AS decayed_fp
@@ -4848,6 +4902,8 @@ object SparkEntry {
     // and a drift between two copies would gate different invariants
     "v3i_ivf_recall" -> ivfRecallOracle,
     "v20_sq_recall" -> ivfRecallOracle,
+
+    "v22_embedding_drift" -> embeddingDriftOracle,
     // exact baseline restricted to the predicate (label = 3) — the
     // same recall-gate recipe over the filtered corpus
     "v21_filtered_topk" -> (ivfRecallCtes.replace(
@@ -5710,7 +5766,7 @@ object SparkEntry {
          UNION ALL
          SELECT 3, 'purchase', COUNT(s2) FROM pu""",
 
-    // `//` is DuckDB floor division == Spark's `div` for the
+    // `//` and Spark's `div` both truncate — identical for the
     // non-negative gaps that survive the m >= m0 guard; both engines
     // truncate weeks on exact µs integers
     "e16_retention" ->

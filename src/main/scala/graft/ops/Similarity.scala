@@ -1308,4 +1308,64 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Embedding-distribution drift monitor: per slice (a source, a
+    * crawl snapshot, a time bucket), how far has the slice's centroid
+    * moved from the corpus-wide centroid? The cheap first check that a
+    * new ingest batch or an upstream embedding-model change shifted
+    * the distribution — run it per batch and alarm on the trend (the
+    * e39 CUSUM composes directly over the l2 output).
+    *
+    * Determinism (the v15 quantization recipe): vectors integerize
+    * ONCE (`round(x·scaleFp)` per dimension), per-slice per-dimension
+    * sums are exact longs, centroids are FLOORED integer means
+    * (positive-mod floor — agrees with a flooring `//` replay on
+    * negative dimension sums), and the only floating arithmetic is the
+    * shared cosine tree ([[Stats.cosineOfMomentsSql]]). The squared L2
+    * distance between centroids is exact integer.
+    *
+    * Scale shape: ONE posexplode pass over the corpus collapses to a
+    * (slices × dims)-sized sums table with map-side partials; the
+    * global centroid RE-AGGREGATES that table (the corpus is never
+    * scanned twice); everything after is arithmetic on slices × dims
+    * rows. Magnitude: centroid entries are bounded by scaleFp·max|x|
+    * regardless of corpus size, so the dot/norm sums fit a long at any
+    * row count; the dimension sums themselves hold to ~10¹⁵ rows at
+    * the default scale.
+    *
+    * @return one row per slice: (slice, n_vecs, l2_sq — exact squared
+    *         centroid distance in quantized units², cosine_to_global —
+    *         6dp, NULL on a zero-norm side)
+    */
+  def embeddingDrift(
+      df: DataFrame,
+      vecCol: String,
+      sliceCol: String,
+      scaleFp: Int = 1000): DataFrame = {
+    require(scaleFp >= 1, s"scaleFp must be >= 1, got $scaleFp")
+    val rows = df.where(col(vecCol).isNotNull)
+    val q = rows.select(col(sliceCol).as("slice"),
+        posexplode(transform(col(vecCol),
+          x => round(x.cast("double") * scaleFp).cast("long"))))
+      .select(col("slice"), col("pos"), col("col").as("q"))
+    val sliceN = rows.groupBy(col(sliceCol).as("slice"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val sliceSums = q.groupBy("slice", "pos").agg(sum(col("q")).as("s"))
+    val globSums = sliceSums.groupBy("pos").agg(sum(col("s")).as("gs"))
+    val globN = sliceN.agg(sum(col("n_vecs")).as("gn"))
+    val cent = sliceSums.join(sliceN, Seq("slice"))
+      .withColumn("c", expr("(s - ((s % n_vecs + n_vecs) % n_vecs)) div n_vecs"))
+    val gcent = globSums.crossJoin(broadcast(globN))
+      .withColumn("g", expr("(gs - ((gs % gn + gn) % gn)) div gn"))
+    cent.join(gcent.select(col("pos"), col("g")), Seq("pos"))
+      .groupBy("slice")
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        sum(col("c") * col("g")).as("dot"),
+        sum(col("c") * col("c")).as("nc"),
+        sum(col("g") * col("g")).as("ng"),
+        sum((col("c") - col("g")) * (col("c") - col("g"))).as("l2_sq"))
+      .select(col("slice"), col("n_vecs"), col("l2_sq"),
+        expr(Stats.cosineOfMomentsSql("dot", "nc", "ng"))
+          .as("cosine_to_global"))
+  }
 }

@@ -39,6 +39,18 @@ object Stats {
                    - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE))), 6)
          ELSE CAST(NULL AS DOUBLE) END"""
 
+  /** The shared closed-form cosine over exact integer moments (`dot`,
+    * Σa², Σb²) — same one-definition contract as [[corrSql]]: two
+    * sqrts, one multiply, one divide, one round, every op correctly
+    * rounded by IEEE-754, so any engine replays the bits. Zero-norm
+    * sides → NULL, never a divide-by-zero NaN.
+    */
+  def cosineOfMomentsSql(dot: String, n2a: String, n2b: String): String =
+    s"""CASE WHEN CAST($n2a AS DOUBLE) > 0 AND CAST($n2b AS DOUBLE) > 0
+         THEN ROUND(CAST($dot AS DOUBLE) /
+           (SQRT(CAST($n2a AS DOUBLE)) * SQRT(CAST($n2b AS DOUBLE))), 6)
+         ELSE CAST(NULL AS DOUBLE) END"""
+
   /** Pearson correlation matrix over integer-valued metric columns:
     * one full-scan aggregate collects every 1st/2nd-order moment
     * (map-side partial — the scan is the whole cost), one row out with

@@ -167,11 +167,13 @@ object TimeSeries {
     * Both are integer expressions over map-side-partial integer sums —
     * no division, no doubles, immune to accumulation order — and the
     * reported `slope_micro = ⌊10⁶·sxy / sxx⌋` uses the PORTABLE floor
-    * division `(a − ((a % b + b) % b)) div b` (Spark's bare `div`
-    * truncates toward zero, DuckDB's `//` floors — they disagree exactly
-    * when the numerator is negative, i.e. on every downward trend; both
-    * `%` operators are C-style, so the positive-mod subtraction makes
-    * the operand exactly divisible and the disagreement vanishes).
+    * division `(a − ((a % b + b) % b)) div b`: bare integer division
+    * TRUNCATES toward zero in BOTH Spark (`div`) and DuckDB (`//`) —
+    * measured, not assumed (DuckDB 1.0: −417 // 46 = −9) — which is
+    * not floor exactly when the numerator is negative, i.e. on every
+    * downward trend. Both `%` operators are C-style, so the
+    * positive-mod subtraction makes the operand exactly divisible and
+    * truncation IS floor, in both engines.
     *
     * Caller contract (documented, not checked — the bound depends on
     * data the operator would have to scan): x should be SMALL integers
@@ -436,8 +438,9 @@ object TimeSeries {
         s"""shiftleft(CAST(1 AS BIGINT),
               CAST(least((ref_day - day) div $halfLifeDays, 62L) AS INT))"""))
       // floored division via the positive-mod subtraction (olsTrend's
-      // portability trick): negative values (refunds) floor identically
-      // in Spark's truncating `div` and any flooring `//` oracle
+      // portability trick): both Spark's `div` and DuckDB's `//`
+      // TRUNCATE, so the oracle needs the same subtraction — with it,
+      // negative values (refunds) floor identically in both engines
       .withColumn("term_fp", expr(
         """((cents * 1000000L) -
             (((cents * 1000000L) % pow2 + pow2) % pow2)) div pow2"""))

@@ -560,4 +560,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(1))
     assert(out.toSeq == Seq(1L)) // nearest cluster survives 16-level codes
   }
+
+  private def drift(rows: (Array[Float], String)*) = {
+    val df = rows.toSeq.toDF("embedding", "slice_in")
+    Similarity.embeddingDrift(df, "embedding", "slice_in")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+  }
+
+  test("embeddingDrift: hand-computed centroids — orthogonal slices sit 1/√2 from the global mean") {
+    // slice a = 2×[1,0], slice b = 2×[0,1] → centroids [1000,0]/[0,1000],
+    // global [500,500]: l2² = 500² + 500² = 500000, cos = 1/√2 → 0.707107
+    val out = drift(
+      (Array(1.0f, 0.0f), "a"), (Array(1.0f, 0.0f), "a"),
+      (Array(0.0f, 1.0f), "b"), (Array(0.0f, 1.0f), "b"))
+    assert(out == Map(
+      "a" -> ((2L, 500000L, Some(0.707107))),
+      "b" -> ((2L, 500000L, Some(0.707107)))))
+  }
+
+  test("embeddingDrift: negative sums FLOOR the centroid; zero-norm global → NULL cosine") {
+    // slice a: sum −1000 over 3 vecs → floor(−333.3) = −334 (truncation
+    // would give −333 and a different l2²); global centroid is exactly
+    // zero → cosine NULL on both slices, never NaN
+    val out = drift(
+      (Array(-1.0f, 0.0f), "a"), (Array(0.0f, 0.0f), "a"), (Array(0.0f, 0.0f), "a"),
+      (Array(1.0f, 0.0f), "b"))
+    assert(out == Map(
+      "a" -> ((3L, 334L * 334L, None)),
+      "b" -> ((1L, 1000000L, None))))
+  }
 }
