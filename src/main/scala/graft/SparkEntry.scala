@@ -423,6 +423,22 @@ object SparkEntry {
       graft.ops.Graph.labelPropagation(edges, "a", "b", rounds = 3)
     }),
 
+    // ---- G: modularity — is g4's community assignment better than a
+    //      degree-preserving random rewiring? all-integer Newman Q in
+    //      floored micro-units ----
+    "g12_modularity" -> ((s, dir) => {
+      val rel = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      val pairs = graft.ops.Graph.coOccurrenceEdges(rel, "cust", "part", minShared = 3)
+      val edges = pairs.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+        .select(col("e.s").as("a"), col("e.d").as("b"))
+      val labels = graft.ops.Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      graft.ops.Graph.modularity(pairs, "src", "dst", labels, "node", "community")
+    }),
+
     "g2_triangles" -> ((s, dir) => {
       val rel = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
@@ -2695,6 +2711,42 @@ object SparkEntry {
          FROM m"""
   }
 
+  /** g4's 3-round unrolled label propagation in DuckDB — shared by the
+    * g4 oracle and g12's modularity score (one definition of the
+    * community assignment; a drift between two copies would grade
+    * different clusterings).
+    */
+  private val labelPropOracleCtes: String =
+    """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       e AS (SELECT a.c AS s1, b.c AS s2 FROM cp a JOIN cp b
+             ON a.p = b.p AND a.c < b.c
+             GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       eb AS (SELECT s1 AS src, s2 AS dst FROM e UNION ALL SELECT s2, s1 FROM e),
+       n AS (SELECT DISTINCT src AS node FROM eb),
+       l0 AS (SELECT node, CAST(node AS BIGINT) AS label FROM n),
+       c1 AS (SELECT eb.dst AS node, l.label, COUNT(*) AS c
+              FROM eb JOIN l0 l ON eb.src = l.node GROUP BY 1, 2),
+       w1 AS (SELECT node, label FROM (SELECT node, label,
+                ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+              FROM c1) WHERE rn = 1),
+       l1 AS (SELECT n.node, COALESCE(w.label, CAST(n.node AS BIGINT)) AS label
+              FROM n LEFT JOIN w1 w USING (node)),
+       c2 AS (SELECT eb.dst AS node, l.label, COUNT(*) AS c
+              FROM eb JOIN l1 l ON eb.src = l.node GROUP BY 1, 2),
+       w2 AS (SELECT node, label FROM (SELECT node, label,
+                ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+              FROM c2) WHERE rn = 1),
+       l2 AS (SELECT n.node, COALESCE(w.label, CAST(n.node AS BIGINT)) AS label
+              FROM n LEFT JOIN w2 w USING (node)),
+       c3 AS (SELECT eb.dst AS node, l.label, COUNT(*) AS c
+              FROM eb JOIN l2 l ON eb.src = l.node GROUP BY 1, 2),
+       w3 AS (SELECT node, label FROM (SELECT node, label,
+                ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+              FROM c3) WHERE rn = 1),
+       l3 AS (SELECT n.node, COALESCE(w.label, CAST(n.node AS BIGINT)) AS label
+              FROM n LEFT JOIN w3 w USING (node))"""
+
   /** The t22 hashed-classifier score replayed in DuckDB — shared by the
     * t22 oracle and t33's calibration sweep (one definition, the
     * corrSql discipline applied to the feature path).
@@ -3315,36 +3367,37 @@ object SparkEntry {
     // three synchronous rounds unrolled; per-round argmax as row_number
     // (count DESC, label ASC) — the mirror of the struct-max
     "g4_label_prop" ->
-      """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-                     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-         e AS (SELECT a.c AS s1, b.c AS s2 FROM cp a JOIN cp b
-               ON a.p = b.p AND a.c < b.c
-               GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-         eb AS (SELECT s1 AS src, s2 AS dst FROM e UNION ALL SELECT s2, s1 FROM e),
-         n AS (SELECT DISTINCT src AS node FROM eb),
-         l0 AS (SELECT node, CAST(node AS BIGINT) AS label FROM n),
-         c1 AS (SELECT eb.dst AS node, l.label, COUNT(*) AS c
-                FROM eb JOIN l0 l ON eb.src = l.node GROUP BY 1, 2),
-         w1 AS (SELECT node, label FROM (SELECT node, label,
-                  ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
-                FROM c1) WHERE rn = 1),
-         l1 AS (SELECT n.node, COALESCE(w.label, CAST(n.node AS BIGINT)) AS label
-                FROM n LEFT JOIN w1 w USING (node)),
-         c2 AS (SELECT eb.dst AS node, l.label, COUNT(*) AS c
-                FROM eb JOIN l1 l ON eb.src = l.node GROUP BY 1, 2),
-         w2 AS (SELECT node, label FROM (SELECT node, label,
-                  ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
-                FROM c2) WHERE rn = 1),
-         l2 AS (SELECT n.node, COALESCE(w.label, CAST(n.node AS BIGINT)) AS label
-                FROM n LEFT JOIN w2 w USING (node)),
-         c3 AS (SELECT eb.dst AS node, l.label, COUNT(*) AS c
-                FROM eb JOIN l2 l ON eb.src = l.node GROUP BY 1, 2),
-         w3 AS (SELECT node, label FROM (SELECT node, label,
-                  ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
-                FROM c3) WHERE rn = 1),
-         l3 AS (SELECT n.node, COALESCE(w.label, CAST(n.node AS BIGINT)) AS label
-                FROM n LEFT JOIN w3 w USING (node))
-         SELECT node, label AS community FROM l3""",
+      (labelPropOracleCtes + "\n         SELECT node, label AS community FROM l3"),
+
+    // Newman Q over the SAME unrolled label-prop communities (shared
+    // CTEs — one definition): exact HUGEINT counts, floored micro-unit
+    // quotient via the positive-mod subtraction (Q < 0 is possible, so
+    // truncation-vs-floor matters here)
+    "g12_modularity" ->
+      (labelPropOracleCtes + """,
+         comm AS (SELECT node, label AS community FROM l3),
+         mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM e),
+         intra AS (SELECT CAST(COUNT(*) AS HUGEINT) AS intra FROM e
+                   JOIN comm ca ON e.s1 = ca.node
+                   JOIN comm cb ON e.s2 = cb.node
+                   WHERE ca.community = cb.community),
+         deg AS (SELECT src AS node, COUNT(*) AS deg FROM eb GROUP BY 1),
+         dc AS (SELECT c.community, CAST(SUM(d.deg) AS HUGEINT) AS dsum
+                FROM deg d JOIN comm c USING (node) GROUP BY 1),
+         ag AS (SELECT COUNT(*) AS n_communities,
+                  CAST(SUM(dsum * dsum) AS HUGEINT) AS deg_sq FROM dc),
+         fin AS (SELECT ag.n_communities, mm.m, intra.intra, ag.deg_sq,
+                   CAST(1000000 AS HUGEINT) * (4 * mm.m * intra.intra - ag.deg_sq) AS num,
+                   CAST(4 AS HUGEINT) * mm.m * mm.m AS den
+                 FROM mm, intra, ag)
+         SELECT CAST(n_communities AS BIGINT) AS n_communities,
+           CAST(m AS BIGINT) AS m_edges,
+           CAST(intra AS BIGINT) AS intra_edges,
+           CAST(deg_sq AS BIGINT) AS deg_sq_sum,
+           CASE WHEN m = 0 THEN NULL
+             ELSE CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+             END AS modularity_micro
+         FROM fin"""),
 
     "g2_triangles" ->
       """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p

@@ -777,6 +777,81 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Newman–Girvan modularity of a community assignment — the quality
+    * score for [[labelPropagation]]'s output (or any clustering of a
+    * graph): how much denser are the communities than a degree-
+    * preserving random rewiring? Q ∈ [−0.5, 1]; ~0 means the
+    * "communities" are no better than chance, which is exactly the
+    * check to run before trusting community labels from a 100 TB link
+    * graph.
+    *
+    *   Q = Σ_c [ e_c/m − (d_c/2m)² ] = (4m·Σe_c − Σd_c²) / (4m²)
+    *
+    * with m undirected edges, e_c intra-community edges, and d_c the
+    * community's total degree.
+    *
+    * Determinism: every term is an exact integer count; the single
+    * quotient is reported in FLOORED micro-units via the positive-mod
+    * subtraction (both engines' integer division truncates; a
+    * divisible operand makes truncation floor — the olsTrend recipe;
+    * the numerator IS negative whenever Q < 0, so this matters).
+    * Arithmetic runs in decimal(38,0), exact past 10⁹ edges where the
+    * long path would wrap (4m²·10⁶ at m = 10⁹ is ~4·10²⁴).
+    *
+    * Scale shape: two label joins on the edge list, one degree join,
+    * then everything collapses to community grain and finally to three
+    * one-row scalars crossed together. Unlabeled nodes (if any) drop
+    * via the inner joins — the oracle must share that contract.
+    *
+    * @param edges  canonical undirected pair list (one row per edge)
+    * @param labels (node, community) assignment
+    * @return one row: (n_communities, m_edges, intra_edges,
+    *         deg_sq_sum, modularity_micro) — deg_sq_sum as a LONG
+    *         (exact to ~3·10⁹ total degree; the internal decimal math
+    *         is exact far beyond)
+    */
+  def modularity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      communityCol: String): DataFrame = {
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val sym = e0.select(explode(array(
+        struct(col("a").as("x")), struct(col("b").as("x")))).as("d"))
+      .select(col("d.x").as("node"))
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+    val comm = labels.select(col(nodeCol).as("node"),
+      col(communityCol).as("community"))
+    val mm = e0.agg(count(lit(1)).cast("decimal(38,0)").as("m"))
+    val intra = e0
+      .join(comm.select(col("node").as("a"), col("community").as("ca")), Seq("a"))
+      .join(comm.select(col("node").as("b"), col("community").as("cb")), Seq("b"))
+      .where(col("ca") === col("cb"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("intra"))
+    val dc = deg.join(comm, Seq("node")).groupBy("community")
+      .agg(sum(col("deg")).as("dsum"))
+    val aggd = dc.agg(count(lit(1)).as("n_communities"),
+      sum(col("dsum").cast("decimal(19,0)") * col("dsum").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("deg_sq"))
+    mm.crossJoin(intra).crossJoin(aggd)
+      .withColumn("num", expr(
+        "CAST(1000000 AS DECIMAL(38,0)) * (4 * m * intra - deg_sq)"))
+      .withColumn("den", expr("CAST(4 AS DECIMAL(38,0)) * m * m"))
+      .select(col("n_communities"),
+        col("m").cast("long").as("m_edges"),
+        col("intra").cast("long").as("intra_edges"),
+        col("deg_sq").cast("long").as("deg_sq_sum"),
+        expr("""CASE WHEN m = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST((num - ((num % den + den) % den)) div den AS BIGINT)
+                END""").as("modularity_micro"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the symmetrized edge list — the one-number
     * structural health check of a graph. Strongly negative means hubs

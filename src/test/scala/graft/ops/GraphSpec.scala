@@ -408,4 +408,42 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(shape == ((4L, 3L, 6L, 3L)))
     assert(r.contains(-1.0))
   }
+
+  private def modul(edges: Seq[(Long, Long)], labels: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val r = Graph.modularity(edges.toDF("s", "d"), "s", "d",
+      labels.toDF("node", "community"), "node", "community").collect().head
+    ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+      Option(r.get(4)).map(_.asInstanceOf[Long]))
+  }
+
+  test("modularity: two triangles with a bridge, hand-computed Q = 5/14 floored to micro-units") {
+    // m=7, intra=6, every community degree 7 → Σd²=98:
+    // Q = (4·7·6 − 98)/(4·49) = 70/196 = 0.357142857… → 357142 floored
+    val edges = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L, 5L -> 6L, 4L -> 6L, 3L -> 4L)
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L)
+    val (shape, q) = modul(edges, labels)
+    assert(shape == ((2L, 7L, 6L, 98L)))
+    assert(q.contains(357142L))
+  }
+
+  test("modularity: one community scores exactly 0; a split single edge scores −0.5 (negative floor)") {
+    val (oneShape, oneQ) = modul(Seq(1L -> 2L, 2L -> 3L),
+      Seq(1L -> 9L, 2L -> 9L, 3L -> 9L))
+    assert(oneShape._1 == 1L && oneQ.contains(0L))
+    // num = 1e6·(0 − 2) = −2e6, den = 4 → exactly −500000; an
+    // unfloored truncation would be identical here, so also pin a
+    // NON-divisible negative: labels split a path of 2 edges
+    val (splitShape, splitQ) = modul(Seq(1L -> 2L), Seq(1L -> 1L, 2L -> 2L))
+    assert(splitShape == ((2L, 1L, 0L, 2L)))
+    assert(splitQ.contains(-500000L))
+    // path 1-2-3 split {1,2},{3}: m=2, intra=1, d={3,1}, Σd²=10:
+    // Q = (8−10)/16 = −0.125 → −125000 exactly; and {1},{2,3}:
+    // same by symmetry. Non-divisible: m=3 path split unevenly:
+    // edges 1-2,2-3,3-4, labels {1,2},{3},{4}: intra=1, d=(3,2,1)
+    // Σd²=14, Q=(12−14)/36 = −1/18 = −0.0555… → floor −55556
+    val (_, q3) = modul(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L),
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+    assert(q3.contains(-55556L))
+  }
 }
