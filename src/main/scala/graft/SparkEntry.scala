@@ -619,6 +619,14 @@ object SparkEntry {
           dsum(col("v_wins")).as("sum_wins"))
     }),
 
+    // ---- X: robust outliers — exact median + MAD per event_type
+    //      (Hampel's rule; x15's histogram-rank shape, rows never
+    //      enter a window), counts beyond 3·MAD in floored bp ----
+    "x37_mad_outliers" -> ((s, dir) =>
+      graft.ops.Stats.robustOutliers(
+        events(s, dir), "event_type", "value", k = 3)
+        .withColumnRenamed("key", "event_type")),
+
     "x15_percentiles" -> ((s, dir) => {
       // Scale shape: the rows NEVER enter a window. A per-row
       // row_number window partitioned by event_type would be one task
@@ -3373,6 +3381,39 @@ object SparkEntry {
     // CTEs — one definition): exact HUGEINT counts, floored micro-unit
     // quotient via the positive-mod subtraction (Q < 0 is possible, so
     // truncation-vs-floor matters here)
+    // exact nearest-rank median + MAD replayed at histogram grain; the
+    // k·MAD comparison and basis points are pure integer arithmetic
+    "x37_mad_outliers" ->
+      """WITH e AS (SELECT event_type AS key,
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                    FROM events WHERE value IS NOT NULL),
+         vc AS (SELECT key, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+         n AS (SELECT key, CAST(SUM(c) AS BIGINT) AS n,
+                 (5000 * CAST(SUM(c) AS BIGINT) + 9999) // 10000 AS r
+               FROM vc GROUP BY 1),
+         rk AS (SELECT key, v, c, SUM(c) OVER (PARTITION BY key ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS hi FROM vc),
+         med AS (SELECT rk.key, n.n, rk.v AS median_cents
+                 FROM rk JOIN n USING (key)
+                 WHERE rk.hi - rk.c + 1 <= n.r AND n.r <= rk.hi),
+         dv AS (SELECT vc.key, ABS(vc.v - m.median_cents) AS d,
+                  CAST(SUM(vc.c) AS BIGINT) AS c
+                FROM vc JOIN med m USING (key) GROUP BY 1, 2),
+         rd AS (SELECT key, d, c, SUM(c) OVER (PARTITION BY key ORDER BY d
+                  ROWS UNBOUNDED PRECEDING) AS hi FROM dv),
+         mad AS (SELECT rd.key, rd.d AS mad_cents FROM rd JOIN n USING (key)
+                 WHERE rd.hi - rd.c + 1 <= n.r AND n.r <= rd.hi)
+         SELECT vc.key AS event_type, MAX(m.n) AS n,
+           MAX(m.median_cents) AS median_cents,
+           MAX(mad.mad_cents) AS mad_cents,
+           CAST(SUM(CASE WHEN ABS(vc.v - m.median_cents) > 3 * mad.mad_cents
+             THEN vc.c ELSE 0 END) AS BIGINT) AS n_outliers,
+           (10000 * CAST(SUM(CASE WHEN ABS(vc.v - m.median_cents)
+               > 3 * mad.mad_cents THEN vc.c ELSE 0 END) AS BIGINT))
+             // MAX(m.n) AS outlier_bp
+         FROM vc JOIN med m USING (key) JOIN mad USING (key)
+         GROUP BY 1""",
+
     "g12_modularity" ->
       (labelPropOracleCtes + """,
          comm AS (SELECT node, label AS community FROM l3),

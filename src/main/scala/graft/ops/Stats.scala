@@ -68,6 +68,76 @@ object Stats {
     * same codegen stage, not k² passes (the naive `df.stat.corr` pair
     * loop runs one job per pair).
     */
+  /** Robust outlier gate: exact median + MAD (median absolute
+    * deviation) per key, then count the values beyond `k·MAD` — the
+    * outlier detector that a few huge anomalies CANNOT corrupt (mean
+    * and stddev both move with the outliers they're supposed to find;
+    * median/MAD have a 50% breakdown point — Hampel's rule). Flag
+    * counts, not flagged rows, come back: the caller joins the cuts
+    * onto the stream if row-level flags are wanted.
+    *
+    * Exactness: values integerize to cents once; both medians use the
+    * engine's exact HISTOGRAM-RANK formulation (the x15 recipe:
+    * nearest-rank `r = ⌈n/2⌉ = (5000·n + 9999) div 10000`, value whose
+    * cumulative range contains r) — no interpolation, no doubles, so
+    * every count replays bit-for-bit. The classical 1.4826 consistency
+    * constant is deliberately NOT applied (it is a float; fold it into
+    * `k` if normal-consistency is wanted — k=3 here ≈ 2·σ-equivalent).
+    *
+    * Scale shape (the x15 discipline): rows never enter a window. One
+    * map-side-partial (key, value) histogram bounds everything after
+    * by DISTINCT CENT VALUES per key; the deviation histogram derives
+    * from the value histogram (weights re-aggregate — the raw rows are
+    * not rescanned), and both cumulative-rank windows ride the tiny
+    * value-level relation. MAD = 0 (over half the values identical)
+    * makes every other value an outlier — documented Hampel behavior,
+    * not an error.
+    *
+    * @return one row per key: (key, n, median_cents, mad_cents,
+    *         n_outliers, outlier_bp — floored basis points)
+    */
+  def robustOutliers(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val vc = df
+      .select(col(keyCol).as("key"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy("key", "v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("key").orderBy("v")
+    val ranked = vc.withColumn("hi", sum(col("c")).over(w))
+      .withColumn("lo", col("hi") - col("c") + 1)
+    val n = vc.groupBy("key").agg(sum(col("c")).as("n"))
+      .withColumn("r", expr("(5000 * n + 9999) div 10000"))
+    val med = ranked.join(n, Seq("key"))
+      .where(col("lo") <= col("r") && col("r") <= col("hi"))
+      .select(col("key"), col("n"), col("r"), col("v").as("median_cents"))
+    // deviation histogram from the VALUE histogram — weights carry over
+    val dv = vc.join(med.select("key", "median_cents"), Seq("key"))
+      .select(col("key"), abs(col("v") - col("median_cents")).as("d"), col("c"))
+      .groupBy("key", "d").agg(sum(col("c")).as("c"))
+    val wd = Window.partitionBy("key").orderBy("d")
+    val mad = dv.withColumn("hi", sum(col("c")).over(wd))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .join(n, Seq("key"))
+      .where(col("lo") <= col("r") && col("r") <= col("hi"))
+      .select(col("key"), col("d").as("mad_cents"))
+    vc.join(med.select("key", "n", "median_cents"), Seq("key"))
+      .join(mad, Seq("key"))
+      .groupBy("key")
+      .agg(max(col("n")).as("n"),
+        max(col("median_cents")).as("median_cents"),
+        max(col("mad_cents")).as("mad_cents"),
+        sum(when(abs(col("v") - col("median_cents")) >
+          lit(k.toLong) * col("mad_cents"), col("c")).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_bp", expr("(10000 * n_outliers) div n"))
+  }
+
   def corrMatrix(df: DataFrame, vars: Seq[(String, Column)]): DataFrame = {
     require(vars.size >= 2, "need at least two metric columns")
     require(vars.map(_._1).distinct.size == vars.size, "metric names must be unique")

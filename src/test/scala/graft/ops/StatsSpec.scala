@@ -46,4 +46,33 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val after = sc.statusTracker.getJobIdsForGroup(null).length
     assert(after - before <= 2, s"expected one aggregate job (+possible AQE), got ${after - before}")
   }
+
+  private def outliers(k: Int, rows: (String, Double)*) = {
+    import spark.implicits._
+    Stats.robustOutliers(rows.toSeq.toDF("k", "value"), "k", "value", k)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+  }
+
+  test("robustOutliers: hand-computed median/MAD; one huge value cannot move either") {
+    // 1,2,3,4,100 → median 3.00 (rank ⌈5/2⌉=3), deviations
+    // 0,100,100,200,9700 → MAD 1.00; only 97.00 exceeds 3·MAD
+    val out = outliers(3, ("a", 1.00), ("a", 2.00), ("a", 3.00),
+      ("a", 4.00), ("a", 100.00))
+    assert(out("a") == ((5L, 300L, 100L, 1L, 2000L)))
+  }
+
+  test("robustOutliers: MAD = 0 when over half the values coincide — every other value flags (Hampel)") {
+    val out = outliers(3, ("a", 5.00), ("a", 5.00), ("a", 5.00), ("a", 9.00))
+    assert(out("a") == ((4L, 500L, 0L, 1L, 2500L)))
+  }
+
+  test("robustOutliers: duplicate-heavy histogram ranks — ties are rank-interchangeable") {
+    // 1,1,1,2,2 → n=5, r=3 falls inside value 1's [1,3] range → median
+    // 1.00; deviations 0(×3),100(×2) → MAD 0; both 2.00s flag at k=3
+    val out = outliers(3, ("a", 1.00), ("a", 1.00), ("a", 1.00),
+      ("a", 2.00), ("a", 2.00))
+    assert(out("a") == ((5L, 100L, 0L, 2L, 4000L)))
+  }
 }
