@@ -1512,6 +1512,17 @@ object SparkEntry {
     // ---- D: benchmark decontamination — train docs sharing any word
     //      8-gram with the eval slice are flagged; copies of eval docs
     //      are injected so contamination exists by construction ----
+    // ---- T: n-gram novelty — the incremental-crawl score: how much
+    //      of each "new batch" doc (doc_id % 5 = 0) has the existing
+    //      corpus never seen? shuffle join, never a broadcast ----
+    "t34_ngram_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      graft.ops.Corpus.ngramNovelty(
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", n = 3)
+    }),
+
     "d7_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val ev = docs.where(col("doc_id") < 20)
@@ -5156,6 +5167,25 @@ object SparkEntry {
          COUNT(DISTINCT l_partkey) AS n_exact,
          CAST(1 AS INT) AS hll_within_10pct
          FROM lineitem GROUP BY l_returnflag""",
+
+    // the shared shingle kernel at n=3, old/new batch split replayed;
+    // LEFT-join misses are the novel shingles, ratio in floored bp
+    "t34_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(w)-1),
+                      i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS s
+                FROM d),
+         dg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 5 = 0),
+         rg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 5 <> 0)
+         SELECT dg.doc_id, COUNT(*) AS n_ngrams,
+           CAST(COUNT(CASE WHEN rg.g IS NULL THEN 1 END) AS BIGINT) AS n_novel,
+           (10000 * CAST(COUNT(CASE WHEN rg.g IS NULL THEN 1 END) AS BIGINT))
+             // COUNT(*) AS novelty_bp
+         FROM dg LEFT JOIN rg ON dg.g = rg.g
+         GROUP BY 1""",
 
     "d7_decontaminate" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),

@@ -420,6 +420,44 @@ object Corpus {
       .groupBy("canonical_url")
       .agg(min(col("id")).as("id"), count(lit(1)).as("n_aliases"))
 
+  /** Per-document n-gram NOVELTY against a reference corpus: what
+    * fraction of a doc's distinct word n-grams has the reference never
+    * seen? The incremental-crawl scoring step — a new batch that is
+    * mostly old shingles is re-crawl/boilerplate (skip it), one that
+    * is mostly novel is fresh content (keep it); also the diversity
+    * complement of decontamination (which asks about FORBIDDEN
+    * overlap, where this asks about ANY overlap).
+    *
+    * Unlike [[decontaminate]] the reference is NOT broadcast — it is
+    * the full existing corpus, so the membership probe is a
+    * shingle-grain shuffle LEFT join against the reference's distinct
+    * shingle set (one inverted-index join, linear in both sides, no
+    * doc-doc comparison). The ratio is floored basis points — integer
+    * division, engine-exact. Docs shorter than `n` tokens contribute
+    * their whole text as one shingle (the shared kernel's contract).
+    *
+    * @return (idCol, n_ngrams — distinct shingles, n_novel,
+    *         novelty_bp)
+    */
+  def ngramNovelty(
+      docs: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val dg = docs.select(col(idCol),
+        explode(graft.functions.NGramShingles.ngram_shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val rg = reference
+      .select(explode(graft.functions.NGramShingles.ngram_shingles(col(textCol), n)).as("g"))
+      .distinct()
+    dg.join(rg.withColumn("hit", lit(1)), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        count(when(col("hit").isNull, 1)).as("n_novel"))
+      .withColumn("novelty_bp", expr("(10000 * n_novel) div n_ngrams"))
+  }
+
   def decontaminate(
       train: DataFrame,
       eval: DataFrame,

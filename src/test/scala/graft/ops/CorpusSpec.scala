@@ -417,4 +417,27 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       "https://a.com/x" -> ((3L, 2L)),
       "https://b.com/y" -> ((9L, 1L))))
   }
+
+  test("ngramNovelty: hand-counted novel shingles; short docs score as one whole-text shingle") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "x")).toDF("doc_id", "text")
+    val ref = Seq((9L, "b c d e")).toDF("doc_id", "text")
+    val out = Corpus.ngramNovelty(docs, ref, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: shingles {"a b c","b c d"}; "b c d" is in the reference →
+    // 1 of 2 novel. doc 2: one whole-text shingle "x", unseen → 10000
+    assert(out == Map(1L -> ((2L, 1L, 5000L)), 2L -> ((1L, 1L, 10000L))))
+  }
+
+  test("ngramNovelty: repeated shingles inside one doc count once") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val ref = Seq((9L, "a b a")).toDF("doc_id", "text")
+    val out = Corpus.ngramNovelty(docs, ref, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // distinct shingles {"a b a","b a b"}; ref contains "a b a" → 1/2
+    assert(out == Map(1L -> ((2L, 1L, 5000L))))
+  }
 }
