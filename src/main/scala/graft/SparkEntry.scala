@@ -1483,6 +1483,14 @@ object SparkEntry {
     }),
 
     // ---- T: word count (explode / lateral — the canonical corpus pass) ----
+    // ---- T: per-language vocabulary statistics — types/tokens/hapax
+    //      + TTR/hapax share in floored bp (the per-source corpus
+    //      quality dashboard; one vocab-sized aggregate) ----
+    "t36_vocab_stats" -> ((s, dir) =>
+      graft.ops.TextAnalysis.vocabularyStats(
+        t(s, dir, "documents"), "lang", "text")
+        .withColumnRenamed("slice", "lang")),
+
     "t5_wordcount" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(explode(graft.ops.TextAnalysis.tokens(lower(col("text")))).as("word"))
@@ -4788,6 +4796,22 @@ object SparkEntry {
            SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
            FROM documents)
          WHERE length(word) > 0 GROUP BY word""",
+
+    // the t5 tokenizer per language, rolled to vocabulary grain then
+    // slice grain; ratios in floored integer basis points
+    "t36_vocab_stats" ->
+      """WITH w AS (SELECT lang,
+                      unnest(regexp_extract_all(lower(text), '\S+')) AS word
+                    FROM documents),
+         wc AS (SELECT lang, word, COUNT(*) AS c FROM w
+                WHERE length(word) > 0 GROUP BY 1, 2)
+         SELECT lang, COUNT(*) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+           (10000 * COUNT(*)) // CAST(SUM(c) AS BIGINT) AS ttr_bp,
+           (10000 * CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT))
+             // COUNT(*) AS hapax_bp
+         FROM wc GROUP BY lang""",
 
     "x7_null_semantics" ->
       """SELECT o_orderpriority,

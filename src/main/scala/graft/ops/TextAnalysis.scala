@@ -599,4 +599,40 @@ object TextAnalysis {
       fingerprint(t).as("fingerprint")
     )
   }
+
+  /** Per-slice vocabulary statistics — the corpus-health dashboard
+    * numbers: type count (distinct words), token count, hapax legomena
+    * (words seen exactly once), type-token ratio, and hapax share.
+    * What they catch at corpus scale: an OCR-damaged or encoding-
+    * mangled slice inflates hapax share (every corruption is a new
+    * "word"); a boilerplate-flooded slice collapses TTR; a healthy
+    * natural-language slice sits in a stable band of both — so these
+    * two ratios are the cheapest per-source quality gate there is.
+    *
+    * Ratios are floored basis points — integer division over exact
+    * counts. Words come from the shared whitespace tokenizer,
+    * lowercased (the t5 contract); slices with no words emit no row.
+    *
+    * Scale shape: ONE (slice, word) map-side-partial aggregate bounds
+    * everything after by VOCABULARY size (Heaps' law: ~√corpus), then
+    * a slice-grain rollup. The corpus is scanned once; no windows, no
+    * broadcasts.
+    *
+    * @return (slice, n_types, n_tokens, n_hapax, ttr_bp, hapax_bp)
+    */
+  def vocabularyStats(
+      docs: DataFrame,
+      sliceCol: String,
+      textCol: String): DataFrame = {
+    val wc = docs.select(col(sliceCol).as("slice"),
+        explode(tokens(lower(col(textCol)))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("slice", "word").agg(count(lit(1)).as("c"))
+    wc.groupBy("slice").agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        count(when(col("c") === 1, 1)).as("n_hapax"))
+      .withColumn("ttr_bp", expr("(10000 * n_types) div n_tokens"))
+      .withColumn("hapax_bp", expr("(10000 * n_hapax) div n_types"))
+  }
 }

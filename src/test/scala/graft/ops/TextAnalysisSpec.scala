@@ -307,4 +307,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     val (n2, lp2, _) = scoreOf("q r")
     assert(n2 == 1L && lp2 == fp(1.0 / 4), s"$lp2")
   }
+
+  test("vocabularyStats: hand-counted types/tokens/hapax per slice; empty-text slices emit nothing") {
+    import spark.implicits._
+    // slice a: tokens [the, cat, the, dog] → types {the,cat,dog}=3,
+    // hapax {cat,dog}=2, ttr = 30000 div 4 = 7500, hapax_bp = 6666
+    // slice b: one word, all ratios 10000
+    val docs = Seq(
+      ("a", "the cat"), ("a", "THE dog"),
+      ("b", "solo"), ("c", "   ")).toDF("slice_in", "text")
+    val out = TextAnalysis.vocabularyStats(docs, "slice_in", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out == Map(
+      "a" -> ((3L, 4L, 2L, 7500L, 6666L)),
+      "b" -> ((1L, 1L, 1L, 10000L, 10000L))))
+  }
 }
