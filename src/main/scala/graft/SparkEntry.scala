@@ -619,6 +619,14 @@ object SparkEntry {
           dsum(col("v_wins")).as("sum_wins"))
     }),
 
+    // ---- X: Benford first-digit conformity — forensic DQ gate per
+    //      order priority; exact string-derived digits, hardcoded
+    //      expected table, full digit grid including zero rows ----
+    "x38_benford" -> ((s, dir) =>
+      graft.ops.Stats.benfordDeviation(
+        t(s, dir, "orders"), "o_orderpriority", "o_totalprice")
+        .withColumnRenamed("key", "o_orderpriority")),
+
     // ---- X: robust outliers — exact median + MAD per event_type
     //      (Hampel's rule; x15's histogram-rank shape, rows never
     //      enter a window), counts beyond 3·MAD in floored bp ----
@@ -3400,6 +3408,28 @@ object SparkEntry {
     // CTEs — one definition): exact HUGEINT counts, floored micro-unit
     // quotient via the positive-mod subtraction (Q < 0 is possible, so
     // truncation-vs-floor matters here)
+    // first digits from the exact cents STRING, the same nine hardcoded
+    // expected constants, zero-count digits materialized by the grid
+    "x38_benford" ->
+      ("""WITH exp_t(digit, exp_micro) AS (VALUES """ +
+        graft.ops.Stats.benfordMicro
+          .map { case (d, p) => s"($d, ${p}::BIGINT)" }.mkString(", ") + """),
+         v AS (SELECT o_orderpriority AS key,
+                 ABS(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+               FROM orders),
+         c AS (SELECT key, CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+                 COUNT(*) AS n_digit
+               FROM v WHERE v > 0 GROUP BY 1, 2),
+         n AS (SELECT key, CAST(SUM(n_digit) AS BIGINT) AS n FROM c GROUP BY 1)
+         SELECT n.key AS o_orderpriority, e.digit, n.n,
+           CAST(COALESCE(c.n_digit, 0) AS BIGINT) AS n_digit,
+           (1000000 * CAST(COALESCE(c.n_digit, 0) AS BIGINT)) // n.n AS obs_micro,
+           e.exp_micro,
+           ABS((1000000 * CAST(COALESCE(c.n_digit, 0) AS BIGINT)) // n.n
+             - e.exp_micro) AS dev_micro
+         FROM n CROSS JOIN exp_t e
+         LEFT JOIN c ON c.key = n.key AND c.digit = e.digit"""),
+
     // exact nearest-rank median + MAD replayed at histogram grain; the
     // k·MAD comparison and basis points are pure integer arithmetic
     "x37_mad_outliers" ->

@@ -138,6 +138,61 @@ object Stats {
       .withColumn("outlier_bp", expr("(10000 * n_outliers) div n"))
   }
 
+  /** Benford's-law expected first-digit frequencies in micro-units:
+    * `round(log10(1 + 1/d)·10⁶)` for d = 1..9, HARDCODED — nine
+    * constants, so neither engine evaluates a transcendental and the
+    * cross-engine contract is literal equality.
+    */
+  val benfordMicro: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford first-digit conformity per key — the forensic data-quality
+    * gate (fabricated, capped, or unit-mangled numeric columns drift
+    * from Benford's law long before summary stats notice; Nigrini's
+    * audit standard). Emits the full key × digit grid: observed count,
+    * observed and expected frequency in micro-units, and the absolute
+    * deviation — digits a key never produced surface with n_digit = 0
+    * and the full expected mass as deviation (a column stuck above 2
+    * MUST flag digit 1, not silently omit it).
+    *
+    * Exactness: values integerize to cents; the first significant
+    * digit comes from the DECIMAL STRING of |cents| (exact in any
+    * engine — no log10 float gymnastics), observed frequencies are
+    * floored integer micro-units, and the expected table is nine
+    * hardcoded constants ([[benfordMicro]]). Zero values drop
+    * (Benford applies to positive magnitudes; refunds contribute
+    * their magnitude).
+    *
+    * Scale shape: one (key, digit) map-side-partial aggregate — at
+    * most 9 rows per key leave the scan — then the tiny grid join.
+    *
+    * @return (key, digit, n, n_digit, obs_micro, exp_micro, dev_micro)
+    */
+  def benfordDeviation(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(col(keyCol).as("key"),
+        abs((col(valueCol).cast("decimal(18,2)") * 100).cast("long")).as("v"))
+      .where(col("v") > 0)
+    val counts = base
+      .withColumn("digit", substring(col("v").cast("string"), 1, 1).cast("int"))
+      .groupBy("key", "digit").agg(count(lit(1)).as("n_digit"))
+    val totals = counts.groupBy("key").agg(sum(col("n_digit")).as("n"))
+    val expected = spark.range(1)
+      .select(explode(array(benfordMicro.map { case (d, p) =>
+        struct(lit(d).as("digit"), lit(p).as("exp_micro")) }: _*)).as("e"))
+      .select(col("e.digit"), col("e.exp_micro"))
+    totals.crossJoin(broadcast(expected))
+      .join(counts, Seq("key", "digit"), "left")
+      .na.fill(0L, Seq("n_digit"))
+      .withColumn("obs_micro", expr("(1000000 * n_digit) div n"))
+      .withColumn("dev_micro", abs(col("obs_micro") - col("exp_micro")))
+      .select("key", "digit", "n", "n_digit", "obs_micro", "exp_micro", "dev_micro")
+  }
+
   def corrMatrix(df: DataFrame, vars: Seq[(String, Column)]): DataFrame = {
     require(vars.size >= 2, "need at least two metric columns")
     require(vars.map(_._1).distinct.size == vars.size, "metric names must be unique")

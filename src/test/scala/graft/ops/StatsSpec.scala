@@ -68,6 +68,23 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(out("a") == ((4L, 500L, 0L, 1L, 2500L)))
   }
 
+  test("benfordDeviation: string-exact digits, zero-count digits carry full expected mass, refunds by magnitude") {
+    import spark.implicits._
+    // cents: 100, 1999, -200, 5 → digits 1,1,2,5 (refund by |·|); n=4
+    val df = Seq(("a", 1.00), ("a", 19.99), ("a", -2.00), ("a", 0.05),
+      ("a", 0.00)).toDF("k", "value") // the 0.00 row must drop
+    val out = Stats.benfordDeviation(df, "k", "value")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(out.size == 9)
+    assert(out(("a", 1)) == ((4L, 2L, 500000L, 301030L, 198970L)))
+    assert(out(("a", 2)) == ((4L, 1L, 250000L, 176091L, 73909L)))
+    assert(out(("a", 5)) == ((4L, 1L, 250000L, 79181L, 170819L)))
+    // digit 9 never observed → obs 0, deviation = expected mass
+    assert(out(("a", 9)) == ((4L, 0L, 0L, 45757L, 45757L)))
+  }
+
   test("robustOutliers: duplicate-heavy histogram ranks — ties are rank-interchangeable") {
     // 1,1,1,2,2 → n=5, r=3 falls inside value 1's [1,3] range → median
     // 1.00; deviations 0(×3),100(×2) → MAD 0; both 2.00s flag at k=3
