@@ -2194,6 +2194,13 @@ object SparkEntry {
         events(s, dir), "event_type", "ts", "value", seasonDays = 7)
         .withColumnRenamed("key", "event_type")),
 
+    // ---- E: Kaplan–Meier survival — the retention curve with
+    //      right-censoring (active-on-final-day users leave the risk
+    //      set without counting as churn); delta-counted at-risk,
+    //      exact cumulative micro-nat log-survival ----
+    "e42_kaplan_meier" -> ((s, dir) =>
+      graft.ops.Sessions.kaplanMeier(events(s, dir), "user_id", "ts")),
+
     // ---- E: lag autocorrelation — which season does each event_type's
     //      daily revenue carry? Pearson over aligned (x_t, x_t−L) day
     //      pairs at lags 1/7/14, exact moments + shared IEEE tree ----
@@ -2829,6 +2836,44 @@ object SparkEntry {
         SELECT m.label, CAST(sn.n_vecs AS BIGINT) AS n_vecs, m.l2_sq,
           $cos AS cosine_to_global
         FROM m JOIN sn USING (label)"""
+  }
+
+  /** e42's oracle: user first/last days, delta-counted at-risk over the
+    * calendar, censoring at max_day, and the shared KM factor tree.
+    */
+  private def kaplanMeierOracle: String = {
+    val factor = graft.ops.Sessions.kmFactorSql("n_churned", "n_at_risk")
+    s"""WITH e AS (SELECT user_id AS u,
+                     epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+                   FROM events),
+        ud AS (SELECT u, MIN(day) AS first_day, MAX(day) AS last_day
+               FROM e GROUP BY 1),
+        sp AS (SELECT MIN(first_day) AS min_day, MAX(last_day) AS max_day
+               FROM ud),
+        dl AS (SELECT first_day AS day, CAST(1 AS BIGINT) AS delta FROM ud
+               UNION ALL SELECT last_day + 1, CAST(-1 AS BIGINT) FROM ud),
+        dd AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS delta
+               FROM dl GROUP BY 1),
+        ch AS (SELECT last_day AS day, COUNT(*) AS n_churned FROM ud, sp
+               WHERE last_day < max_day GROUP BY 1),
+        cal AS (SELECT unnest(range(min_day, max_day + 1)) AS day FROM sp),
+        r AS (SELECT cal.day, COALESCE(dd.delta, 0) AS delta,
+                CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned
+              FROM cal LEFT JOIN dd USING (day) LEFT JOIN ch USING (day)),
+        s AS (SELECT day, n_churned,
+                CAST(SUM(delta) OVER (ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+              FROM r),
+        f AS (SELECT day, n_at_risk, n_churned, $factor AS factor_fp,
+                MAX(CASE WHEN n_churned >= n_at_risk AND n_churned > 0
+                  THEN 1 ELSE 0 END) OVER (ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS extinct
+              FROM s)
+        SELECT day, n_at_risk, n_churned, factor_fp,
+          CASE WHEN extinct = 1 THEN NULL
+            ELSE CAST(SUM(factor_fp) OVER (ORDER BY day
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) END AS surv_lognat_fp
+        FROM f"""
   }
 
   /** e41's oracle: the daily-series CTE, the lag-aligned self-join at
@@ -4631,6 +4676,11 @@ object SparkEntry {
              THEN (10000 * sum_abs_err_cents) // sum_actual_cents
              ELSE NULL END AS wmape_bp
          FROM s""",
+
+    // delta-counted at-risk, censoring on the final day, the SHARED
+    // micro-nat factor tree (Sessions.kmFactorSql — one definition),
+    // extinction → NULL rather than a -inf
+    "e42_kaplan_meier" -> kaplanMeierOracle,
 
     // pairwise-complete sample ACF: HUGEINT moments over the lag-aligned
     // day pairs, then the IDENTICAL closed-form Pearson tree the engine

@@ -372,4 +372,76 @@ object Sessions {
         (-max(struct(col("len"), (-col("start_day")).as("neg_start")))
           .getField("neg_start")).as("longest_streak_start_day"))
   }
+
+  /** The shared Kaplan–Meier daily-factor tree: `ln(1 − d/n)` in
+    * micro-nats, one divide + one subtract + one ln + one round —
+    * identical expression in the engine and the oracle (the t19
+    * micro-nat contract), NULL when the cohort goes extinct (d ≥ n,
+    * ln 0 undefined).
+    */
+  def kmFactorSql(churned: String, atRisk: String): String =
+    s"""CASE WHEN $churned = 0 THEN CAST(0 AS BIGINT)
+         WHEN $churned >= $atRisk THEN CAST(NULL AS BIGINT)
+         ELSE CAST(ROUND(ln(1 - CAST($churned AS DOUBLE)
+           / CAST($atRisk AS DOUBLE)) * 1000000) AS BIGINT) END"""
+
+  /** Kaplan–Meier survival over user activity — the retention curve
+    * done right (Kaplan & Meier 1958): a user "churns" on their LAST
+    * active day; users still active on the observation window's final
+    * day are RIGHT-CENSORED (they leave the at-risk set without
+    * counting as churn — naive retention curves conflate the two and
+    * under-report late survival). Per calendar day t:
+    *
+    *   S(t) = Π_{s ≤ t} (1 − d_s / n_s)
+    *
+    * reported in LOG space as exact cumulative micro-nat sums
+    * (`Σ round(10⁶·ln(1−d/n))` — integer addition is order-immune
+    * where the float product Π is not; consumers compare curves by
+    * lognat directly, or exp() at the display boundary). When a day
+    * consumes the whole at-risk set (d = n), survival hits exact zero
+    * and every later day reports NULL (extinct), never a −∞ or NaN.
+    *
+    * Scale shape: one user-grain aggregate (first/last day), then
+    * DELTA COUNTING — +1 at first_day, −1 at last_day+1 — so the
+    * at-risk count is a running sum over the CALENDAR, never a
+    * users × days explosion; churn counts ride the same user table.
+    * The one unpartitioned window is calendar-bounded (the e34/e39
+    * discipline).
+    *
+    * @return (day, n_at_risk, n_churned, factor_fp, surv_lognat_fp) —
+    *         one row per calendar day in [min_day, max_day]
+    */
+  def kaplanMeier(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val daySql = s"""(CAST(CAST($tsCol AS TIMESTAMP) AS LONG) -
+      ((CAST(CAST($tsCol AS TIMESTAMP) AS LONG) % 86400 + 86400) % 86400))
+      div 86400"""
+    val ud = df.select(col(userCol).as("u"), expr(daySql).as("day"))
+      .groupBy("u").agg(min(col("day")).as("first_day"),
+        max(col("day")).as("last_day"))
+    val span = ud.agg(min(col("first_day")).as("min_day"),
+      max(col("last_day")).as("max_day"))
+    val udc = ud.crossJoin(broadcast(span.select("max_day")))
+    val deltas = udc.select(explode(array(
+        struct(col("first_day").as("day"), lit(1L).as("delta")),
+        struct((col("last_day") + 1).as("day"), lit(-1L).as("delta")))).as("x"))
+      .select(col("x.day"), col("x.delta"))
+      .groupBy("day").agg(sum(col("delta")).as("delta"))
+    val churn = udc.where(col("last_day") < col("max_day"))
+      .groupBy(col("last_day").as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    val cal = span.select(explode(sequence(col("min_day"), col("max_day"))).as("day"))
+    val ord = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(deltas, Seq("day"), "left").na.fill(0L, Seq("delta"))
+      .join(churn, Seq("day"), "left").na.fill(0L, Seq("n_churned"))
+      .withColumn("n_at_risk", sum(col("delta")).over(ord))
+      .withColumn("factor_fp", expr(kmFactorSql("n_churned", "n_at_risk")))
+      .withColumn("extinct", max(
+        when(col("n_churned") >= col("n_at_risk") && col("n_churned") > 0, 1)
+          .otherwise(0)).over(ord))
+      .withColumn("surv_lognat_fp",
+        when(col("extinct") === 1, lit(null).cast("long"))
+          .otherwise(sum(col("factor_fp")).over(ord)))
+      .select("day", "n_at_risk", "n_churned", "factor_fp", "surv_lognat_fp")
+  }
 }

@@ -291,4 +291,43 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(short == Map("login>browse" -> 2L, "login>buy" -> 1L, "b>a" -> 1L))
   }
+
+  private def km(rows: (Long, String)*) = {
+    import spark.implicits._
+    val df = rows.toSeq.toDF("user_id", "t")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    Sessions.kaplanMeier(df, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+  }
+
+  private def lnFp(x: Double): Long = Math.round(Math.log(x) * 1e6)
+
+  test("kaplanMeier: hand-replayed factors; final-day actives are censored, not churned") {
+    // A active d1-d3 (censored: last = max), B d1-d2 (churns d2),
+    // C d1 only (churns d1). d1: 3 at risk, 1 churn → ln(2/3);
+    // d2: 2 at risk, 1 churn → ln(1/2); d3: 1 at risk, 0 churn.
+    val d1 = 19783L // 2024-03-01
+    val out = km(
+      (1L, "2024-03-01 10:00:00"), (1L, "2024-03-02 10:00:00"), (1L, "2024-03-03 10:00:00"),
+      (2L, "2024-03-01 11:00:00"), (2L, "2024-03-02 11:00:00"),
+      (3L, "2024-03-01 12:00:00"))
+    assert(out(d1) == ((3L, 1L, Some(lnFp(2.0 / 3)), Some(lnFp(2.0 / 3)))))
+    assert(out(d1 + 1) == ((2L, 1L, Some(lnFp(0.5)), Some(lnFp(2.0 / 3) + lnFp(0.5)))))
+    assert(out(d1 + 2) == ((1L, 0L, Some(0L), Some(lnFp(2.0 / 3) + lnFp(0.5)))))
+  }
+
+  test("kaplanMeier: extinction (d = n) yields NULL from that day on, never -inf; gap days pass through") {
+    // A and B churn on d1 (max_day = d3 via C active only d3):
+    // d1 consumes the whole at-risk set → extinct; d2 is an empty gap
+    // day; d3 has C at risk (censored)
+    val d1 = 19783L
+    val out = km(
+      (1L, "2024-03-01 10:00:00"), (2L, "2024-03-01 11:00:00"),
+      (3L, "2024-03-03 12:00:00"))
+    assert(out(d1) == ((2L, 2L, None, None)))
+    assert(out(d1 + 1) == ((0L, 0L, Some(0L), None)))
+    assert(out(d1 + 2) == ((1L, 0L, Some(0L), None)))
+  }
 }
