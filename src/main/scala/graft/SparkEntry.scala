@@ -1325,6 +1325,34 @@ object SparkEntry {
     "d1_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- LLM1: the END-TO-END corpus pipeline, hash-gated like air1 —
+    //      raw docs → Gopher quality gate → exact dedup → exact-Jaccard
+    //      near-dup connected components → per-language funnel counts
+    //      and final token budget. One query proves the tiers COMPOSE. ----
+    "llm1_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val keep = graft.ops.TextAnalysis
+        .gopherRules(docs, "doc_id", "text", minWords = 30)
+        .where(col("keep")).select("doc_id")
+      val qdocs = docs.join(keep, Seq("doc_id"))
+      val uniqIds = graft.ops.Dedup.exact(qdocs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val udocs = qdocs.join(uniqIds, Seq("doc_id"))
+      val pairs = graft.ops.Dedup.ngramJaccardPairsAuto(udocs, "doc_id", "text", 0.8)
+      val dropped = graft.ops.Dedup.connectedComponents(pairs)
+        .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      val fdocs = udocs.join(dropped, Seq("doc_id"), "left_anti")
+      val raw = docs.groupBy("lang").agg(count(lit(1)).as("n_raw"))
+      val q = qdocs.groupBy("lang").agg(count(lit(1)).as("n_quality"))
+      val u = udocs.groupBy("lang").agg(count(lit(1)).as("n_unique"))
+      val f = fdocs.groupBy("lang").agg(count(lit(1)).as("n_final"),
+        sum(graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("tokens_final"))
+      raw.join(q, Seq("lang"), "left").join(u, Seq("lang"), "left")
+        .join(f, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_quality", "n_unique", "n_final", "tokens_final"))
+    }),
+
     // ---- D: MinHash+LSH near-dup (verified exact-Jaccard output; shares the d4 oracle) ----
     "d2_minhash_neardup" -> ((s, dir) =>
       graft.ops.Dedup.minhashNearDup(t(s, dir, "documents"), "doc_id", "text", 0.8)),
@@ -3562,6 +3590,74 @@ object SparkEntry {
          SELECT doc_id, n_features, score_fp,
            CASE WHEN score_fp >= 0 THEN 'keep' ELSE 'drop' END AS label
          FROM sc"""),
+
+    // the whole pipeline replayed stage by stage from the PROVEN oracle
+    // fragments (t21 gopher, d1 md5-min, d4/d6 exact-Jaccard + recursive
+    // CC), then the per-language funnel — one hash gate over the
+    // composition, the air1 discipline applied to the LLM tier
+    "llm1_corpus_pipeline" ->
+      """WITH RECURSIVE
+         doc0 AS (SELECT doc_id, text, lang FROM documents),
+         gw AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w,
+                  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nc
+                FROM doc0),
+         gr AS (SELECT doc_id, nc, CAST(len(w) AS BIGINT) AS n_words,
+                  CAST(len(list_filter(w, x ->
+                    len(regexp_replace(x, '[^a-z]', '', 'g')) > 0)) AS BIGINT) AS n_alpha,
+                  (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END +
+                   CASE WHEN list_contains(w, 'a') THEN 1 ELSE 0 END +
+                   CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END +
+                   CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END +
+                   CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END) AS n_stop
+                FROM gw),
+         keep AS (SELECT doc_id FROM gr
+                  WHERE n_words >= 30 AND n_words <= 100000
+                    AND nc >= n_words * 3 AND nc <= n_words * 10
+                    AND n_alpha * 10 >= n_words * 8 AND n_stop >= 2),
+         q AS (SELECT doc0.* FROM doc0 JOIN keep USING (doc_id)),
+         ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         u AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+         uw AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM u),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(w)-1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS s
+                FROM uw),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2),
+         p AS (SELECT id_a, id_b
+               FROM inter JOIN sz na ON id_a = na.doc_id
+                 JOIN sz nb ON id_b = nb.doc_id
+               WHERE i / (na.n + nb.n - i) >= 0.8),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         cc AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cid
+                FROM reach GROUP BY src),
+         dropped AS (SELECT doc_id FROM cc WHERE doc_id <> cid),
+         f AS (SELECT u.* FROM u
+               WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+         sr AS (SELECT lang, COUNT(*) AS n_raw FROM doc0 GROUP BY 1),
+         sq AS (SELECT lang, COUNT(*) AS n_quality FROM q GROUP BY 1),
+         su AS (SELECT lang, COUNT(*) AS n_unique FROM u GROUP BY 1),
+         sf AS (SELECT lang, COUNT(*) AS n_final,
+                  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+                    AS tokens_final
+                FROM f GROUP BY 1)
+         SELECT sr.lang, sr.n_raw,
+           COALESCE(sq.n_quality, 0) AS n_quality,
+           COALESCE(su.n_unique, 0) AS n_unique,
+           COALESCE(sf.n_final, 0) AS n_final,
+           COALESCE(sf.tokens_final, 0) AS tokens_final
+         FROM sr LEFT JOIN sq USING (lang) LEFT JOIN su USING (lang)
+           LEFT JOIN sf USING (lang)""",
 
     // the t22 score replayed, then the cumulative sweep over the
     // distinct-score grain: tp/fp are DESC running sums, fn/tn derive
