@@ -563,6 +563,7 @@ object Similarity {
     def unpersist(): Unit = { cells.unpersist(); centroidArr.unpersist() }
   }
 
+  private val driftSlot = new CacheSlot
   private val oneShotCentSlot = new CacheSlot
   private val lshCandSlot = new CacheSlot
   private val bfSlot = new CacheSlot
@@ -1348,9 +1349,17 @@ object Similarity {
         posexplode(transform(col(vecCol),
           x => round(x.cast("double") * scaleFp).cast("long"))))
       .select(col("slice"), col("pos"), col("col").as("q"))
-    val sliceN = rows.groupBy(col(sliceCol).as("slice"))
-      .agg(count(lit(1)).as("n_vecs"))
-    val sliceSums = q.groupBy("slice", "pos").agg(sum(col("q")).as("s"))
+    // ONE aggregate serves sums, row counts (the pos-0 count IS the
+    // vector count), and both global derivations. It must be PERSISTED:
+    // Spark does not common-subexpression the DataFrame DAG, so without
+    // the slot each downstream branch re-plans its own corpus scan
+    // (four scans, measured in the plan) — the cached artifact is only
+    // (slices × dims) rows
+    val sliceAgg = driftSlot.persist(q.groupBy("slice", "pos")
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("cnt")))
+    val sliceN = sliceAgg.where(col("pos") === 0)
+      .select(col("slice"), col("cnt").as("n_vecs"))
+    val sliceSums = sliceAgg.select("slice", "pos", "s")
     val globSums = sliceSums.groupBy("pos").agg(sum(col("s")).as("gs"))
     val globN = sliceN.agg(sum(col("n_vecs")).as("gn"))
     val cent = sliceSums.join(sliceN, Seq("slice"))

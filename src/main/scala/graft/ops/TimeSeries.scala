@@ -344,11 +344,14 @@ object TimeSeries {
     * replays the alarm set bit-for-bit. A float mean would put
     * near-threshold days on either side depending on summation order.
     *
-    * Scale shape: one (key, day) aggregate builds the daily series, one
-    * key aggregate derives μ/h (joined back on the key — same
-    * partitioning, AQE-sized), one key-partitioned sort feeds both
-    * windows and the final per-key collapse reuses it. Window state is
-    * the key's day count, bounded by the calendar, never the event count.
+    * Scale shape: one (key, day) aggregate builds the daily series,
+    * then EVERYTHING — μ/h (whole-partition window aggregates), the
+    * running sum, the clamped running min, and the final per-key
+    * collapse — rides ONE key-partitioned sort. (A separate key-grain
+    * aggregate joined back would re-plan a SECOND full scan of the
+    * events: Spark does not common-subexpression the DataFrame DAG —
+    * caught by the plan audit.) Window state is the key's day count,
+    * bounded by the calendar, never the event count.
     *
     * @param alarmPctOfMean alarm threshold as a percentage of the mean
     *                       daily value (e.g. 50 → alarm once cumulative
@@ -370,19 +373,20 @@ object TimeSeries {
     val daily = df.select(col(keyCol).as("key"), expr(daySql).as("day"),
       (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
       .groupBy("key", "day").agg(sum(col("cents")).as("a"))
+    val ord = Window.partitionBy("key").orderBy("day")
+    val all = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // floored mean target and percentage threshold (positive-mod floor:
-    // Spark's `div` truncates, the subtraction makes it exact division)
-    val stats = daily.groupBy("key")
-      .agg(count(lit(1)).as("n_days"), sum(col("a")).as("sa"))
-      .select(col("key"), col("n_days"),
-        expr("(sa - ((sa % n_days + n_days) % n_days)) div n_days")
-          .as("target_cents"))
+    // Spark's `div` truncates, the subtraction makes it exact division),
+    // as whole-partition WINDOW aggregates so they share the one sort
+    daily
+      .withColumn("n_days", count(lit(1)).over(all))
+      .withColumn("sa", sum(col("a")).over(all))
+      .withColumn("target_cents",
+        expr("(sa - ((sa % n_days + n_days) % n_days)) div n_days"))
       .withColumn("threshold_cents", expr(
         s"""(target_cents * $alarmPctOfMean -
              ((target_cents * $alarmPctOfMean % 100 + 100) % 100)) div 100"""))
-    val ord = Window.partitionBy("key").orderBy("day")
-    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily.join(stats, Seq("key"))
       .withColumn("s_t", sum(col("a") - col("target_cents")).over(run))
       .withColumn("cusum", col("s_t") - least(lit(0L), min(col("s_t")).over(run)))
       .groupBy("key")

@@ -391,4 +391,37 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     // pruning: the untouched wide events columns never load
     assert(!p.contains("props"), p)
   }
+
+  test("e39: one scan, one key sort — target/threshold are whole-partition window " +
+       "aggregates, so the whole recursion rides a single sorted pass") {
+    val p = plan("e39_cusum_changepoint")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"events scanned more than once:\n$p")
+    assert("\\+- Sort ".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("t34: no static broadcast hint on the reference shingle set — the " +
+       "planner owns the decision (broadcast at toy scale, shuffle at corpus scale)") {
+    val logical = SparkEntry.queries("t34_ngram_novelty")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!logical.contains("ResolvedHint"), logical)
+  }
+
+  test("v22: embedding drift reads the corpus through ONE cached aggregate — " +
+       "every downstream branch is an InMemoryTableScan, no uncached re-scan") {
+    val p = plan("v22_embedding_drift")
+    // each FileScan rendering sits INSIDE a cached-relation block; an
+    // uncached branch would print a FileScan without its InMemoryRelation
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 4, p)
+    assert("FileScan parquet".r.findAllIn(p).length ==
+      "InMemoryRelation".r.findAllIn(p).length,
+      s"an uncached corpus scan leaked:\n$p")
+  }
+
+  test("x37: MAD outliers — rows never enter a window (value-histogram shape)") {
+    val p = plan("x37_mad_outliers")
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }
