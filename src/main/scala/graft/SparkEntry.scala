@@ -1829,6 +1829,29 @@ object SparkEntry {
     //      scoring; index built once, predicate applied at probe (the
     //      vector-DB filtered-search pattern); recall-gated against
     //      the exact filtered baseline ----
+    // ---- V: dimension-truncation quality REPORT — what recall@5
+    //      would a 16-of-64-dim prefix keep? (the storage-quartering
+    //      measurement an MRL-style column demands BEFORE truncating;
+    //      Kusupati 2022). Both tiers are exact brute force, so the
+    //      whole report hash-oracles — on THIS synthetic corpus the
+    //      honest answer is ~0.25: don't truncate. ----
+    "v23_matryoshka_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 10 === 0)
+      val trunc = (d: org.apache.spark.sql.DataFrame) =>
+        d.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val full = graft.ops.Similarity
+        .bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id")
+      val pref = graft.ops.Similarity
+        .bruteForceTopK(trunc(emb), trunc(q), "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id")
+      val hit = full.join(pref, Seq("query_id", "neighbor_id"), "left_semi")
+      full.agg(count(lit(1)).as("n_bf"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_bp", expr("(10000 * n_hit) div n_bf"))
+    }),
+
     // ---- V: embedding drift — per-label centroid vs the corpus
     //      centroid, exact integer L2² and the shared cosine tree
     //      (the per-ingest-batch distribution-shift monitor) ----
@@ -5209,6 +5232,35 @@ object SparkEntry {
     "v20_sq_recall" -> ivfRecallOracle,
 
     "v22_embedding_drift" -> embeddingDriftOracle,
+
+    // BOTH tiers replayed exactly (the v1 cosine tree, once over all
+    // dims and once over the 16-dim prefix), so the recall itself
+    // hash-matches — stronger than the literal-1 gates, possible here
+    // because truncation search is exact, not approximate
+    "v23_matryoshka_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                    FROM embeddings WHERE vec_id % 10 = 0),
+         sf AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+         rf AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM sf),
+         sp AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 17), i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 17), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 17), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+         rp AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM sp)
+         SELECT CAST(nb.n AS BIGINT) AS n_bf, CAST(nh.n AS BIGINT) AS n_hit,
+           (10000 * CAST(nh.n AS BIGINT)) // CAST(nb.n AS BIGINT) AS recall_bp
+         FROM (SELECT COUNT(*) AS n FROM rf WHERE rank <= 5) nb,
+              (SELECT COUNT(*) AS n FROM rf JOIN rp USING (query_id, neighbor_id)
+               WHERE rf.rank <= 5 AND rp.rank <= 5) nh""",
     // exact baseline restricted to the predicate (label = 3) — the
     // same recall-gate recipe over the filtered corpus
     "v21_filtered_topk" -> (ivfRecallCtes.replace(
