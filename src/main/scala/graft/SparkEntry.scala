@@ -1125,6 +1125,27 @@ object SparkEntry {
           col("content_length"))
     }),
 
+    // ---- SRC: fixed-width roundtrip — the mainframe-export shape;
+    //      orders keys/status/priority/date/cents through positional
+    //      fields and back, typed ----
+    "src9_fixedwidth_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      val scratch = java.nio.file.Files.createTempDirectory("graft_src9_fw_").toFile
+      org.apache.spark.graft.sparkShims.deleteDirOnExit(scratch)
+      val widths = Seq("o_orderkey" -> 14, "cents" -> 14,
+        "o_orderstatus" -> 2, "o_orderpriority" -> 16, "odate" -> 10)
+      graft.sources.FixedWidthSource.write(o, scratch.getAbsolutePath, widths)
+      graft.sources.FixedWidthSource.read(s, scratch.getAbsolutePath, Seq(
+        ("o_orderkey", 14, LongType), ("cents", 14, LongType),
+        ("o_orderstatus", 2, StringType), ("o_orderpriority", 16, StringType),
+        ("odate", 10, StringType)))
+    }),
+
     "src3_jsonl_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // unique-by-construction scratch dir (the old pid+dir.hashCode tag
@@ -3338,6 +3359,15 @@ object SparkEntry {
     "src7_xml_roundtrip" ->
       """SELECT doc_id, text || ' <tag attr="&x"> & tail ' AS text,
            lang, source, n_chars FROM documents""",
+
+    // identity after positional serialize + parse; cents keep amounts
+    // integral through the string form
+    "src9_fixedwidth_roundtrip" ->
+      """SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           o_orderstatus, o_orderpriority,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate
+         FROM orders""",
 
     // the payload embeds a fake WARC record (version line, header,
     // double CRLF): Content-Length framing must return it byte-exact,
