@@ -430,7 +430,11 @@ object SparkEntry {
       val rel = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-      val pairs = graft.ops.Graph.coOccurrenceEdges(rel, "cust", "part", minShared = 3)
+      // the co-occurrence join is the expensive part and BOTH the
+      // label-prop rounds and every modularity branch consume it —
+      // cache it once (Spark re-plans the DAG per consumer otherwise)
+      val pairs = graft.ops.Graph.cacheEdges(
+        graft.ops.Graph.coOccurrenceEdges(rel, "cust", "part", minShared = 3))
       val edges = pairs.select(explode(array(
         struct(col("src").as("s"), col("dst").as("d")),
         struct(col("dst").as("s"), col("src").as("d")))).as("e"))

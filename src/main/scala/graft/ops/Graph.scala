@@ -69,6 +69,18 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   private val edgeSlot = new CacheSlot
+  private val inputEdgesSlot = new CacheSlot
+
+  /** Persist a caller-built edge list through the Graph cache slots —
+    * for compositions that feed ONE expensive edge derivation (e.g. a
+    * co-occurrence join) to SEVERAL graph consumers (label prop +
+    * modularity, PageRank + assortativity…). Spark does not
+    * common-subexpression the DataFrame DAG, so without this each
+    * consumer re-plans the whole edge build; with it they all read one
+    * cached artifact (bounded by the slot's LRU like every other
+    * operator cache).
+    */
+  def cacheEdges(edges: DataFrame): DataFrame = inputEdgesSlot.persist(edges)
   private val nodeSlot = new CacheSlot
   private val seedSlot = new CacheSlot
   private val orientSlot = new CacheSlot
