@@ -2270,6 +2270,18 @@ object SparkEntry {
         events(s, dir), "event_type", "ts", "value", seasonDays = 7)
         .withColumnRenamed("key", "event_type")),
 
+    // ---- E: per-day CUSUM trajectory — the DEPLOYED monitor shape:
+    //      targets calibrated on each key's first 14 in-control days,
+    //      full (day, C_t, alarm) trajectory out; one cached daily
+    //      series feeds calibration and monitoring ----
+    "e44_cusum_daily" -> ((s, dir) => {
+      val daily = graft.ops.TimeSeries.dailySeries(
+        events(s, dir), "event_type", "ts", "value")
+      val targets = graft.ops.TimeSeries.referenceTargets(daily, 14, 50)
+      graft.ops.TimeSeries.cusumDaily(daily, targets)
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // ---- E: Kaplan–Meier survival — the retention curve with
     //      right-censoring (active-on-final-day users leave the risk
     //      set without counting as churn); delta-counted at-risk,
@@ -4834,6 +4846,39 @@ object SparkEntry {
     // micro-nat factor tree (Sessions.kmFactorSql — one definition),
     // extinction → NULL rather than a -inf
     "e42_kaplan_meier" -> kaplanMeierOracle,
+
+    // reference-window calibration (first 14 observed days per key,
+    // positive-mod floors) then the per-day prefix-sum replay
+    "e44_cusum_daily" ->
+      """WITH e AS (SELECT event_type AS key,
+                      epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                    FROM events),
+         d AS (SELECT key, day, CAST(SUM(cents) AS BIGINT) AS a_cents
+               FROM e GROUP BY 1, 2),
+         fd AS (SELECT key, MIN(day) AS first_day FROM d GROUP BY 1),
+         ref AS (SELECT d.key, COUNT(*) AS n, CAST(SUM(a_cents) AS BIGINT) AS sa
+                 FROM d JOIN fd USING (key)
+                 WHERE d.day < fd.first_day + 14 GROUP BY 1),
+         tg AS (SELECT key, (sa - ((sa % n + n) % n)) // n AS target_cents
+                FROM ref),
+         tg2 AS (SELECT key, target_cents,
+                   (target_cents * 50
+                     - ((target_cents * 50 % 100 + 100) % 100)) // 100
+                     AS threshold_cents
+                 FROM tg),
+         w AS (SELECT d.key, d.day, d.a_cents, tg2.threshold_cents,
+                 CAST(SUM(d.a_cents - tg2.target_cents) OVER (
+                   PARTITION BY d.key ORDER BY d.day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_t
+               FROM d JOIN tg2 USING (key)),
+         c AS (SELECT *, s_t - LEAST(0, MIN(s_t) OVER (
+                 PARTITION BY key ORDER BY day
+                 ROWS UNBOUNDED PRECEDING)) AS cusum FROM w)
+         SELECT key AS event_type, day, a_cents, s_t,
+           CAST(cusum AS BIGINT) AS cusum,
+           CASE WHEN cusum > threshold_cents THEN 1 ELSE 0 END AS alarm
+         FROM c""",
 
     // pairwise-complete sample ACF: HUGEINT moments over the lag-aligned
     // day pairs, then the IDENTICAL closed-form Pearson tree the engine

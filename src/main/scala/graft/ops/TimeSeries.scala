@@ -399,6 +399,86 @@ object TimeSeries {
           .as("first_alarm_day"))
   }
 
+  private val dailySlot = new CacheSlot
+
+  /** The (key, day, a_cents) daily series shared by the monitoring
+    * tier — PERSISTED through a slot, because a monitor composition
+    * (reference targets + trajectory, several detectors over one
+    * metric) consumes it from several branches and Spark re-plans the
+    * full event scan per branch otherwise (the e39/v22 plan-audit
+    * lesson). The artifact is calendar × keys sized.
+    */
+  def dailySeries(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val daySql = s"""(CAST(CAST($tsCol AS TIMESTAMP) AS LONG) -
+      ((CAST(CAST($tsCol AS TIMESTAMP) AS LONG) % 86400 + 86400) % 86400))
+      div 86400"""
+    dailySlot.persist(
+      df.select(col(keyCol).as("key"), expr(daySql).as("day"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .groupBy("key", "day").agg(sum(col("cents")).as("a_cents")))
+  }
+
+  /** In-control reference targets for the CUSUM monitor: per key, the
+    * FLOORED mean daily value over the key's first `referenceDays`
+    * observed days, and an alarm threshold at `alarmPctOfMean`% of it —
+    * the "calibrate on a training window, monitor the rest" deployment
+    * shape (the full-series μ of [[cusumChangepoints]] is the
+    * retrospective variant). All floors are positive-mod (portable).
+    *
+    * @return (key, n_ref_days, target_cents, threshold_cents)
+    */
+  def referenceTargets(
+      daily: DataFrame,
+      referenceDays: Int = 14,
+      alarmPctOfMean: Int = 50): DataFrame = {
+    require(referenceDays >= 1, s"referenceDays must be >= 1, got $referenceDays")
+    require(alarmPctOfMean >= 1, s"alarmPctOfMean must be >= 1, got $alarmPctOfMean")
+    val w = Window.partitionBy("key")
+    daily.withColumn("first_day", min(col("day")).over(w))
+      .where(col("day") < col("first_day") + referenceDays)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_ref_days"), sum(col("a_cents")).as("sa"))
+      .select(col("key"), col("n_ref_days"),
+        expr("(sa - ((sa % n_ref_days + n_ref_days) % n_ref_days)) div n_ref_days")
+          .as("target_cents"))
+      .withColumn("threshold_cents", expr(
+        s"""(target_cents * $alarmPctOfMean -
+             ((target_cents * $alarmPctOfMean % 100 + 100) % 100)) div 100"""))
+  }
+
+  /** Per-day CUSUM trajectory against CALLER-SUPPLIED targets — the
+    * deployable form of [[cusumChangepoints]] (which derives μ from the
+    * full series and reports one summary row per key): in production
+    * the target comes from an in-control REFERENCE period
+    * ([[referenceTargets]]), and the monitor emits the full
+    * (day, C_t, alarm) trajectory so drift is visible as it develops.
+    * This is also the batch twin of the streaming monitor
+    * ([[graft.streaming.EventStreams.cusumStream]]) — same targets in,
+    * same per-day rows out.
+    *
+    * Same machinery as [[cusumChangepoints]]: the prefix-sum identity
+    * over one key-partitioned sort, exact longs throughout. Keys
+    * without a target drop (no μ — no monitor).
+    *
+    * @param daily the [[dailySeries]] table (key, day, a_cents)
+    * @return (key, day, a_cents, s_t, cusum, alarm) per observed day
+    */
+  def cusumDaily(daily: DataFrame, targets: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("key").orderBy("day")
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(targets.select(col("key"), col("target_cents"),
+        col("threshold_cents")), Seq("key"))
+      .withColumn("s_t", sum(col("a_cents") - col("target_cents")).over(run))
+      .withColumn("cusum", col("s_t") - least(lit(0L), min(col("s_t")).over(run)))
+      .withColumn("alarm",
+        (col("cusum") > col("threshold_cents")).cast("int"))
+      .select("key", "day", "a_cents", "s_t", "cusum", "alarm")
+  }
+
   /** Recency-weighted value scoring with DYADIC half-life decay: each
     * observation contributes `value · 2^-(age_days div halfLifeDays)` —
     * the freshness-weighted engagement/quality feature (recent activity

@@ -22,6 +22,12 @@ object EventStreams {
 
   /** Input row for [[flatMapSessions]] (top-level for encoder derivation). */
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  case class CusumEv(key: String, ts: java.sql.Timestamp, cents: Long,
+    target: Long, threshold: Long)
+
+  case class CusumState(lastClosedDay: Long, s: Long, minS: Long,
+    target: Long, threshold: Long, openDays: Map[Long, Long])
   /** Open-session state for [[flatMapSessions]]: bounds in epoch micros. */
   case class Open(start: Long, end: Long, n: Long, sum: Double)
 
@@ -361,6 +367,89 @@ object EventStreams {
       "left_outer")
       .select(col("click_id"), col("user_id"), col("click_ts"), col("signup_ts"),
         col("signup_ts").isNotNull.cast("int").as("attributed"))
+  }
+
+  /** Streaming CUSUM drift monitor — the per-day trajectory of
+    * [[graft.ops.TimeSeries.cusumDaily]] computed AS EVENTS ARRIVE:
+    * per key, open days accumulate integer-cent sums in state; when the
+    * event-time WATERMARK passes a day's end the day is final, the
+    * CUSUM recursion advances over it (in day order), and the closed
+    * row emits exactly once. Targets are the stream-static calibration
+    * table ([[graft.ops.TimeSeries.referenceTargets]] on warehouse
+    * history) — broadcast-joined per micro-batch like every dimension.
+    *
+    * State per key is (scalars + open-day map) — bounded by the
+    * watermark horizon in DAYS, evicted as days close; the grouping
+    * shuffle keys on the monitored dimension. Late events for an
+    * already-CLOSED day are dropped (the emitted row is immutable —
+    * O(1) state cannot reopen history; size the watermark delay to the
+    * pipeline's real disorder). Equivalence contract with the batch
+    * twin: emitted rows equal `cusumDaily` restricted to days strictly
+    * before the final watermark's day — spec-proven multi-batch with
+    * `maxFilesPerTrigger = 1`.
+    *
+    * @return (key, day, a_cents, s_t, cusum, alarm) — closed days only
+    */
+  def cusumStream(
+      spark: SparkSession,
+      events: DataFrame,
+      targets: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+    val prepped = events
+      .where(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_type").as("key"), col("ts"),
+        coalesce((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(0L)).as("cents"))
+      .join(broadcast(targets.select(col("key"),
+        col("target_cents").as("target"),
+        col("threshold_cents").as("threshold"))), Seq("key"))
+      .as[CusumEv]
+
+    val out = prepped.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, (String, Long, Long, Long, Long, Int)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, evs: Iterator[CusumEv], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(
+            CusumState(Long.MinValue, 0L, 0L, 0L, 0L, Map.empty))
+          val open = scala.collection.mutable.Map[Long, Long]() ++ st.openDays
+          evs.foreach { e =>
+            st = st.copy(target = e.target, threshold = e.threshold)
+            val day = Math.floorDiv(Math.floorDiv(e.ts.getTime, 1000L), 86400L)
+            // a closed day is immutable — late arrivals beyond the
+            // watermark drop here, by contract
+            if (day > st.lastClosedDay)
+              open(day) = open.getOrElse(day, 0L) + e.cents
+          }
+          // a day is final once the watermark passes its END
+          val closeBefore =
+            Math.floorDiv(Math.floorDiv(state.getCurrentWatermarkMs(), 1000L), 86400L)
+          val closing = open.keys.filter(_ < closeBefore).toSeq.sorted
+          val emitted = closing.map { day =>
+            val a = open.remove(day).get
+            val s = st.s + (a - st.target)
+            val minS = math.min(st.minS, s)
+            st = st.copy(lastClosedDay = day, s = s, minS = minS)
+            val cusum = s - math.min(0L, minS)
+            (key, day, a, s, cusum, if (cusum > st.threshold) 1 else 0)
+          }
+          if (state.hasTimedOut && open.isEmpty && emitted.isEmpty) {
+            // nothing pending and nothing new — but the recursion's
+            // scalars must survive for future days, so keep state
+            state.update(st.copy(openDays = Map.empty))
+          } else {
+            state.update(st.copy(openDays = open.toMap))
+          }
+          if (open.nonEmpty) {
+            // re-fire on any watermark advance so pending days close
+            // even in a batch where this key receives no rows
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          }
+          emitted.iterator
+      }
+    out.toDF("key", "day", "a_cents", "s_t", "cusum", "alarm")
   }
 
   /** Streaming exact dedup on event id, state bounded by the watermark:
