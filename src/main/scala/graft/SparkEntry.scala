@@ -639,6 +639,54 @@ object SparkEntry {
         events(s, dir), "event_type", "value", k = 3)
         .withColumnRenamed("key", "event_type")),
 
+    // ---- X: PSI drift gate — per event_type value distribution,
+    //      first half of January (ref) vs second half (cur); $20 bins,
+    //      Laplace-smoothed over the union grid, micro-unit terms via
+    //      the shared psiTermSql tree ----
+    "x39_psi_drift" -> ((s, dir) =>
+      graft.ops.Stats.psi(events(s, dir), "event_type", "value",
+        expr("unix_micros(ts) div 86400000000 < 19738"), binWidthCents = 2000L)
+        .withColumnRenamed("key", "event_type")),
+
+    // ---- X: chi-square independence of order status × priority —
+    //      full R×C grid (empty cells carry expected mass), micro-unit
+    //      terms via the shared chiTermSql tree (no transcendental) ----
+    "x40_chi_square" -> ((s, dir) =>
+      graft.ops.Stats.chiSquareIndependence(
+        t(s, dir, "orders"), "o_orderstatus", "o_orderpriority")),
+
+    // ---- X: Gini revenue concentration per nation over customer
+    //      totals — histogram-rank formulation (rows never enter a
+    //      window), exact decimal terms, floored bp + top-decile share ----
+    "x41_gini" -> ((s, dir) => {
+      val cust = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("v"))
+      graft.ops.Stats.giniConcentration(cust, "c_nationkey", "v")
+        .withColumnRenamed("key", "c_nationkey")
+    }),
+
+    // ---- X: KS slice drift — each event_type's value distribution vs
+    //      the rest of the corpus; all-integer max-CDF-gap, floored bp ----
+    "x42_ks_drift" -> ((s, dir) =>
+      graft.ops.Stats.ksSliceDrift(events(s, dir), "event_type", "value")
+        .withColumnRenamed("key", "event_type")),
+
+    // ---- E: two-proportion A/B z-test — purchase conversion by a
+    //      deterministic parity split of user_id (the hash-assignment
+    //      stand-in); pooled-variance z via the shared zTestSql tree ----
+    "e45_ab_ztest" -> ((s, dir) => {
+      val units = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("int")).as("s"))
+        .withColumn("variant",
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+      graft.ops.Stats.twoProportionZ(units, "variant", "s")
+    }),
+
     "x15_percentiles" -> ((s, dir) => {
       // Scale shape: the rows NEVER enter a window. A per-row
       // row_number window partitioned by event_type would be one task
@@ -3604,6 +3652,151 @@ object SparkEntry {
              // MAX(m.n) AS outlier_bp
          FROM vc JOIN med m USING (key) JOIN mad USING (key)
          GROUP BY 1""",
+
+    // PSI replayed over the same bin grid: HUGEINT smoothed cross-
+    // products feed the IDENTICAL psiTermSql tree (one shared
+    // definition), per-key sums are exact integers
+    "x39_psi_drift" ->
+      (s"""WITH b AS (SELECT event_type AS key,
+                  CASE WHEN epoch_us(ts::TIMESTAMP) // 86400000000 < 19738
+                    THEN 1 ELSE 0 END AS is_ref,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                FROM events WHERE value IS NOT NULL),
+         b2 AS (SELECT key, is_ref,
+                  (cents - ((cents % 2000 + 2000) % 2000)) // 2000 AS bin
+                FROM b),
+         cells AS (SELECT key, bin, CAST(SUM(is_ref) AS BIGINT) AS c_ref,
+                     CAST(SUM(1 - is_ref) AS BIGINT) AS c_cur
+                   FROM b2 GROUP BY 1, 2),
+         tot AS (SELECT key, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                   CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+                   CAST(COUNT(*) AS BIGINT) AS n_bins
+                 FROM cells GROUP BY 1),
+         tm AS (SELECT c.key, t.n_ref, t.n_cur, t.n_bins,
+                  CAST(c.c_cur + 1 AS HUGEINT) * (t.n_ref + t.n_bins) AS ra,
+                  CAST(c.c_ref + 1 AS HUGEINT) * (t.n_cur + t.n_bins) AS rb,
+                  CAST(t.n_cur + t.n_bins AS HUGEINT) * (t.n_ref + t.n_bins) AS den
+                FROM cells c JOIN tot t USING (key))
+         SELECT key AS event_type, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+           MAX(n_bins) AS n_bins,
+           CAST(SUM(${graft.ops.Stats.psiTermSql("ra", "rb", "den")})
+             AS BIGINT) AS psi_micro
+         FROM tm GROUP BY 1"""),
+
+    // full R×C grid (empty cells materialized), the IDENTICAL
+    // chiTermSql tree — every op correctly rounded, no ln caveat
+    "x40_chi_square" ->
+      (s"""WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+                  CAST(COUNT(*) AS BIGINT) AS o
+                FROM orders
+                WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+                GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+         grid AS (SELECT rt.a, ct.b, rt.rt, ct.ct, tot.n,
+                    COALESCE(cells.o, 0) AS o
+                  FROM rt CROSS JOIN ct CROSS JOIN tot
+                  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b)
+         SELECT MAX(n) AS n,
+           CAST(COUNT(DISTINCT a) AS BIGINT) AS r_levels,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS c_levels,
+           CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+             AS BIGINT) AS dof,
+           CAST(SUM(${graft.ops.Stats.chiTermSql("o", "n", "rt", "ct")})
+             AS BIGINT) AS chi2_micro
+         FROM grid"""),
+
+    // histogram-rank Gini: tied runs contribute v·(lo+hi)·c exactly
+    // (consecutive-integer sum); HUGEINT terms, nonneg numerators so
+    // // truncation IS floor on both engines
+    "x41_gini" ->
+      """WITH cust AS (SELECT c.c_nationkey AS key, o.o_custkey,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS v
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2),
+         vc AS (SELECT key, v, COUNT(*) AS c FROM cust
+                WHERE v IS NOT NULL AND v >= 0 GROUP BY 1, 2),
+         r AS (SELECT key, v, c,
+                 SUM(c) OVER (PARTITION BY key ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS hi
+               FROM vc),
+         r2 AS (SELECT key, v, c, hi, hi - c + 1 AS lo FROM r),
+         n AS (SELECT key, CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(CAST(v AS HUGEINT) * c) AS HUGEINT) AS s
+               FROM vc GROUP BY 1),
+         agg AS (SELECT r2.key, n.n, n.s, (n.n + 9) // 10 AS k,
+                   CAST(SUM(CAST(v AS HUGEINT) * (lo + hi) * c) AS HUGEINT)
+                     AS num2,
+                   CAST(SUM(CAST(v AS HUGEINT) * GREATEST(0,
+                     hi - GREATEST(n.n - ((n.n + 9) // 10), lo - 1)))
+                     AS HUGEINT) AS top_sum
+                 FROM r2 JOIN n USING (key) GROUP BY 1, 2, 3, 4)
+         SELECT key AS c_nationkey, n, CAST(s AS BIGINT) AS sum_cents,
+           CAST((10000 * (num2 - (n + 1) * s)) // (CAST(n AS HUGEINT) * s)
+             AS BIGINT) AS gini_bp,
+           CAST(k AS BIGINT) AS top_decile_n,
+           CAST((10000 * top_sum) // s AS BIGINT) AS top_decile_bp
+         FROM agg WHERE s > 0""",
+
+    // all-integer KS: max |cum_k·n_rest − cum_r·n_key| over the merged
+    // value grid; ties resolve to the smallest value on both sides
+    "x42_ks_drift" ->
+      """WITH e AS (SELECT event_type AS key,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL),
+         ck AS (SELECT key, v, CAST(COUNT(*) AS BIGINT) AS c
+                FROM e GROUP BY 1, 2),
+         ca AS (SELECT v, CAST(SUM(c) AS BIGINT) AS c_all FROM ck GROUP BY 1),
+         keys AS (SELECT DISTINCT key FROM ck),
+         grid AS (SELECT k.key, a.v, COALESCE(ck.c, 0) AS c,
+                    a.c_all - COALESCE(ck.c, 0) AS c_rest
+                  FROM keys k CROSS JOIN ca a
+                  LEFT JOIN ck ON ck.key = k.key AND ck.v = a.v),
+         cum AS (SELECT key, v,
+                   SUM(c) OVER (PARTITION BY key ORDER BY v
+                     ROWS UNBOUNDED PRECEDING) AS cum_k,
+                   SUM(c_rest) OVER (PARTITION BY key ORDER BY v
+                     ROWS UNBOUNDED PRECEDING) AS cum_r,
+                   SUM(c) OVER (PARTITION BY key) AS n_key,
+                   SUM(c_rest) OVER (PARTITION BY key) AS n_rest
+                 FROM grid),
+         d AS (SELECT key, v, n_key, n_rest,
+                 ABS(CAST(cum_k AS HUGEINT) * n_rest
+                   - CAST(cum_r AS HUGEINT) * n_key) AS diff
+               FROM cum WHERE n_key > 0 AND n_rest > 0),
+         m AS (SELECT key, CAST(MAX(n_key) AS BIGINT) AS n_key,
+                 CAST(MAX(n_rest) AS BIGINT) AS n_rest, MAX(diff) AS maxd
+               FROM d GROUP BY 1),
+         arg AS (SELECT d.key, MIN(d.v) AS at_cents
+                 FROM d JOIN m ON d.key = m.key AND d.diff = m.maxd
+                 GROUP BY 1)
+         SELECT m.key AS event_type, m.n_key, m.n_rest,
+           CAST((10000 * m.maxd) // (CAST(m.n_key AS HUGEINT) * m.n_rest)
+             AS BIGINT) AS ks_bp,
+           arg.at_cents
+         FROM m JOIN arg USING (key)""",
+
+    // pooled-variance z via the IDENTICAL zTestSql tree; the 5% flag
+    // compares the ALREADY-ROUNDED z, so it replays deterministically
+    "e45_ab_ztest" ->
+      (s"""WITH u AS (SELECT user_id,
+                  CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+                FROM events GROUP BY 1),
+         v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(s) AS BIGINT) AS x
+               FROM u GROUP BY 1),
+         p AS (SELECT a.variant AS variant_a, a.n AS n_a, a.x AS x_a,
+                 b.variant AS variant_b, b.n AS n_b, b.x AS x_b
+               FROM v a JOIN v b ON a.variant < b.variant),
+         z AS (SELECT *, ${graft.ops.Stats.zTestSql("x_a", "n_a", "x_b", "n_b")}
+                 AS z FROM p)
+         SELECT variant_a, n_a, x_a, variant_b, n_b, x_b, z,
+           CASE WHEN z IS NULL THEN NULL
+             ELSE CAST(ABS(z) >= 1.959964 AS INT) END AS significant
+         FROM z"""),
 
     "g12_modularity" ->
       (labelPropOracleCtes + """,

@@ -193,6 +193,279 @@ object Stats {
       .select("key", "digit", "n", "n_digit", "obs_micro", "exp_micro", "dev_micro")
   }
 
+  /** The shared per-bin PSI term tree: `(p_cur − p_ref)·ln(p_cur/p_ref)`
+    * in rounded micro-units, over EXACT integer cross-products
+    * (`ra = c_cur'·n_ref'`, `rb = c_ref'·n_cur'`, `den = n_cur'·n_ref'`,
+    * so `ra−rb` over `den` IS the share difference and `ra/rb` the share
+    * ratio — no intermediate float shares). One definition, emitted
+    * verbatim into both engines (the corrSql contract); every op but
+    * `LN` is correctly rounded, and a 1-ulp `LN` wobble moves the term
+    * only within ~1e-9 of a rounding boundary (the t19 caveat, verified
+    * by the oracle at every tested scale).
+    */
+  def psiTermSql(ra: String, rb: String, den: String): String =
+    s"""CAST(ROUND(((CAST($ra AS DOUBLE) - CAST($rb AS DOUBLE))
+           / CAST($den AS DOUBLE))
+         * LN(CAST($ra AS DOUBLE) / CAST($rb AS DOUBLE)) * 1000000, 0)
+         AS BIGINT)"""
+
+  /** Population stability index per key — THE deployment drift gate
+    * (scorecard/feature monitoring standard: PSI < 0.1 stable, > 0.25
+    * action): how far has each key's value distribution moved between a
+    * reference population and the current one?
+    *
+    * Values integerize to cents and land in fixed-width bins via the
+    * positive-mod floor (portable for refunds/negatives); both sides'
+    * bin counts take Laplace +1 smoothing over the UNION of observed
+    * bins (a bin one side never produced still contributes — that is
+    * exactly the drift being measured — and `ln(0)` cannot occur).
+    * Per-bin terms are rounded micro-units via [[psiTermSql]] over
+    * exact decimal cross-products; the per-key PSI is their exact long
+    * sum — order-immune.
+    *
+    * Scale shape: ONE scan projects (key, side, bin); one map-side-
+    * partial (key, bin) aggregate bounds everything after by the bin
+    * grid (≤ value-range/width rows per key); totals ride a window over
+    * that tiny relation. Nothing touches the driver.
+    *
+    * @param refPred boolean column marking the reference population
+    * @return (key, n_ref, n_cur, n_bins, psi_micro)
+    */
+  def psi(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      refPred: Column,
+      binWidthCents: Long = 2000L): DataFrame = {
+    require(binWidthCents >= 1, s"bin width must be >= 1 cent, got $binWidthCents")
+    import org.apache.spark.sql.expressions.Window
+    val w = binWidthCents
+    val base = df.select(col(keyCol).as("key"),
+        refPred.cast("int").as("is_ref"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .where(col("cents").isNotNull)
+      .withColumn("bin", expr(s"(cents - ((cents % $w + $w) % $w)) div $w"))
+    val cells = base.groupBy("key", "bin")
+      .agg(sum(col("is_ref")).as("c_ref"),
+        sum(lit(1) - col("is_ref")).as("c_cur"))
+    val wk = Window.partitionBy("key")
+    cells
+      .withColumn("n_ref", sum(col("c_ref")).over(wk))
+      .withColumn("n_cur", sum(col("c_cur")).over(wk))
+      .withColumn("n_bins", count(lit(1)).over(wk))
+      // smoothed cross-products as exact decimals (counts ≤ 1e18)
+      .withColumn("ra", (col("c_cur") + 1).cast("decimal(18,0)") *
+        (col("n_ref") + col("n_bins")).cast("decimal(18,0)"))
+      .withColumn("rb", (col("c_ref") + 1).cast("decimal(18,0)") *
+        (col("n_cur") + col("n_bins")).cast("decimal(18,0)"))
+      .withColumn("den", (col("n_cur") + col("n_bins")).cast("decimal(18,0)") *
+        (col("n_ref") + col("n_bins")).cast("decimal(18,0)"))
+      .withColumn("term", expr(psiTermSql("ra", "rb", "den")))
+      .groupBy("key")
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        max(col("n_bins")).as("n_bins"), sum(col("term")).as("psi_micro"))
+  }
+
+  /** The shared chi-square cell term: `(o·N − r·c)²/(N·r·c)` — which IS
+    * `(o−e)²/e` with `e = r·c/N` — in rounded micro-units, every input
+    * an exact integer and every op (multiply, subtract, divide, round)
+    * correctly rounded IEEE-754: unlike the ln-bearing trees this one
+    * is bit-portable with NO transcendental caveat. Magnitude contract:
+    * counts < 2⁵³ cast to double exactly.
+    */
+  def chiTermSql(o: String, n: String, rt: String, ct: String): String =
+    s"""CAST(ROUND(
+         (CAST($o AS DOUBLE) * CAST($n AS DOUBLE)
+           - CAST($rt AS DOUBLE) * CAST($ct AS DOUBLE))
+         * (CAST($o AS DOUBLE) * CAST($n AS DOUBLE)
+           - CAST($rt AS DOUBLE) * CAST($ct AS DOUBLE))
+         / (CAST($n AS DOUBLE) * CAST($rt AS DOUBLE) * CAST($ct AS DOUBLE))
+         * 1000000, 0) AS BIGINT)"""
+
+  /** Chi-square test of independence between two categorical columns —
+    * the DQ gate for "did the label mix shift with the source?" /
+    * "is this attribute independent of that one?". The statistic runs
+    * over the FULL R×C grid (a cell the data never produced still
+    * carries its expected mass — the Benford grid discipline; dropping
+    * empty cells understates the statistic), each cell a rounded
+    * micro-unit term via [[chiTermSql]], summed as exact longs.
+    *
+    * Scale shape: one (a, b) map-side-partial aggregate — at most R×C
+    * rows leave the scan — then grid assembly over the two tiny
+    * marginal relations. The statistic compares against a chi-square
+    * quantile OUT OF BAND (quantiles are caller policy; df is emitted).
+    *
+    * @return one row: (n, r_levels, c_levels, dof, chi2_micro)
+    */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("a").agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy("b").agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    rt.crossJoin(ct)
+      .join(cells, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term", expr(chiTermSql("o", "n", "rt", "ct")))
+      .agg(max(col("n")).as("n"),
+        countDistinct(col("a")).as("r_levels"),
+        countDistinct(col("b")).as("c_levels"),
+        sum(col("term")).as("chi2_micro"))
+      .withColumn("dof", (col("r_levels") - 1) * (col("c_levels") - 1))
+      .select("n", "r_levels", "c_levels", "dof", "chi2_micro")
+  }
+
+  /** Gini concentration per key — revenue/value inequality (how much of
+    * a nation's revenue do its top customers hold?), plus the top-decile
+    * share, from ONE value histogram. The classic rank formulation
+    * `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` (x ascending, i = 1..n)
+    * needs rank-weighted sums — but a run of `c` tied values at
+    * cumulative range [lo, hi] contributes `x·(lo+hi)·c/2` exactly
+    * (consecutive-integer sum), so the whole statistic derives from the
+    * (key, value) histogram: rows NEVER enter a window (the x15 scale
+    * shape). All terms are exact decimals; output is floored basis
+    * points (values must be ≥ 0 — enforced — so truncation IS floor).
+    *
+    * Top-decile share: the top ⌈n/10⌉ units' value share, from the same
+    * cumulative ranks — a run straddling the cut contributes only its
+    * ranks above `n−k`.
+    *
+    * @param df pre-aggregated: one row per unit (e.g. per customer)
+    * @return (key, n, sum_cents, gini_bp, top_decile_n, top_decile_bp)
+    */
+  def giniConcentration(
+      df: DataFrame,
+      keyCol: String,
+      valueCentsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = df.select(col(keyCol).as("key"), col(valueCentsCol).cast("long").as("v"))
+      .where(col("v").isNotNull && col("v") >= 0)
+      .groupBy("key", "v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("key").orderBy("v")
+    val wk = Window.partitionBy("key")
+    vc.withColumn("hi", sum(col("c")).over(w))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("n", sum(col("c")).over(wk))
+      .withColumn("s", sum(col("v").cast("decimal(20,0)") * col("c")).over(wk))
+      .withColumn("k", expr("(n + 9) div 10"))
+      // 2·Σ i·xᵢ for the run = v·(lo+hi)·c — exact (consecutive-int sum)
+      .withColumn("num2", col("v").cast("decimal(38,0)") *
+        (col("lo") + col("hi")).cast("decimal(18,0)") * col("c").cast("decimal(18,0)"))
+      .withColumn("top_cnt",
+        greatest(lit(0L), col("hi") - greatest(col("n") - col("k"), col("lo") - 1)))
+      .withColumn("top_sum", col("v").cast("decimal(38,0)") * col("top_cnt"))
+      .groupBy("key")
+      .agg(max(col("n")).as("n"), max(col("s")).as("s"), max(col("k")).as("top_decile_n"),
+        sum(col("num2")).as("num2"), sum(col("top_sum")).as("top_sum"))
+      .where(col("s") > 0)
+      .withColumn("gini_bp",
+        expr("CAST((10000 * (num2 - (n + 1) * s)) div (n * s) AS BIGINT)"))
+      .withColumn("top_decile_bp", expr("CAST((10000 * top_sum) div s AS BIGINT)"))
+      .select(col("key"), col("n"), col("s").cast("long").as("sum_cents"),
+        col("gini_bp"), col("top_decile_n"), col("top_decile_bp"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance of every key's value
+    * distribution against the REST of the corpus — the per-slice drift
+    * gate ("which source's quality-score distribution deviates most?").
+    * `D = max_v |F_key(v) − F_rest(v)|` is computed ENTIRELY in
+    * integers: the max of `|cum_key·n_rest − cum_rest·n_key|` over the
+    * merged value grid, reported as floored basis points of `n_key·
+    * n_rest` — no floats anywhere, bit-portable with no caveats at all.
+    *
+    * Scale shape: one (key, value) map-side-partial histogram; the
+    * complement histogram derives from the value-level re-aggregation
+    * (the corpus is NOT rescanned per key); the cumulative windows ride
+    * the keys × distinct-values grid — bounded by the value range at
+    * cent granularity, not the row count. Ties in the max resolve to
+    * the smallest value (struct-max argmax), so the report is unique.
+    *
+    * @return (key, n_key, n_rest, ks_bp, at_cents)
+    */
+  def ksSliceDrift(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ck = df.select(col(keyCol).as("key"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy("key", "v").agg(count(lit(1)).as("c"))
+    val call = ck.groupBy("v").agg(sum(col("c")).as("c_all"))
+    val keys = ck.select("key").distinct()
+    val grid = keys.crossJoin(call)
+      .join(ck, Seq("key", "v"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("c_rest", col("c_all") - col("c"))
+    val w = Window.partitionBy("key").orderBy("v")
+    val wk = Window.partitionBy("key")
+    grid
+      .withColumn("cum_k", sum(col("c")).over(w))
+      .withColumn("cum_r", sum(col("c_rest")).over(w))
+      .withColumn("n_key", sum(col("c")).over(wk))
+      .withColumn("n_rest", sum(col("c_rest")).over(wk))
+      .where(col("n_key") > 0 && col("n_rest") > 0)
+      .withColumn("diff",
+        abs(col("cum_k").cast("decimal(20,0)") * col("n_rest")
+          - col("cum_r").cast("decimal(20,0)") * col("n_key")))
+      .groupBy("key")
+      .agg(max(col("n_key")).as("n_key"), max(col("n_rest")).as("n_rest"),
+        max(struct(col("diff"), (-col("v")).as("nv"))).as("arg"))
+      .withColumn("ks_bp",
+        expr("CAST((10000 * arg.diff) div (CAST(n_key AS DECIMAL(20,0)) * n_rest) AS BIGINT)"))
+      .select(col("key"), col("n_key"), col("n_rest"), col("ks_bp"),
+        (-col("arg.nv")).as("at_cents"))
+  }
+
+  /** The shared two-proportion z statistic tree: pooled-variance
+    * `z = (x₁/n₁ − x₂/n₂) / √(p̂(1−p̂)(1/n₁+1/n₂))` with
+    * `p̂ = (x₁+x₂)/(n₁+n₂)`, every input an exact integer, every op
+    * correctly rounded IEEE-754 (divides, subtracts, multiplies, one
+    * sqrt — no transcendental caveat), rounded to 6dp at the boundary.
+    * Degenerate pools (no successes, or all successes) → NULL.
+    */
+  def zTestSql(x1: String, n1: String, x2: String, n2: String): String =
+    s"""CASE WHEN ($x1 + $x2) = 0 OR ($x1 + $x2) = ($n1 + $n2)
+           OR $n1 = 0 OR $n2 = 0 THEN CAST(NULL AS DOUBLE)
+         ELSE ROUND(
+           (CAST($x1 AS DOUBLE) / CAST($n1 AS DOUBLE)
+             - CAST($x2 AS DOUBLE) / CAST($n2 AS DOUBLE))
+           / SQRT(
+             ((CAST($x1 AS DOUBLE) + CAST($x2 AS DOUBLE))
+               / (CAST($n1 AS DOUBLE) + CAST($n2 AS DOUBLE)))
+             * (1 - (CAST($x1 AS DOUBLE) + CAST($x2 AS DOUBLE))
+               / (CAST($n1 AS DOUBLE) + CAST($n2 AS DOUBLE)))
+             * (1 / CAST($n1 AS DOUBLE) + 1 / CAST($n2 AS DOUBLE))), 6)
+         END"""
+
+  /** Two-proportion z-test over unit-level outcomes — the A/B
+    * experiment readout (did variant B's conversion rate move?). Input
+    * is one row per unit with a variant label and a 0/1 success flag;
+    * output is one row per variant PAIR (a < b lexicographically) with
+    * exact counts and the 6dp z via [[zTestSql]], plus the |z| ≥ 1.96
+    * flag (the two-sided 5% line — compared AFTER rounding, so the
+    * flag replays deterministically).
+    *
+    * Scale shape: one variant-level aggregate (variants-sized), then a
+    * tiny self-join over the variant pairs. The unit-level input is the
+    * caller's one scan.
+    */
+  def twoProportionZ(
+      units: DataFrame,
+      variantCol: String,
+      successCol: String): DataFrame = {
+    val v = units.select(col(variantCol).as("variant"),
+        col(successCol).cast("long").as("s"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("x"))
+    val a = v.select(col("variant").as("variant_a"), col("n").as("n_a"), col("x").as("x_a"))
+    val b = v.select(col("variant").as("variant_b"), col("n").as("n_b"), col("x").as("x_b"))
+    a.join(b, col("variant_a") < col("variant_b"))
+      .withColumn("z", expr(zTestSql("x_a", "n_a", "x_b", "n_b")))
+      .withColumn("significant",
+        when(col("z").isNull, lit(null).cast("int"))
+          .otherwise((abs(col("z")) >= 1.959964).cast("int")))
+  }
+
   def corrMatrix(df: DataFrame, vars: Seq[(String, Column)]): DataFrame = {
     require(vars.size >= 2, "need at least two metric columns")
     require(vars.map(_._1).distinct.size == vars.size, "metric names must be unique")

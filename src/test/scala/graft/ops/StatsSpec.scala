@@ -92,4 +92,79 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       ("a", 2.00), ("a", 2.00))
     assert(out("a") == ((5L, 100L, 0L, 2L, 4000L)))
   }
+
+  private def psiRows(rows: (String, String, Double)*) =
+    rows.toSeq.toDF("k", "side", "v")
+
+  test("psi: hand-replayed two-bin shift — smoothed terms in micro-units") {
+    // $1 bins. ref: 0.50×2, 1.50×2; cur: 0.50×1, 1.50×3. B=2, nr'=nc'=6.
+    // bin0: ra=2·6=12, rb=3·6=18 → (−6/36)·ln(12/18)·1e6 = 67577.518 → 67578
+    // bin1: ra=4·6=24, rb=18   → (6/36)·ln(24/18)·1e6 = 47947.012 → 47947
+    val df = psiRows(
+      ("k", "ref", 0.50), ("k", "ref", 0.50), ("k", "ref", 1.50), ("k", "ref", 1.50),
+      ("k", "cur", 0.50), ("k", "cur", 1.50), ("k", "cur", 1.50), ("k", "cur", 1.50))
+    val r = Stats.psi(df, "k", "v", col("side") === "ref", binWidthCents = 100L).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((4L, 4L, 2L, 115525L)))
+  }
+
+  test("psi: identical distributions score exactly zero") {
+    val df = psiRows(
+      ("k", "ref", 0.50), ("k", "ref", 1.50),
+      ("k", "cur", 0.50), ("k", "cur", 1.50))
+    assert(Stats.psi(df, "k", "v", col("side") === "ref", 100L)
+      .head().getLong(4) == 0L)
+  }
+
+  test("chiSquareIndependence: perfect 2x2 association scores chi2 = N; empty cells carry expected mass") {
+    // o = [[10,0],[0,10]]: every cell term (oN − rc)²/(Nrc) = 5 → chi2 = 20
+    val rows = Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("y", "w"))
+    val r = Stats.chiSquareIndependence(rows.toDF("a", "b"), "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((20L, 2L, 2L, 1L, 20000000L)))
+  }
+
+  test("chiSquareIndependence: a uniform grid is exactly independent — chi2 = 0") {
+    val rows = for { a <- Seq("x", "y"); b <- Seq("u", "w"); _ <- 1 to 3 } yield (a, b)
+    assert(Stats.chiSquareIndependence(rows.toDF("a", "b"), "a", "b")
+      .head().getLong(4) == 0L)
+  }
+
+  private def gini(rows: (String, Long)*) = {
+    val r = Stats.giniConcentration(rows.toSeq.toDF("k", "v"), "k", "v").head()
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+  }
+
+  test("giniConcentration: equal values score 0; hand case scores the rank formula exactly") {
+    // all equal: gini 0, top ⌈4/10⌉=1 unit holds 1/4 = 2500 bp
+    assert(gini(("k", 500L), ("k", 500L), ("k", 500L), ("k", 500L)) ==
+      ((4L, 2000L, 0L, 1L, 2500L)))
+    // 100,100,200,600: num2 = 600+1200+4800 = 6600;
+    // gini = (6600 − 5·1000)/(4·1000) = 0.4 → 4000 bp; top unit 600 → 6000 bp
+    assert(gini(("k", 100L), ("k", 100L), ("k", 200L), ("k", 600L)) ==
+      ((4L, 1000L, 4000L, 1L, 6000L)))
+  }
+
+  test("ksSliceDrift: disjoint supports hit D = 1; identical slices hit 0 at the smallest value") {
+    val df = Seq(("A", 1.00), ("A", 1.00), ("B", 2.00), ("B", 2.00)).toDF("k", "v")
+    val out = Stats.ksSliceDrift(df, "k", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out("A") == ((10000L, 100L)) && out("B") == ((10000L, 100L)))
+    val same = Seq(("A", 1.00), ("A", 2.00), ("B", 1.00), ("B", 2.00)).toDF("k", "v")
+    val out2 = Stats.ksSliceDrift(same, "k", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out2("A") == ((0L, 100L)) && out2("B") == ((0L, 100L)))
+  }
+
+  test("twoProportionZ: hand z to 6dp; degenerate all-failure pool is NULL, never NaN") {
+    // A: 2/4, B: 1/4 → p̂=.375, se=√(.375·.625·.5) → z = .25/se = 0.730297
+    val units = Seq(("A", 1), ("A", 1), ("A", 0), ("A", 0),
+      ("B", 1), ("B", 0), ("B", 0), ("B", 0)).toDF("variant", "s")
+    val r = Stats.twoProportionZ(units, "variant", "s").head()
+    assert(r.getAs[Double]("z") == 0.730297)
+    assert(r.getAs[Int]("significant") == 0)
+    val none = Seq(("A", 0), ("B", 0)).toDF("variant", "s")
+    val r2 = Stats.twoProportionZ(none, "variant", "s").head()
+    assert(r2.isNullAt(r2.fieldIndex("z")) && r2.isNullAt(r2.fieldIndex("significant")))
+  }
 }
