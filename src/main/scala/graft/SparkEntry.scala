@@ -675,6 +675,32 @@ object SparkEntry {
       graft.ops.Stats.ksSliceDrift(events(s, dir), "event_type", "value")
         .withColumnRenamed("key", "event_type")),
 
+    // ---- T: Zipf rank-frequency slope per language — log-log OLS over
+    //      the top-500 word ranks in exact micro-nat points; slope ≈ −1
+    //      is healthy natural language, the fit r catches broken lines ----
+    "t37_zipf_slope" -> ((s, dir) =>
+      graft.ops.TextAnalysis.zipfSlope(
+        t(s, dir, "documents"), "lang", "text", topRanks = 500)
+        .withColumnRenamed("slice", "lang")),
+
+    // ---- G: neighborhood-Jaccard link prediction over the same trade
+    //      subgraph as g7 — all-integer |∩|/|∪| in bp, hub-guarded
+    //      induced subgraph (numerator and denominator consistent) ----
+    "g13_jaccard_links" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_quantity") >= 48)
+        .select((col("o_custkey") * 2).as("x"), (col("l_suppkey") * 2 + 1).as("y"))
+        .distinct()
+      graft.ops.Graph.jaccardLinks(pairs, "x", "y", maxDegree = 10000L, topK = 100)
+    }),
+
+    // ---- X: Shannon entropy of each language's source mix — the
+    //      diversity gate (micro-nat terms via the shared tree) ----
+    "x43_entropy" -> ((s, dir) =>
+      graft.ops.Stats.shannonEntropy(t(s, dir, "documents"), "lang", "source")
+        .withColumnRenamed("key", "lang")),
+
     // ---- E: two-proportion A/B z-test — purchase conversion by a
     //      deterministic parity split of user_id (the hash-assignment
     //      stand-in); pooled-variance z via the shared zTestSql tree ----
@@ -3777,6 +3803,78 @@ object SparkEntry {
              AS BIGINT) AS ks_bp,
            arg.at_cents
          FROM m JOIN arg USING (key)""",
+
+    // log-log OLS replayed: exact ranks (same total order), micro-nat
+    // points, HUGEINT moments, positive-mod floored slope (negative),
+    // fit r via the IDENTICAL corrSql tree
+    "t37_zipf_slope" ->
+      (s"""WITH w AS (SELECT lang AS slice,
+                  unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+                FROM documents),
+         wc AS (SELECT slice, word, CAST(COUNT(*) AS BIGINT) AS c FROM w
+                WHERE length(word) > 0 GROUP BY 1, 2),
+         rk AS (SELECT slice, c, ROW_NUMBER() OVER (PARTITION BY slice
+                  ORDER BY c DESC, word ASC) AS rank
+                FROM wc),
+         pts AS (SELECT slice,
+                   CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+                   CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+                 FROM rk WHERE rank <= 500),
+         m AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                 CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+               FROM pts GROUP BY 1),
+         f AS (SELECT slice, n, n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS den, sxy, sx, sy, sxx, syy
+               FROM m)
+         SELECT slice AS lang, n AS n_ranks,
+           CAST((1000000 * num - ((1000000 * num % den + den) % den)) // den
+             AS BIGINT) AS slope_micro,
+           ${graft.ops.Stats.corrSql("sxy", "sx", "sy", "sxx", "syy")} AS fit_corr
+         FROM f WHERE den > 0"""),
+
+    // the g7 wedge join with integer Jaccard: induced-subgraph degrees
+    // (hub centers removed from BOTH counts), floored bp, no floats
+    "g13_jaccard_links" ->
+      """WITH p0 AS (SELECT DISTINCT o_custkey * 2 AS x, l_suppkey * 2 + 1 AS y
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                     WHERE l_quantity >= 48),
+         e0 AS (SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM p0),
+         adj AS (SELECT a AS w, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+         elig AS (SELECT w FROM (SELECT w, COUNT(*) AS deg FROM adj GROUP BY w)
+                  WHERE deg <= 10000),
+         adje AS (SELECT adj.w, adj.n FROM adj JOIN elig USING (w)),
+         dege AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM adje GROUP BY 1),
+         pr AS (SELECT a1.n AS a, a2.n AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+                FROM adje a1 JOIN adje a2 ON a1.w = a2.w AND a1.n < a2.n
+                GROUP BY 1, 2),
+         sc AS (SELECT pr.a, pr.b, pr.n_common, da.deg AS deg_a, db.deg AS deg_b,
+                  (10000 * pr.n_common) // (da.deg + db.deg - pr.n_common)
+                    AS jaccard_bp
+                FROM pr JOIN dege da ON pr.a = da.n JOIN dege db ON pr.b = db.n),
+         nn AS (SELECT sc.* FROM sc ANTI JOIN e0 ON sc.a = e0.a AND sc.b = e0.b)
+         SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, n_common,
+           deg_a, deg_b, CAST(jaccard_bp AS BIGINT) AS jaccard_bp
+         FROM nn ORDER BY jaccard_bp DESC, a, b LIMIT 100""",
+
+    // micro-nat entropy terms via the IDENTICAL entropyTermSql tree;
+    // per-key sums are exact integers
+    "x43_entropy" ->
+      (s"""WITH gc AS (SELECT lang AS key, source AS grp,
+                  CAST(COUNT(*) AS BIGINT) AS cc
+                FROM documents WHERE source IS NOT NULL GROUP BY 1, 2),
+         kt AS (SELECT key, CAST(SUM(cc) AS BIGINT) AS nn, COUNT(*) AS n_groups
+                FROM gc GROUP BY 1),
+         tm AS (SELECT gc.key, gc.cc, kt.nn, kt.n_groups
+                FROM gc JOIN kt USING (key))
+         SELECT key AS lang, MAX(nn) AS n,
+           CAST(MAX(n_groups) AS BIGINT) AS n_groups,
+           CAST(SUM(${graft.ops.Stats.entropyTermSql("cc", "nn")}) AS BIGINT)
+             AS entropy_micro
+         FROM tm GROUP BY 1"""),
 
     // pooled-variance z via the IDENTICAL zTestSql tree; the 5% flag
     // compares the ALREADY-ROUNDED z, so it replays deterministically

@@ -416,6 +416,42 @@ object Stats {
         (-col("arg.nv")).as("at_cents"))
   }
 
+  /** The shared Shannon entropy term tree: `−p·ln(p) = (c/n)·ln(n/c)`
+    * in rounded micro-nats over exact integer counts (one divide, one
+    * ln, one multiply, one round — the t19 recipe with its 1-ulp ln
+    * caveat). `c = n` (a single group) gives `ln(1) = 0` exactly.
+    */
+  def entropyTermSql(c: String, n: String): String =
+    s"""CAST(ROUND((CAST($c AS DOUBLE) / CAST($n AS DOUBLE))
+         * LN(CAST($n AS DOUBLE) / CAST($c AS DOUBLE)) * 1000000, 0)
+         AS BIGINT)"""
+
+  /** Shannon entropy of a categorical mix per key — the diversity gate
+    * (is a language's source mix collapsing to one crawl? is a shard's
+    * label mix degenerate?). `H = Σ (c/n)·ln(n/c)` in micro-nats: 0 for
+    * a single group, `ln(k)·1e6` for a uniform k-way mix — compare
+    * against `ln(k)` out of band for evenness. Terms quantize via
+    * [[entropyTermSql]] and sum as exact longs (order-immune).
+    *
+    * Scale shape: one (key, group) map-side-partial aggregate — the
+    * only pass over the data — then a key-grain rollup of the tiny
+    * group-count relation.
+    *
+    * @return (key, n, n_groups, entropy_micro)
+    */
+  def shannonEntropy(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(col(keyCol).as("key"), col(groupCol).as("grp"))
+      .where(col("grp").isNotNull)
+      .groupBy("key", "grp").agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("key")))
+      .withColumn("term", expr(entropyTermSql("c", "n")))
+      .groupBy("key")
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_groups"),
+        sum(col("term")).as("entropy_micro"))
+  }
+
   /** The shared two-proportion z statistic tree: pooled-variance
     * `z = (x₁/n₁ − x₂/n₂) / √(p̂(1−p̂)(1/n₁+1/n₂))` with
     * `p̂ = (x₁+x₂)/(n₁+n₂)`, every input an exact integer, every op

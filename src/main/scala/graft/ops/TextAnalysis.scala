@@ -635,4 +635,61 @@ object TextAnalysis {
       .withColumn("ttr_bp", expr("(10000 * n_types) div n_tokens"))
       .withColumn("hapax_bp", expr("(10000 * n_hapax) div n_types"))
   }
+
+  /** Zipf rank-frequency slope per slice — the one-number corpus-shape
+    * gate [[vocabularyStats]]'s ratios can't give: a natural-language
+    * slice's log-log rank-frequency line slopes ≈ −1 (Zipf's law);
+    * template/boilerplate flooding flattens the head (slope → 0),
+    * ID/hash contamination steepens past −1.5 with a broken fit. Emits
+    * the OLS slope over the top `topRanks` (rank, frequency) points in
+    * log-log space, plus the fit's Pearson r (|r| near 1 = clean line).
+    *
+    * Determinism: ranks are exact (`row_number` over frequency DESC,
+    * word ASC — total order), each point quantizes to micro-nat LONGs
+    * (`round(ln·1e6)` — the t19 recipe, same 1-ulp caveat), the OLS
+    * moments are exact decimal sums (the e32 recipe) with the slope in
+    * positive-mod FLOORED micro-units (slopes are negative — bare
+    * integer division truncates upward), and r rides the shared
+    * [[Stats.corrSql]] IEEE tree.
+    *
+    * Scale shape: one (slice, word) map-side-partial aggregate bounds
+    * everything by vocabulary size (Heaps: ~√corpus); the rank window
+    * partitions by slice over that vocabulary-sized relation; the
+    * moment aggregate sees ≤ topRanks rows per slice.
+    *
+    * @return (slice, n_ranks, slope_micro, fit_corr) for slices with
+    *         ≥ 2 distinct frequencies among the top ranks
+    */
+  def zipfSlope(
+      docs: DataFrame,
+      sliceCol: String,
+      textCol: String,
+      topRanks: Int = 500): DataFrame = {
+    require(topRanks >= 2, s"need at least 2 ranks, got $topRanks")
+    import org.apache.spark.sql.expressions.Window
+    val wc = docs.select(col(sliceCol).as("slice"),
+        explode(tokens(lower(col(textCol)))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("slice", "word").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("slice").orderBy(col("c").desc, col("word").asc)
+    val pts = wc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topRanks)
+      .select(col("slice"),
+        expr("CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1000000, 0) AS BIGINT)").as("x"),
+        expr("CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)").as("y"))
+    pts.groupBy("slice").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("sxx"),
+        sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("sxy"),
+        sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("syy"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .where(col("den") > 0)
+      .withColumn("slope_micro", expr(
+        "CAST((1000000 * num - ((1000000 * num % den + den) % den)) div den AS BIGINT)"))
+      .withColumn("fit_corr", expr(graft.ops.Stats.corrSql("sxy", "sx", "sy", "sxx", "syy")))
+      .select(col("slice"), col("n").as("n_ranks"), col("slope_micro"), col("fit_corr"))
+  }
 }

@@ -313,6 +313,35 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(aa(star).size == 3) // all three spoke pairs via the hub
   }
 
+  private def jl(edges: Seq[(Long, Long)], maxDeg: Long = Long.MaxValue) =
+    Graph.jaccardLinks(edges.toDF("s", "d"), "s", "d", maxDegree = maxDeg, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+
+  test("jaccardLinks: fully shared neighborhoods score 10000 bp; existing edges are excluded") {
+    // square 1-2, 1-3, 4-2, 4-3: (1,4) share {2,3} = both full
+    // neighborhoods; (2,3) share {1,4} likewise
+    val out = jl(Seq(1L -> 2L, 1L -> 3L, 4L -> 2L, 4L -> 3L))
+    assert(out == Map(
+      (1L, 4L) -> ((2L, 2L, 2L, 10000L)),
+      (2L, 3L) -> ((2L, 2L, 2L, 10000L))))
+    // adding edge (2,3) removes that pair, and degrees shift with it:
+    // (1,4) still shares {2,3} with deg 2 each → still 10000
+    val out2 = jl(Seq(1L -> 2L, 1L -> 3L, 4L -> 2L, 4L -> 3L, 2L -> 3L))
+    assert(!out2.contains((2L, 3L)))
+    assert(out2((1L, 4L)) == ((2L, 2L, 2L, 10000L)))
+  }
+
+  test("jaccardLinks: partial overlap floors the bp; hub guard removes centers from BOTH counts") {
+    // 1-{2,3}, 4-{3,5}: (1,4) share {3}; union = 2+2−1 = 3 → 3333 bp
+    val out = jl(Seq(1L -> 2L, 1L -> 3L, 4L -> 3L, 4L -> 5L))
+    assert(out((1L, 4L)) == ((1L, 2L, 2L, 3333L)))
+    // the star's only wedge-capable center is hub 9 (deg 3): unguarded
+    // it yields all three spoke pairs; maxDegree 2 removes it → nothing
+    assert(jl(Seq(1L -> 9L, 2L -> 9L, 3L -> 9L)).size == 3)
+    assert(jl(Seq(1L -> 9L, 2L -> 9L, 3L -> 9L), maxDeg = 2).isEmpty)
+  }
+
   private def runHits(edges: Seq[(Long, Long)], iters: Int) =
     Graph.hits(edges.toDF("s", "d"), "s", "d", iterations = iters)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap

@@ -156,6 +156,16 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(out2("A") == ((0L, 100L)) && out2("B") == ((0L, 100L)))
   }
 
+  test("shannonEntropy: uniform two-way mix scores 2·round(ln2·1e6/2); single group scores 0") {
+    val df = Seq(("k", "u"), ("k", "u"), ("k", "w"), ("k", "w"),
+      ("j", "u"), ("j", "u")).toDF("key0", "grp0")
+    val out = Stats.shannonEntropy(df, "key0", "grp0").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // per-term round(0.5·ln2·1e6) = 346574, two terms → 693148
+    assert(out("k") == ((4L, 2L, 693148L)))
+    assert(out("j") == ((2L, 1L, 0L)))
+  }
+
   test("twoProportionZ: hand z to 6dp; degenerate all-failure pool is NULL, never NaN") {
     // A: 2/4, B: 1/4 → p̂=.375, se=√(.375·.625·.5) → z = .25/se = 0.730297
     val units = Seq(("A", 1), ("A", 1), ("A", 0), ("A", 0),

@@ -324,4 +324,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       "a" -> ((3L, 4L, 2L, 7500L, 6666L)),
       "b" -> ((1L, 1L, 1L, 10000L, 10000L))))
   }
+
+  test("zipfSlope: an exact Zipf corpus (f·r constant) fits slope −1 with corr −1") {
+    import spark.implicits._
+    // counts 12, 6, 4, 3 at ranks 1..4: f = 12/r exactly, so the
+    // log-log points are collinear up to micro-nat quantization
+    val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
+    val docs = Seq(("en", text)).toDF("lang_in", "text")
+    val r = TextAnalysis.zipfSlope(docs, "lang_in", "text", topRanks = 10).head()
+    assert(r.getLong(1) == 4L)
+    val slope = r.getLong(2)
+    assert(slope >= -1000010L && slope <= -999990L, s"slope $slope")
+    assert(r.getAs[Double]("fit_corr") == -1.0)
+  }
+
+  test("zipfSlope: a flat (all-equal-frequency) corpus has zero variance in y — slope 0") {
+    import spark.implicits._
+    // every word once: y is constant → num = 0 → slope 0; corr NULL
+    val docs = Seq(("en", "aa bb cc dd")).toDF("lang_in", "text")
+    val r = TextAnalysis.zipfSlope(docs, "lang_in", "text", topRanks = 10).head()
+    assert(r.getLong(2) == 0L)
+    assert(r.isNullAt(r.fieldIndex("fit_corr")))
+  }
 }
