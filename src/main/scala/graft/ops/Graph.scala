@@ -87,6 +87,8 @@ object Graph {
   private val hitsOutSlot = new CacheSlot
   private val hitsInSlot = new CacheSlot
   private val hitsNodeSlot = new CacheSlot
+  private val linkPredEdgeSlot = new CacheSlot
+  private val linkPredAdjSlot = new CacheSlot
 
   def pageRank(
       edges: DataFrame,
@@ -521,11 +523,14 @@ object Graph {
       maxDegree: Long = Long.MaxValue,
       topK: Int = 100): DataFrame = {
     require(topK > 0, "topK must be positive")
-    val e0 = edges
+    // e0 feeds the adjacency AND the final anti-join, and viaCenter
+    // feeds both wedge sides — slot-cached or the caller's edge build
+    // (often a join) would replay per consumer
+    val e0 = linkPredEdgeSlot.persist(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-      .distinct()
+      .distinct())
     val adj = e0.select(explode(array(
         struct(col("a").as("w"), col("b").as("n")),
         struct(col("b").as("w"), col("a").as("n")))).as("x"))
@@ -534,7 +539,7 @@ object Graph {
       .where(col("deg") >= 2L && col("deg") <= maxDegree)
       .select(col("w"),
         expr("CAST(ROUND(1000000 / LN(CAST(deg AS DOUBLE))) AS BIGINT)").as("w_fp"))
-    val viaCenter = adj.join(centers, Seq("w"))
+    val viaCenter = linkPredAdjSlot.persist(adj.join(centers, Seq("w")))
     val pairs = viaCenter.select(col("w"), col("n").as("n1"), col("w_fp"))
       .join(viaCenter.select(col("w"), col("n").as("n2")), Seq("w"))
       .where(col("n1") < col("n2"))
@@ -574,18 +579,20 @@ object Graph {
       maxDegree: Long = Long.MaxValue,
       topK: Int = 100): DataFrame = {
     require(topK > 0, "topK must be positive")
-    val e0 = edges
+    // same multi-consumer shape as adamicAdar: e0 (adjacency + final
+    // anti-join) and adjE (degrees + both wedge sides) are slot-cached
+    val e0 = linkPredEdgeSlot.persist(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-      .distinct()
+      .distinct())
     val adj = e0.select(explode(array(
         struct(col("a").as("w"), col("b").as("n")),
         struct(col("b").as("w"), col("a").as("n")))).as("x"))
       .select(col("x.w").as("w"), col("x.n").as("n"))
     val eligible = adj.groupBy("w").agg(count(lit(1)).as("deg"))
       .where(col("deg") <= maxDegree).select("w")
-    val adjE = adj.join(eligible, Seq("w"))
+    val adjE = linkPredAdjSlot.persist(adj.join(eligible, Seq("w")))
     val degE = adjE.groupBy("n").agg(count(lit(1)).as("deg"))
     val pairs = adjE.select(col("w"), col("n").as("n1"))
       .join(adjE.select(col("w"), col("n").as("n2")), Seq("w"))

@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Multi-consumer internal aggregates (Spark re-plans a DataFrame per
+    * consumer — the e39/v22 lesson): without these, ksSliceDrift would
+    * scan the corpus three times and chi-square four.
+    */
+  private val ksHistSlot = new CacheSlot
+  private val chiCellSlot = new CacheSlot
+  private val abVariantSlot = new CacheSlot
+
   /** The shared closed-form Pearson SQL for one pair, over moment
     * columns named `n`, `s_<v>`, `s_<a>_<b>`. Public so the oracle
     * builder emits the IDENTICAL expression tree (the determinism
@@ -298,9 +306,10 @@ object Stats {
     * @return one row: (n, r_levels, c_levels, dof, chi2_micro)
     */
   def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
-      .where(col("a").isNotNull && col("b").isNotNull)
-      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val cells = chiCellSlot.persist(
+      df.select(col(aCol).as("a"), col(bCol).as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull)
+        .groupBy("a", "b").agg(count(lit(1)).as("o")))
     val rt = cells.groupBy("a").agg(sum(col("o")).as("rt"))
     val ct = cells.groupBy("b").agg(sum(col("o")).as("ct"))
     val tot = cells.agg(sum(col("o")).as("n"))
@@ -386,10 +395,11 @@ object Stats {
     */
   def ksSliceDrift(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ck = df.select(col(keyCol).as("key"),
-        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("v"))
-      .where(col("v").isNotNull)
-      .groupBy("key", "v").agg(count(lit(1)).as("c"))
+    val ck = ksHistSlot.persist(
+      df.select(col(keyCol).as("key"),
+          (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("v"))
+        .where(col("v").isNotNull)
+        .groupBy("key", "v").agg(count(lit(1)).as("c")))
     val call = ck.groupBy("v").agg(sum(col("c")).as("c_all"))
     val keys = ck.select("key").distinct()
     val grid = keys.crossJoin(call)
@@ -489,10 +499,11 @@ object Stats {
       units: DataFrame,
       variantCol: String,
       successCol: String): DataFrame = {
-    val v = units.select(col(variantCol).as("variant"),
-        col(successCol).cast("long").as("s"))
-      .groupBy("variant")
-      .agg(count(lit(1)).as("n"), sum(col("s")).as("x"))
+    val v = abVariantSlot.persist(
+      units.select(col(variantCol).as("variant"),
+          col(successCol).cast("long").as("s"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum(col("s")).as("x")))
     val a = v.select(col("variant").as("variant_a"), col("n").as("n_a"), col("x").as("x_a"))
     val b = v.select(col("variant").as("variant_b"), col("n").as("n_b"), col("x").as("x_b"))
     a.join(b, col("variant_a") < col("variant_b"))

@@ -419,6 +419,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       s"an uncached corpus scan leaked:\n$p")
   }
 
+  test("x42: KS slice drift reads the corpus through ONE cached histogram — " +
+       "the complement side derives, it never rescans") {
+    val p = plan("x42_ks_drift")
+    assert("FileScan parquet".r.findAllIn(p).length ==
+      "InMemoryRelation".r.findAllIn(p).length,
+      s"an uncached corpus scan leaked:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3, p)
+  }
+
+  test("x40: chi-square reads orders through ONE cached cell aggregate " +
+       "across marginals, totals, and the grid join") {
+    val p = plan("x40_chi_square")
+    assert("FileScan parquet".r.findAllIn(p).length ==
+      "InMemoryRelation".r.findAllIn(p).length,
+      s"an uncached orders scan leaked:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 4, p)
+  }
+
+  test("x39: PSI is one scan — bin cells feed totals and terms through one window chain") {
+    val p = plan("x39_psi_drift")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"events scanned more than once:\n$p")
+  }
+
   test("x37: MAD outliers — rows never enter a window (value-histogram shape)") {
     val p = plan("x37_mad_outliers")
     assert(!p.contains("row_number"), p)
