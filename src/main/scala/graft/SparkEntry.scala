@@ -2550,6 +2550,43 @@ object SparkEntry {
         s, graft.streaming.EventStreams.ohlcAgg(stream), "e27_sink")
     }),
 
+    // ---- E46: STREAMING heavy hitters — Misra-Gries state per
+    //      event_type over a skew-engineered item stream (the x17
+    //      recipe); the oracle gates the order-immune MG guarantees
+    //      (every heavy item present, estimates inside the ⌊n/(k+1)⌋
+    //      band) against exact batch counts, never the order-dependent
+    //      counter values ----
+    "e46_stream_heavy_hitters" -> ((s, dir) => {
+      val k = 50
+      val itemExpr =
+        "CAST(IF(user_id % 2 = 0, user_id % 8, 1000000 + user_id div 2) AS BIGINT)"
+      val stream = graft.streaming.EventStreams
+        .readNsEventStream(s, s"$dir/events.parquet")
+        .select(col("event_type").as("key"), expr(itemExpr).as("item"))
+      val snap = graft.streaming.EventStreams.runToMemorySink(s,
+        graft.streaming.EventStreams.heavyHittersStream(s, stream, k),
+        "e46_sink", org.apache.spark.sql.streaming.OutputMode.Update())
+      // re-aliased aggregate side: a memory-sink view self-join keeps
+      // identical attribute ids on both sides and fails to resolve
+      val maxN = snap.groupBy("key").agg(max("n_total").as("n_total"))
+        .toDF("key2", "n_total2")
+      val fin = snap.join(maxN,
+        col("key") === col("key2") && col("n_total") === col("n_total2"))
+        .drop("key2", "n_total2")
+      val items = events(s, dir)
+        .select(col("event_type").as("key"), expr(itemExpr).as("item"))
+      val exact = items.groupBy("key", "item").agg(count(lit(1)).as("cnt"))
+      val tot = items.groupBy("key").agg(count(lit(1)).as("n_exact"))
+      exact.join(tot, Seq("key"))
+        .where(col("cnt") * (k + 1) > col("n_exact"))
+        .join(fin.select("key", "item", "est"), Seq("key", "item"), "left")
+        .select(col("key"), col("item"), col("cnt"), col("n_exact"),
+          col("est").isNotNull.cast("int").as("in_sketch"),
+          (col("est").isNotNull && col("est") <= col("cnt") &&
+            col("est") + expr(s"n_exact div ${k + 1}") >= col("cnt"))
+            .cast("int").as("est_ok"))
+    }),
+
     "e7_streaming_hourly" -> ((s, dir) => {
       val stream = graft.streaming.EventStreams
         .readNsEventStream(s, s"$dir/events.parquet")
@@ -4149,6 +4186,21 @@ object SparkEntry {
          n AS (SELECT COUNT(*) AS n_total FROM it)
          SELECT item, cnt, n_total, 1 AS in_sketch
          FROM ex CROSS JOIN n WHERE cnt * 51 > n_total""",
+
+    // exact side recomputed per event_type; the MG guarantees (heavy
+    // item present, estimate in the floor band) are the literal-1 gates
+    "e46_stream_heavy_hitters" ->
+      """WITH it AS (SELECT event_type AS key,
+                  CASE WHEN user_id % 2 = 0 THEN user_id % 8
+                       ELSE 1000000 + user_id // 2 END AS item
+                FROM events),
+         ex AS (SELECT key, item, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM it GROUP BY 1, 2),
+         n AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_exact
+               FROM it GROUP BY 1)
+         SELECT ex.key, CAST(ex.item AS BIGINT) AS item, ex.cnt, n.n_exact,
+           1 AS in_sketch, 1 AS est_ok
+         FROM ex JOIN n USING (key) WHERE ex.cnt * 51 > n.n_exact""",
 
     // exact side recomputed; the sketch guarantee is the literal-1 gate
     "x32_approx_pct_gate" ->

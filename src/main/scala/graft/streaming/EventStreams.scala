@@ -31,6 +31,11 @@ object EventStreams {
   /** Open-session state for [[flatMapSessions]]: bounds in epoch micros. */
   case class Open(start: Long, end: Long, n: Long, sum: Double)
 
+  /** Input/state rows for [[heavyHittersStream]] (top-level for encoder
+    * derivation). */
+  case class MgEv(key: String, item: Long)
+  case class MgState(n: Long, counters: Map[Long, Long])
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -450,6 +455,68 @@ object EventStreams {
           emitted.iterator
       }
     out.toDF("key", "day", "a_cents", "s_t", "cusum", "alarm")
+  }
+
+  /** Streaming Misra–Gries heavy hitters per key — the in-flight
+    * frequent-items monitor (which sources/users dominate an ingest
+    * RIGHT NOW, without waiting for the batch rollup). State per key is
+    * k counters + one total, O(k) forever — the only way frequent-items
+    * has bounded memory on an unbounded stream; the batch aggregate
+    * twin is `misra_gries` ([[graft.functions.FreqSketch]]).
+    *
+    * Emission contract (Update mode): each micro-batch emits the key's
+    * CURRENT summary — one row per tracked item with its lower-bound
+    * estimate and the running total. Counter VALUES are arrival-order
+    * dependent (inherent to MG — merges and sequences differ); what is
+    * order-IMMUNE, and what the oracle gates, are the sketch
+    * guarantees: every item with true count > n/(k+1) is present, and
+    * every estimate e satisfies `true − ⌊n/(k+1)⌋ ≤ e ≤ true`. No
+    * watermark is involved — frequency summaries have no event-time
+    * horizon; state never expires (k longs per key).
+    *
+    * @param prepped columns (key: string, item: long)
+    * @return streaming (key, item, est, n_total) — the per-batch
+    *         snapshot; the FINAL snapshot per key is the row set at the
+    *         key's max n_total
+    */
+  def heavyHittersStream(
+      spark: SparkSession,
+      prepped0: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val prepped = prepped0
+      .select(col("key").cast("string").as("key"), col("item").cast("long").as("item"))
+      .where(col("key").isNotNull && col("item").isNotNull)
+      .as[MgEv]
+    prepped.groupByKey(_.key)
+      .flatMapGroupsWithState[MgState, (String, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[MgEv], state: GroupState[MgState]) =>
+          val st0 = state.getOption.getOrElse(MgState(0L, Map.empty))
+          var n = st0.n
+          val c = scala.collection.mutable.Map[Long, Long]() ++ st0.counters
+          evs.foreach { e =>
+            n += 1
+            c.get(e.item) match {
+              case Some(v) => c.update(e.item, v + 1)
+              case None if c.size < k => c.update(e.item, 1L)
+              case None =>
+                // the MG step: decrement every counter (k+1 distinct
+                // occurrences cancel), drop zeros
+                val ks = c.keys.toArray
+                var i = 0
+                while (i < ks.length) {
+                  val nv = c(ks(i)) - 1
+                  if (nv == 0L) c.remove(ks(i)) else c.update(ks(i), nv)
+                  i += 1
+                }
+            }
+          }
+          state.update(MgState(n, c.toMap))
+          c.toSeq.map { case (item, est) => (key, item, est, n) }.iterator
+      }.toDF("key", "item", "est", "n_total")
   }
 
   /** Streaming exact dedup on event id, state bounded by the watermark:
