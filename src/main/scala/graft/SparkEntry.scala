@@ -1914,6 +1914,17 @@ object SparkEntry {
     //      nProbe=8/16 with one Lloyd iteration; the gate (0.7) is the
     //      measured 0.79-0.83 on this corpus minus margin. n_bf is
     //      cross-checked against DuckDB's own brute-force top-k ----
+    // ---- V: nProbe–recall sweep — the probe-budget planning report
+    //      from ONE index build; gates are the order/clustering-immune
+    //      invariants (nested tiers → monotone recall; probing every
+    //      cell → exactly brute force) ----
+    "v24_nprobe_sweep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 10 === 0)
+      graft.ops.Similarity.nprobeSweep(emb, q, "vec_id", "embedding", 5,
+        nCentroids = 16, kmeansIters = 1, probes = Seq(1, 4, 16))
+    }),
+
     "v3i_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") % 10 === 0)
@@ -5651,6 +5662,14 @@ object SparkEntry {
     // — they enforce the same contract via the shared recallGate helper,
     // and a drift between two copies would gate different invariants
     "v3i_ivf_recall" -> ivfRecallOracle,
+
+    // exact n_bf recomputed once; the per-tier gate bits are the
+    // literal-1 invariants (monotone nesting, full-probe exactness)
+    "v24_nprobe_sweep" ->
+      (ivfRecallCtes + """,
+         nb AS (SELECT COUNT(*) AS n_bf FROM r WHERE rank <= 5)
+         SELECT t.n_probe, nb.n_bf, 1 AS monotone_ok, 1 AS full_exact
+         FROM (VALUES (1), (4), (16)) AS t(n_probe) CROSS JOIN nb"""),
     "v20_sq_recall" -> ivfRecallOracle,
 
     "v22_embedding_drift" -> embeddingDriftOracle,

@@ -745,6 +745,72 @@ object Similarity {
     ivfProbe(ivfBuild(corpus, idCol, vecCol, nCentroids, kmeansIters, persist = false),
       queries, idCol, vecCol, k, nProbe)
 
+  private val sweepCellsSlot = new CacheSlot
+
+  /** nProbe–recall sweep — the capacity-planning measurement every IVF
+    * deployment makes before committing a probe budget: recall@k at
+    * each probe tier from ONE index build (never a rebuild per tier).
+    * The report carries two executable invariants instead of the
+    * clustering-dependent hit counts (v23's "a measurement operator
+    * must be allowed to say no" discipline, but here the NUMBERS are
+    * cell-assignment-dependent while the INVARIANTS are theorems):
+    *   - `monotone_ok`: recall never falls as nProbe grows — holds
+    *     because `top_cells` tiers are nested, so candidate sets are
+    *     nested, and any true top-k member inside a candidate set is
+    *     always ranked into the approximate top-k (at most k−1
+    *     candidates can beat it anywhere);
+    *   - `full_exact`: the tier probing every cell equals brute force
+    *     exactly (the v21 invariant — enforced by requiring the last
+    *     tier ≥ nCentroids).
+    * A violated gate means the probe/rank machinery is broken, not
+    * that the corpus clusters badly.
+    *
+    * Scale shape: one brute-force baseline (slot-cached, shared across
+    * tiers), one cell assignment (slot-cached — the corpus never
+    * re-scans per tier), one probe join per tier over the cached
+    * cells; the sweep relation is |probes| rows.
+    *
+    * @return (n_probe, n_bf, monotone_ok, full_exact), one row per tier
+    */
+  def nprobeSweep(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      kmeansIters: Int = 1,
+      probes: Seq[Int] = Seq(1, 4, 16)): DataFrame = {
+    require(probes.nonEmpty && probes == probes.sorted && probes.distinct == probes,
+      s"probes must be strictly increasing, got $probes")
+    require(probes.last >= nCentroids,
+      s"last tier (${probes.last}) must probe every cell ($nCentroids) — the exactness gate")
+    import org.apache.spark.sql.expressions.Window
+    val bf = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select("query_id", "neighbor_id")
+    val built = ivfBuild(corpus, idCol, vecCol, nCentroids, kmeansIters, persist = false)
+    val idx = built.copy(cells = sweepCellsSlot.persist(built.cells))
+    val tiers = probes.map { np =>
+      val ap = ivfProbe(idx, queries, idCol, vecCol, k, nProbe = np)
+        .select("query_id", "neighbor_id")
+      val hits = bf.join(ap, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      bf.agg(count(lit(1)).as("n_bf")).crossJoin(hits)
+        .select(lit(np).as("n_probe"), col("n_bf"), col("n_hit"))
+    }
+    val sweep = tiers.reduce(_ unionAll _)
+    // |probes|-row relation — the single-partition window is free
+    val w = Window.orderBy("n_probe")
+    sweep
+      .withColumn("prev_hit", lag(col("n_hit"), 1).over(w))
+      .select(col("n_probe"), col("n_bf"),
+        (col("prev_hit").isNull || col("n_hit") >= col("prev_hit"))
+          .cast("int").as("monotone_ok"),
+        when(col("n_probe") >= nCentroids,
+          (col("n_hit") === col("n_bf")).cast("int"))
+          .otherwise(lit(1)).as("full_exact"))
+  }
+
   // ------------------------------------------------------------------ PQ
 
   /** A trained product-quantization codebook: `cents` is ONE row holding

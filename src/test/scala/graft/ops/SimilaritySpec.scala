@@ -126,6 +126,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9")
   }
 
+  test("nprobeSweep: gates hold on the clustered corpus and the sweep is real " +
+       "(partial tiers can miss, the full tier cannot)") {
+    val queries = clustered.where($"vec_id" < 8)
+    val out = Similarity.nprobeSweep(clustered, queries, "vec_id", "embedding", 5,
+      nCentroids = 16, kmeansIters = 1, probes = Seq(1, 4, 16))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out.keySet == Set(1, 4, 16))
+    out.values.foreach { case (nBf, mono, full) =>
+      assert(nBf == 40L && mono == 1 && full == 1)
+    }
+  }
+
+  test("nprobeSweep: a last tier below nCentroids is refused — the exactness gate " +
+       "would be vacuous") {
+    intercept[IllegalArgumentException] {
+      Similarity.nprobeSweep(clustered, clustered.where($"vec_id" < 2),
+        "vec_id", "embedding", 3, nCentroids = 16, probes = Seq(1, 4))
+    }
+  }
+
   test("written IVF index: probe matches in-memory; cell filter prunes buckets") {
     val idx = Similarity.ivfBuild(clustered, "vec_id", "embedding", nCentroids = 16)
     try {
