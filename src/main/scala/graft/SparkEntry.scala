@@ -675,6 +675,19 @@ object SparkEntry {
       graft.ops.Stats.ksSliceDrift(events(s, dir), "event_type", "value")
         .withColumnRenamed("key", "event_type")),
 
+    // ---- E: conversion-latency report — first click → first purchase
+    //      at-or-after it; exact nearest-rank p50/p90/p99 seconds plus
+    //      floored-bp conversion, histogram shape throughout ----
+    "e47_conversion_latency" -> ((s, dir) =>
+      graft.ops.Sessions.conversionLatency(
+        events(s, dir), "user_id", "ts", "event_type", "click", "purchase")),
+
+    // ---- T: readability grade per document — FK formula in floored
+    //      milli-units over exact integer word/sentence/vowel-group
+    //      counts; one codegen pass, no shuffle ----
+    "t38_readability" -> ((s, dir) =>
+      graft.ops.TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- T: Zipf rank-frequency slope per language — log-log OLS over
     //      the top-500 word ranks in exact micro-nat points; slope ≈ −1
     //      is healthy natural language, the fit r catches broken lines ----
@@ -3851,6 +3864,56 @@ object SparkEntry {
              AS BIGINT) AS ks_bp,
            arg.at_cents
          FROM m JOIN arg USING (key)""",
+
+    // first-anchor join replayed; latency histogram percentiles are the
+    // x15 nearest-rank formulation, conversion in floored bp
+    "e47_conversion_latency" ->
+      """WITH a AS (SELECT user_id AS u, MIN(epoch_us(ts::TIMESTAMP)) AS t_from
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+         cv AS (SELECT e.user_id AS u, MIN(epoch_us(e.ts::TIMESTAMP)) AS t_to,
+                  MAX(a.t_from) AS t_from
+                FROM events e JOIN a ON e.user_id = a.u
+                WHERE e.event_type = 'purchase'
+                  AND epoch_us(e.ts::TIMESTAMP) >= a.t_from
+                GROUP BY 1),
+         l AS (SELECT (t_to - t_from) // 1000000 AS lat_s FROM cv),
+         vc AS (SELECT lat_s, COUNT(*) AS c FROM l GROUP BY 1),
+         rk AS (SELECT lat_s, c,
+                  SUM(c) OVER (ORDER BY lat_s ROWS UNBOUNDED PRECEDING) AS hi,
+                  SUM(c) OVER () AS n
+                FROM vc),
+         p AS (SELECT CAST(MAX(n) AS BIGINT) AS n_conv,
+                 MAX(CASE WHEN (5000 * n + 9999) // 10000
+                   BETWEEN hi - c + 1 AND hi THEN lat_s END) AS p50_s,
+                 MAX(CASE WHEN (9000 * n + 9999) // 10000
+                   BETWEEN hi - c + 1 AND hi THEN lat_s END) AS p90_s,
+                 MAX(CASE WHEN (9900 * n + 9999) // 10000
+                   BETWEEN hi - c + 1 AND hi THEN lat_s END) AS p99_s
+               FROM rk),
+         nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_from FROM a)
+         SELECT nf.n_from, p.n_conv, (10000 * p.n_conv) // nf.n_from AS conv_bp,
+           p.p50_s, p.p90_s, p.p99_s
+         FROM p CROSS JOIN nf""",
+
+    // same integer counts (t5 tokens, [.!?]+ runs, vowel groups) and
+    // the same positive-mod floored milli-unit formula
+    "t38_readability" ->
+      """WITH b AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+                  GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+                    AS n_sentences,
+                  GREATEST(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT), 1) AS n_syllables
+                FROM documents),
+         f AS (SELECT *, 390 * CAST(n_words AS HUGEINT) * n_words
+                  + 11800 * CAST(n_syllables AS HUGEINT) * n_sentences
+                  - 15590 * CAST(n_sentences AS HUGEINT) * n_words AS num,
+                 CAST(n_sentences AS HUGEINT) * n_words AS den
+               FROM b WHERE n_words > 0)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+             AS fk_grade_milli
+         FROM f""",
 
     // log-log OLS replayed: exact ranks (same total order), micro-nat
     // points, HUGEINT moments, positive-mod floored slope (negative),

@@ -80,6 +80,65 @@ object Sessions {
       .select(col("r.step"), col("r.step_name"), col("r.n_users"))
   }
 
+  private val convFromSlot = new CacheSlot
+
+  /** Conversion-latency report — how LONG the funnel takes, the number
+    * [[funnel]]'s step counts can't give (two funnels with identical
+    * conversion can differ 100× in time-to-convert; latency is what the
+    * product decision reads). Per user: first `fromType` event, first
+    * `toType` at-or-after it; the report is exact nearest-rank
+    * p50/p90/p99 of the latency plus the conversion rate.
+    *
+    * Exactness: latencies are truncating integer seconds on epoch
+    * micros; percentiles use the x15 histogram-rank formulation (value
+    * whose cumulative range contains `r = ⌈p·n⌉`), conversion is
+    * floored basis points — no floats anywhere.
+    *
+    * Scale shape: two user-keyed aggregates (the `fromType` anchor is
+    * slot-cached — it feeds the join AND the denominator count); the
+    * latency histogram is bounded by DISTINCT LATENCY SECONDS — at most
+    * the observation window in seconds, regardless of user count — and
+    * only that bounded relation enters the single-partition cumulative
+    * window.
+    *
+    * @return one row: (n_from, n_conv, conv_bp, p50_s, p90_s, p99_s)
+    */
+  def conversionLatency(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      fromType: String,
+      toType: String): DataFrame = {
+    val m = unix_micros(col(tsCol))
+    val anchors = convFromSlot.persist(
+      events.where(col(typeCol) === fromType)
+        .groupBy(col(userCol).as("u")).agg(min(m).as("t_from")))
+    val conv = events.where(col(typeCol) === toType)
+      .select(col(userCol).as("u"), m.as("t_to"))
+      .join(anchors, Seq("u"))
+      .where(col("t_to") >= col("t_from"))
+      .groupBy("u")
+      .agg(min(col("t_to")).as("t_to"), max(col("t_from")).as("t_from"))
+      .withColumn("lat_s", expr("(t_to - t_from) div 1000000"))
+    val vc = conv.groupBy("lat_s").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("lat_s")
+    val nf = anchors.agg(count(lit(1)).as("n_from"))
+    vc.withColumn("hi", sum(col("c")).over(w))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
+      .agg(max(col("n")).as("n_conv"),
+        max(when(expr("(5000 * n + 9999) div 10000").between(col("lo"), col("hi")),
+          col("lat_s"))).as("p50_s"),
+        max(when(expr("(9000 * n + 9999) div 10000").between(col("lo"), col("hi")),
+          col("lat_s"))).as("p90_s"),
+        max(when(expr("(9900 * n + 9999) div 10000").between(col("lo"), col("hi")),
+          col("lat_s"))).as("p99_s"))
+      .crossJoin(broadcast(nf))
+      .withColumn("conv_bp", expr("(10000 * n_conv) div n_from"))
+      .select("n_from", "n_conv", "conv_bp", "p50_s", "p90_s", "p99_s")
+  }
+
   /** Weekly cohort retention: users cohorted by the week of their FIRST
     * `anchorType` event (e.g. signup), then counted distinct per
     * (cohort week, whole-week offset) of any later activity — the

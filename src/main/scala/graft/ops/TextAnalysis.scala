@@ -636,6 +636,43 @@ object TextAnalysis {
       .withColumn("hapax_bp", expr("(10000 * n_hapax) div n_types"))
   }
 
+  /** Flesch–Kincaid-style readability grade per document — the classic
+    * complexity feature for quality filtering and curriculum ordering
+    * (grade ≈ US school years: ~5 easy prose, ~12 dense, negative on
+    * telegraphic fragments). `grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59`
+    * with W words (the t5 tokenizer), S sentences (runs of `.!?`,
+    * floored at 1 so fragments don't divide by zero), and Y a
+    * deterministic syllable PROXY — vowel-group runs (`[aeiouy]+`),
+    * floored at 1. The proxy is the standard cheap estimator; it is
+    * biased low on hiatus words, identically in both engines, which is
+    * what a FILTER feature needs (monotone comparability, not
+    * linguistic truth).
+    *
+    * Exactness: the grade is floored MILLI-units over the common
+    * denominator — `(390·W² + 11800·Y·S − 15590·S·W) / (S·W)` — exact
+    * decimal products, positive-mod floor (grades go negative). One
+    * narrow codegen pass, no shuffles, no UDFs.
+    *
+    * @return (idCol, n_words, n_sentences, n_syllables, fk_grade_milli)
+    *         for documents with ≥ 1 word
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_words"),
+        greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+          .cast("long").as("n_sentences"),
+        greatest(regexp_count(lower(col(textCol)), lit("[aeiouy]+")), lit(1))
+          .cast("long").as("n_syllables"))
+      .where(col("n_words") > 0)
+      .withColumn("num", expr(
+        """390 * CAST(n_words AS DECIMAL(18,0)) * n_words
+           + 11800 * CAST(n_syllables AS DECIMAL(18,0)) * n_sentences
+           - 15590 * CAST(n_sentences AS DECIMAL(18,0)) * n_words"""))
+      .withColumn("den", expr("CAST(n_sentences AS DECIMAL(18,0)) * n_words"))
+      .withColumn("fk_grade_milli",
+        expr("CAST((num - ((num % den + den) % den)) div den AS BIGINT)"))
+      .drop("num", "den")
+
   /** Zipf rank-frequency slope per slice — the one-number corpus-shape
     * gate [[vocabularyStats]]'s ratios can't give: a natural-language
     * slice's log-log rank-frequency line slopes ≈ −1 (Zipf's law);

@@ -46,6 +46,24 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
         tieBreak = Seq("event_id"))
       .collect().map(r => r.getAs[Int]("step") -> r.getAs[Long]("n_users")).toMap
 
+  test("conversionLatency: earliest-click anchoring, pre-click purchases don't convert, " +
+       "exact nearest-rank percentiles") {
+    val df = evt(
+      (1L, 1L, "click", "2024-01-01 00:00:00"), (2L, 1L, "purchase", "2024-01-01 00:00:10"),
+      (3L, 2L, "click", "2024-01-01 00:00:00"), (4L, 2L, "purchase", "2024-01-01 00:00:20"),
+      (5L, 3L, "click", "2024-01-01 00:00:00"), // never converts
+      (6L, 4L, "purchase", "2024-01-01 00:00:00"), // purchase BEFORE the click
+      (7L, 4L, "click", "2024-01-01 00:00:05"),
+      (8L, 5L, "purchase", "2024-01-01 00:00:00"), // no click at all
+      // u6: the SECOND click is earlier — anchor is min(click ts)
+      (9L, 6L, "click", "2024-01-01 00:01:40"), (10L, 6L, "click", "2024-01-01 00:00:50"),
+      (11L, 6L, "purchase", "2024-01-01 00:01:00"))
+    val r = Sessions.conversionLatency(df, "user_id", "ts", "event_type",
+      "click", "purchase").head()
+    // n_from = 5 clickers, converted = u1(10s), u2(20s), u6(10s)
+    assert(r.toSeq == Seq(5L, 3L, 6000L, 10L, 20L, 20L))
+  }
+
   test("funnel: steps must occur in order; out-of-order and missing steps don't count") {
     val df = evt(
       // user 1: full ordered conversion

@@ -325,6 +325,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       "b" -> ((1L, 1L, 1L, 10000L, 10000L))))
   }
 
+  test("readability: hand-computed FK milli-grades, including the negative floor case") {
+    import spark.implicits._
+    val docs = Seq(
+      // W=5, S=2, Y=5 → 0.39·2.5 + 11.8·1 − 15.59 = −2.815 (exactly −2815 milli)
+      (1L, "The cat sat. It ran!"),
+      // W=3, S=1, Y=1 (no vowels → floor at 1): num = −31460, den = 3
+      // → floor −10487 (truncation would say −10486)
+      (2L, "xz bcd fgh."),
+      (3L, "   ")) // no words → no row
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> ((5L, 2L, 5L, -2815L)),
+      2L -> ((3L, 1L, 1L, -10487L))))
+  }
+
   test("zipfSlope: an exact Zipf corpus (f·r constant) fits slope −1 with corr −1") {
     import spark.implicits._
     // counts 12, 6, 4, 3 at ranks 1..4: f = 12/r exactly, so the
