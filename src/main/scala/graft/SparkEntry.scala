@@ -675,6 +675,20 @@ object SparkEntry {
       graft.ops.Stats.ksSliceDrift(events(s, dir), "event_type", "value")
         .withColumnRenamed("key", "event_type")),
 
+    // ---- E: freshness report — per event_type last event, lag behind
+    //      the freshest slice, trailing-24h volume; anchored at the
+    //      data's own max (reproducible), all integer ----
+    "e48_freshness" -> ((s, dir) =>
+      graft.ops.DataQuality.freshness(events(s, dir), "event_type", "ts")
+        .withColumnRenamed("slice", "event_type")),
+
+    // ---- X: quantile binning — equal-frequency quartiles per
+    //      event_type at exact nearest-rank cuts; ties land low (the
+    //      honest uneven answer on discrete data) ----
+    "x44_quantile_bins" -> ((s, dir) =>
+      graft.ops.Stats.quantileBins(events(s, dir), "event_type", "value", nBins = 4)
+        .withColumnRenamed("key", "event_type")),
+
     // ---- E: conversion-latency report — first click → first purchase
     //      at-or-after it; exact nearest-rank p50/p90/p99 seconds plus
     //      floored-bp conversion, histogram shape throughout ----
@@ -3864,6 +3878,53 @@ object SparkEntry {
              AS BIGINT) AS ks_bp,
            arg.at_cents
          FROM m JOIN arg USING (key)""",
+
+    // per-slice last/lag/trailing-window counts off the same
+    // (slice, second) histogram, anchored at the data's own max
+    "e48_freshness" ->
+      """WITH bh AS (SELECT event_type AS slice,
+                  epoch_us(ts::TIMESTAMP) // 1000000 AS es, COUNT(*) AS c
+                FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+         per AS (SELECT slice, CAST(SUM(c) AS BIGINT) AS n,
+                   MAX(es) AS last_epoch_s
+                 FROM bh GROUP BY 1),
+         a AS (SELECT MAX(last_epoch_s) AS t_max FROM per),
+         rec AS (SELECT slice, CAST(SUM(c) AS BIGINT) AS n_recent
+                 FROM bh CROSS JOIN a WHERE es > t_max - 86400 GROUP BY 1)
+         SELECT per.slice AS event_type, per.n, per.last_epoch_s,
+           a.t_max - per.last_epoch_s AS lag_s,
+           COALESCE(rec.n_recent, 0) AS n_recent
+         FROM per CROSS JOIN a LEFT JOIN rec ON rec.slice = per.slice""",
+
+    // exact nearest-rank quartile cuts replayed over the same value
+    // histogram; ties land in the lower bin via the same <= rule
+    "x44_quantile_bins" ->
+      """WITH vc AS (SELECT event_type AS key,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                  COUNT(*) AS c
+                FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         rk AS (SELECT key, v, c,
+                  SUM(c) OVER (PARTITION BY key ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS hi,
+                  SUM(c) OVER (PARTITION BY key) AS n
+                FROM vc),
+         cuts AS (SELECT key,
+                    MAX(CASE WHEN (1 * n + 3) // 4 BETWEEN hi - c + 1 AND hi
+                      THEN v END) AS cut_1,
+                    MAX(CASE WHEN (2 * n + 3) // 4 BETWEEN hi - c + 1 AND hi
+                      THEN v END) AS cut_2,
+                    MAX(CASE WHEN (3 * n + 3) // 4 BETWEEN hi - c + 1 AND hi
+                      THEN v END) AS cut_3
+                  FROM rk GROUP BY 1),
+         b AS (SELECT vc.key, vc.c,
+                 CASE WHEN vc.v > cut_3 THEN 3 WHEN vc.v > cut_2 THEN 2
+                      WHEN vc.v > cut_1 THEN 1 ELSE 0 END AS bin,
+                 CASE WHEN vc.v > cut_3 THEN NULL WHEN vc.v > cut_2 THEN cut_3
+                      WHEN vc.v > cut_1 THEN cut_2 ELSE cut_1 END AS cut_hi
+               FROM vc JOIN cuts USING (key))
+         SELECT key AS event_type, CAST(bin AS INT) AS bin,
+           CAST(SUM(c) AS BIGINT) AS n_bin, MAX(cut_hi) AS cut_hi
+         FROM b GROUP BY 1, 2""",
 
     // first-anchor join replayed; latency histogram percentiles are the
     // x15 nearest-rank formulation, conversion in floored bp

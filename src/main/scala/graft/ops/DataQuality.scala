@@ -65,6 +65,48 @@ object DataQuality {
     * evaluate NULL, reported as 0 (an empty table violates nothing but
     * `rowCount`).
     */
+  /** Per-slice freshness report — the ingest-liveness monitor (a
+    * source whose `lag_s` grows is a stalled upstream; `n_recent`
+    * collapsing while others hold is a partial outage — both are
+    * invisible to row counts alone). All integer: per-slice last event
+    * time in epoch seconds, lag behind the freshest slice, and the
+    * event count inside the trailing `recentSeconds` window anchored
+    * at the GLOBAL max (the data's own "now" — wall-clock would make
+    * the report unreproducible).
+    *
+    * Scale shape: ONE scan into a cached (slice, second) histogram —
+    * bounded by the observation window in seconds, not the row count —
+    * and every report column (per-slice totals, the global anchor, the
+    * trailing-window counts) derives from that tiny relation.
+    *
+    * @return (slice, n, last_epoch_s, lag_s, n_recent)
+    */
+  def freshness(
+      df: DataFrame,
+      sliceCol: String,
+      tsCol: String,
+      recentSeconds: Long = 86400L): DataFrame = {
+    require(recentSeconds >= 1, s"recentSeconds must be >= 1, got $recentSeconds")
+    val bh = freshSlot.persist(
+      df.select(col(sliceCol).as("slice"),
+          expr(s"unix_micros(`$tsCol`) div 1000000").as("es"))
+        .where(col("slice").isNotNull && col("es").isNotNull)
+        .groupBy("slice", "es").agg(count(lit(1)).as("c")))
+    val per = bh.groupBy("slice")
+      .agg(sum(col("c")).as("n"), max(col("es")).as("last_epoch_s"))
+    val anchor = per.agg(max(col("last_epoch_s")).as("t_max"))
+    val recent = bh.crossJoin(broadcast(anchor))
+      .where(col("es") > col("t_max") - recentSeconds)
+      .groupBy("slice").agg(sum(col("c")).as("n_recent"))
+    per.crossJoin(broadcast(anchor))
+      .join(recent, Seq("slice"), "left")
+      .na.fill(0L, Seq("n_recent"))
+      .select(col("slice"), col("n"), col("last_epoch_s"),
+        (col("t_max") - col("last_epoch_s")).as("lag_s"), col("n_recent"))
+  }
+
+  private val freshSlot = new CacheSlot
+
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks given")
     require(checks.map(_.name).distinct.size == checks.size, "duplicate check names")

@@ -426,6 +426,61 @@ object Stats {
         (-col("arg.nv")).as("at_cents"))
   }
 
+  private val binsHistSlot = new CacheSlot
+
+  /** Quantile binning — the feature-discretization prep step (equal-
+    * frequency bins for scorecards, monotone-binned features, stratified
+    * debugging): per key, cut values at exact nearest-rank quantiles
+    * `r_i = ⌈i·n/nBins⌉` and count the rows per bin. A value equal to a
+    * cut lands in the LOWER bin (`≤` comparison — deterministic in both
+    * engines); heavy ties can therefore make bins uneven, which is the
+    * honest answer for discrete data (an equal-frequency guarantee on
+    * tied data is a lie).
+    *
+    * Scale shape: the x15 histogram discipline end-to-end — one
+    * (key, value) map-side-partial aggregate (slot-cached: the ranked
+    * cuts AND the bin counts both derive from it), cumulative windows
+    * on the tiny value-level relation, bin counts re-aggregate the
+    * HISTOGRAM weights. Rows never enter a window and are never
+    * rescanned.
+    *
+    * @return (key, bin, n_bin, cut_hi) — bin 0..nBins−1; `cut_hi` is
+    *         the bin's inclusive upper cut in cents (NULL for the last)
+    */
+  def quantileBins(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      nBins: Int = 4): DataFrame = {
+    require(nBins >= 2, s"need at least 2 bins, got $nBins")
+    import org.apache.spark.sql.expressions.Window
+    val vc = binsHistSlot.persist(
+      df.select(col(keyCol).as("key"),
+          (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("v"))
+        .where(col("v").isNotNull)
+        .groupBy("key", "v").agg(count(lit(1)).as("c")))
+    val w = Window.partitionBy("key").orderBy("v")
+    val ranked = vc.withColumn("hi", sum(col("c")).over(w))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("key")))
+    val cutCols = (1 until nBins).map { i =>
+      max(when(expr(s"($i * n + $nBins - 1) div $nBins").between(col("lo"), col("hi")),
+        col("v"))).as(s"cut_$i")
+    }
+    val cuts = ranked.groupBy("key").agg(cutCols.head, cutCols.tail: _*)
+    val binExpr = (1 until nBins).foldLeft(lit(0)) { (acc, i) =>
+      acc + (col("v") > col(s"cut_$i")).cast("int")
+    }
+    vc.join(cuts, Seq("key"))
+      .withColumn("bin", binExpr)
+      .withColumn("cut_hi",
+        (1 until nBins).foldLeft(lit(null).cast("long")) { (acc, i) =>
+          when(col("bin") === i - 1, col(s"cut_$i")).otherwise(acc)
+        })
+      .groupBy("key", "bin")
+      .agg(sum(col("c")).as("n_bin"), max(col("cut_hi")).as("cut_hi"))
+  }
+
   /** The shared Shannon entropy term tree: `−p·ln(p) = (c/n)·ln(n/c)`
     * in rounded micro-nats over exact integer counts (one divide, one
     * ln, one multiply, one round — the t19 recipe with its 1-ulp ln

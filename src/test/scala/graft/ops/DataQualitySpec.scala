@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+// (freshness tests at the bottom use the same harness)
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -79,5 +80,23 @@ class DataQualitySpec extends AnyFunSuite with SparkSpec {
   test("duplicate check names are rejected") {
     intercept[IllegalArgumentException](
       report(dirty, Seq(rowCount(1L), rowCount(2L))))
+  }
+
+  test("freshness: lag is against the freshest slice, the trailing window is " +
+       "anchored at the data's own max") {
+    val df = Seq(
+      ("a", "2024-01-10 12:00:00"), ("a", "2024-01-10 11:00:00"),
+      ("b", "2024-01-09 12:00:00"), // 86400 s behind a
+      ("c", "2024-01-01 00:00:00")) // far stale
+      .toDF("slice_in", "t").withColumn("ts", to_timestamp(col("t")))
+    val out = DataQuality.freshness(df, "slice_in", "ts", recentSeconds = 86400L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    // a: both events inside (t_max−86400, t_max]; b: exactly at the
+    // open boundary — es > t_max − 86400 is FALSE at equality
+    assert(out == Map(
+      "a" -> ((2L, 0L, 2L)),
+      "b" -> ((1L, 86400L, 0L)),
+      "c" -> ((1L, 820800L, 0L))))
   }
 }

@@ -156,6 +156,21 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(out2("A") == ((0L, 100L)) && out2("B") == ((0L, 100L)))
   }
 
+  test("quantileBins: exact quartile cuts, ties land in the lower bin") {
+    val df = Seq.tabulate(8)(i => ("k", (i + 1).toDouble)).toDF("k", "v")
+    // values 100..800 cents, n=8: cuts at ranks 2/4/6 → 200/400/600
+    val out = Stats.quantileBins(df, "k", "v", nBins = 4).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(out == Map(
+      0 -> ((2L, Some(200L))), 1 -> ((2L, Some(400L))),
+      2 -> ((2L, Some(600L))), 3 -> ((2L, None))))
+    // all-equal values: every row ties at every cut → everything bin 0
+    val tied = Seq.fill(6)(("k", 5.0)).toDF("k", "v")
+    val t = Stats.quantileBins(tied, "k", "v", nBins = 4).collect()
+    assert(t.length == 1 && t.head.getInt(1) == 0 && t.head.getLong(2) == 6L)
+  }
+
   test("shannonEntropy: uniform two-way mix scores 2·round(ln2·1e6/2); single group scores 0") {
     val df = Seq(("k", "u"), ("k", "u"), ("k", "w"), ("k", "w"),
       ("j", "u"), ("j", "u")).toDF("key0", "grp0")
