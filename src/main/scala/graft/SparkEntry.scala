@@ -964,6 +964,27 @@ object SparkEntry {
           col("group_size"),
           (col("group_size") >= 5).cast("int").as("k_ok"))),
 
+    // ---- X: t-closeness — the privacy triad's third leg: each QI
+    //      group's sensitive-value MIX must sit near the corpus mix
+    //      (total variation in floored bp, full level grid) ----
+    "x45_t_closeness" -> ((s, dir) =>
+      graft.ops.Stats.tCloseness(
+        t(s, dir, "customer")
+          .withColumn("bal_bucket", expr("cast(floor(c_acctbal / 1000) as bigint)")),
+        Seq("c_nationkey", "bal_bucket"), "c_mktsegment", maxTbp = 2000L)),
+
+    // ---- SRC10: gzip JSONL roundtrip — the interchange shape corpora
+    //      actually ship (one .json.gz per partition; gz is NOT
+    //      splittable, so write-side sharding IS read parallelism) ----
+    "src10_jsonl_gzip_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scratch = java.nio.file.Files.createTempDirectory("graft_src10_gz_").toFile
+      org.apache.spark.graft.sparkShims.deleteDirOnExit(scratch)
+      graft.sources.JsonLinesSource.writeGzip(docs, scratch.getAbsolutePath)
+      graft.sources.JsonLinesSource.read(s, scratch.getAbsolutePath, docs.schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // ---- HLL sketch-union rollup — per-group distinct sketches union
     //      into a global estimate WITHOUT rescanning the fact table: the
     //      two-level rollup `approx_count_distinct` can't express (its
@@ -3518,6 +3539,38 @@ object SparkEntry {
 
     "src3_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    // same identity contract through the gzip codec
+    "src10_jsonl_gzip_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    // total variation replayed over the same full QI × level grid:
+    // HUGEINT cross-products, floored bp
+    "x45_t_closeness" ->
+      """WITH gc AS (SELECT c_nationkey, CAST(FLOOR(c_acctbal / 1000) AS BIGINT)
+                  AS bal_bucket, c_mktsegment AS sens, COUNT(*) AS c
+                FROM customer WHERE c_mktsegment IS NOT NULL
+                GROUP BY 1, 2, 3),
+         g AS (SELECT c_nationkey, bal_bucket, CAST(SUM(c) AS BIGINT) AS n_g
+               FROM gc GROUP BY 1, 2),
+         lv AS (SELECT sens, CAST(SUM(c) AS BIGINT) AS c_all FROM gc GROUP BY 1),
+         tt AS (SELECT CAST(SUM(c_all) AS BIGINT) AS n_all FROM lv),
+         grid AS (SELECT g.c_nationkey, g.bal_bucket, g.n_g, lv.c_all, tt.n_all,
+                    COALESCE(gc.c, 0) AS c
+                  FROM g CROSS JOIN lv CROSS JOIN tt
+                  LEFT JOIN gc ON gc.c_nationkey = g.c_nationkey
+                    AND gc.bal_bucket = g.bal_bucket AND gc.sens = lv.sens),
+         agg AS (SELECT c_nationkey, bal_bucket,
+                   CAST(MAX(n_g) AS BIGINT) AS group_size, MAX(n_all) AS n_all,
+                   CAST(SUM(ABS(CAST(c AS HUGEINT) * n_all
+                     - CAST(c_all AS HUGEINT) * n_g)) AS HUGEINT) AS dsum
+                 FROM grid GROUP BY 1, 2)
+         SELECT c_nationkey, bal_bucket, group_size,
+           CAST((10000 * dsum) // (2 * CAST(group_size AS HUGEINT) * n_all)
+             AS BIGINT) AS t_bp,
+           CASE WHEN (10000 * dsum) // (2 * CAST(group_size AS HUGEINT) * n_all)
+             <= 2000 THEN 1 ELSE 0 END AS t_ok
+         FROM agg""",
 
     // the injected markup tail exercises XML escaping both ways; the
     // trailing space pins ignoreSurroundingSpaces=false

@@ -481,6 +481,55 @@ object Stats {
       .agg(sum(col("c")).as("n_bin"), max(col("cut_hi")).as("cut_hi"))
   }
 
+  private val tClsSlot = new CacheSlot
+
+  /** t-closeness — the third leg of the privacy triad (k-anonymity
+    * bounds group SIZE, l-diversity bounds distinct sensitive VALUES;
+    * neither stops a group whose sensitive DISTRIBUTION is skewed far
+    * from the corpus — 90% one diagnosis in a group is a disclosure
+    * even with l = 3). For a categorical sensitive attribute the
+    * distance is total variation: `t = ½·Σ_levels |p_g − p_corpus|`,
+    * here in floored basis points over exact integer cross-products
+    * (`|c_g·N − c_all·n_g|` summed, divided by `2·n_g·N`) — no floats.
+    * The grid includes levels a group never produced (their corpus
+    * mass counts — the Benford/chi-square grid discipline).
+    *
+    * Scale shape: one (qi, sensitive) map-side-partial aggregate
+    * (slot-cached — groups, levels, and the grid all derive from it);
+    * everything after is sized by groups × levels.
+    *
+    * @return (qi..., group_size, t_bp, t_ok)
+    */
+  def tCloseness(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      maxTbp: Long = 2000L): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val qi = qiCols.map(col)
+    val gc = tClsSlot.persist(
+      df.select(qi :+ col(sensitiveCol).as("sens"): _*)
+        .where(col("sens").isNotNull)
+        .groupBy(qi :+ col("sens"): _*).agg(count(lit(1)).as("c")))
+    val groups = gc.groupBy(qi: _*).agg(sum(col("c")).as("n_g"))
+    val levels = gc.groupBy("sens").agg(sum(col("c")).as("c_all"))
+    val tot = levels.agg(sum(col("c_all")).as("n_all"))
+    groups.crossJoin(broadcast(levels))
+      .join(gc, qiCols :+ "sens", "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .withColumn("d",
+        abs(col("c").cast("decimal(20,0)") * col("n_all")
+          - col("c_all").cast("decimal(20,0)") * col("n_g")))
+      .groupBy(qi: _*)
+      .agg(max(col("n_g")).as("group_size"), max(col("n_all")).as("n_all"),
+        sum(col("d")).as("dsum"))
+      .withColumn("t_bp",
+        expr("CAST((10000 * dsum) div (2 * CAST(group_size AS DECIMAL(20,0)) * n_all) AS BIGINT)"))
+      .withColumn("t_ok", (col("t_bp") <= maxTbp).cast("int"))
+      .drop("dsum", "n_all")
+  }
+
   /** The shared Shannon entropy term tree: `−p·ln(p) = (c/n)·ln(n/c)`
     * in rounded micro-nats over exact integer counts (one divide, one
     * ln, one multiply, one round — the t19 recipe with its 1-ulp ln

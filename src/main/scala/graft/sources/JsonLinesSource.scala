@@ -40,6 +40,26 @@ object JsonLinesSource {
       mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** Gzip-compressed JSONL — the shape Common Crawl WET/WAT dumps and
+    * most published corpora actually ship (plain JSONL is the working
+    * format; the interchange copy is gzipped). Reading needs NO
+    * variant: the Hadoop codec engages from the `.json.gz` extension
+    * transparently, for [[read]] and [[readStrict]] alike.
+    *
+    * The contract that matters at 100 TB: gzip is NOT splittable — one
+    * task per file, parallelism = file count (the WARC regime, unlike
+    * plain JSONL's block splits). Shard the WRITE side accordingly:
+    * this writer emits one `.json.gz` per partition, so the writing
+    * job's partitioning decides the reading job's parallelism. Aim for
+    * file counts ≥ the reading cluster's cores and file sizes in the
+    * 100 MB–1 GB band, not one giant archive.
+    */
+  def writeGzip(
+      df: DataFrame,
+      path: String,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("compression", "gzip").json(path)
+
   /** Read JSONL with an explicit schema. Unparseable lines survive as
     * quarantine rows: every schema field null, the raw line in
     * `corruptCol` (appended to the schema). Spark requires selecting the

@@ -156,6 +156,23 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(out2("A") == ((0L, 100L)) && out2("B") == ((0L, 100L)))
   }
 
+  test("tCloseness: a group matching the corpus mix scores 0; a homogeneous group " +
+       "scores the corpus complement; absent levels carry their mass") {
+    // corpus: 8 rows, sens mix u:4, w:4 (50/50).
+    // g1 mirrors it (2u, 2w) → t = 0. g2 is all-u (4u) →
+    // t = ½(|1−½| + |0−½|) = ½ → 5000 bp, t_ok fails at 2000
+    val df = Seq(
+      ("g1", "u"), ("g1", "u"), ("g1", "w"), ("g1", "w"),
+      ("g2", "u"), ("g2", "u"), ("g2", "u"), ("g2", "u"),
+      ("g3", "w"), ("g3", "w"), ("g3", "w"), ("g3", "w")).toDF("qi", "sens0")
+    // corpus mix is u:6/12, w:6/12
+    val out = Stats.tCloseness(df, Seq("qi"), "sens0", maxTbp = 2000L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out("g1") == ((4L, 0L, 1)))
+    assert(out("g2") == ((4L, 5000L, 0)))
+    assert(out("g3") == ((4L, 5000L, 0)))
+  }
+
   test("quantileBins: exact quartile cuts, ties land in the lower bin") {
     val df = Seq.tabulate(8)(i => ("k", (i + 1).toDouble)).toDF("k", "v")
     // values 100..800 cents, n=8: cuts at ranks 2/4/6 → 200/400/600
