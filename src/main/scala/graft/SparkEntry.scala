@@ -451,6 +451,33 @@ object SparkEntry {
       graft.ops.Graph.triangleCounts(edges, "src", "dst")
     }),
 
+    // ---- G: local clustering coefficient over the same co-purchase
+    //      graph as g2 — neighbor-density share per node, all-integer
+    //      floored bp; deg<2 omitted, triangle-free nodes report 0 ----
+    "g14_clustering_coeff" -> ((s, dir) => {
+      val rel = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      val edges = graft.ops.Graph.coOccurrenceEdges(rel, "cust", "part", minShared = 3)
+      graft.ops.Graph.clusteringCoefficient(edges, "src", "dst")
+    }),
+
+    // ---- E: seasonal-residual anomaly gate — e38's season-shifted
+    //      residuals fed through x37's MAD rule (a composition: the
+    //      weekday pattern is removed BEFORE the outlier test, so a
+    //      quiet-Sunday dip stops masking a real Tuesday anomaly) ----
+    "e49_seasonal_anomaly" -> ((s, dir) => {
+      val daily = graft.ops.TimeSeries.dailySeries(
+        events(s, dir), "event_type", "ts", "value")
+      val cur = daily.toDF("key", "day", "a_cents")
+      val prev = daily.toDF("key2", "day2", "a7")
+      val resid = cur.join(prev,
+          col("key") === col("key2") && col("day") === col("day2") + 7)
+        .select(col("key"), (col("a_cents") - col("a7")).as("resid_cents"))
+      graft.ops.Stats.robustOutliersCents(resid, "key", "resid_cents", k = 3)
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // ---- G: degree assortativity — Newman's r over the same
     //      co-purchase graph as g2: do hubs attach to hubs or to
     //      leaves? (exact-moment Pearson, one scan over the
@@ -4163,6 +4190,69 @@ object SparkEntry {
          SELECT node, COUNT(*) AS n_triangles FROM n GROUP BY node""",
 
     "g11_assortativity" -> assortativityOracle,
+
+    // g2's triangle CTEs + symmetrized degrees; the bp ratio is pure
+    // integer (HUGEINT headroom), deg<2 filtered identically
+    "g14_clustering_coeff" ->
+      """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         e AS (SELECT a.c AS s1, b.c AS s2 FROM cp a JOIN cp b
+               ON a.p = b.p AND a.c < b.c
+               GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         tri AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+                 FROM e e1
+                 JOIN e e2 ON e1.s1 = e2.s1 AND e1.s2 < e2.s2
+                 JOIN e e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2),
+         tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                FROM (SELECT a AS node FROM tri
+                      UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri) GROUP BY 1),
+         sym AS (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e),
+         deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                 FROM sym GROUP BY 1)
+         SELECT d.node, d.deg, COALESCE(tn.n_triangles, 0) AS n_triangles,
+           CAST((20000 * CAST(COALESCE(tn.n_triangles, 0) AS HUGEINT))
+             // (CAST(d.deg AS HUGEINT) * (d.deg - 1)) AS BIGINT) AS coeff_bp
+         FROM deg d LEFT JOIN tn USING (node) WHERE d.deg >= 2""",
+
+    // e38's season-shifted residuals through x37's MAD CTEs — the same
+    // day arithmetic, the same histogram-rank medians, over residual
+    // cents (negative values exercise the ABS deviations)
+    "e49_seasonal_anomaly" ->
+      """WITH ev AS (SELECT event_type AS key,
+                  epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                FROM events),
+         d AS (SELECT key, day, CAST(SUM(cents) AS BIGINT) AS a
+               FROM ev GROUP BY 1, 2),
+         r AS (SELECT d.key, d.a - p.a AS v
+               FROM d JOIN d p ON d.key = p.key AND d.day = p.day + 7),
+         vc AS (SELECT key, v, COUNT(*) AS c FROM r GROUP BY 1, 2),
+         n AS (SELECT key, CAST(SUM(c) AS BIGINT) AS n,
+                 (5000 * CAST(SUM(c) AS BIGINT) + 9999) // 10000 AS r
+               FROM vc GROUP BY 1),
+         rk AS (SELECT key, v, c, SUM(c) OVER (PARTITION BY key ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS hi FROM vc),
+         med AS (SELECT rk.key, n.n, rk.v AS median_cents
+                 FROM rk JOIN n USING (key)
+                 WHERE rk.hi - rk.c + 1 <= n.r AND n.r <= rk.hi),
+         dv AS (SELECT vc.key, ABS(vc.v - m.median_cents) AS d,
+                  CAST(SUM(vc.c) AS BIGINT) AS c
+                FROM vc JOIN med m USING (key) GROUP BY 1, 2),
+         rd AS (SELECT key, d, c, SUM(c) OVER (PARTITION BY key ORDER BY d
+                  ROWS UNBOUNDED PRECEDING) AS hi FROM dv),
+         mad AS (SELECT rd.key, rd.d AS mad_cents FROM rd JOIN n USING (key)
+                 WHERE rd.hi - rd.c + 1 <= n.r AND n.r <= rd.hi)
+         SELECT vc.key AS event_type, MAX(m.n) AS n,
+           MAX(m.median_cents) AS median_cents,
+           MAX(mad.mad_cents) AS mad_cents,
+           CAST(SUM(CASE WHEN ABS(vc.v - m.median_cents) > 3 * mad.mad_cents
+             THEN vc.c ELSE 0 END) AS BIGINT) AS n_outliers,
+           (10000 * CAST(SUM(CASE WHEN ABS(vc.v - m.median_cents)
+               > 3 * mad.mad_cents THEN vc.c ELSE 0 END) AS BIGINT))
+             // MAX(m.n) AS outlier_bp
+         FROM vc JOIN med m USING (key) JOIN mad USING (key)
+         GROUP BY 1""",
 
     "src5_partitioned_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents

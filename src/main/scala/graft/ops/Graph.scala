@@ -887,6 +887,42 @@ object Graph {
     *         (exact to ~3·10⁹ total degree; the internal decimal math
     *         is exact far beyond)
     */
+  /** Local clustering coefficient per node — the per-node density
+    * signal [[triangleCounts]] feeds: of the `deg·(deg−1)/2` possible
+    * links among a node's neighbors, what share exists?
+    * `coeff_bp = (2·triangles·10⁴) div (deg·(deg−1))` — all integer,
+    * floored bp. High-degree low-coefficient nodes are connectors
+    * (or spam hubs); high-coefficient clusters are communities. Nodes
+    * of degree < 2 have no defined coefficient and are omitted; nodes
+    * in no triangle report 0.
+    *
+    * Scale shape: [[triangleCounts]]' degree-ordered plan (wedge volume
+    * m^1.5, never Σdeg²) plus one degree aggregate and one left join —
+    * the canonical edge list is slot-cached across both consumers via
+    * [[cacheEdges]].
+    *
+    * @return (node, deg, n_triangles, coeff_bp)
+    */
+  def clusteringCoefficient(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e0 = cacheEdges(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct())
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(e0, "a", "b")
+    deg.where(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .withColumn("coeff_bp", expr(
+        """CAST((20000 * CAST(n_triangles AS DECIMAL(20,0)))
+           div (CAST(deg AS DECIMAL(20,0)) * (deg - 1)) AS BIGINT)"""))
+  }
+
   def modularity(
       edges: DataFrame,
       srcCol: String,

@@ -108,12 +108,25 @@ object Stats {
       df: DataFrame,
       keyCol: String,
       valueCol: String,
+      k: Int = 3): DataFrame =
+    robustOutliersCents(
+      df.select(col(keyCol),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("__cents")),
+      keyCol, "__cents", k)
+
+  /** [[robustOutliers]] on an ALREADY-integerized value column — for
+    * compositions whose inputs are exact cents (seasonal residuals,
+    * pre-aggregated sums) where a dollars round-trip would be noise.
+    */
+  def robustOutliersCents(
+      df: DataFrame,
+      keyCol: String,
+      centsCol: String,
       k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     val vc = df
-      .select(col(keyCol).as("key"),
-        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .select(col(keyCol).as("key"), col(centsCol).cast("long").as("v"))
       .where(col("v").isNotNull)
       .groupBy("key", "v").agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("key").orderBy("v")

@@ -342,6 +342,26 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(jl(Seq(1L -> 9L, 2L -> 9L, 3L -> 9L), maxDeg = 2).isEmpty)
   }
 
+  test("clusteringCoefficient: triangle nodes score 10000 bp, the bridged node 3333, " +
+       "degree-1 pendants are omitted") {
+    // triangle 1-2-3 plus pendant edge 3-4
+    val out = Graph.clusteringCoefficient(
+      Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L).toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L, 10000L)),
+      2L -> ((2L, 1L, 10000L)),
+      3L -> ((3L, 1L, 3333L))))
+  }
+
+  test("clusteringCoefficient: a star has zero coefficient at the hub (no triangles)") {
+    val out = Graph.clusteringCoefficient(
+      Seq(9L -> 1L, 9L -> 2L, 9L -> 3L).toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(9L -> 0L)) // spokes are deg 1 → omitted
+  }
+
   private def runHits(edges: Seq[(Long, Long)], iters: Int) =
     Graph.hits(edges.toDF("s", "d"), "s", "d", iterations = iters)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap

@@ -156,6 +156,18 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(out2("A") == ((0L, 100L)) && out2("B") == ((0L, 100L)))
   }
 
+  test("robustOutliersCents: negative residuals — ABS deviations and the k·MAD gate " +
+       "agree with the dollars path") {
+    // residuals −300, −100, 0, 100, 300: median 0, deviations
+    // {0,100,100,300,300} → MAD 100 (rank 3); |±300| > 3·100 is false
+    // at equality — no outliers
+    val df = Seq(("k", -300L), ("k", -100L), ("k", 0L), ("k", 100L), ("k", 300L))
+      .toDF("k", "cents")
+    val r = Stats.robustOutliersCents(df, "k", "cents", k = 3).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((5L, 0L, 100L, 0L, 0L)))
+  }
+
   test("tCloseness: a group matching the corpus mix scores 0; a homogeneous group " +
        "scores the corpus complement; absent levels carry their mass") {
     // corpus: 8 rows, sens mix u:4, w:4 (50/50).
