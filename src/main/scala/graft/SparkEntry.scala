@@ -991,6 +991,17 @@ object SparkEntry {
           col("group_size"),
           (col("group_size") >= 5).cast("int").as("k_ok"))),
 
+    // ---- X: weighted percentiles — the order value below which half
+    //      the REVENUE sits per priority (weight = the value itself);
+    //      weighted-rank histogram, all integer ----
+    "x46_weighted_pct" -> ((s, dir) =>
+      graft.ops.Stats.weightedPercentiles(
+        t(s, dir, "orders")
+          .withColumn("cents",
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+        "o_orderpriority", "cents", "cents")
+        .withColumnRenamed("key", "o_orderpriority")),
+
     // ---- X: t-closeness — the privacy triad's third leg: each QI
     //      group's sensitive-value MIX must sit near the corpus mix
     //      (total variation in floored bp, full level grid) ----
@@ -3570,6 +3581,30 @@ object SparkEntry {
     // same identity contract through the gzip codec
     "src10_jsonl_gzip_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    // weighted ranks over cumulative weight, same ⌈p·W⌉ nearest-rank
+    // rule, HUGEINT cumulative sums
+    "x46_weighted_pct" ->
+      """WITH vc AS (SELECT o_orderpriority AS key,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS HUGEINT) AS w
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                  AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+                GROUP BY 1, 2),
+         rk AS (SELECT key, v, w,
+                  SUM(w) OVER (PARTITION BY key ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS hi,
+                  SUM(w) OVER (PARTITION BY key) AS tw
+                FROM vc)
+         SELECT key AS o_orderpriority, COUNT(*) AS n_values,
+           CAST(MAX(tw) AS BIGINT) AS total_weight,
+           MAX(CASE WHEN (5000 * tw + 9999) // 10000
+             BETWEEN hi - w + 1 AND hi THEN v END) AS wp50,
+           MAX(CASE WHEN (9000 * tw + 9999) // 10000
+             BETWEEN hi - w + 1 AND hi THEN v END) AS wp90
+         FROM rk GROUP BY 1""",
 
     // total variation replayed over the same full QI × level grid:
     // HUGEINT cross-products, floored bp

@@ -494,6 +494,47 @@ object Stats {
       .agg(sum(col("c")).as("n_bin"), max(col("cut_hi")).as("cut_hi"))
   }
 
+  /** Weighted percentiles per key — "the value below which half the
+    * REVENUE sits", not half the rows (the unweighted median of order
+    * values answers a different question than the value splitting
+    * revenue in half; capacity planning, fairness reports, and spend
+    * concentration all want the weighted one). Same x15 histogram-rank
+    * discipline with the rank running over CUMULATIVE WEIGHT:
+    * `r_p = ⌈p·W⌉`, answer = the value whose cumulative-weight range
+    * contains r_p. All integer; rows never enter a window (the
+    * value-level histogram carries summed weights).
+    *
+    * Non-positive weights are excluded (a zero-weight observation
+    * cannot locate a weighted rank; negative weights have no
+    * percentile semantics — refunds belong in the VALUE, not the
+    * weight).
+    *
+    * @return (key, n_values, total_weight, wp50, wp90) — wp* in the
+    *         value column's units
+    */
+  def weightedPercentiles(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = df.select(col(keyCol).as("key"), col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("decimal(20,0)").as("w"))
+      .where(col("v").isNotNull && col("w").isNotNull && col("w") > 0)
+      .groupBy("key", "v").agg(sum(col("w")).as("w"))
+    val win = Window.partitionBy("key").orderBy("v")
+    vc.withColumn("hi", sum(col("w")).over(win))
+      .withColumn("lo", col("hi") - col("w") + 1)
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy("key")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_values"),
+        max(col("tw")).cast("long").as("total_weight"),
+        max(when(expr("(5000 * tw + 9999) div 10000").between(col("lo"), col("hi")),
+          col("v"))).as("wp50"),
+        max(when(expr("(9000 * tw + 9999) div 10000").between(col("lo"), col("hi")),
+          col("v"))).as("wp90"))
+  }
+
   private val tClsSlot = new CacheSlot
 
   /** t-closeness — the third leg of the privacy triad (k-anonymity

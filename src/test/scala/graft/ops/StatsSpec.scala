@@ -156,6 +156,25 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(out2("A") == ((0L, 100L)) && out2("B") == ((0L, 100L)))
   }
 
+  test("weightedPercentiles: the value splitting the WEIGHT in half, not the rows") {
+    // weight = value: 100 + 900 → W = 1000, r50 = 500 lands in 900's
+    // [101, 1000] range — the row-median would say 100 or 900 is a
+    // coin-flip; the weighted median is decisively 900
+    val df = Seq(("k", 100L), ("k", 900L)).toDF("k", "v").withColumn("w", col("v"))
+    val r = Stats.weightedPercentiles(df, "k", "v", "w").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 1000L, 900L, 900L)))
+    // boundary tie goes LOW: five 100s (w=500) vs one 500 (w=500),
+    // r50 = 500 = the top of 100's range
+    val df2 = (Seq.fill(5)(("k", 100L)) :+ ("k", 500L)).toDF("k", "v")
+      .withColumn("w", col("v"))
+    val r2 = Stats.weightedPercentiles(df2, "k", "v", "w").head()
+    assert(r2.getLong(3) == 100L && r2.getLong(4) == 500L)
+    // non-positive weights are excluded entirely
+    val df3 = Seq(("k", 7L, 0L), ("k", 9L, 4L)).toDF("k", "v", "w")
+    assert(Stats.weightedPercentiles(df3, "k", "v", "w").head().getLong(3) == 9L)
+  }
+
   test("robustOutliersCents: negative residuals — ABS deviations and the k·MAD gate " +
        "agree with the dollars path") {
     // residuals −300, −100, 0, 100, 300: median 0, deviations
