@@ -367,6 +367,21 @@ object SparkEntry {
         docs.where(col("doc_id") % 100 === 0).select("doc_id"), "doc_id", k = 5)
     }),
 
+    // ---- V: reciprocal-rank fusion — the hybrid-search combiner:
+    //      v11's TF-IDF-cosine and v12's BM25 lists (top-20 each)
+    //      fuse by 1e6 div (60+rank) micro-unit sums — rank-based, so
+    //      no score calibration across incomparable scales; exact
+    //      LONGs end to end ----
+    "v27_rrf_hybrid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.where(col("doc_id") % 100 === 0).select("doc_id")
+      val sparse = graft.ops.Similarity.sparseCosineTopK(
+        docs, "doc_id", "text", queries, "doc_id", k = 20)
+      val bm = graft.ops.Similarity.bm25TopK(
+        docs, "doc_id", "text", queries, "doc_id", k = 20)
+      graft.ops.Similarity.rrfFuse(Seq(sparse, bm), rrfK = 60, k = 10)
+    }),
+
     // ---- G: multi-source BFS hop distance over the trade graph —
     //      every node's link distance from a seeded supplier set,
     //      bounded depth. Level-synchronous expansion == MIN(depth)
@@ -384,6 +399,24 @@ object SparkEntry {
       val seeds = t(s, dir, "supplier").where(col("s_suppkey") % 10 === 0)
         .select((col("s_suppkey").cast("long") * 2 + 1).as("seed"))
       graft.ops.Graph.bfsHops(edges, "a", "b", seeds, "seed", maxHops = 3)
+    }),
+
+    // ---- G: landmark closeness + harmonic centrality — per-seed BFS
+    //      with seed identity (all landmarks advance in one join per
+    //      round), exact hop sums, floored micro-unit reciprocals;
+    //      horizon-bounded, the practical web-scale definition ----
+    "g15_closeness" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(explode(array(
+        struct(col("a").as("s"), col("b").as("d")),
+        struct(col("b").as("s"), col("a").as("d")))).as("e"))
+        .select(col("e.s").as("a"), col("e.d").as("b"))
+      val seeds = t(s, dir, "supplier").where(col("s_suppkey") % 25 === 0)
+        .select((col("s_suppkey").cast("long") * 2 + 1).as("seed"))
+      graft.ops.Graph.closenessCentrality(edges, "a", "b", seeds, "seed", maxHops = 3)
     }),
 
     "g1_pagerank" -> ((s, dir) => {
@@ -1001,6 +1034,21 @@ object SparkEntry {
             (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
         "o_orderpriority", "cents", "cents")
         .withColumnRenamed("key", "o_orderpriority")),
+
+    // ---- X: 2-D Pareto skyline — customers no one beats on BOTH
+    //      total spend and order recency; histogram-collapsed
+    //      frontier, integer cents/epoch-days ----
+    "x47_skyline" -> ((s, dir) =>
+      graft.ops.Stats.skyline2D(
+        t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+              .as("spend_cents"),
+            max(expr("unix_timestamp(o_orderdate) div 86400")).as("last_day")),
+        "spend_cents", "last_day")
+        .withColumnsRenamed(Map(
+          "x" -> "spend_cents", "y" -> "last_day", "n_points" -> "n_custs"))),
 
     // ---- X: t-closeness — the privacy triad's third leg: each QI
     //      group's sensitive-value MIX must sit near the corpus mix
@@ -3582,6 +3630,27 @@ object SparkEntry {
     "src10_jsonl_gzip_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
 
+    // dominance replayed on the same distinct-(x,y) histogram: per-x
+    // maxima, then the strict running max over greater x via the
+    // identical integer RANGE frame
+    "x47_skyline" ->
+      """WITH c AS (SELECT o_custkey,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS x,
+                  CAST(MAX(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
+                    AS BIGINT) AS y
+                FROM orders GROUP BY 1),
+         g AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_points
+               FROM c WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2),
+         mx AS (SELECT x, MAX(y) AS y FROM g GROUP BY 1),
+         cand AS (SELECT g.x, g.y, g.n_points FROM mx JOIN g USING (x, y)),
+         f AS (SELECT x, y, n_points,
+                 MAX(y) OVER (ORDER BY x
+                   RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS my
+               FROM cand)
+         SELECT x AS spend_cents, y AS last_day, n_points AS n_custs
+         FROM f WHERE my IS NULL OR my < y""",
+
     // weighted ranks over cumulative weight, same ⌈p·W⌉ nearest-rank
     // rule, HUGEINT cumulative sums
     "x46_weighted_pct" ->
@@ -3734,6 +3803,69 @@ object SparkEntry {
          SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
          FROM r WHERE rank <= 5""",
 
+    // both retrieval pipelines replayed to top-20 (the v11 and v12
+    // CTEs verbatim), then the fusion law: floored micro-unit
+    // reciprocal ranks, LONG sums, id tie-break
+    "v27_rrf_hybrid" ->
+      """WITH w0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+                     FROM documents),
+         tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w0 GROUP BY 1, 2),
+         dfr AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+         wt AS (SELECT doc_id, word,
+                  tf * CAST(ROUND((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000) AS BIGINT) AS w
+                FROM tf JOIN dfr USING (word) CROSS JOIN n),
+         nm AS (SELECT doc_id, SUM(w * w) AS n2 FROM wt GROUP BY 1),
+         q AS (SELECT doc_id AS query_id, word, w AS wq FROM wt WHERE doc_id % 100 = 0),
+         dt AS (SELECT q.query_id, wt.doc_id AS neighbor_id, SUM(q.wq * wt.w) AS dot
+                FROM q JOIN wt USING (word) WHERE wt.doc_id <> q.query_id
+                GROUP BY 1, 2),
+         sc AS (SELECT dt.query_id, dt.neighbor_id,
+                  CAST(dot AS DOUBLE) /
+                    sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+                FROM dt JOIN nm a ON a.doc_id = dt.query_id
+                         JOIN nm b ON b.doc_id = dt.neighbor_id),
+         cr AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM sc),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         st AS (SELECT (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL) AS n_docs,
+                       (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_dl),
+         idf AS (SELECT word,
+                   CAST(ROUND(ln((n_docs - df + 0.5) / (df + 0.5)) * 1000) AS BIGINT) AS idf_fp,
+                   CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                 FROM dfr CROSS JOIN st),
+         bq AS (SELECT DISTINCT doc_id AS query_id, word FROM w0 WHERE doc_id % 100 = 0),
+         bt AS (SELECT bq.query_id, tf.doc_id AS neighbor_id,
+                  CAST(ROUND(idf_fp * ((CAST(tf AS DOUBLE) * 2.2) /
+                    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                     (CAST(dl.dl AS DOUBLE) / avgdl))))) AS BIGINT) AS term_fp
+                FROM bq JOIN tf USING (word) JOIN idf USING (word)
+                       JOIN dl ON dl.doc_id = tf.doc_id
+                WHERE tf.doc_id <> bq.query_id),
+         bs AS (SELECT query_id, neighbor_id, CAST(SUM(term_fp) AS BIGINT) AS score_fp
+                FROM bt GROUP BY 1, 2),
+         br AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score_fp DESC, neighbor_id ASC) AS rank
+                FROM bs),
+         u AS (SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS contrib
+               FROM cr WHERE rank <= 20
+               UNION ALL
+               SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS contrib
+               FROM br WHERE rank <= 20),
+         f AS (SELECT query_id, neighbor_id,
+                 CAST(SUM(contrib) AS BIGINT) AS rrf_fp,
+                 CAST(COUNT(*) AS BIGINT) AS n_rankers
+               FROM u GROUP BY 1, 2),
+         fr AS (SELECT query_id, neighbor_id, rrf_fp, n_rankers,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY rrf_fp DESC, neighbor_id ASC) AS INTEGER) AS rank
+                FROM f)
+         SELECT query_id, neighbor_id, rrf_fp, n_rankers, rank
+         FROM fr WHERE rank <= 10""",
+
     // BFS distance == MIN(d) over the depth-bounded recursive closure;
     // UNION (not UNION ALL) dedups (node, d) pairs so the recursion
     // terminates at the bound
@@ -3748,6 +3880,30 @@ object SparkEntry {
                SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node WHERE r.d < 3)
          SELECT CAST(node AS BIGINT) AS node, CAST(MIN(d) AS BIGINT) AS hops
          FROM r GROUP BY 1""",
+
+    // per-seed min-depth closure, then the exact-integer centrality
+    // forms: Σhops, Σ(1e6 // d) micro-units, (1e6·n) // Σhops — all
+    // floored positive divisions, bit-replayable
+    "g15_closeness" ->
+      """WITH RECURSIVE p AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM p
+               UNION ALL SELECT b, a FROM p),
+         sd AS (SELECT s_suppkey * 2 + 1 AS seed FROM supplier WHERE s_suppkey % 25 = 0),
+         r AS (SELECT seed, seed AS node, 0 AS d FROM sd
+               UNION
+               SELECT r.seed, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node WHERE r.d < 3),
+         md AS (SELECT seed, node, MIN(d) AS d FROM r GROUP BY 1, 2),
+         ag AS (SELECT seed,
+                  CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+                  CAST(SUM(d) AS BIGINT) AS sum_hops,
+                  CAST(SUM(CASE WHEN d > 0 THEN 1000000 // d ELSE 0 END) AS BIGINT)
+                    AS harmonic_fp
+                FROM md GROUP BY 1)
+         SELECT CAST(seed AS BIGINT) AS seed, n_reached, sum_hops, harmonic_fp,
+           CASE WHEN sum_hops > 0
+             THEN CAST((1000000 * n_reached) // sum_hops AS BIGINT) END AS closeness_fp
+         FROM ag""",
 
     "g1_pagerank" ->
       """WITH p AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b

@@ -357,6 +357,88 @@ object Graph {
     known
   }
 
+  /** Per-seed BFS hop distances, bounded depth — [[bfsHops]] with seed
+    * IDENTITY preserved: each seed runs its own level-synchronous
+    * expansion, all seeds advancing together in one join per round
+    * (the frontier key is the (seed, node) pair, so k landmarks cost
+    * the same round count as one, not k sequential traversals).
+    *
+    * State is |seeds|·reachable rows — this is the LANDMARK contract:
+    * pick a bounded seed panel (the candidates whose centrality you
+    * are ranking), never the full node set (that would be all-pairs
+    * BFS, O(n·m) — wrong tool at any scale).
+    *
+    * @return (seed, node, hops), hops in [0, maxHops], self at 0
+    */
+  def seededDistances(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var known = CheckpointCut.cut(seeds.select(col(seedCol).as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("hops")))
+    var frontier = known.select("seed", "node")
+    var frontierState: DataFrame = null
+    var d = 0L
+    while (d < maxHops && !frontier.isEmpty) {
+      d += 1
+      val next = CheckpointCut.cut(
+        e.join(frontier.hint("shuffle_hash"), e("src") === frontier("node"))
+          .select(col("seed"), col("dst").as("node")).distinct()
+          .join(known, Seq("seed", "node"), "left_anti")
+          .withColumn("hops", lit(d)))
+      val prevKnown = known
+      known = CheckpointCut.cut(known.union(next))
+      CheckpointCut.release(prevKnown)
+      if (frontierState != null) CheckpointCut.release(frontierState)
+      frontierState = next
+      frontier = next.select("seed", "node")
+    }
+    if (frontierState != null) CheckpointCut.release(frontierState)
+    known
+  }
+
+  /** Closeness + harmonic centrality of a landmark panel (Bavelas 1950;
+    * Boldi & Vigna 2014 for the harmonic form) within a bounded
+    * horizon — "which of these candidate hubs reaches the graph
+    * fastest". Harmonic is the robust variant on disconnected graphs
+    * (unreached nodes contribute zero instead of poisoning the mean),
+    * which is why both are reported.
+    *
+    * Determinism: distances are exact BFS integers; harmonic is
+    * `Σ 1e6 div d` floored micro-units and closeness
+    * `(1e6·n_reached) div Σd` — one integer division each, so every
+    * output is an exact LONG any engine replays. The horizon bound
+    * makes this "centrality within maxHops" — the standard practical
+    * definition at web scale, where full-diameter BFS per landmark is
+    * neither affordable nor informative.
+    *
+    * @return (seed, n_reached, sum_hops, harmonic_fp, closeness_fp);
+    *         n_reached excludes the seed itself; closeness_fp NULL for
+    *         an isolated seed (never a division crash)
+    */
+  def closenessCentrality(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame =
+    seededDistances(edges, srcCol, dstCol, seeds, seedCol, maxHops)
+      .groupBy("seed")
+      .agg(
+        (count(lit(1)) - 1).as("n_reached"),
+        sum(col("hops")).as("sum_hops"),
+        sum(when(col("hops") > 0, expr("1000000L div hops")).otherwise(0L))
+          .as("harmonic_fp"))
+      .withColumn("closeness_fp",
+        when(col("sum_hops") > 0,
+          expr("(1000000L * n_reached) div sum_hops")))
+
   /** Co-occurrence graph construction: undirected entity pairs sharing
     * at least `minShared` distinct items — the similarity-graph builder
     * behind co-purchase, co-citation, and shared-shingle graphs (the

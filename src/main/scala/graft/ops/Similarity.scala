@@ -1443,4 +1443,49 @@ object Similarity {
         expr(Stats.cosineOfMomentsSql("dot", "nc", "ng"))
           .as("cosine_to_global"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — merge
+    * the ranked lists of several retrievers into one ranking:
+    * `score(d) = Σ_r 1/(K + rank_r(d))` over the rankers that returned
+    * `d`. The standard hybrid-search combiner (BM25 + dense, or any
+    * heterogeneous panel): rank-based, so it needs NO score
+    * calibration across rankers whose score scales are incomparable
+    * (an integer BM25 milli-nat sum vs a [−1,1] cosine).
+    *
+    * Contributions are micro-units — `1e6 div (K + rank)` — floored
+    * positive integer division, so the fused score is an exact LONG
+    * sum in any engine; ties break by neighbor id. A document missing
+    * from a ranker's list contributes zero (the top-`n` list IS the
+    * retriever's output — there is no "true rank" below the cut).
+    *
+    * Scale shape: the inputs are already-retrieved lists (≤ rankers·n
+    * rows per query), so fusion is one (query,neighbor)-keyed hash
+    * aggregate and one per-query window over a bounded candidate set —
+    * the corpus is never touched again. The expensive work stays in
+    * the retrievers, which run independently (and in parallel).
+    *
+    * @param rankings each (query_id, neighbor_id, …, rank) — any
+    *                 ranked-list producer ([[sparseCosineTopK]],
+    *                 [[bm25TopK]], [[bruteForceTopK]], [[ivfProbe]]…)
+    * @param rrfK     the K smoothing constant (60 in the paper)
+    * @param k        fused results kept per query
+    * @return (query_id, neighbor_id, rrf_fp, n_rankers, rank) —
+    *         rrf_fp in floored micro-units, n_rankers = how many input
+    *         lists contained the document
+    */
+  def rrfFuse(rankings: Seq[DataFrame], rrfK: Int = 60, k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
+    import org.apache.spark.sql.expressions.Window
+    val contribs = rankings
+      .map(_.select(col("query_id"), col("neighbor_id"),
+        expr(s"1000000L div ($rrfK + rank)").as("contrib")))
+      .reduce(_ unionByName _)
+    contribs.groupBy("query_id", "neighbor_id")
+      .agg(sum(col("contrib")).as("rrf_fp"), count(lit(1)).as("n_rankers"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf_fp").desc, col("neighbor_id"))).cast("int"))
+      .where(col("rank") <= k)
+  }
 }

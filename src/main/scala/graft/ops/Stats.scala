@@ -535,6 +535,41 @@ object Stats {
           col("v"))).as("wp90"))
   }
 
+  /** 2-D Pareto skyline (Börzsönyi, Kossmann & Stocker 2001) — the
+    * maximization frontier: rows no other row beats on BOTH metrics
+    * (strict on at least one). The "best trade-off set" query —
+    * spend-vs-recency customer tiers, quality-vs-length document
+    * cuts — that a plain ORDER BY cannot express.
+    *
+    * Shape: collapse to the distinct-(x,y) HISTOGRAM first (two hash
+    * aggregates, fully parallel — same-x rows below that x's max y are
+    * dominated by definition and never reach the frontier pass), then
+    * one running-max window ordered by x: a candidate survives iff
+    * max(y) over strictly-greater x (RANGE (1 FOLLOWING, UNBOUNDED) —
+    * integer metrics make the strict frame exact) is NULL or < its y.
+    * The window is unpartitioned, but it runs over the per-x maxima —
+    * |distinct x| rows, not |rows| (for cents/day-grain metrics that
+    * is bounded by the value domain, the x15 histogram argument). Ties
+    * on both metrics are mutually non-dominating: the pair stays, with
+    * its row count.
+    *
+    * @return (x, y, n_points) — the frontier pairs under the caller's
+    *         column names via the usual rename, n_points = rows at
+    *         that exact pair
+    */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("x", "y").agg(count(lit(1)).as("n_points"))
+    val mx = g.groupBy("x").agg(max(col("y")).as("y"))
+    val cand = mx.join(g, Seq("x", "y"))
+    cand.withColumn("my", max(col("y")).over(
+        Window.orderBy("x").rangeBetween(1L, Window.unboundedFollowing)))
+      .where(col("my").isNull || col("my") < col("y"))
+      .select("x", "y", "n_points")
+  }
+
   private val tClsSlot = new CacheSlot
 
   /** t-closeness — the third leg of the privacy triad (k-anonymity

@@ -495,4 +495,31 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
     assert(q3.contains(-55556L))
   }
+
+  test("closenessCentrality: path graph hand-computed; horizon cuts the far tail") {
+    // path 1-2-3-4-5, seeds 1 and 3, horizon 3:
+    //   seed 1 reaches {2,3,4} at d=1,2,3 (5 is 4 hops — outside):
+    //     n=3, Σd=6, harmonic = 1e6 + 500000 + 333333 = 1833333,
+    //     closeness = 3e6 div 6 = 500000
+    //   seed 3 reaches {2,4}@1, {1,5}@2: n=4, Σd=6,
+    //     harmonic = 2·1e6 + 2·500000 = 3000000, closeness = 4e6 div 6
+    //     = 666666 (floored — truncation coincides on positives)
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val e = (edges ++ edges.map(_.swap)).toDF("s", "d")
+    val out = Graph.closenessCentrality(e, "s", "d",
+        Seq(1L, 3L).toDF("seed"), "seed", maxHops = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(out(1L) == ((3L, 6L, 1833333L, Some(500000L))))
+    assert(out(3L) == ((4L, 6L, 3000000L, Some(666666L))))
+  }
+
+  test("closenessCentrality: an isolated seed reports zeros and a NULL closeness, never a crash") {
+    val e = Seq(1L -> 2L, 2L -> 1L).toDF("s", "d")
+    val out = Graph.closenessCentrality(e, "s", "d",
+      Seq(99L).toDF("seed"), "seed", maxHops = 2).head()
+    assert((out.getLong(1), out.getLong(2), out.getLong(3), out.isNullAt(4)) ==
+      ((0L, 0L, 0L, true)))
+  }
 }

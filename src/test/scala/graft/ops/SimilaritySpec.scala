@@ -612,4 +612,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       "a" -> ((3L, 334L * 334L, None)),
       "b" -> ((1L, 1000000L, None))))
   }
+
+  test("rrfFuse: hand-computed micro-unit sums; a doc missing from one list contributes zero") {
+    // ranker A: d1@1, d2@2; ranker B: d2@1, d3@2 (K=60)
+    //   d2 = 1e6/61 + 1e6/62 = 16393 + 16129 = 32522  (both lists)
+    //   d1 = 1e6/61 = 16393, d3 = 1e6/62 = 16129      (one list each)
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), rrfK = 60, k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    assert(out == Set((20L, 32522L, 2L, 1), (10L, 16393L, 1L, 2), (30L, 16129L, 1L, 3)))
+  }
+
+  test("rrfFuse: equal fused scores break ties by neighbor id; k cuts the fused list") {
+    // two docs each appearing once at the same rank → equal scores
+    val a = Seq((1L, 50L, 3)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 40L, 3)).toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), rrfK = 60, k = 1).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 40L)
+  }
 }

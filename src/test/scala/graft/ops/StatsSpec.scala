@@ -175,6 +175,21 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(Stats.weightedPercentiles(df3, "k", "v", "w").head().getLong(3) == 9L)
   }
 
+  test("skyline2D: dominance is strict on at least one axis; exact ties both survive") {
+    // (1,5) frontier; (3,3) frontier; (2,3) dominated by (3,3) [≥,≥ with >x];
+    // (3,1) dominated same-x by (3,3); (0,5) dominated by (1,5)
+    val df = Seq((1L, 5L), (3L, 3L), (2L, 3L), (3L, 1L), (0L, 5L))
+      .toDF("x0", "y0")
+    val out = Stats.skyline2D(df, "x0", "y0").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 5L, 1L), (3L, 3L, 1L)))
+    // duplicated pair: mutually non-dominating, kept once with n=2
+    val dup = Seq((4L, 4L), (4L, 4L), (5L, 3L)).toDF("x0", "y0")
+    val out2 = Stats.skyline2D(dup, "x0", "y0").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out2 == Set((4L, 4L, 2L), (5L, 3L, 1L)))
+  }
+
   test("robustOutliersCents: negative residuals — ABS deviations and the k·MAD gate " +
        "agree with the dollars path") {
     // residuals −300, −100, 0, 100, 300: median 0, deviations
