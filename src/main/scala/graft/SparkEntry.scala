@@ -1050,6 +1050,30 @@ object SparkEntry {
         .withColumnsRenamed(Map(
           "x" -> "spend_cents", "y" -> "last_day", "n_points" -> "n_custs"))),
 
+    // ---- X: key-skew profile — the top-10 hottest join keys with
+    //      share and uniform-multiple, via the bounded string-keyed
+    //      heap (partials fold before the exchange; no sorted key
+    //      list ever ships) ----
+    "x48_skew_profile" -> ((s, dir) =>
+      graft.ops.Skew.keySkewProfile(t(s, dir, "events"), "user_id", topN = 10)),
+
+    // ---- X: incremental view maintenance — agg(base) ⊎ agg(Δ) with
+    //      ±1-weighted CDC rows equals agg(final) without rescanning
+    //      the base; the oracle computes the final state directly ----
+    "x49_ivm_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumn("cents",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      val base = o.where(col("o_orderkey") % 7 =!= 3)
+      val baseAgg = base.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      val inserts = o.where(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderpriority"), lit(1L).as("op"), col("cents"))
+      val deletes = base.where(col("o_orderkey") % 11 === 5)
+        .select(col("o_orderpriority"), lit(-1L).as("op"), col("cents"))
+      graft.ops.IncrementalAgg.applyDelta(baseAgg, inserts.unionByName(deletes),
+        Seq("o_orderpriority"), "op", Seq("cents" -> "sum_cents"))
+    }),
+
     // ---- X: t-closeness — the privacy triad's third leg: each QI
     //      group's sensitive-value MIX must sit near the corpus mix
     //      (total variation in floored bp, full level grid) ----
@@ -2091,6 +2115,27 @@ object SparkEntry {
         .bruteForceTopK(trunc(emb), trunc(q), "vec_id", "embedding", 5)
         .select("query_id", "neighbor_id")
       val hit = full.join(pref, Seq("query_id", "neighbor_id"), "left_semi")
+      full.agg(count(lit(1)).as("n_bf"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_bp", expr("(10000 * n_hit) div n_bf"))
+    }),
+
+    // ---- V: JL random-projection recall — 64d → 16d via the
+    //      md5-parity ±1 sign matrix (content-derived, no RNG state),
+    //      exact-integer components; top-5 recall vs the full-precision
+    //      baseline ----
+    "v25_random_projection" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 10 === 0)
+      val full = graft.ops.Similarity
+        .bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id")
+      val proj = graft.ops.Similarity.randomProjection(emb, "vec_id", "embedding", 16)
+      val projQ = proj.join(q.select("vec_id"), Seq("vec_id"))
+      val rp = graft.ops.Similarity
+        .bruteForceTopK(proj, projQ, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id")
+      val hit = full.join(rp, Seq("query_id", "neighbor_id"), "left_semi")
       full.agg(count(lit(1)).as("n_bf"))
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .withColumn("recall_bp", expr("(10000 * n_hit) div n_bf"))
@@ -3629,6 +3674,36 @@ object SparkEntry {
     // same identity contract through the gzip codec
     "src10_jsonl_gzip_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    // per-key counts, rank by (cnt desc, key asc) — the heap's exact
+    // tie-break — then floored-bp shares and the uniform multiple
+    "x48_skew_profile" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt
+               FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+         r AS (SELECT key, CAST(cnt AS BIGINT) AS cnt,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS INTEGER) AS rank
+               FROM c),
+         s AS (SELECT rank, key, cnt,
+                 CAST(SUM(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM r WHERE rank <= 10)
+         SELECT rank, key, cnt,
+           (10000 * cnt) // total AS share_bp,
+           (10000 * cum) // total AS cum_share_bp,
+           (cnt * n_keys) // total AS skew_x
+         FROM s CROSS JOIN t""",
+
+    // the maintained view's final state computed directly: inserts are
+    // k%7=3, deletes k%11=5 of the base — survivors are
+    // (k%7=3) OR (k%11<>5)
+    "x49_ivm_agg" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS sum_cents
+         FROM orders
+         WHERE (o_orderkey % 7 = 3) OR (o_orderkey % 11 <> 5)
+         GROUP BY 1""",
 
     // dominance replayed on the same distinct-(x,y) histogram: per-x
     // maxima, then the strict running max over greater x via the
@@ -6152,6 +6227,43 @@ object SparkEntry {
              / (sqrt(list_sum(list_transform(range(1, 17), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
               * sqrt(list_sum(list_transform(range(1, 17), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+         rp AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM sp)
+         SELECT CAST(nb.n AS BIGINT) AS n_bf, CAST(nh.n AS BIGINT) AS n_hit,
+           (10000 * CAST(nh.n AS BIGINT)) // CAST(nb.n AS BIGINT) AS recall_bp
+         FROM (SELECT COUNT(*) AS n FROM rf WHERE rank <= 5) nb,
+              (SELECT COUNT(*) AS n FROM rf JOIN rp USING (query_id, neighbor_id)
+               WHERE rf.rank <= 5 AND rp.rank <= 5) nh""",
+
+    // the projection replayed: md5-parity signs over quantized integer
+    // components, then the identical cosine tree on the exact-integer
+    // 16d vectors; same recall join as v23
+    "v25_random_projection" ->
+      """WITH pr AS (SELECT vec_id,
+             list_transform(range(0, 16), j ->
+               list_sum(list_transform(range(1, len(embedding) + 1), i ->
+                 (CASE WHEN strpos('02468ace',
+                     substr(md5(CAST(i - 1 AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) > 0
+                   THEN 1 ELSE -1 END)
+                 * CAST(ROUND(embedding[i] * 1000) AS BIGINT)))) AS p
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id % 10 = 0),
+         sf AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+         rf AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM sf),
+         pq AS (SELECT vec_id AS query_id, p AS qp FROM pr WHERE vec_id % 10 = 0),
+         sp AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 17), i -> qp[i]::DOUBLE * c.p[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 17), i -> qp[i]::DOUBLE * qp[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 17), i -> c.p[i]::DOUBLE * c.p[i]::DOUBLE)))) AS cos
+           FROM pr c CROSS JOIN pq WHERE c.vec_id <> query_id),
          rp AS (SELECT query_id, neighbor_id,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
            FROM sp)

@@ -1444,6 +1444,67 @@ object Similarity {
           .as("cosine_to_global"))
   }
 
+  /** Deterministic ±1 random projection (Johnson–Lindenstrauss 1984;
+    * Achlioptas 2001 for the sign matrix) — compress `dim`-d embeddings
+    * to `outDim` components: `p[j] = Σ_i s(i,j)·v_i` with
+    * `s(i,j) = ±1` from the parity of `md5(i||'_'||j)`'s first hex
+    * char. Content-derived signs make the projection a pure function
+    * any engine replays — no RNG state, no seed file — and the JL
+    * lemma gives the distance-preservation guarantee the recall gate
+    * measures.
+    *
+    * Determinism: inputs quantize once to `round(v·scaleFp)` integers;
+    * each component is an order-free integer sum, guarded to |p| < 2²⁴
+    * so the float32 output array is EXACT (and downstream kernel dot
+    * products — integer-valued doubles under 2⁵³ — stay bit-portable).
+    *
+    * Recall caveat: JL preserves pairwise DISTANCES within ±ε, not
+    * top-k RANK — on isotropic (cluster-free) corpora where all
+    * distances nearly tie, compressed-ranking recall is legitimately
+    * low (the synthetic-testdata gate measures ~8-19% at 16-32 of 64
+    * dims, matching the matryoshka-truncation tier); on clustered real
+    * embeddings the gap between neighbor and non-neighbor distances is
+    * what the ±ε guarantee actually protects.
+    *
+    * Scale shape: the transform is one narrow projection pass — the
+    * dim×outDim expansion flows through two key-local hash aggregates
+    * ((id,j) then id), never a per-vector driver loop; cost is the
+    * unavoidable dim·outDim multiply-adds per vector. The output feeds
+    * [[bruteForceTopK]] (or an IVF build) unchanged — projection
+    * composes with every downstream tier.
+    *
+    * @return (idCol, embedding: array<float>) — outDim components in
+    *         fixed j order
+    */
+  def randomProjection(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDim: Int,
+      scaleFp: Int = 1000): DataFrame = {
+    require(outDim >= 1 && outDim <= 4096, s"outDim out of range: $outDim")
+    val comps = df
+      .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"),
+        expr(s"cast(round(v * $scaleFp) as bigint)").as("vfp"))
+      .withColumn("j", explode(lit((0 until outDim).toArray)))
+      .withColumn("s", expr(
+        "if(instr('02468ace', substring(md5(concat(cast(pos as string), '_', " +
+          "cast(j as string))), 1, 1)) > 0, 1L, -1L)"))
+      .groupBy("vec_id", "j")
+      .agg(sum(col("s") * col("vfp")).as("praw"))
+      .select(col("vec_id"), col("j"), expr(
+        "if(abs(praw) < 16777216L, praw, raise_error(concat(" +
+          "'randomProjection component overflow: |', praw, " +
+          "'| >= 2^24 breaks exact float32 — lower scaleFp or outDim fan-in')))")
+        .as("p"))
+    comps.groupBy("vec_id")
+      .agg(collect_list(struct(col("j"), col("p"))).as("ps"))
+      .select(col("vec_id").as(idCol),
+        transform(array_sort(col("ps")), x => x.getField("p").cast("float"))
+          .as("embedding"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — merge
     * the ranked lists of several retrievers into one ranking:
     * `score(d) = Σ_r 1/(K + rank_r(d))` over the rankers that returned

@@ -52,4 +52,48 @@ object Skew {
     val coldJoined = large.where(!isHot).join(small.where(!isHot), Seq(key))
     hotJoined.unionByName(coldJoined)
   }
+
+  /** Key-skew profile — the diagnostic that DECIDES between the plain
+    * join, AQE splitting, and [[saltedJoinHotKeys]]: the top-N heaviest
+    * keys with their share of the table and their multiple of the
+    * uniform per-key share (`skew_x` = how many times hotter than
+    * average — the number a salting `buckets` choice is read from).
+    *
+    * Shape: one hash aggregate to per-key counts, then the bounded
+    * string-keyed heap ([[graft.functions.TopKAgg.top_k_by_score_str]])
+    * folds partials to N entries BEFORE the exchange — the profile of a
+    * 10^10-key table ships partitions·N heap rows, never a sorted key
+    * list. The cumulative share runs over the N returned rows only.
+    * All ratios are floored basis points / integer multiples — exact
+    * LONGs (counts < 2^53 keeps the heap's double score exact).
+    *
+    * Null keys are excluded: they never match an equi-join (inner-join
+    * null keys drop out), so their fix is a filter, not salting —
+    * profile them with a plain null-count check, not here.
+    *
+    * @return (rank, key, cnt, share_bp, cum_share_bp, skew_x) — key as
+    *         string; ties on count break by key ascending
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
+    counts.groupBy()
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score_str(col("cnt").cast("double"), col("key"), topN).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("key"),
+        col("col.cosine").cast("long").as("cnt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy("rank").rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("key"), col("cnt"),
+        expr("(10000L * cnt) div total").as("share_bp"),
+        expr("(10000L * cum) div total").as("cum_share_bp"),
+        expr("(cnt * n_keys) div total").as("skew_x"))
+  }
 }

@@ -613,6 +613,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       "b" -> ((1L, 1000000L, None))))
   }
 
+  test("randomProjection: deterministic, exact-integer components in fixed j order") {
+    val df = Seq((1L, Array(0.5f, -0.25f)), (2L, Array(0.5f, -0.25f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(df, "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // identical inputs → identical projections (pure function of content)
+    assert(out(1L) == out(2L) && out(1L).length == 4)
+    // every component is a ± combination of the quantized inputs 500, −250
+    val allowed = Set(250f, 750f, -250f, -750f)
+    assert(out(1L).forall(allowed.contains))
+    // and replays exactly across invocations
+    val again = Similarity.randomProjection(df, "vec_id", "embedding", 4)
+      .where(col("vec_id") === 1L).head().getSeq[Float](1)
+    assert(again == out(1L))
+  }
+
   test("rrfFuse: hand-computed micro-unit sums; a doc missing from one list contributes zero") {
     // ranker A: d1@1, d2@2; ranker B: d2@1, d3@2 (K=60)
     //   d2 = 1e6/61 + 1e6/62 = 16393 + 16129 = 32522  (both lists)

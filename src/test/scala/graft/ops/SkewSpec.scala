@@ -34,4 +34,18 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     val out = Skew.saltedJoin(large, small, "k", 4)
     assert(!out.columns.contains("_salt"))
   }
+
+  test("keySkewProfile: hand-computed shares and uniform multiples; nulls excluded") {
+    // 10 rows over 4 non-null keys: a×6, b×2, c×1, d×1 (+1 null row,
+    // out): total 10, n_keys 4 → a: 6000bp, skew_x (6·4)div10 = 2
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .map(Option(_)).appended(None).toDF("k")
+    val out = Skew.keySkewProfile(df, "k", topN = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1, "a", 6L, 6000L, 6000L, 2L),
+      (2, "b", 2L, 2000L, 8000L, 0L),
+      (3, "c", 1L, 1000L, 9000L, 0L)))
+  }
 }
