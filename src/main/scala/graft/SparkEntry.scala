@@ -2443,6 +2443,21 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
     }),
 
+    // ---- E: Theil–Sen robust trend — median of pairwise slopes over
+    //      the same daily series as e32; floored micro-unit slopes,
+    //      exact histogram-rank median (29.3% breakdown vs OLS's 0) ----
+    "e50_theil_sen" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val days = ev.select(col("event_type"),
+        expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").as("day"))
+      val d0 = days.agg(min(col("day")).as("day0"))
+      val daily = days.crossJoin(d0)
+        .groupBy(col("event_type"), (col("day") - col("day0")).as("x"))
+        .agg(count(lit(1)).as("y"))
+      graft.ops.TimeSeries.theilSenTrend(daily, "event_type", "x", "y")
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // ---- T: DSIR importance selection — keep the 100 docs whose
     //      hashed-n-gram log-likelihood ratio most favors the TARGET
     //      distribution (the 'en'-labeled slice) over the raw corpus.
@@ -2517,6 +2532,15 @@ object SparkEntry {
         .select(col("o_custkey").as("e"), col("l_suppkey").as("i"))
       graft.ops.Graph.itemCf(rel, "e", "i", k = 5, minShared = 2L)
     }),
+
+    // ---- G: association rules — support/confidence/lift for supplier
+    //      pairs sharing orders; lift through decimal(38,0) so the
+    //      triple product never wraps at warehouse counts ----
+    "g16_assoc_rules" -> ((s, dir) =>
+      graft.ops.Graph.associationRules(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("t"), col("l_suppkey").as("i")),
+        "t", "i", minShared = 3L)),
 
     // ---- E: cohort LTV triangle — first-purchase-week cohorts ×
     //      weeks-since, exact-cent revenue and running cumulative ----
@@ -5543,6 +5567,32 @@ object SparkEntry {
              AS BIGINT) AS slope_micro
          FROM b""",
 
+    // the same daily series, all pairwise slopes with the positive-mod
+    // floor, then the exact lower nearest-rank median over the slope
+    // histogram
+    "e50_theil_sen" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+                    FROM events),
+         d0 AS (SELECT MIN(day) AS day0 FROM e),
+         daily AS (SELECT event_type, day - day0 AS x, COUNT(*) AS y
+                   FROM e, d0 GROUP BY 1, 2),
+         pr AS (SELECT a.event_type AS key,
+                  ((b.y - a.y) * 1000000 -
+                   (((b.y - a.y) * 1000000 % (b.x - a.x) + (b.x - a.x)) % (b.x - a.x)))
+                    // (b.x - a.x) AS slope
+                FROM daily a JOIN daily b
+                  ON a.event_type = b.event_type AND b.x > a.x),
+         h AS (SELECT key, slope, COUNT(*) AS c FROM pr GROUP BY 1, 2),
+         rk AS (SELECT key, slope, c,
+                  SUM(c) OVER (PARTITION BY key ORDER BY slope
+                    ROWS UNBOUNDED PRECEDING) AS hi,
+                  SUM(c) OVER (PARTITION BY key) AS n
+                FROM h)
+         SELECT key AS event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CAST(MAX(CASE WHEN (n + 1) // 2 BETWEEN hi - c + 1 AND hi
+             THEN slope END) AS BIGINT) AS ts_slope_micro
+         FROM rk GROUP BY 1""",
+
     // t22's feature/bucket recipe + the DSIR log-ratio weights: the
     // identical IEEE tree (two exact-integer-double products, one
     // divide, one ln, micro-nat round) on both engines
@@ -5666,6 +5716,26 @@ object SparkEntry {
     // integer co-occurrence counts and degrees; the only floating ops
     // (one sqrt, one divide) are correctly rounded in any engine;
     // heap order == (cosine DESC, neighbor ASC) row_number order
+    // the same inverted-index pairing, then the three floored ratios —
+    // lift via HUGEINT (the decimal(38,0) twin) before the single floor
+    "g16_assoc_rules" ->
+      """WITH r AS (SELECT DISTINCT l_orderkey AS t, l_suppkey AS i FROM lineitem),
+         p AS (SELECT a.i AS src, b.i AS dst, CAST(COUNT(*) AS BIGINT) AS n_ab
+               FROM r a JOIN r b ON a.t = b.t AND a.i < b.i
+               GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         d AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS deg FROM r GROUP BY 1),
+         n AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_tx FROM r),
+         dir AS (SELECT src AS antecedent, dst AS consequent, n_ab FROM p
+                 UNION ALL SELECT dst, src, n_ab FROM p)
+         SELECT antecedent, consequent, n_ab,
+           (10000 * n_ab) // n_tx AS support_bp,
+           (10000 * n_ab) // da.deg AS confidence_bp,
+           CAST((CAST(1000000 AS HUGEINT) * n_ab * n_tx) //
+             (CAST(da.deg AS HUGEINT) * db.deg) AS BIGINT) AS lift_fp
+         FROM dir JOIN d da ON da.i = antecedent
+                  JOIN d db ON db.i = consequent
+                  CROSS JOIN n""",
+
     "g10_itemcf" ->
       """WITH r AS (SELECT DISTINCT o_custkey AS e, l_suppkey AS i
                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

@@ -909,6 +909,61 @@ object Graph {
         col("col.cosine").as("cosine"), (col("pos") + 1).as("rank"))
   }
 
+  /** Association rules (Agrawal & Srikant 1994, the pairwise tier) —
+    * support / confidence / lift for item pairs co-occurring in
+    * transactions: the "frequently bought together, and is it actually
+    * correlated" query. Lift is the part a raw co-count can't tell
+    * you: `P(a∧b)/(P(a)·P(b))` > 1 means the pair co-occurs MORE than
+    * its items' popularities predict (a lift ~1 "rule" between two
+    * bestsellers is noise — the classic market-basket trap).
+    *
+    * Determinism: all three ratios are floored integer divisions —
+    * support/confidence in basis points, lift in micro-units computed
+    * through decimal(38,0) intermediates (`1e6·n_ab·n_tx` overflows a
+    * LONG once counts pass ~10⁶·10⁶; the wide decimal keeps the
+    * product exact at any warehouse scale before the single floor).
+    *
+    * Scale shape: the pair join is [[coOccurrenceEdges]] (inverted
+    * index over transactions, never all-pairs), with `maxTxItems`
+    * dropping degenerate giant baskets before the quadratic
+    * within-basket pairing; degrees and the transaction count are two
+    * aggregates of the deduplicated relation. Rules ship for both
+    * directions of each surviving pair (confidence is asymmetric).
+    *
+    * @return (antecedent, consequent, n_ab, support_bp, confidence_bp,
+    *         lift_fp)
+    */
+  def associationRules(
+      rel: DataFrame,
+      txCol: String,
+      itemCol: String,
+      minShared: Long = 2L,
+      maxTxItems: Long = Long.MaxValue): DataFrame = {
+    // role swap into coOccurrenceEdges' vocabulary (the itemCf recipe):
+    // rule items are its "entities", transactions its "items" — the hub
+    // guard then bounds basket size, the within-tx pairing blow-up
+    val pairs = coOccurrenceEdges(rel, itemCol, txCol, minShared, maxTxItems)
+    val r = rel.select(col(txCol).as("t"), col(itemCol).as("i")).distinct()
+    val deg = r.groupBy("i").agg(count(lit(1)).as("deg"))
+    val nTx = r.agg(countDistinct(col("t")).as("n_tx"))
+    pairs.select(explode(array(
+        struct(col("src").as("antecedent"), col("dst").as("consequent"),
+          col("n_shared").as("n_ab")),
+        struct(col("dst").as("antecedent"), col("src").as("consequent"),
+          col("n_shared").as("n_ab")))).as("x"))
+      .select("x.antecedent", "x.consequent", "x.n_ab")
+      .join(deg.select(col("i").as("antecedent"), col("deg").as("deg_a")),
+        Seq("antecedent"))
+      .join(deg.select(col("i").as("consequent"), col("deg").as("deg_b")),
+        Seq("consequent"))
+      .crossJoin(broadcast(nTx))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        expr("(10000L * n_ab) div n_tx").as("support_bp"),
+        expr("(10000L * n_ab) div deg_a").as("confidence_bp"),
+        expr("cast((cast(1000000 as decimal(38,0)) * n_ab * n_tx) div " +
+          "(cast(deg_a as decimal(38,0)) * deg_b) as bigint)").as("lift_fp"))
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e0 = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),

@@ -213,6 +213,56 @@ object TimeSeries {
             ((sxy * 1000000L % sxx + sxx) % sxx)) div sxx END"""))
   }
 
+  /** Theil–Sen robust trend (Theil 1950; Sen 1968) — the median of all
+    * pairwise slopes per key. The robust complement of [[olsTrend]]:
+    * OLS moves with every outlier (one corrupted ingest day bends the
+    * fitted line); the pairwise-slope median has a 29.3% breakdown
+    * point, which is why monitoring pipelines prefer it for "is this
+    * source actually trending down" questions over dirty dailies.
+    *
+    * Determinism: each pair's slope is floored micro-units via the
+    * positive-mod subtraction (`div`/`//` TRUNCATE in both engines —
+    * not floor on negative slopes; the subtraction makes them agree),
+    * and the median is the exact lower nearest-rank over the slope
+    * histogram (the x15 discipline) — never a float percentile. Pairs
+    * with equal x are skipped (vertical slope — the standard rule).
+    *
+    * Scale shape: the pair join is per-key O(n²/2) where n is the
+    * SERIES length (days per key), not the row count — the daily
+    * aggregate upstream bounds it (a year of dailies is ~66k pairs per
+    * key); everything shuffles on the key only. For per-key series
+    * beyond ~10⁴ points, thin the series first (weekly buckets) —
+    * quadratic pair growth is inherent to the estimator.
+    *
+    * @return (key, n_pairs, ts_slope_micro) — a key with fewer than 2
+    *         distinct x has no pairs and is absent from the output
+    */
+  def theilSenTrend(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val pts = df.select(col(keyCol).as("key"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val pairs = pts
+      .join(pts.select(col("key"), col("x").as("x2"), col("y").as("y2")), Seq("key"))
+      .where(col("x2") > col("x"))
+      .select(col("key"), expr(
+        """((y2 - y) * 1000000L -
+           |(((y2 - y) * 1000000L % (x2 - x) + (x2 - x)) % (x2 - x)))
+           |div (x2 - x)""".stripMargin.replace("\n", " ")).as("slope"))
+    val hist = pairs.groupBy("key", "slope").agg(count(lit(1)).as("c"))
+    val ord = Window.partitionBy("key").orderBy("slope")
+    hist
+      .withColumn("hi", sum(col("c")).over(ord))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("key")))
+      .groupBy("key")
+      .agg(max(col("n")).as("n_pairs"),
+        max(when(expr("(n + 1) div 2").between(col("lo"), col("hi")),
+          col("slope"))).as("ts_slope_micro"))
+  }
+
   /** Seasonal-naive forecast backtest: forecast each (key, day)'s
     * value with the value one season earlier (`f(d) = a(d − season)`),
     * then score the forecast over the overlap — the baseline every

@@ -515,6 +515,32 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) == ((4L, 6L, 3000000L, Some(666666L))))
   }
 
+  test("associationRules: hand-computed support/confidence/lift; lift detects the popularity trap") {
+    // 4 transactions: {a,b}, {a,b}, {a,c}, {a}
+    //   deg a=4, b=2, c=1, n_tx=4; pair (a,b): n_ab=2
+    //   support = 2/4 → 5000bp; conf a→b = 2/4 → 5000, b→a = 2/2 → 10000
+    //   lift = 1e6·2·4 div (4·2) = 1000000 — exactly independent:
+    //   b only ever appears with the bestseller a, lift says "no signal"
+    val rel = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "a")).toDF("t", "i")
+    val out = Graph.associationRules(rel, "t", "i", minShared = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(("a", "b")) == ((2L, 5000L, 5000L, 1000000L)))
+    assert(out(("b", "a")) == ((2L, 5000L, 10000L, 1000000L)))
+    assert(!out.contains(("a", "c"))) // below minShared
+  }
+
+  test("associationRules: a genuinely correlated pair lifts above 1e6") {
+    // {a,b}, {a,b}, {c}, {d}: deg a=b=2, n_tx=4, n_ab=2 →
+    // lift = 1e6·2·4 div 4 = 2000000 (co-occur 2× their popularity)
+    val rel = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "c"), (4L, "d")).toDF("t", "i")
+    val out = Graph.associationRules(rel, "t", "i", minShared = 2L)
+      .where(org.apache.spark.sql.functions.col("antecedent") === "a").head()
+    assert(out.getLong(5) == 2000000L)
+  }
+
   test("closenessCentrality: an isolated seed reports zeros and a NULL closeness, never a crash") {
     val e = Seq(1L -> 2L, 2L -> 1L).toDF("s", "d")
     val out = Graph.closenessCentrality(e, "s", "d",

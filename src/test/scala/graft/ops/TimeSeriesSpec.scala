@@ -302,4 +302,31 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       ("k", "2024-03-02 10:00:00", -0.51))
     assert(out("k") == ((2L, -76L, -38L, 25L, 2L, Some(19783L))))
   }
+
+  test("theilSenTrend: one outlier day bends OLS but not the pairwise-slope median") {
+    // (0,0),(1,10),(2,20),(3,1000): 6 pair slopes in micro-units
+    // [1e7, 1e7, 1e7, 333333333, 495000000, 980000000] → lower median
+    // rank (6+1) div 2 = 3 → 1e7 (the clean trend); OLS on the same
+    // points fits ~3.1e8
+    val daily = Seq(("k", 0L, 0L), ("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 1000L))
+      .toDF("k", "x", "y")
+    val ts = TimeSeries.theilSenTrend(daily, "k", "x", "y").head()
+    assert((ts.getLong(1), ts.getLong(2)) == ((6L, 10000000L)))
+    val ols = TimeSeries.olsTrend(daily, "k", "x", "y").head().getLong(4)
+    assert(ols > 300000000L)
+  }
+
+  test("theilSenTrend: negative non-divisible slope floors; equal-x pairs are skipped") {
+    // (0,5),(3,0): −5e6/3 → −1666667 floored (truncation gives −1666666);
+    // the duplicate x=0 point adds an equal-x pair that must be skipped
+    // and one more downhill pair
+    val daily = Seq(("k", 0L, 5L), ("k", 3L, 0L)).toDF("k", "x", "y")
+    val r = TimeSeries.theilSenTrend(daily, "k", "x", "y").head()
+    assert((r.getLong(1), r.getLong(2)) == ((1L, -1666667L)))
+    val withDup = Seq(("k", 0L, 5L), ("k", 0L, 7L), ("k", 3L, 0L)).toDF("k", "x", "y")
+    val r2 = TimeSeries.theilSenTrend(withDup, "k", "x", "y").head()
+    // pairs: (0,5)→(3,0) = −1666667 and (0,7)→(3,0) = −2333334; n=2,
+    // rank (2+1) div 2 = 1 → the smaller slope −2333334
+    assert((r2.getLong(1), r2.getLong(2)) == ((2L, -2333334L)))
+  }
 }
