@@ -2458,6 +2458,22 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
     }),
 
+    // ---- E: Mann–Kendall trend significance — the distribution-free
+    //      "is e50's slope noise?" test on the same daily series; S and
+    //      the tie-corrected 18·Var(S) are pure integers, z via the
+    //      shared mkZSql IEEE tree ----
+    "e51_mann_kendall" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val days = ev.select(col("event_type"),
+        expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").as("day"))
+      val d0 = days.agg(min(col("day")).as("day0"))
+      val daily = days.crossJoin(d0)
+        .groupBy(col("event_type"), (col("day") - col("day0")).as("x"))
+        .agg(count(lit(1)).as("y"))
+      graft.ops.TimeSeries.mannKendall(daily, "event_type", "x", "y")
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // ---- T: DSIR importance selection — keep the 100 docs whose
     //      hashed-n-gram log-likelihood ratio most favors the TARGET
     //      distribution (the 'en'-labeled slice) over the raw corpus.
@@ -5592,6 +5608,36 @@ object SparkEntry {
            CAST(MAX(CASE WHEN (n + 1) // 2 BETWEEN hi - c + 1 AND hi
              THEN slope END) AS BIGINT) AS ts_slope_micro
          FROM rk GROUP BY 1""",
+
+    // the same daily series; S = Σ sgn pairs and the tie-corrected
+    // 18·Var(S) are exact integers, the continuity-corrected z goes
+    // through the SAME mkZSql IEEE tree the engine evaluates
+    "e51_mann_kendall" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+                     FROM events),
+         d0 AS (SELECT MIN(day) AS day0 FROM e),
+         daily AS (SELECT event_type, day - day0 AS x, COUNT(*) AS y
+                   FROM e, d0 GROUP BY 1, 2),
+         pr AS (SELECT a.event_type AS key,
+                  CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+                FROM daily a JOIN daily b
+                  ON a.event_type = b.event_type AND b.x > a.x),
+         sa AS (SELECT key, SUM(sgn) AS s_stat FROM pr GROUP BY 1),
+         t AS (SELECT event_type AS key, y, COUNT(*) AS c FROM daily GROUP BY 1, 2),
+         ties AS (SELECT key, SUM(c) AS n_points,
+                    SUM(c * (c - 1) * (2 * c + 5)) AS tsum FROM t GROUP BY 1),
+         f AS (SELECT ties.key, n_points, COALESCE(s_stat, 0) AS s_stat,
+                 n_points * (n_points - 1) * (2 * n_points + 5) - tsum AS var18
+               FROM ties LEFT JOIN sa ON ties.key = sa.key),
+         g AS (SELECT key, n_points, s_stat, var18,
+                 CASE WHEN s_stat > 0 THEN s_stat - 1
+                      WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS s_adj
+               FROM f)
+         SELECT key AS event_type, CAST(n_points AS BIGINT) AS n_points,
+           CAST(s_stat AS BIGINT) AS s_stat, CAST(var18 AS BIGINT) AS var18,
+           CASE WHEN var18 > 0 THEN
+             ${graft.ops.TimeSeries.mkZSql("s_adj", "var18")} END AS z_micro
+         FROM g""",
 
     // t22's feature/bucket recipe + the DSIR log-ratio weights: the
     // identical IEEE tree (two exact-integer-double products, one

@@ -583,4 +583,73 @@ object TimeSeries {
         sum(col("cents")).as("total_cents"),
         sum(col("term_fp")).as("decayed_fp"))
   }
+
+  /** The z-statistic tree shared verbatim by the engine and the DuckDB
+    * oracle (the corrSql contract): one exact int→double cast each for
+    * the continuity-corrected S and the 18·Var(S) integer, one divide
+    * by 18, one sqrt, one divide, one ×10⁶, one round — every step a
+    * correctly-rounded IEEE op, so both engines reproduce the bits. */
+  def mkZSql(sAdj: String, var18: String): String =
+    s"""CAST(ROUND(CAST($sAdj AS DOUBLE) /
+       |SQRT(CAST($var18 AS DOUBLE) / CAST(18 AS DOUBLE)) *
+       |1000000) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975): the
+    * SIGNIFICANCE companion to [[theilSenTrend]]'s slope — "is this
+    * series trending at all, or is the slope noise?" — the question a
+    * monitoring deployment asks before acting on a trend estimate.
+    * Distribution-free: S = Σ_{i<j} sgn(y_j − y_i) depends only on the
+    * ORDER of the values, so a few wild outliers move S by at most
+    * their pair count, not their magnitude (the same robustness that
+    * motivates Theil–Sen over OLS).
+    *
+    * Exactness: S and the tie-corrected 18·Var(S) =
+    * n(n−1)(2n+5) − Σ_j t_j(t_j−1)(2t_j+5) are pure integers (ties
+    * contribute no information and are subtracted from the variance —
+    * Kendall's correction); the normal-approximation z with continuity
+    * correction (S∓1) goes through the shared [[mkZSql]] IEEE tree so
+    * the micro-unit z replays bit-for-bit in the oracle. |z| > 1.96 is
+    * the caller's 5% two-sided gate. A single-point or all-tied series
+    * has Var(S) = 0 → z is NULL, never a division blow-up.
+    *
+    * Scale shape: the input is a per-key DAILY series, so the pairwise
+    * sign join is days²-per-key — CALENDAR-bounded (a decade of daily
+    * points is ~6.7M pairs per key), independent of raw event volume,
+    * the same bound [[theilSenTrend]] and e41's lag table rely on.
+    * Everything shuffles on the key alone: the pair join, the
+    * tie histogram, and the final assembly share one key domain.
+    *
+    * @param df per-key series: one row per (key, x, y), x unique per key
+    * @return (key, n_points, s_stat, var18, z_micro) — var18 = 18·Var(S);
+    *         z_micro NULL when var18 = 0
+    */
+  def mannKendall(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val pts = df.select(col(keyCol).as("key"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val pairs = pts
+      .join(pts.select(col("key"), col("x").as("x2"), col("y").as("y2")), Seq("key"))
+      .where(col("x2") > col("x"))
+      .select(col("key"), expr(
+        "CASE WHEN y2 > y THEN 1L WHEN y2 < y THEN -1L ELSE 0L END").as("sgn"))
+    val s = pairs.groupBy("key").agg(sum(col("sgn")).as("s_stat"))
+    val ties = pts.groupBy("key", "y").agg(count(lit(1)).as("c"))
+      .groupBy("key")
+      .agg(sum(col("c")).as("n_points"),
+        sum(expr("c * (c - 1) * (2 * c + 5)")).as("tsum"))
+    // left from the tie side: a single-point key has no pairs (S = 0 by
+    // convention, variance 0) and must still report, not vanish
+    ties.join(s, Seq("key"), "left")
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("var18",
+        expr("n_points * (n_points - 1) * (2 * n_points + 5) - tsum"))
+      .withColumn("s_adj", expr(
+        "CASE WHEN s_stat > 0 THEN s_stat - 1 WHEN s_stat < 0 THEN s_stat + 1 ELSE 0L END"))
+      .withColumn("z_micro",
+        when(col("var18") > 0, expr(mkZSql("s_adj", "var18"))))
+      .select("key", "n_points", "s_stat", "var18", "z_micro")
+  }
 }

@@ -329,4 +329,39 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     // rank (2+1) div 2 = 1 → the smaller slope −2333334
     assert((r2.getLong(1), r2.getLong(2)) == ((2L, -2333334L)))
   }
+
+  private def mk(rows: (String, Long, Long)*): Map[String, (Long, Long, Long, Option[Long])] =
+    TimeSeries.mannKendall(rows.toDF("k", "x", "y"), "k", "x", "y")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toMap
+
+  test("mannKendall: strictly increasing 5-point series — hand-replayed S, Var, z") {
+    // all 10 pairs ascend → S = 10; no ties → 18·Var = 5·4·15 = 300;
+    // continuity-corrected s_adj = 9 → z = 9/√(300/18)·1e6 = 2204541
+    // micro-units (> the 1.96e6 two-sided 5% gate, as a clean monotone
+    // run of 5 should be)
+    val out = mk((0L to 4L).map(i => ("k", i, i + 1L)): _*)
+    assert(out("k") == ((5L, 10L, 300L, Some(2204541L))))
+  }
+
+  test("mannKendall: ties subtract variance; downhill z replays the IEEE tree") {
+    // (0,5),(1,3),(2,3),(3,1): five downhill pairs + one tied pair →
+    // S = −5; base 4·3·13 = 156, tie group t=2 subtracts 2·1·9 = 18 →
+    // var18 = 138; s_adj = −4 → z = −4/√(138/18)·1e6 = −1444630
+    val out = mk(("k", 0L, 5L), ("k", 1L, 3L), ("k", 2L, 3L), ("k", 3L, 1L))
+    assert(out("k") == ((4L, -5L, 138L, Some(-1444630L))))
+  }
+
+  test("mannKendall: all-tied and single-point keys report with NULL z, never blow up") {
+    // all-tied: S = 0 and the tie correction cancels the base exactly
+    // (3·2·11 − 3·2·11 = 0); single-point: no pairs at all — the key
+    // must still surface via the left join, not vanish
+    val out = mk(("flat", 0L, 7L), ("flat", 1L, 7L), ("flat", 2L, 7L),
+      ("solo", 0L, 42L))
+    assert(out("flat") == ((3L, 0L, 0L, None)))
+    assert(out("solo") == ((1L, 0L, 0L, None)))
+  }
 }
