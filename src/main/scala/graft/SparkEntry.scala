@@ -2474,6 +2474,34 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
     }),
 
+    // ---- E: Mann–Whitney rank-sum A/B — did the parity-split
+    //      treatment shift the value DISTRIBUTION per event_type?
+    //      (e45's z-test reads conversion; this reads the whole
+    //      magnitude distribution, outlier-robust) 2× integer
+    //      midranks, tie-corrected variance, shared rankZSql tree ----
+    "e52_mann_whitney" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("cents",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .withColumn("treat", pmod(col("user_id"), lit(2)) === 0)
+      graft.ops.Stats.mannWhitneyU(ev, "event_type", "treat", "cents")
+        .withColumnRenamed("key", "event_type")
+    }),
+
+    // ---- X: Spearman rank correlation — monotone co-movement of
+    //      quantity vs extended price per return flag; exact 2×
+    //      midranks joined back to rows (never a row-level window),
+    //      rank moments through the shared corrSql tree ----
+    "x50_spearman" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("qty",
+          expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)"))
+        .withColumn("cents",
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      graft.ops.Stats.spearmanCorr(li, "l_returnflag", "qty", "cents")
+        .withColumnRenamed("key", "l_returnflag")
+    }),
+
     // ---- T: DSIR importance selection — keep the 100 docs whose
     //      hashed-n-gram log-likelihood ratio most favors the TARGET
     //      distribution (the 'en'-labeled slice) over the raw corpus.
@@ -5638,6 +5666,74 @@ object SparkEntry {
            CASE WHEN var18 > 0 THEN
              ${graft.ops.TimeSeries.mkZSql("s_adj", "var18")} END AS z_micro
          FROM g""",
+
+    // 2× integer midranks over the per-key value histogram, doubled
+    // rank sum → 2U, tie-corrected integer variance ratio, z through
+    // the SAME rankZSql IEEE tree the engine evaluates
+    "e52_mann_whitney" ->
+      s"""WITH v AS (SELECT event_type AS key, user_id % 2 = 0 AS t,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         h AS (SELECT key, v, COUNT(*) AS c,
+                 SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ca
+               FROM v GROUP BY 1, 2),
+         r AS (SELECT key, c, ca,
+                 SUM(c) OVER (PARTITION BY key ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS hi
+               FROM h),
+         a AS (SELECT key, SUM(c) AS n, SUM(ca) AS n_a,
+                 SUM(CAST(ca AS HUGEINT) * (hi - c + 1 + hi)) AS r2a,
+                 SUM(CAST(c AS HUGEINT) * (c - 1) * (c + 1)) AS tsum
+               FROM r GROUP BY 1),
+         b AS (SELECT key, n, n_a, n - n_a AS n_b, tsum,
+                 r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2_a
+               FROM a),
+         c2 AS (SELECT key, n, n_a, n_b, u2_a,
+                  u2_a - CAST(n_a AS HUGEINT) * n_b AS s2,
+                  CAST(n_a AS HUGEINT) * n_b *
+                    (CAST(n AS HUGEINT) * (n + 1) * (n - 1) - tsum) AS var_num,
+                  3 * CAST(n AS HUGEINT) * (n - 1) AS var_den
+                FROM b),
+         d AS (SELECT key, n, n_a, n_b, u2_a, var_num, var_den,
+                 CASE WHEN s2 > 0 THEN s2 - 1
+                      WHEN s2 < 0 THEN s2 + 1 ELSE 0 END AS s2_adj
+               FROM c2)
+         SELECT key AS event_type, CAST(n AS BIGINT) AS n,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(u2_a AS BIGINT) AS u2_a,
+           ${graft.ops.Stats.rankZSql("s2_adj", "var_num", "var_den")} AS z_micro
+         FROM d""",
+
+    // exact 2× midranks per column from the value histograms, joined
+    // back to rows, rank moments through the SAME corrSql tree
+    "x50_spearman" ->
+      s"""WITH b0 AS (SELECT l_returnflag AS key,
+                   CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+                 FROM lineitem
+                 WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         hx AS (SELECT key, x, COUNT(*) AS c FROM b0 GROUP BY 1, 2),
+         rxt AS (SELECT key, x,
+                   2 * SUM(c) OVER (PARTITION BY key ORDER BY x
+                     ROWS UNBOUNDED PRECEDING) - c + 1 AS rx
+                 FROM hx),
+         hy AS (SELECT key, y, COUNT(*) AS c FROM b0 GROUP BY 1, 2),
+         ryt AS (SELECT key, y,
+                   2 * SUM(c) OVER (PARTITION BY key ORDER BY y
+                     ROWS UNBOUNDED PRECEDING) - c + 1 AS ry
+                 FROM hy),
+         j AS (SELECT b0.key, CAST(rx AS HUGEINT) AS rx, CAST(ry AS HUGEINT) AS ry
+               FROM b0
+               JOIN rxt ON b0.key = rxt.key AND b0.x = rxt.x
+               JOIN ryt ON b0.key = ryt.key AND b0.y = ryt.y),
+         m AS (SELECT key, COUNT(*) AS n, SUM(rx) AS s_x, SUM(ry) AS s_y,
+                 SUM(rx * rx) AS s_xx, SUM(ry * ry) AS s_yy,
+                 SUM(rx * ry) AS s_xy
+               FROM j GROUP BY 1)
+         SELECT key AS l_returnflag, CAST(n AS BIGINT) AS n,
+           ${graft.ops.Stats.corrSql("s_xy", "s_x", "s_y", "s_xx", "s_yy")} AS rho
+         FROM m""",
 
     // t22's feature/bucket recipe + the DSIR log-ratio weights: the
     // identical IEEE tree (two exact-integer-double products, one

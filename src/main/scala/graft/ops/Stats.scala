@@ -730,4 +730,143 @@ object Stats {
     }
     m.select(col("n").cast("long").as("n_rows") +: corrs: _*)
   }
+
+  /** The shared rank-test z tree: `z = s_adj / √(num/den)` in floored-
+    * none, ROUNDED micro-units — one exact cast each for the integer
+    * numerator/denominator (decimal casts to double are correctly
+    * rounded, the x35 contract), one divide, one sqrt, one divide, one
+    * round. Zero variance (`num ≤ 0`) → NULL, never a NaN. Shared
+    * verbatim by [[mannWhitneyU]] and its oracle (and by e51's
+    * Mann–Kendall via the var18/18 specialization in TimeSeries).
+    */
+  def rankZSql(sAdj: String, varNum: String, varDen: String): String =
+    s"""CASE WHEN CAST($varNum AS DOUBLE) > 0 THEN
+         CAST(ROUND(CAST($sAdj AS DOUBLE) /
+           SQRT(CAST($varNum AS DOUBLE) / CAST($varDen AS DOUBLE)) *
+           1000000) AS BIGINT)
+       ELSE CAST(NULL AS BIGINT) END"""
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) test per key — the
+    * DISTRIBUTION-level A/B readout [[twoProportionZ]] cannot give: a
+    * treatment that shifts the whole value distribution (session
+    * depth, latency, spend) moves U even when means are dragged by
+    * outliers in both arms (ranks are magnitude-blind — the e51
+    * robustness argument applied to two-sample comparison).
+    *
+    * Exactness: ranks are exact MIDRANKS kept at 2× scale so ties stay
+    * integer (a tied run [lo, hi] contributes `lo + hi` per member —
+    * twice the average rank, never a .5); the doubled rank sum, 2U, and
+    * the centered statistic `s2 = 2U − n_a·n_b` are pure integers. The
+    * tie-corrected variance enters as one integer ratio:
+    * `Var(2U) = n_a·n_b·[(n+1)n(n−1) − Σt(t−1)(t+1)] / (3n(n−1))`,
+    * numerator in decimal(38,0) (magnitude contract: per-key n ≲ 3·10⁷
+    * keeps n_a·n_b·n³ inside 38 digits — past that a shift of any size
+    * is significant and the test is the wrong tool anyway), and the
+    * continuity-corrected z (±1 on the 2U scale = ±0.5 on U) goes
+    * through the shared [[rankZSql]] IEEE tree — micro-unit z replays
+    * bit-for-bit. Degenerate keys (one-sided, all-tied, n < 2) → NULL
+    * z, never a blow-up.
+    *
+    * Scale shape (the x15 discipline): rows collapse to the per-key
+    * VALUE histogram in one map-side-partial aggregate; the cumulative
+    * window and every moment ride the distinct-value relation, so a
+    * 10⁹-row key with cent-granular values costs its distinct cents,
+    * not its rows, after the first shuffle. Everything shares the one
+    * key domain.
+    *
+    * @param df one row per observation
+    * @param treatCol boolean column: true = treatment arm (the "a" side)
+    * @param centsCol pre-integerized value (cents, ms, …)
+    * @return (key, n, n_a, n_b, u2_a = 2·U_treatment, z_micro)
+    */
+  def mannWhitneyU(
+      df: DataFrame,
+      keyCol: String,
+      treatCol: String,
+      centsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = df
+      .select(col(keyCol).as("key"), col(treatCol).cast("boolean").as("t"),
+        col(centsCol).cast("long").as("v"))
+      .where(col("v").isNotNull && col("t").isNotNull)
+      .groupBy("key", "v")
+      .agg(count(lit(1)).as("c"),
+        sum(col("t").cast("long")).as("ca"))
+    val w = Window.partitionBy("key").orderBy("v")
+    vc.withColumn("hi", sum(col("c")).over(w))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .groupBy("key")
+      .agg(sum(col("c")).as("n"),
+        sum(col("ca")).as("n_a"),
+        // 2× rank sum of the treatment arm: each tied member adds lo+hi
+        sum((col("ca") * (col("lo") + col("hi"))).cast("decimal(38,0)"))
+          .as("r2a"),
+        // tie term Σ t(t−1)(t+1), decimal before the cubing
+        sum(col("c").cast("decimal(19,0)") * (col("c") - 1) * (col("c") + 1))
+          .as("tsum"))
+      .withColumn("n_b", col("n") - col("n_a"))
+      .withColumn("u2_a",
+        (col("r2a") - col("n_a").cast("decimal(38,0)") * (col("n_a") + 1))
+          .cast("long"))
+      .withColumn("s2", col("u2_a") - col("n_a") * col("n_b"))
+      .withColumn("s2_adj", expr(
+        "CASE WHEN s2 > 0 THEN s2 - 1 WHEN s2 < 0 THEN s2 + 1 ELSE 0L END"))
+      .withColumn("var_num",
+        col("n_a").cast("decimal(19,0)") * col("n_b") *
+          (col("n").cast("decimal(19,0)") * (col("n") + 1) * (col("n") - 1)
+            - col("tsum")))
+      .withColumn("var_den",
+        lit(3L) * col("n") * (col("n") - 1))
+      .withColumn("z_micro", expr(rankZSql("s2_adj", "var_num", "var_den")))
+      .select("key", "n", "n_a", "n_b", "u2_a", "z_micro")
+  }
+
+  /** Spearman rank correlation per key — Pearson's co-movement question
+    * asked of the RANKS, so one mis-scaled or heavy-tailed metric
+    * cannot fake (or hide) an association: ρ_s measures monotone
+    * relationship, the robust complement to [[corrMatrix]].
+    *
+    * Exactness: both columns get exact 2× midranks from their per-key
+    * value histograms (tied run [lo, hi] → integer `lo + hi`; the
+    * mannWhitneyU recipe per column), rows pick their ranks up by
+    * JOINING the value-level rank tables (rows never enter a window —
+    * the x15 shape survives a 10⁹-row key), and the five rank moments
+    * are exact decimal sums feeding the SAME shared [[corrSql]] IEEE
+    * tree as x35/g11/e41 — the 6dp ρ replays bit-for-bit. Constant
+    * columns (zero rank variance) → NULL.
+    *
+    * @param df one row per observation; x/y pre-integerized
+    * @return (key, n, rho — 6dp, NULL on degenerate variance)
+    */
+  def spearmanCorr(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol).as("key"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    def ranks(vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("key").orderBy(vCol)
+      base.groupBy("key", vCol).agg(count(lit(1)).as("c"))
+        .withColumn("hi", sum(col("c")).over(w))
+        .select(col("key"), col(vCol),
+          (lit(2) * col("hi") - col("c") + 1).as(out))
+    }
+    base
+      .join(ranks("x", "rx"), Seq("key", "x"))
+      .join(ranks("y", "ry"), Seq("key", "y"))
+      .select(col("key"),
+        col("rx").cast("decimal(19,0)").as("rx"),
+        col("ry").cast("decimal(19,0)").as("ry"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("s_x"), sum(col("ry")).as("s_y"),
+        sum(col("rx") * col("rx")).as("s_xx"),
+        sum(col("ry") * col("ry")).as("s_yy"),
+        sum(col("rx") * col("ry")).as("s_xy"))
+      .withColumn("rho", expr(corrSql("s_xy", "s_x", "s_y", "s_xx", "s_yy")))
+      .select("key", "n", "rho")
+  }
 }

@@ -255,4 +255,56 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val r2 = Stats.twoProportionZ(none, "variant", "s").head()
     assert(r2.isNullAt(r2.fieldIndex("z")) && r2.isNullAt(r2.fieldIndex("significant")))
   }
+
+  private def mwu(rows: (String, Boolean, Long)*): Map[String, (Long, Long, Long, Long, Option[Long])] =
+    Stats.mannWhitneyU(rows.toDF("k", "t", "v"), "k", "t", "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))))
+      .toMap
+
+  test("mannWhitneyU: fully separated arms — hand-replayed 2U and continuity z") {
+    // treatment {10,20,30} above control {1,2}: ranks 3,4,5 vs 1,2 →
+    // 2·R_a = 24, 2U = 24 − 3·4 = 12 (the n_a·n_b·2 maximum), centered
+    // s2 = 6, continuity 5; no ties → var_num = 6·(6·5·4) = 720,
+    // var_den = 60 → z = 5/√12·1e6 = 1443376
+    val out = mwu(("k", true, 10L), ("k", true, 20L), ("k", true, 30L),
+      ("k", false, 1L), ("k", false, 2L))
+    assert(out("k") == ((5L, 3L, 2L, 12L, Some(1443376L))))
+  }
+
+  test("mannWhitneyU: cross-arm tie gets the integer midrank and the variance correction") {
+    // treatment {1,2}, control {2,3}: the tied 2s take midrank 2.5
+    // (integer 5 at 2× scale) → 2·R_a = 2+5 = 7, 2U = 7 − 2·3 = 1;
+    // s2 = −3 → adj −2; tie group t=2 subtracts 6 from n³−n = 60 →
+    // var_num = 2·2·54 = 216, var_den = 36 → z = −2/√6·1e6 = −816497
+    val out = mwu(("k", true, 1L), ("k", true, 2L),
+      ("k", false, 2L), ("k", false, 3L))
+    assert(out("k") == ((4L, 2L, 2L, 1L, Some(-816497L))))
+  }
+
+  test("mannWhitneyU: all-tied and one-armed keys report NULL z, never blow up") {
+    // all-tied: the tie correction cancels n³−n exactly; one-armed:
+    // n_a·n_b = 0 — both degenerate by construction, both must surface
+    val out = mwu(("flat", true, 7L), ("flat", false, 7L), ("flat", false, 7L),
+      ("solo", true, 1L), ("solo", true, 2L))
+    assert(out("flat") == ((3L, 1L, 2L, 2L, None)))
+    assert(out("solo") == ((2L, 2L, 0L, 0L, None)))
+  }
+
+  test("spearmanCorr: monotone-nonlinear is exactly 1; ties midrank; constant is NULL") {
+    // x² is monotone → rank-perfect even though Pearson on values is not
+    val mono = Seq(("k", 1L, 1L), ("k", 2L, 4L), ("k", 3L, 9L), ("k", 4L, 16L))
+    val r1 = Stats.spearmanCorr(mono.toDF("k", "x", "y"), "k", "x", "y").head()
+    assert((r1.getLong(1), r1.getDouble(2)) == ((4L, 1.0)))
+    // tied ys {10,10,30}: rank2 (3,3,6) vs x rank2 (2,4,6) → the
+    // classic √3/2 = 0.866025 at 6dp
+    val tied = Seq(("k", 1L, 10L), ("k", 2L, 10L), ("k", 3L, 30L))
+    val r2 = Stats.spearmanCorr(tied.toDF("k", "x", "y"), "k", "x", "y").head()
+    assert(r2.getDouble(2) == 0.866025)
+    val const = Seq(("k", 1L, 5L), ("k", 2L, 5L))
+    val r3 = Stats.spearmanCorr(const.toDF("k", "x", "y"), "k", "x", "y").head()
+    assert(r3.isNullAt(2))
+  }
 }
