@@ -1784,6 +1784,16 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "text")
         .withColumnRenamed("slice", "lang")),
 
+    // ---- T: Jensen–Shannon token-distribution divergence — each
+    //      language slice vs the corpus complement; exact cross-
+    //      multiplied count ratios through the shared lnRatioMicroSql
+    //      tree, uncovered rest-mass folded as cq·ln2 off the
+    //      histogram, one positive-mod floor at the boundary ----
+    "t39_js_divergence" -> ((s, dir) =>
+      graft.ops.TextAnalysis.jsDivergence(
+        t(s, dir, "documents"), "lang", "text")
+        .withColumnRenamed("key", "lang")),
+
     "t5_wordcount" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(explode(graft.ops.TextAnalysis.tokens(lower(col("text")))).as("word"))
@@ -6189,6 +6199,52 @@ object SparkEntry {
            (10000 * CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT))
              // COUNT(*) AS hapax_bp
          FROM wc GROUP BY lang""",
+
+    // the t36 vocab histogram feeding the shared lnRatioMicroSql tree;
+    // uncovered rest mass is the 693147·(n2 − Σcq) closed form, final
+    // ratio positive-mod floored
+    "t39_js_divergence" ->
+      s"""WITH w AS (SELECT lang AS key,
+                  unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+                FROM documents WHERE lang IS NOT NULL),
+         wc AS (SELECT key, word, COUNT(*) AS cp FROM w
+                WHERE length(word) > 0 GROUP BY 1, 2),
+         tot AS (SELECT word, SUM(cp) AS ct FROM wc GROUP BY 1),
+         sl AS (SELECT key, SUM(cp) AS n1, COUNT(*) AS n_types
+                FROM wc GROUP BY 1),
+         na AS (SELECT SUM(n1) AS n_all FROM sl),
+         j AS (SELECT wc.key, sl.n1, sl.n_types, na.n_all - sl.n1 AS n2,
+                 CAST(wc.cp AS HUGEINT) AS cp,
+                 CAST(tot.ct - wc.cp AS HUGEINT) AS cq
+               FROM wc JOIN tot USING (word) JOIN sl ON wc.key = sl.key, na),
+         tm AS (SELECT key, n1, n2, n_types, cq,
+                  2 * cp * n2 AS num_p, 2 * cq * n1 AS num_q,
+                  cp * n2 + cq * n1 AS den, cp
+                FROM j),
+         t2 AS (SELECT key, n1, n2, n_types, cq,
+                  CASE WHEN den > 0 THEN
+                    cp * ${graft.ops.Stats.lnRatioMicroSql("num_p", "den")}
+                  ELSE 0 END AS term_p,
+                  CASE WHEN cq > 0 THEN
+                    cq * ${graft.ops.Stats.lnRatioMicroSql("num_q", "den")}
+                  ELSE 0 END AS term_q
+                FROM tm),
+         a AS (SELECT key, MAX(n1) AS n_slice, MAX(n2) AS n_rest,
+                 MAX(n_types) AS n_types, SUM(term_p) AS stp,
+                 SUM(term_q) AS stq_cov, SUM(cq) AS sq_cov
+               FROM t2 GROUP BY 1),
+         f AS (SELECT key, n_slice, n_rest, n_types,
+                 CAST(n_rest AS HUGEINT) * stp + CAST(n_slice AS HUGEINT) *
+                   (stq_cov + 693147 * (CAST(n_rest AS HUGEINT) - sq_cov)) AS aa,
+                 2 * CAST(n_slice AS HUGEINT) * n_rest AS bb
+               FROM a)
+         SELECT key AS lang, CAST(n_slice AS BIGINT) AS n_slice,
+           CAST(n_rest AS BIGINT) AS n_rest,
+           CAST(n_types AS BIGINT) AS n_types,
+           CASE WHEN n_rest > 0 THEN
+             CAST((aa - ((aa % bb + bb) % bb)) // bb AS BIGINT)
+           END AS jsd_micro
+         FROM f""",
 
     "x7_null_semantics" ->
       """SELECT o_orderpriority,

@@ -629,6 +629,16 @@ object Stats {
          * LN(CAST($n AS DOUBLE) / CAST($c AS DOUBLE)) * 1000000, 0)
          AS BIGINT)"""
 
+  /** The shared log-ratio quantizer: `round(1e6·ln(num/den))` over
+    * exact integer operands (two correctly-rounded casts, one divide,
+    * one ln with the t19 1-ulp caveat, one round) — the per-token term
+    * of KL/JSD-style divergences. Callers multiply by an integer count
+    * and sum, so totals are order-immune integers.
+    */
+  def lnRatioMicroSql(num: String, den: String): String =
+    s"""CAST(ROUND(LN(CAST($num AS DOUBLE) / CAST($den AS DOUBLE))
+         * 1000000, 0) AS BIGINT)"""
+
   /** Shannon entropy of a categorical mix per key — the diversity gate
     * (is a language's source mix collapsing to one crawl? is a shard's
     * label mix degenerate?). `H = Σ (c/n)·ln(n/c)` in micro-nats: 0 for

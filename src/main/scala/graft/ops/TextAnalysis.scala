@@ -636,6 +636,87 @@ object TextAnalysis {
       .withColumn("hapax_bp", expr("(10000 * n_hapax) div n_types"))
   }
 
+  /** Jensen–Shannon divergence of each slice's token distribution vs
+    * the corpus complement — the VOCABULARY-level drift monitor (PSI
+    * reads one numeric column; this reads what the text is actually
+    * made of: a new crawl source, a template flood, or an upstream
+    * language shift moves token mass long before numeric metadata
+    * notices). Symmetric and bounded — 0 = identical mixes,
+    * ln 2 ≈ 693147 micro-nats = disjoint vocabularies — so one
+    * threshold serves every slice size.
+    *
+    * Exactness: per shared token, the two KL terms quantize through the
+    * shared [[graft.ops.Stats.lnRatioMicroSql]] tree over EXACT integer
+    * products (`p/m = 2·cp·n₂ / (cp·n₂ + cq·n₁)` — counts
+    * cross-multiplied, no intermediate float shares — the psiTermSql
+    * discipline), weighted by integer counts and summed as exact
+    * decimals. Tokens ABSENT from the slice contribute `cq·ln 2`
+    * exactly, so their whole mass folds into one closed form,
+    * `693147·(n₂ − Σ_covered cq)`, off the histogram — no slice×vocab
+    * grid is ever materialized. The final division is one positive-mod
+    * floor (JSD of near-identical mixes can quantize negative).
+    * Magnitude contract: n ≲ 10¹³ tokens keeps n₂·Σterms inside
+    * decimal(38).
+    *
+    * Scale shape: ONE corpus scan into the (slice, word) histogram;
+    * word totals, slice totals, and the global total all re-aggregate
+    * the histogram (the x42 complement recipe). The vocab-grain join
+    * shuffles Heaps-law rows (~√corpus), never documents. A
+    * single-slice corpus has no complement → NULL, never a blow-up.
+    *
+    * @return (key, n_slice, n_rest, n_types, jsd_micro — micro-nats)
+    */
+  def jsDivergence(
+      docs: DataFrame,
+      sliceCol: String,
+      textCol: String): DataFrame = {
+    val wc = docs.select(col(sliceCol).as("key"),
+        explode(tokens(lower(col(textCol)))).as("word"))
+      .where(col("key").isNotNull && length(col("word")) > 0)
+      .groupBy("key", "word").agg(count(lit(1)).as("cp"))
+    val tot = wc.groupBy("word").agg(sum(col("cp")).as("ct"))
+    val sl = wc.groupBy("key")
+      .agg(sum(col("cp")).as("n1"), count(lit(1)).as("n_types"))
+    val nAll = sl.agg(sum(col("n1")).as("n_all"))
+    val terms = wc.join(tot, Seq("word")).join(sl, Seq("key")).crossJoin(nAll)
+      .select(col("key"), col("n1"), col("n_types"),
+        (col("n_all") - col("n1")).as("n2"),
+        col("cp").cast("decimal(19,0)").as("cp"),
+        (col("ct") - col("cp")).cast("decimal(19,0)").as("cq"))
+      .withColumn("num_p", lit(2) * col("cp") * col("n2"))
+      .withColumn("num_q", lit(2) * col("cq") * col("n1"))
+      .withColumn("den", col("cp") * col("n2") + col("cq") * col("n1"))
+      // den = 0 only when the slice IS the whole corpus (n2 = 0, cq = 0)
+      // — the NULL-report case; guard so ANSI division never fires
+      .withColumn("term_p",
+        when(col("den") > 0,
+          col("cp") * expr(graft.ops.Stats.lnRatioMicroSql("num_p", "den")))
+          .otherwise(lit(0)))
+      .withColumn("term_q",
+        when(col("cq") > 0,
+          col("cq") * expr(graft.ops.Stats.lnRatioMicroSql("num_q", "den")))
+          .otherwise(lit(0)))
+    terms.groupBy("key")
+      .agg(max(col("n1")).as("n_slice"), max(col("n2")).as("n_rest"),
+        max(col("n_types")).as("n_types"),
+        sum(col("term_p")).as("stp"),
+        sum(col("term_q")).as("stq_cov"),
+        sum(col("cq")).as("sq_cov"))
+      // the uncovered rest-mass closed form: every token the slice has
+      // never seen contributes exactly cq·ln 2
+      .withColumn("stq",
+        col("stq_cov") + lit(693147L) * (col("n_rest") - col("sq_cov")))
+      .withColumn("aa",
+        col("n_rest").cast("decimal(19,0)") * col("stp")
+          + col("n_slice").cast("decimal(19,0)") * col("stq"))
+      .withColumn("bb",
+        lit(2L).cast("decimal(19,0)") * col("n_slice") * col("n_rest"))
+      .withColumn("jsd_micro",
+        when(col("n_rest") > 0,
+          expr("CAST((aa - ((aa % bb + bb) % bb)) div bb AS BIGINT)")))
+      .select("key", "n_slice", "n_rest", "n_types", "jsd_micro")
+  }
+
   /** Flesch–Kincaid-style readability grade per document — the classic
     * complexity feature for quality filtering and curriculum ordering
     * (grade ≈ US school years: ~5 easy prose, ~12 dense, negative on

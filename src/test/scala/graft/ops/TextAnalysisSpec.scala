@@ -365,4 +365,38 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(2) == 0L)
     assert(r.isNullAt(r.fieldIndex("fit_corr")))
   }
+
+  private def jsd(docs: (String, String)*): Map[String, (Long, Long, Long, Option[Long])] = {
+    import spark.implicits._
+    TextAnalysis.jsDivergence(docs.toDF("s", "text"), "s", "text")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toMap
+  }
+
+  test("jsDivergence: disjoint vocabularies hit the ln2 ceiling; identical mixes read 0") {
+    val out = jsd(("a", "aa bb"), ("b", "cc dd"))
+    assert(out("a") == ((2L, 2L, 2L, Some(693147L))))
+    assert(out("b") == ((2L, 2L, 2L, Some(693147L))))
+    val same = jsd(("a", "x y"), ("b", "x y"))
+    assert(same("a")._4.contains(0L) && same("b")._4.contains(0L))
+  }
+
+  test("jsDivergence: overlap hand case is symmetric and replays the micro-nat terms") {
+    // A = 'w w z' (n1=3), B = 'w' (n2=1 from A's view). A-side terms:
+    // w: cp=2,cq=1 → 2·ln(4/5)→2·(−223144); z: cp=1,cq=0 → 693147 →
+    // stp = 246859; covered q term w: 182322, no uncovered rest →
+    // aa = 1·246859 + 3·182322 = 793825, bb = 6 → 132304. The B slice
+    // mirrors the same computation (JSD is symmetric for 2 slices).
+    val out = jsd(("a", "w w z"), ("b", "w"))
+    assert(out("a") == ((3L, 1L, 2L, Some(132304L))))
+    assert(out("b") == ((1L, 3L, 1L, Some(132304L))))
+  }
+
+  test("jsDivergence: a single-slice corpus has no complement — NULL, never a blow-up") {
+    val out = jsd(("only", "w w z"))
+    assert(out("only") == ((3L, 0L, 2L, None)))
+  }
 }
