@@ -2512,6 +2512,32 @@ object SparkEntry {
         .withColumnRenamed("key", "l_returnflag")
     }),
 
+    // ---- D: cross-source duplication matrix — distinct 3-gram
+    //      shingle Jaccard/overlap for every source pair, full grid
+    //      (a zero-overlap pair surfaces as 0, never vanishes) ----
+    "d15_source_overlap" -> ((s, dir) =>
+      graft.ops.Corpus.sourceOverlap(t(s, dir, "documents"), "source", "text")),
+
+    // ---- X: functional-dependency profiler — candidate-key and
+    //      denormalization checks as violating-group counts ----
+    "x51_fd_check" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val ord = t(s, dir, "orders")
+      graft.ops.DataQuality.fdViolations(ev, Seq("event_id"), "user_id",
+          "event_id_determines_user")
+        .unionByName(graft.ops.DataQuality.fdViolations(ev, Seq("user_id"),
+          "event_type", "user_id_determines_type"))
+        .unionByName(graft.ops.DataQuality.fdViolations(ord, Seq("o_custkey"),
+          "o_orderstatus", "custkey_determines_status"))
+    }),
+
+    // ---- E: index of dispersion — variance-to-mean of daily counts
+    //      per event_type over the global calendar span (zero days
+    //      count); the one-number burstiness triage before CUSUM ----
+    "e53_dispersion" -> ((s, dir) =>
+      graft.ops.TimeSeries.dispersionIndex(events(s, dir), "event_type", "ts")
+        .withColumnRenamed("key", "event_type")),
+
     // ---- T: DSIR importance selection — keep the 100 docs whose
     //      hashed-n-gram log-likelihood ratio most favors the TARGET
     //      distribution (the 'en'-labeled slice) over the raw corpus.
@@ -6245,6 +6271,75 @@ object SparkEntry {
              CAST((aa - ((aa % bb + bb) % bb)) // bb AS BIGINT)
            END AS jsd_micro
          FROM f""",
+
+    // the t34/d7 shingle kernel per source, distinct sets, one
+    // shingle-grain self-join, FULL pair grid with coalesced zeros
+    "d15_source_overlap" ->
+      """WITH d AS (SELECT source, regexp_extract_all(lower(text), '\S+') AS w
+                    FROM documents WHERE source IS NOT NULL),
+         sh AS (SELECT source, CASE WHEN len(w) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+                ELSE [array_to_string(w, ' ')] END AS s
+                FROM d),
+         sg AS (SELECT DISTINCT source AS slice, unnest(s) AS g FROM sh),
+         sizes AS (SELECT slice, COUNT(*) AS n_sh FROM sg GROUP BY 1),
+         shared AS (SELECT a.slice AS slice_a, b.slice AS slice_b,
+                      COUNT(*) AS n_shared
+                    FROM sg a JOIN sg b ON a.g = b.g AND a.slice < b.slice
+                    GROUP BY 1, 2),
+         grid AS (SELECT a.slice AS slice_a, b.slice AS slice_b,
+                    a.n_sh AS n_a, b.n_sh AS n_b
+                  FROM sizes a JOIN sizes b ON a.slice < b.slice)
+         SELECT slice_a, slice_b, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+           (10000 * CAST(COALESCE(n_shared, 0) AS BIGINT))
+             // (n_a + n_b - COALESCE(n_shared, 0)) AS jaccard_bp,
+           (10000 * CAST(COALESCE(n_shared, 0) AS BIGINT))
+             // LEAST(n_a, n_b) AS overlap_bp
+         FROM grid LEFT JOIN shared USING (slice_a, slice_b)""",
+
+    // three determinant groupings, each rolled to one report row
+    "x51_fd_check" ->
+      """WITH c1 AS (SELECT event_id, COUNT(DISTINCT user_id) AS nd
+                     FROM events GROUP BY 1),
+         c2 AS (SELECT user_id, COUNT(DISTINCT event_type) AS nd
+                FROM events GROUP BY 1),
+         c3 AS (SELECT o_custkey, COUNT(DISTINCT o_orderstatus) AS nd
+                FROM orders GROUP BY 1),
+         u AS (
+           SELECT 'event_id_determines_user' AS check_name, COUNT(*) AS n_groups,
+             SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating,
+             MAX(nd) AS max_distinct FROM c1
+           UNION ALL
+           SELECT 'user_id_determines_type', COUNT(*),
+             SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), MAX(nd) FROM c2
+           UNION ALL
+           SELECT 'custkey_determines_status', COUNT(*),
+             SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), MAX(nd) FROM c3)
+         SELECT check_name, CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(n_violating AS BIGINT) AS n_violating,
+           (10000 * CAST(n_violating AS BIGINT)) // n_groups AS violation_bp,
+           CAST(max_distinct AS BIGINT) AS max_distinct,
+           CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS passed
+         FROM u""",
+
+    // daily histogram → exact integer moments; the global calendar
+    // span makes zero days count without materializing them
+    "e53_dispersion" ->
+      """WITH e AS (SELECT event_type AS key,
+                  epoch_us(ts::TIMESTAMP) // 86400000000 AS day FROM events),
+         sp AS (SELECT MAX(day) - MIN(day) + 1 AS n_days FROM e),
+         d AS (SELECT key, day, COUNT(*) AS y FROM e GROUP BY 1, 2),
+         a AS (SELECT key, SUM(y) AS s, SUM(CAST(y AS HUGEINT) * y) AS ssq
+               FROM d GROUP BY 1)
+         SELECT key AS event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS n_events,
+           CAST((CAST(n_days AS HUGEINT) * ssq - CAST(s AS HUGEINT) * s)
+             * 1000000 // (CAST(n_days AS HUGEINT) * s) AS BIGINT)
+             AS dispersion_micro
+         FROM a, sp""",
 
     "x7_null_semantics" ->
       """SELECT o_orderpriority,

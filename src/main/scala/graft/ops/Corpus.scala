@@ -458,6 +458,60 @@ object Corpus {
       .withColumn("novelty_bp", expr("(10000 * n_novel) div n_ngrams"))
   }
 
+  /** Cross-source duplication matrix: distinct-shingle Jaccard and
+    * overlap coefficient for every SLICE PAIR — the "which of my crawl
+    * sources are republishing each other" heatmap that decides whether
+    * two sources should share a dedup pass or a mixing quota (a mirror
+    * site inflates its language's weight silently unless this is
+    * checked before [[ngramNovelty]]-style incremental gates).
+    *
+    * Exactness: all-integer — distinct (slice, shingle) sets, shared
+    * counts from one shingle-grain self-join, Jaccard
+    * `|∩| / (|A|+|B|−|∩|)` and overlap `|∩| / min(|A|,|B|)` in floored
+    * basis points. The FULL slice-pair grid emits (the Benford/χ²
+    * discipline): a pair sharing nothing surfaces as 0 rather than
+    * vanishing — zero overlap between supposed mirrors is exactly as
+    * informative as high overlap between supposed strangers.
+    *
+    * Scale shape: one corpus scan into the distinct (slice, shingle)
+    * relation ([[graft.functions.NGramShingles]] dedups within doc —
+    * the d7 kernel); the self-join is shingle-grain and each shingle
+    * contributes at most |slices|² pair rows (slices are few by
+    * definition — sources, not documents), so hub shingles cannot blow
+    * up. The grid is a slices² cross of the tiny size relation.
+    *
+    * @return one row per unordered pair (slice_a < slice_b): (slice_a,
+    *         slice_b, n_a, n_b, n_shared, jaccard_bp, overlap_bp)
+    */
+  def sourceOverlap(
+      docs: DataFrame,
+      sliceCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val sg = docs
+      .select(col(sliceCol).as("slice"),
+        explode(graft.functions.NGramShingles.ngram_shingles(col(textCol), n)).as("g"))
+      .where(col("slice").isNotNull)
+      .distinct()
+    val sizes = sg.groupBy("slice").agg(count(lit(1)).as("n_sh"))
+    val shared = sg.select(col("slice").as("slice_a"), col("g"))
+      .join(sg.select(col("slice").as("slice_b"), col("g")), Seq("g"))
+      .where(col("slice_a") < col("slice_b"))
+      .groupBy("slice_a", "slice_b")
+      .agg(count(lit(1)).as("n_shared"))
+    sizes.select(col("slice").as("slice_a"), col("n_sh").as("n_a"))
+      .join(sizes.select(col("slice").as("slice_b"), col("n_sh").as("n_b")),
+        col("slice_a") < col("slice_b"))
+      .join(shared, Seq("slice_a", "slice_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("jaccard_bp",
+        expr("(10000 * n_shared) div (n_a + n_b - n_shared)"))
+      .withColumn("overlap_bp",
+        expr("(10000 * n_shared) div least(n_a, n_b)"))
+      .select("slice_a", "slice_b", "n_a", "n_b", "n_shared",
+        "jaccard_bp", "overlap_bp")
+  }
+
   def decontaminate(
       train: DataFrame,
       eval: DataFrame,

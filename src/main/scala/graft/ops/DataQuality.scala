@@ -134,4 +134,37 @@ object DataQuality {
       .select(lit(name).as("check_name"), col("metric"),
         (col("metric") === 0L).cast("int").as("passed"))
   }
+
+  /** Functional-dependency profiler: does `lhs → rhs` hold? The
+    * warehouse-onboarding question ("is this a candidate key? can I
+    * denormalize on it?") answered as a count of violating determinant
+    * groups — groups where rhs takes more than one distinct non-null
+    * value. NULL rhs values are completeness's business, not
+    * dependency's (a group whose rhs is entirely NULL determines
+    * nothing and violates nothing).
+    *
+    * Scale shape: one partial-aggregated groupBy on the determinant
+    * (the only shuffle), then a scalar rollup of the group-grain
+    * relation. Violation share is floored basis points over groups.
+    *
+    * @return one row: (check_name, n_groups, n_violating, violation_bp,
+    *         max_distinct — worst group's rhs cardinality, passed)
+    */
+  def fdViolations(
+      df: DataFrame,
+      lhs: Seq[String],
+      rhs: String,
+      name: String): DataFrame = {
+    require(lhs.nonEmpty, "empty determinant")
+    df.groupBy(lhs.map(col): _*)
+      .agg(countDistinct(col(rhs)).as("nd"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("nd")).as("max_distinct"))
+      .select(lit(name).as("check_name"), col("n_groups"),
+        col("n_violating"),
+        expr("(10000 * n_violating) div n_groups").as("violation_bp"),
+        col("max_distinct"),
+        (col("n_violating") === 0L).cast("int").as("passed"))
+  }
 }

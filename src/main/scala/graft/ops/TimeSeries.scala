@@ -623,6 +623,49 @@ object TimeSeries {
     * @return (key, n_points, s_stat, var18, z_micro) — var18 = 18·Var(S);
     *         z_micro NULL when var18 = 0
     */
+  /** Index of dispersion (variance-to-mean ratio) of per-key daily
+    * event counts — the burstiness gate: a Poisson-like steady source
+    * reads ~1e6 micro-units, clumped/bursty traffic reads ≫ 1e6, and a
+    * metronomic (scheduled) source reads ≪ 1e6. The cheap one-number
+    * triage BEFORE paying for e39's full CUSUM trajectory.
+    *
+    * Exactness: days with zero events belong in the variance (that is
+    * what burstiness means), so the day count is the full GLOBAL
+    * calendar span — a one-row scalar — and zero days contribute
+    * nothing to Σy or Σy², making the closed form all-integer over the
+    * observed histogram alone: `D = (n·Σy² − S²) / (n·S)` in floored
+    * micro-units (numerator ≥ 0 by Cauchy–Schwarz; population
+    * variance, no Bessel — document, don't mix conventions). Decimal
+    * products keep 10⁹-row keys exact.
+    *
+    * Scale shape: one (key, day) count aggregate, one key-grain rollup
+    * of the tiny daily relation, one scalar cross join for the span.
+    *
+    * @return (key, n_days — global span, n_events, dispersion_micro)
+    */
+  def dispersionIndex(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val days = df.select(col(keyCol).as("key"),
+      expr(s"CAST(CAST($tsCol AS TIMESTAMP) AS LONG) div 86400").as("day"))
+    val span = days.agg(
+      (max(col("day")) - min(col("day")) + 1).as("n_days"))
+    val daily = days.groupBy("key", "day").agg(count(lit(1)).as("y"))
+    daily.groupBy("key")
+      .agg(sum(col("y")).as("s"),
+        sum(col("y").cast("decimal(19,0)") * col("y")).as("ssq"))
+      .crossJoin(span)
+      .withColumn("num",
+        col("n_days").cast("decimal(19,0)") * col("ssq")
+          - col("s").cast("decimal(19,0)") * col("s"))
+      .withColumn("den", col("n_days").cast("decimal(19,0)") * col("s"))
+      .withColumn("dispersion_micro", expr(
+        "CAST((num * 1000000) div den AS BIGINT)"))
+      .select(col("key"), col("n_days"), col("s").as("n_events"),
+        col("dispersion_micro"))
+  }
+
   def mannKendall(
       df: DataFrame,
       keyCol: String,

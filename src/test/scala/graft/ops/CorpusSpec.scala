@@ -440,4 +440,22 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     // distinct shingles {"a b a","b a b"}; ref contains "a b a" → 1/2
     assert(out == Map(1L -> ((2L, 1L, 5000L))))
   }
+
+  test("sourceOverlap: shared-shingle pair scores; disjoint pairs surface as zero grid rows") {
+    import spark.implicits._
+    val docs = Seq(("a", "x y z w"), ("b", "x y z"), ("c", "p q r"))
+      .toDF("source_in", "text")
+    val out = Corpus.sourceOverlap(docs, "source_in", "text", n = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // a = {'x y z','y z w'}, b = {'x y z'}, c = {'p q r'}:
+    // (a,b) shares 1 → jaccard 1/2 = 5000 bp, overlap 1/1 = 10000 bp;
+    // (a,c) and (b,c) share nothing and MUST still emit
+    assert(out == Map(
+      ("a", "b") -> ((2L, 1L, 1L, 5000L, 10000L)),
+      ("a", "c") -> ((2L, 1L, 0L, 0L, 0L)),
+      ("b", "c") -> ((1L, 1L, 0L, 0L, 0L))))
+  }
 }

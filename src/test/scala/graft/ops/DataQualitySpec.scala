@@ -99,4 +99,19 @@ class DataQualitySpec extends AnyFunSuite with SparkSpec {
       "b" -> ((1L, 86400L, 0L)),
       "c" -> ((1L, 820800L, 0L))))
   }
+
+  test("fdViolations: violating group counted once, all-NULL rhs determines nothing") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (1L, Some("a")), (2L, Some("a")),
+      (2L, Some("b")), (3L, None: Option[String]))
+      .toDF("k", "v")
+    val r = DataQuality.fdViolations(df, Seq("k"), "v", "k_determines_v").head()
+    // groups: 1→{a} ok, 2→{a,b} violates, 3→{} (all NULL) ok
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getInt(5)) ==
+      (("k_determines_v", 3L, 1L, 3333L, 2L, 0)))
+    val unique = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "v")
+    val ok = DataQuality.fdViolations(unique, Seq("k"), "v", "key_check").head()
+    assert((ok.getLong(2), ok.getInt(5)) == ((0L, 1)))
+  }
 }

@@ -355,6 +355,23 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     assert(out("k") == ((4L, -5L, 138L, Some(-1444630L))))
   }
 
+  test("dispersionIndex: bursty vs metronomic keys over the shared calendar span") {
+    // global span day0..day2 = 3 days (day1 has zero events — it must
+    // count). bursty: counts (3,0,1) → S=4, Σy²=10 →
+    // (3·10−16)·1e6 div (3·4) = 1166666; steady: (1,1,1) → 0 exactly
+    val df = Seq(
+      ("bursty", "2024-03-01 01:00:00"), ("bursty", "2024-03-01 02:00:00"),
+      ("bursty", "2024-03-01 03:00:00"), ("bursty", "2024-03-03 01:00:00"),
+      ("steady", "2024-03-01 05:00:00"), ("steady", "2024-03-02 05:00:00"),
+      ("steady", "2024-03-03 05:00:00")).toDF("k", "ts")
+    val out = TimeSeries.dispersionIndex(df, "k", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      "bursty" -> ((3L, 4L, 1166666L)),
+      "steady" -> ((3L, 3L, 0L))))
+  }
+
   test("mannKendall: all-tied and single-point keys report with NULL z, never blow up") {
     // all-tied: S = 0 and the tie correction cancels the base exactly
     // (3·2·11 − 3·2·11 = 0); single-point: no pairs at all — the key
