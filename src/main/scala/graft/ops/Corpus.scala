@@ -31,6 +31,13 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** sourceOverlap's distinct (slice, shingle) relation feeds the size
+    * aggregate and BOTH sides of the self-join — without the slot the
+    * corpus is shingled three times (the e39/v22 multi-consumer
+    * lesson).
+    */
+  private val overlapSlot = new CacheSlot
+
   /** The shared gate + exact-dedup head of [[curate]] and
     * [[curateClustered]]: quality thresholds (token count, alphabetic
     * density), then keep the smallest id per exact-text (md5) group.
@@ -488,11 +495,11 @@ object Corpus {
       sliceCol: String,
       textCol: String,
       n: Int = 3): DataFrame = {
-    val sg = docs
+    val sg = overlapSlot.persist(docs
       .select(col(sliceCol).as("slice"),
         explode(graft.functions.NGramShingles.ngram_shingles(col(textCol), n)).as("g"))
       .where(col("slice").isNotNull)
-      .distinct()
+      .distinct())
     val sizes = sg.groupBy("slice").agg(count(lit(1)).as("n_sh"))
     val shared = sg.select(col("slice").as("slice_a"), col("g"))
       .join(sg.select(col("slice").as("slice_b"), col("g")), Seq("g"))

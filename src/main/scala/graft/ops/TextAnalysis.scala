@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** jsDivergence's (slice, word) histogram feeds four consumers (word
+    * totals, slice totals, the global total, the term join) — without
+    * the slot Spark re-tokenizes the corpus once per consumer (the
+    * e39/v22 multi-consumer lesson).
+    */
+  private val jsdHistSlot = new CacheSlot
+
   /** Whitespace tokens: non-space runs (`\S+`), so empty input yields an
     * empty array and trailing newlines/tabs never produce empty tokens —
     * identical semantics in the native shingle kernel and in DuckDB's
@@ -670,10 +677,11 @@ object TextAnalysis {
       docs: DataFrame,
       sliceCol: String,
       textCol: String): DataFrame = {
-    val wc = docs.select(col(sliceCol).as("key"),
-        explode(tokens(lower(col(textCol)))).as("word"))
-      .where(col("key").isNotNull && length(col("word")) > 0)
-      .groupBy("key", "word").agg(count(lit(1)).as("cp"))
+    val wc = jsdHistSlot.persist(
+      docs.select(col(sliceCol).as("key"),
+          explode(tokens(lower(col(textCol)))).as("word"))
+        .where(col("key").isNotNull && length(col("word")) > 0)
+        .groupBy("key", "word").agg(count(lit(1)).as("cp")))
     val tot = wc.groupBy("word").agg(sum(col("cp")).as("ct"))
     val sl = wc.groupBy("key")
       .agg(sum(col("cp")).as("n1"), count(lit(1)).as("n_types"))

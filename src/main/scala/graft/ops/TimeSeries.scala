@@ -242,8 +242,12 @@ object TimeSeries {
       keyCol: String,
       xCol: String,
       yCol: String): DataFrame = {
-    val pts = df.select(col(keyCol).as("key"),
-      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    // both sides of the pair self-join re-derive the (usually
+    // event-scan-backed) series without the slot — the e39/v22
+    // multi-consumer lesson; the series itself is calendar-tiny
+    val pts = trendPtsSlot.persist(
+      df.select(col(keyCol).as("key"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y")))
     val pairs = pts
       .join(pts.select(col("key"), col("x").as("x2"), col("y").as("y2")), Seq("key"))
       .where(col("x2") > col("x"))
@@ -450,6 +454,12 @@ object TimeSeries {
   }
 
   private val dailySlot = new CacheSlot
+
+  /** Shared by [[theilSenTrend]] and [[mannKendall]]: the per-key
+    * series feeds a pair self-join (twice) and a tie/assembly branch —
+    * slot-cached so the upstream (usually a full event scan) runs once.
+    */
+  private val trendPtsSlot = new CacheSlot
 
   /** The (key, day, a_cents) daily series shared by the monitoring
     * tier — PERSISTED through a slot, because a monitor composition
@@ -671,8 +681,11 @@ object TimeSeries {
       keyCol: String,
       xCol: String,
       yCol: String): DataFrame = {
-    val pts = df.select(col(keyCol).as("key"),
-      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    // pair join (both sides) + tie histogram = three consumers of the
+    // series derivation without the slot
+    val pts = trendPtsSlot.persist(
+      df.select(col(keyCol).as("key"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y")))
     val pairs = pts
       .join(pts.select(col("key"), col("x").as("x2"), col("y").as("y2")), Seq("key"))
       .where(col("x2") > col("x"))

@@ -437,6 +437,33 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).length >= 4, p)
   }
 
+  test("t39: JSD reads the corpus through ONE cached token histogram — " +
+       "word totals, slice totals, the global total, and the term join all derive") {
+    val p = plan("t39_js_divergence")
+    assert("FileScan parquet".r.findAllIn(p).length ==
+      "InMemoryRelation".r.findAllIn(p).length,
+      s"an uncached corpus tokenization leaked:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 4, p)
+  }
+
+  test("d15: source overlap shingles the corpus ONCE — sizes and both " +
+       "self-join sides read the cached distinct relation") {
+    val p = plan("d15_source_overlap")
+    assert("FileScan parquet".r.findAllIn(p).length ==
+      "InMemoryRelation".r.findAllIn(p).length,
+      s"an uncached shingle scan leaked:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3, p)
+  }
+
+  test("e51: Mann–Kendall's pair join and tie histogram read the cached series — " +
+       "no uncached event re-scan per consumer") {
+    val p = plan("e51_mann_kendall")
+    assert("FileScan parquet".r.findAllIn(p).length ==
+      "InMemoryRelation".r.findAllIn(p).length * 2, // series lineage = days + day0 scans
+      s"an uncached series derivation leaked:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3, p)
+  }
+
   test("x39: PSI is one scan — bin cells feed totals and terms through one window chain") {
     val p = plan("x39_psi_drift")
     assert("FileScan parquet".r.findAllIn(p).length == 1,
