@@ -1977,6 +1977,17 @@ object SparkEntry {
     "t10_split" -> ((s, dir) =>
       graft.ops.Corpus.assignSplit(t(s, dir, "documents"), "doc_id", 90, 5)),
 
+    // ---- T: split-leakage gate — exact-text contamination of val/test
+    //      by train after the id-keyed split (the silent eval-inflation
+    //      bug); hash-histogram shape, rows never enter a window ----
+    "t40_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sp = graft.ops.Corpus.assignSplit(docs, "doc_id", 90, 5)
+      graft.ops.Corpus.splitLeakage(
+        docs.select(col("doc_id"), col("text")).join(sp, Seq("doc_id")),
+        "split", "text")
+    }),
+
     // ---- X: deterministic fixed-size per-stratum sample — exactly 5
     //      customers per nation by smallest md5 priority, planned as
     //      the bounded-heap partial top-k (constant score, key =
@@ -7156,6 +7167,27 @@ object SparkEntry {
               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
               ELSE 'test' END AS split
          FROM documents""",
+
+    // t10's split replayed, then the (text-md5, split) histogram with a
+    // hash-partitioned train-membership flag — exact-hash leakage only
+    "t40_split_leakage" ->
+      """WITH sp AS (SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+           FROM documents),
+         c AS (SELECT md5(d.text) AS h, sp.split, COUNT(*) AS c
+               FROM documents d JOIN sp USING (doc_id)
+               WHERE d.text IS NOT NULL GROUP BY 1, 2),
+         w AS (SELECT split, c,
+                 MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY h) AS in_ref
+               FROM c)
+         SELECT split, CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN in_ref = 1 THEN c ELSE 0 END) AS BIGINT) AS n_leaked,
+           (10000 * CAST(SUM(CASE WHEN in_ref = 1 THEN c ELSE 0 END) AS BIGINT))
+             // CAST(SUM(c) AS BIGINT) AS leak_bp
+         FROM w WHERE split <> 'train' GROUP BY 1""",
 
     // same md5-priority recipe as t10's buckets: md5 of the id's decimal
     // string; the fixed-width hex prefix makes string order == (md5, id)

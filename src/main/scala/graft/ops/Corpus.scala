@@ -182,6 +182,43 @@ object Corpus {
       .drop("bucket")
   }
 
+  /** Split-leakage gate: how many val/test documents' EXACT text also
+    * appears in the reference (train) split? The classic silent eval
+    * bug — [[assignSplit]] is id-keyed, so duplicated CONTENT lands in
+    * different splits and inflates every held-out metric; this is the
+    * check a pipeline runs right after splitting (exact-hash tier —
+    * near-dup leakage is [[decontaminate]]'s n-gram business).
+    *
+    * Scale shape (the x15 discipline): one scan into the
+    * (text-md5, split) histogram; the reference-membership flag is a
+    * hash-partitioned window over that histogram (hash-grain, never
+    * rows), one split-grain rollup after. All-integer, floored-bp
+    * share.
+    *
+    * @param df pre-split corpus: one row per doc with splitCol + textCol
+    * @return one row per non-reference split: (split, n_docs, n_leaked,
+    *         leak_bp)
+    */
+  def splitLeakage(
+      df: DataFrame,
+      splitCol: String,
+      textCol: String,
+      refSplit: String = "train"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = df
+      .select(col(splitCol).as("split"), md5(col(textCol)).as("h"))
+      .where(col("h").isNotNull)
+      .groupBy("h", "split").agg(count(lit(1)).as("c"))
+    c.withColumn("in_ref",
+        max(when(col("split") === refSplit, 1).otherwise(0))
+          .over(Window.partitionBy("h")))
+      .where(col("split") =!= refSplit)
+      .groupBy("split")
+      .agg(sum(col("c")).as("n_docs"),
+        sum(when(col("in_ref") === 1, col("c")).otherwise(0L)).as("n_leaked"))
+      .withColumn("leak_bp", expr("(10000 * n_leaked) div n_docs"))
+  }
+
   /** Deterministic stratified corpus mixing — the domain-reweighting
     * pass of a training-data pipeline (e.g. keep all English, half the
     * German, a third of the Chinese). Per-stratum keep rates are BASIS

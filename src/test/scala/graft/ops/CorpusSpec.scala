@@ -458,4 +458,20 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       ("a", "c") -> ((2L, 1L, 0L, 0L, 0L)),
       ("b", "c") -> ((1L, 1L, 0L, 0L, 0L))))
   }
+
+  test("splitLeakage: only text present in train leaks; within-split dups are not leakage") {
+    import spark.implicits._
+    val df = Seq(
+      ("train", "alpha"), ("train", "beta"),
+      ("val", "alpha"),                      // leaks (in train)
+      ("val", "gamma"), ("val", "gamma"),    // val-internal dup: NOT leakage
+      ("test", "beta"), ("test", "beta"),    // both copies leak
+      ("test", "delta")).toDF("split", "text")
+    val out = Corpus.splitLeakage(df, "split", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      "val" -> ((3L, 1L, 3333L)),
+      "test" -> ((3L, 2L, 6666L))))
+  }
 }
