@@ -1409,6 +1409,25 @@ object SparkEntry {
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // ---- SRC: Avro object-container roundtrip — typed nullable
+    //      unions, a binary column carried as real bytes (surfaced as
+    //      its md5 hex at the boundary), deflate blocks; write one
+    //      container per partition, read one task per file ----
+    "src11_avro_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        expr("NULLIF(lang, 'de')").as("lang"), // exercise the null union
+        col("n_chars"),
+        (col("n_chars") % 2 === 0).as("is_even"),
+        unhex(md5(col("text"))).as("payload"))
+      val scratch = java.nio.file.Files.createTempDirectory("graft_src11_avro_").toFile
+      org.apache.spark.graft.sparkShims.deleteDirOnExit(scratch)
+      graft.sources.AvroSource.write(docs, scratch.getAbsolutePath)
+      graft.sources.AvroSource.read(s, scratch.getAbsolutePath, docs.schema)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          col("is_even"), lower(hex(col("payload"))).as("payload_md5"))
+    }),
+
     // ---- W1/F1: ranking window dedup ----
     "w1_window_dedup" -> ((s, dir) => {
       // l_linenumber is not unique per order in this synthetic data — add
@@ -3929,6 +3948,13 @@ object SparkEntry {
 
     "src4_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    // what a lossless container roundtrip must reproduce, including the
+    // binary payload's md5 identity and the NULLified union cells
+    "src11_avro_roundtrip" ->
+      """SELECT doc_id, text, NULLIF(lang, 'de') AS lang, n_chars,
+           n_chars % 2 = 0 AS is_even, md5(text) AS payload_md5
+         FROM documents""",
 
     // the engine's fixed-point power iteration replayed exactly: 5
     // unrolled rounds, all-integer micro-unit ranks (both `//` and
