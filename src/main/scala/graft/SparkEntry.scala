@@ -2055,6 +2055,25 @@ object SparkEntry {
         emb, emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding", 5)
     }),
 
+    // ---- V: binary (sign) quantization recall report — 1 bit/dim
+    //      packed words vs exact brute force; BOTH tiers deterministic,
+    //      so the whole report hash-oracles (the v23 stance: a
+    //      measurement operator must be allowed to say no) ----
+    "v26_binary_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 10 === 0)
+      val bf = graft.ops.Similarity
+        .bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id")
+      val bq = graft.ops.Similarity
+        .binaryQuantTopK(emb, q, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id")
+      val hit = bf.join(bq, Seq("query_id", "neighbor_id"), "left_semi")
+      bf.agg(count(lit(1)).as("n_bf"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_bp", expr("(10000 * n_hit) div n_bf"))
+    }),
+
     // ---- V: MMR diversification — retrieve-then-rerank composition:
     //      brute-force top-15 per query, then 5 greedy MMR rounds at
     //      λ=0.7 (integer basis points — see Similarity.mmrDiversify) ----
@@ -6606,6 +6625,51 @@ object SparkEntry {
     "v20_sq_recall" -> ivfRecallOracle,
 
     "v22_embedding_drift" -> embeddingDriftOracle,
+
+    // both tiers replayed exactly: the v1 cosine tree AND the binary
+    // tier (integer quantize → floored-mean thresholds → ±1 signs →
+    // exact signed dot), so recall_bp itself hash-matches
+    "v26_binary_recall" ->
+      """WITH ci AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(ROUND(x::DOUBLE * 1000000) AS BIGINT)) AS cv
+                FROM embeddings),
+         dx AS (SELECT pos, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n
+                FROM (SELECT unnest(range(1, len(cv)+1)) AS pos,
+                        unnest(cv) AS x FROM ci) GROUP BY 1),
+         th AS (SELECT pos, (s - ((s % n + n) % n)) // n AS t FROM dx),
+         thl AS (SELECT list(t ORDER BY pos) AS tl FROM th),
+         sg AS (SELECT vec_id AS neighbor_id,
+                  list_transform(range(1, len(cv)+1),
+                    i -> CASE WHEN cv[i] >= tl[i] THEN 1 ELSE -1 END) AS sgn
+                FROM ci, thl),
+         qi AS (SELECT vec_id AS query_id, cv AS qv FROM ci
+                WHERE vec_id % 10 = 0),
+         sb AS (SELECT query_id, neighbor_id,
+                  CAST(list_sum(list_transform(range(1, len(qv)+1),
+                    i -> qv[i] * sgn[i])) AS BIGINT) AS score
+                FROM sg CROSS JOIN qi WHERE neighbor_id <> query_id),
+         rb AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank
+                FROM sb),
+         q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id % 10 = 0),
+         sf AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+         rf AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM sf)
+         SELECT (SELECT COUNT(*) FROM rf WHERE rank <= 5) AS n_bf,
+           (SELECT COUNT(*) FROM rf JOIN rb USING (query_id, neighbor_id)
+            WHERE rf.rank <= 5 AND rb.rank <= 5) AS n_hit,
+           (10000 * (SELECT COUNT(*) FROM rf JOIN rb USING (query_id, neighbor_id)
+                     WHERE rf.rank <= 5 AND rb.rank <= 5))
+             // (SELECT COUNT(*) FROM rf WHERE rank <= 5) AS recall_bp""",
 
     // BOTH tiers replayed exactly (the v1 cosine tree, once over all
     // dims and once over the 16-dim prefix), so the recall itself

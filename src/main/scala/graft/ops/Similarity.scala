@@ -223,6 +223,70 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Binary (sign) quantization top-k — the FOURTH compression family
+    * (raw IVF, PQ, SQ, and now 1 bit/dimension): each corpus vector
+    * collapses to sign bits against per-dimension thresholds, PACKED
+    * into one 64-bit word per ≤64 dims — a 32× storage cut over float32
+    * and the cheapest possible scan (the modern "binary quantization"
+    * rerank-candidate tier, e.g. RaBitQ-style deployments). Scoring is
+    * ASYMMETRIC: the full-precision query dots the corpus SIGNS
+    * (`Σ_d ±q_d`), which preserves far more ranking signal than
+    * symmetric Hamming.
+    *
+    * Determinism: queries and thresholds integerize once
+    * (`round(x·scaleFp)`, the v15 recipe); thresholds are per-dimension
+    * FLOORED integer means (positive-mod floor — dimension sums go
+    * negative); a value AT the threshold sets the bit (`>=`,
+    * documented); the score is an exact integer sum, order-immune, so
+    * the ranking and any recall report over it hash-replay. Bit 63
+    * packs into the long's sign bit — bitwise, not arithmetic, so it
+    * roundtrips (spec-pinned).
+    *
+    * Scale shape: one posexplode pass folds the corpus to a dims-sized
+    * threshold row (broadcast like a codebook); packing is one codegen
+    * projection; the |Q|·n scoring pass streams 8-byte words instead of
+    * 256-byte vectors — the compression IS the speed — and the
+    * per-query top-k rides the bounded heap below the exchange, never a
+    * window sort.
+    *
+    * @param scaleFp fixed-point scale for queries/thresholds
+    * @return (query_id, neighbor_id, score — exact signed integer as
+    *         double, rank)
+    */
+  def binaryQuantTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      scaleFp: Long = 1000000L): DataFrame = {
+    def intVec(df: DataFrame, as: String) =
+      df.select(col(idCol), expr(
+        s"""transform($vecCol, x ->
+              CAST(round(CAST(x AS DOUBLE) * ${scaleFp}L) AS BIGINT))""").as(as))
+    val c0 = intVec(corpus, "cv").withColumnRenamed(idCol, "neighbor_id")
+    val thr = c0.select(posexplode(col("cv")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("t", expr("(s - ((s % n + n) % n)) div n"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("t")))).as("st"))
+      .select(expr("transform(st, e -> e.t)").as("thr"))
+    val packed = c0.crossJoin(broadcast(thr))
+      .withColumn("word", expr(
+        """CASE WHEN size(cv) > 64 THEN
+             CAST(raise_error('binaryQuantTopK supports at most 64 dims per word') AS BIGINT)
+           ELSE aggregate(transform(cv, (x, i) ->
+             IF(x >= thr[i], shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)
+           END"""))
+      .select("neighbor_id", "word")
+    val q = intVec(queries, "qv").withColumnRenamed(idCol, "query_id")
+    val scored = packed.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", expr(
+        """aggregate(transform(qv, (x, i) ->
+             IF((shiftright(word, i) & 1) = 1, x, -x)),
+           0L, (a, b) -> a + b)""").cast("double"))
+    rankTopK(scored, k).withColumnRenamed("cosine", "score")
+  }
+
   /** Sparse TF-IDF cosine top-k over TEXT — the term-at-a-time inverted-
     * index formulation (the sparse complement of the dense ANN tiers:
     * lexical retrieval, BM25-family scoring, "more like this"). Never a

@@ -647,4 +647,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val out = Similarity.rrfFuse(Seq(a, b), rrfK = 60, k = 1).collect()
     assert(out.length == 1 && out.head.getLong(1) == 40L)
   }
+
+  test("binaryQuantTopK: signs against floored-mean thresholds, exact signed dot") {
+    import spark.implicits._
+    // thresholds: per-dim mean of (1e6, −1e6) = 0; a → (+,−), b → (−,+);
+    // score(a→b) = 1e6·(−1) + (−1e6)·(+1) = −2e6 exactly (and symmetric)
+    val emb = Seq((1L, Seq(1.0f, -1.0f)), (2L, Seq(-1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.binaryQuantTopK(emb, emb, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(1L -> ((2L, -2000000.0)), 2L -> ((1L, -2000000.0))))
+  }
+
+  test("binaryQuantTopK: dimension 63 packs into the long's sign bit and roundtrips") {
+    import spark.implicits._
+    def oneHot(d: Int, v: Float) =
+      Seq.tabulate(64)(i => if (i == d) v else 0.0f)
+    val emb = Seq((1L, oneHot(63, 1.0f)), (2L, oneHot(63, -1.0f)))
+      .toDF("vec_id", "embedding")
+    // sgn of vec 2 at d63 is −1 (−1e6 < threshold 0), +1 elsewhere
+    // (zeros tie the threshold and >= sets the bit); query 1 has mass
+    // only at d63 → score(1→2) = 1e6·(−1) = −1e6. If bit 63 were
+    // mis-packed (arithmetic instead of bitwise) the sign would flip.
+    val out = Similarity.binaryQuantTopK(emb, emb, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == Map(1L -> -1000000.0, 2L -> -1000000.0))
+  }
 }
