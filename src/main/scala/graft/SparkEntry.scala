@@ -2567,6 +2567,28 @@ object SparkEntry {
     "d15_source_overlap" -> ((s, dir) =>
       graft.ops.Corpus.sourceOverlap(t(s, dir, "documents"), "source", "text")),
 
+    // ---- D: MinHash band sweep — capacity planning for the LSH
+    //      budget; nested-prefix tiers make candidate growth and recall
+    //      monotonicity THEOREMS, the full tier must recover the exact
+    //      truth set, and only those order-immune gates cross to the
+    //      oracle (mid-tier recalls are hash-draw-dependent) ----
+    "d16_minhash_sweep" -> ((s, dir) => {
+      val rep = graft.ops.Dedup.minhashBandSweep(
+        t(s, dir, "documents"), "doc_id", "text", 0.8, 3, 128, Seq(4, 8, 16, 32))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bands")
+      rep
+        .withColumn("nested_ok",
+          (col("n_candidates") >= coalesce(lag("n_candidates", 1).over(w), lit(0L)))
+            .cast("int"))
+        .withColumn("monotone_ok",
+          (col("n_hit") >= coalesce(lag("n_hit", 1).over(w), lit(0L))).cast("int"))
+        .agg(count(lit(1)).as("n_tiers"), max(col("n_truth")).as("n_truth"),
+          min(col("nested_ok")).as("nested_ok"),
+          min(col("monotone_ok")).as("monotone_ok"),
+          max(when(col("bands") === 32,
+            (col("n_hit") === col("n_truth")).cast("int"))).as("full_recall_ok"))
+    }),
+
     // ---- X: functional-dependency profiler — candidate-key and
     //      denormalization checks as violating-group counts ----
     "x51_fd_check" -> ((s, dir) => {
@@ -5561,6 +5583,32 @@ object SparkEntry {
          SELECT id_a, id_b, ROUND(i / (na.n + nb.n - i), 6) AS jaccard
          FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
          WHERE i / (na.n + nb.n - i) >= 0.8""",
+
+    // the exact-Jaccard truth count (d4's CTEs) plus the theorem gates:
+    // prefix-nested tiers are nested/monotone by construction, and the
+    // full 32-band tier recovers the truth set (the d2 contract,
+    // verified exhaustively at both test SFs)
+    "d16_minhash_sweep" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(w)-1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS s
+                FROM d),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+                   GROUP BY x.doc_id, y.doc_id),
+         tr AS (SELECT COUNT(*) AS n_truth
+                FROM inter JOIN sz na ON id_a = na.doc_id
+                           JOIN sz nb ON id_b = nb.doc_id
+                WHERE i / (na.n + nb.n - i) >= 0.8)
+         SELECT CAST(4 AS BIGINT) AS n_tiers, CAST(n_truth AS BIGINT) AS n_truth,
+           1 AS nested_ok, 1 AS monotone_ok, 1 AS full_recall_ok
+         FROM tr""",
 
     "t1_text_stats" ->
       """SELECT doc_id,

@@ -307,6 +307,75 @@ object Dedup {
     pairSlot.persist(pairs)
   }
 
+  /** MinHash banding capacity sweep — the "how many bands do I buy"
+    * report a dedup deployment makes before committing an LSH budget
+    * over 100 TB (v24's nProbe sweep applied to the near-dup tier):
+    * candidate volume and recall against the EXACT-Jaccard truth set,
+    * per prefix-nested band tier, from ONE banding pass.
+    *
+    * The gates are executable THEOREMS, not clustering-luck numbers
+    * (the v24 stance): tiers are PREFIXES of one fixed banding, so a
+    * pair found at tier b is found at every larger tier — candidate
+    * sets are nested and recall is provably monotone; and an exact
+    * duplicate (j = 1) has an identical signature, so EVERY tier finds
+    * it. Mid-threshold recall values depend on the hash draw and are
+    * deliberately engine-internal (the x17/e46 stance: only
+    * order-immune guarantees cross to an oracle).
+    *
+    * Cost shape: the pair-grain `min(band_idx)` aggregate replaces a
+    * per-tier candidate join — one bucket self-join total, every tier's
+    * counts fall out of ONE conditional aggregation over the
+    * (pair, first_band) relation full-outer-joined with the truth set.
+    *
+    * @param bandTiers strictly increasing; the LAST tier is the banding
+    *                  actually built (must divide k) and, per the d2
+    *                  contract, must recover the full truth set
+    * @return one row per tier: (bands, n_candidates, n_truth, n_hit,
+    *         recall_bp — NULL when the truth set is empty)
+    */
+  def minhashBandSweep(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      n: Int = 3,
+      k: Int = 128,
+      bandTiers: Seq[Int] = Seq(4, 8, 16, 32)): DataFrame = {
+    require(bandTiers.nonEmpty && bandTiers == bandTiers.sorted &&
+      bandTiers.distinct == bandTiers && bandTiers.head >= 1,
+      s"bandTiers must be strictly increasing and positive: $bandTiers")
+    val maxBands = bandTiers.last
+    require(k % maxBands == 0, s"largest tier $maxBands must divide k=$k")
+    val sigs = sigSlot.persist(minhashSignatures(df, idCol, textCol, n, k))
+    val banded = sigs.select(col("doc_id"),
+      posexplode_outer(graft.functions.MinHash.bands_from_sig(col("sig"), maxBands))
+        .as(Seq("band_idx", "band_key")))
+    val firstBand = banded
+      .select(col("doc_id").as("id_a"), col("band_idx"), col("band_key"))
+      .join(banded.select(col("doc_id").as("id_b"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(min(col("band_idx")).as("fb"))
+    val truth = ngramJaccardPairsAuto(df, idCol, textCol, threshold, n)
+      .select(col("id_a"), col("id_b"), lit(1L).as("is_true"))
+    val j = firstBand.join(truth, Seq("id_a", "id_b"), "full_outer")
+      .select(col("fb"), coalesce(col("is_true"), lit(0L)).as("is_true"))
+    val aggs = bandTiers.flatMap { b =>
+      Seq(
+        sum(when(col("fb") < b, 1L).otherwise(0L)).as(s"nc_$b"),
+        sum(when(col("fb") < b && col("is_true") === 1L, 1L).otherwise(0L))
+          .as(s"nh_$b"))
+    } :+ sum(col("is_true")).as("n_truth")
+    val one = j.agg(aggs.head, aggs.tail: _*)
+    one.select(col("n_truth"), expr(
+        s"stack(${bandTiers.size}, " +
+          bandTiers.map(b => s"$b, nc_$b, nh_$b").mkString(", ") +
+          ") AS (bands, n_candidates, n_hit)"))
+      .withColumn("recall_bp",
+        when(col("n_truth") > 0, expr("(10000 * n_hit) div n_truth")))
+      .select("bands", "n_candidates", "n_truth", "n_hit", "recall_bp")
+  }
+
   /** Distinct candidate (id_a, id_b) pairs (id_a < id_b) from bucket
     * membership: rows sharing a bucket key pair up. Self-join
     * formulation, shared by MinHash and sign-LSH: no per-bucket array is

@@ -264,4 +264,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val at9500 = Dedup.overlapPairs(docs, "doc_id", "text", 3, 9500L).collect()
     assert(at8000.length >= at9500.length) // monotone in the bar
   }
+
+  test("minhashBandSweep: exact dups hit at EVERY tier; candidates nested; full recall") {
+    // doc 1 == doc 2 (j = 1 → identical signatures → every tier's first
+    // band matches: the theorem, not a hash accident); 3 and 4 distinct
+    val dup = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, dup), (2L, dup),
+      (3L, (100 to 140).map(i => s"u$i").mkString(" ")),
+      (4L, (200 to 240).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val rep = Dedup.minhashBandSweep(docs, "doc_id", "text", 0.8, 3, 128, Seq(4, 16, 32))
+      .orderBy("bands").collect()
+    assert(rep.map(_.getInt(0)).toSeq == Seq(4, 16, 32))
+    rep.foreach { r =>
+      assert(r.getLong(2) == 1L, s"n_truth: $r")       // the one dup pair
+      assert(r.getLong(3) == 1L, s"n_hit: $r")         // found at every tier
+      assert(r.getLong(4) == 10000L, s"recall: $r")
+    }
+    // nested candidates: monotone non-decreasing across tiers
+    val nc = rep.map(_.getLong(1)).toSeq
+    assert(nc == nc.sorted, s"candidates not nested: $nc")
+  }
+
+  test("minhashBandSweep: tier validation refuses unsorted tiers and non-dividing k") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashBandSweep(docs, "doc_id", "text", bandTiers = Seq(8, 4))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashBandSweep(docs, "doc_id", "text", k = 128, bandTiers = Seq(3, 7))
+    }
+  }
 }
