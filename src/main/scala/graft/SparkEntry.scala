@@ -1803,6 +1803,13 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "text")
         .withColumnRenamed("slice", "lang")),
 
+    // ---- T: code-switching gate — 20-token chunk langid votes vs the
+    //      doc-level verdict; 'und' chunks reported but excluded from
+    //      the disagreement ratio ----
+    "t41_code_switching" -> ((s, dir) =>
+      graft.ops.TextAnalysis.codeSwitching(
+        t(s, dir, "documents"), "doc_id", "text", chunkTokens = 20)),
+
     // ---- T: Jensen–Shannon token-distribution divergence — each
     //      language slice vs the corpus complement; exact cross-
     //      multiplied count ratios through the shared lnRatioMicroSql
@@ -3373,6 +3380,28 @@ object SparkEntry {
     * HUGEINT moment sums, and the shared cosine tree
     * ([[graft.ops.Stats.cosineOfMomentsSql]]).
     */
+  /** The t2 marker-count langid scoring replayed over a DuckDB token
+    * list — emitted by the t41 oracle for both the doc and chunk grains
+    * (same five-marker sums, same en/es/fr/de tie order as
+    * [[graft.ops.TextAnalysis.langId]]).
+    */
+  private def langScoresSql(arr: String): String = {
+    def cnt(words: Seq[String]) =
+      words.map(m => s"len(list_filter($arr, x -> x = '$m'))").mkString(" + ")
+    s"""${cnt(Seq("the", "and", "of", "to", "a"))} AS s_en,
+       ${cnt(Seq("el", "la", "de", "que", "los"))} AS s_es,
+       ${cnt(Seq("le", "les", "des", "et", "une"))} AS s_fr,
+       ${cnt(Seq("der", "die", "und", "das", "ein"))} AS s_de"""
+  }
+
+  private val langVerdictSql: String =
+    """CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+         WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de) THEN 'en'
+         WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de) THEN 'es'
+         WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
+         WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de) THEN 'de'
+         ELSE 'und' END"""
+
   private def embeddingDriftOracle: String = {
     val cos = graft.ops.Stats.cosineOfMomentsSql("dot", "nc", "ng")
     s"""WITH q AS (SELECT label,
@@ -6329,6 +6358,34 @@ object SparkEntry {
            (10000 * CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT))
              // COUNT(*) AS hapax_bp
          FROM wc GROUP BY lang""",
+
+    // doc-level and chunk-level verdicts from the SAME t2 scoring tree
+    // (langScoresSql/langVerdictSql); chunks are 20-token list slices
+    "t41_code_switching" ->
+      s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+                     FROM documents WHERE text IS NOT NULL),
+         d2 AS (SELECT doc_id, w FROM d WHERE len(w) >= 1),
+         ds AS (SELECT doc_id, w, ${langScoresSql("w")} FROM d2),
+         doc AS (SELECT doc_id, w, $langVerdictSql AS doc_pred FROM ds),
+         ch AS (SELECT doc_id, doc_pred,
+                  unnest(list_transform(range(0, CAST(ceil(len(w) / 20.0) AS INT)),
+                    i -> w[(i*20+1):(i*20+20)])) AS cw
+                FROM doc),
+         cs AS (SELECT doc_id, doc_pred, ${langScoresSql("cw")} FROM ch),
+         cp AS (SELECT doc_id, doc_pred, $langVerdictSql AS chunk_pred FROM cs)
+         SELECT doc_id, doc_pred, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN chunk_pred = 'und' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_und,
+           CAST(SUM(CASE WHEN chunk_pred <> 'und' AND chunk_pred <> doc_pred
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+           CASE WHEN COUNT(*) >
+               SUM(CASE WHEN chunk_pred = 'und' THEN 1 ELSE 0 END) THEN
+             (10000 * CAST(SUM(CASE WHEN chunk_pred <> 'und'
+                AND chunk_pred <> doc_pred THEN 1 ELSE 0 END) AS BIGINT))
+             // CAST(COUNT(*) - SUM(CASE WHEN chunk_pred = 'und'
+                THEN 1 ELSE 0 END) AS BIGINT)
+           END AS mixed_bp
+         FROM cp GROUP BY 1, 2""",
 
     // the t36 vocab histogram feeding the shared lnRatioMicroSql tree;
     // uncovered rest mass is the 693147·(n2 − Σcq) closed form, final

@@ -103,6 +103,54 @@ object TextAnalysis {
       .drop("__toks" +: scoreCols: _*)
   }
 
+  /** Code-switching / language-consistency gate: chunk each document
+    * into fixed token windows, language-ID every chunk ([[withLangPred]]
+    * — the staged form; the single-Column form re-runs the regexp ~20×
+    * per row), and report how many informative chunks DISAGREE with the
+    * document-level verdict. A doc-level langid happily labels a
+    * half-English-half-German page "en" and poisons a monolingual
+    * training mix — the per-chunk vote is the standard (Dolma-style)
+    * paragraph-level defense. Chunks with no marker hits ('und') are
+    * reported but EXCLUDED from the disagreement ratio: a fragment with
+    * zero stopwords is uninformative, not contradictory.
+    *
+    * Scale shape: one corpus scan; the chunk fan-out is doc-grain
+    * (bounded by tokens/chunkTokens per doc) and re-aggregates on the
+    * id — no corpus-wide shuffle beyond the final rollup. All-integer
+    * counts, floored-bp ratio, NULL when every chunk is uninformative.
+    *
+    * @return (idCol, doc_pred, n_chunks, n_und, n_disagree, mixed_bp)
+    *         for documents with ≥ 1 token
+    */
+  def codeSwitching(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 20): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val base = withLangPred(
+      docs.where(col(textCol).isNotNull).select(col(idCol), col(textCol)),
+      textCol, "doc_pred")
+      .withColumn("w", tokens(lower(col(textCol))))
+      .where(size(col("w")) >= 1)
+    val chunks = base.select(col(idCol), col("doc_pred"),
+      explode(expr(
+        s"""transform(sequence(0, CAST((size(w) + ${chunkTokens - 1})
+              div $chunkTokens AS INT) - 1),
+            i -> array_join(slice(w, i * $chunkTokens + 1, $chunkTokens), ' '))"""))
+        .as("chunk"))
+    withLangPred(chunks, "chunk", "chunk_pred")
+      .groupBy(col(idCol), col("doc_pred"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_pred") === "und", 1L).otherwise(0L)).as("n_und"),
+        sum(when(col("chunk_pred") =!= "und" &&
+          col("chunk_pred") =!= col("doc_pred"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .withColumn("mixed_bp",
+        when(col("n_chunks") > col("n_und"),
+          expr("(10000 * n_disagree) div (n_chunks - n_und)")))
+  }
+
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0)

@@ -366,6 +366,35 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(r.fieldIndex("fit_corr")))
   }
 
+  private def cs(chunkTokens: Int, docs: (Long, String)*): Map[Long, (String, Long, Long, Long, Option[Long])] = {
+    import spark.implicits._
+    TextAnalysis.codeSwitching(docs.toDF("doc_id", "text"), "doc_id", "text", chunkTokens)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))))
+      .toMap
+  }
+
+  test("codeSwitching: a half-English half-German page flags exactly its German half") {
+    // 40 tokens → two 20-token chunks: chunk 1 carries 5 en markers,
+    // chunk 2 carries 4 de markers → doc verdict 'en' (5 > 4), chunk
+    // verdicts (en, de) → 1 of 2 informative chunks disagrees = 5000 bp
+    val english = "the and of to a " + (1 to 15).map(i => s"x$i").mkString(" ")
+    val german = "der die und das " + (1 to 16).map(i => s"y$i").mkString(" ")
+    val out = cs(20, (1L, s"$english $german"))
+    assert(out(1L) == (("en", 2L, 0L, 1L, Some(5000L))))
+  }
+
+  test("codeSwitching: consistent docs read 0; marker-free docs are all-und → NULL ratio") {
+    val pure = "the and of to a " + (1 to 15).map(i => s"x$i").mkString(" ") +
+      " the and of to a " + (1 to 15).map(i => s"z$i").mkString(" ")
+    val noise = (1 to 25).map(i => s"q$i").mkString(" ")
+    val out = cs(20, (1L, pure), (2L, noise))
+    assert(out(1L) == (("en", 2L, 0L, 0L, Some(0L))))
+    assert(out(2L) == (("und", 2L, 2L, 0L, None)))
+  }
+
   private def jsd(docs: (String, String)*): Map[String, (Long, Long, Long, Option[Long])] = {
     import spark.implicits._
     TextAnalysis.jsDivergence(docs.toDF("s", "text"), "s", "text")
