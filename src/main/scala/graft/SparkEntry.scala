@@ -2062,6 +2062,39 @@ object SparkEntry {
         emb, emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding", 5)
     }),
 
+    // ---- V: contrastive triplet mining — hardest positive (least-
+    //      similar same-label) + hardest negative (most-similar
+    //      different-label) per anchor, violation flag on full-precision
+    //      doubles; the training-pair generation step ----
+    "v28_triplet_mine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.tripletMine(
+        emb, emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding", "label")
+    }),
+
+    // ---- D: quality-aware dedup survivor — near-dup clusters keep the
+    //      LONGEST member (the C4 policy), not the smallest id ----
+    "d17_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text", 0.8)
+      graft.ops.Corpus.dedupKeepBest(docs, pairs, "doc_id", "n_chars")
+    }),
+
+    // ---- X: JSON key census — schema-drift monitor over the props
+    //      payload; purchases get an augmented payload (built as an
+    //      IDENTICAL string in both engines) so the census is
+    //      non-degenerate ----
+    "x52_json_census" -> ((s, dir) => {
+      val aug = events(s, dir).withColumn("props2",
+        when(col("event_type") === "purchase",
+          concat(lit("{\"k\": "), get_json_object(col("props"), "$.k"),
+            lit(", \"cents\": "),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+            lit(", \"kind\": \"buy\"}")))
+          .otherwise(col("props")))
+      graft.ops.DataQuality.jsonKeyCensus(aug, "props2")
+    }),
+
     // ---- V: binary (sign) quantization recall report — 1 bit/dim
     //      packed words vs exact brute force; BOTH tiers deterministic,
     //      so the whole report hash-oracles (the v23 stance: a
@@ -6730,6 +6763,89 @@ object SparkEntry {
     "v20_sq_recall" -> ivfRecallOracle,
 
     "v22_embedding_drift" -> embeddingDriftOracle,
+
+    // the v1 cosine tree scored once; hardest positive = (cos ASC, id
+    // ASC) rank 1 among same-label, hardest negative = (cos DESC, id
+    // DESC) rank 1 among different-label — the struct-extreme
+    // tie-breaks mirrored exactly; violation compared pre-rounding
+    "v28_triplet_mine" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, embedding AS qe, label AS al
+                    FROM embeddings WHERE vec_id % 10 = 0),
+         s AS (SELECT anchor_id, al, c.vec_id AS nid, c.label AS cl,
+             list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+           FROM embeddings c CROSS JOIN a WHERE c.vec_id <> anchor_id),
+         p AS (SELECT anchor_id, al, nid, cos,
+                 ROW_NUMBER() OVER (PARTITION BY anchor_id
+                   ORDER BY cos ASC, nid ASC) AS rn
+               FROM s WHERE cl = al),
+         n AS (SELECT anchor_id, nid, cos,
+                 ROW_NUMBER() OVER (PARTITION BY anchor_id
+                   ORDER BY cos DESC, nid DESC) AS rn
+               FROM s WHERE cl <> al)
+         SELECT p.anchor_id, p.al AS label, p.nid AS pos_id,
+           ROUND(p.cos, 6) AS cos_pos, n.nid AS neg_id,
+           ROUND(n.cos, 6) AS cos_neg,
+           CASE WHEN n.cos >= p.cos THEN 1 ELSE 0 END AS violated
+         FROM p JOIN n ON p.anchor_id = n.anchor_id
+         WHERE p.rn = 1 AND n.rn = 1""",
+
+    // d6's recursive closure over the EXACT-Jaccard pairs, then the
+    // per-cluster (score DESC, id ASC) survivor with member counts
+    "d17_keep_best" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(w)-1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS s
+                FROM d),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+                   GROUP BY x.doc_id, y.doc_id),
+         pr AS (SELECT id_a, id_b
+               FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+               WHERE i / (na.n + nb.n - i) >= 0.8),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         lab AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+                 FROM reach GROUP BY src),
+         al AS (SELECT d0.doc_id, COALESCE(lab.cluster, d0.doc_id) AS cluster,
+                  d0.n_chars AS score
+                FROM documents d0 LEFT JOIN lab USING (doc_id)),
+         r AS (SELECT doc_id, cluster, score,
+                 COUNT(*) OVER (PARTITION BY cluster) AS n_members,
+                 ROW_NUMBER() OVER (PARTITION BY cluster
+                   ORDER BY score DESC, doc_id ASC) AS rn
+               FROM al)
+         SELECT doc_id, cluster, CAST(n_members AS BIGINT) AS n_members,
+           CAST(score AS BIGINT) AS score
+         FROM r WHERE rn = 1""",
+
+    // the identical augmented-payload string, keys via json_keys,
+    // values as unquoted strings, share over parseable rows
+    "x52_json_census" ->
+      """WITH e AS (SELECT CASE WHEN event_type = 'purchase' THEN
+                  '{"k": ' || json_extract_string(props, '$.k') || ', "cents": ' ||
+                  CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR) ||
+                  ', "kind": "buy"}'
+                ELSE props END AS p
+              FROM events),
+         e2 AS (SELECT p FROM e WHERE p IS NOT NULL),
+         kv AS (SELECT unnest(json_keys(p)) AS key, p FROM e2),
+         kv2 AS (SELECT key, json_extract_string(p, '$.' || key) AS value FROM kv),
+         tot AS (SELECT COUNT(*) AS n_rows FROM e2)
+         SELECT key, COUNT(*) AS n_present,
+           CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct,
+           (10000 * COUNT(*)) // (SELECT n_rows FROM tot) AS share_bp
+         FROM kv2 GROUP BY 1""",
 
     // both tiers replayed exactly: the v1 cosine tree AND the binary
     // tier (integer quantize → floored-mean thresholds → ±1 signs →

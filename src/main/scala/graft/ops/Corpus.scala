@@ -502,6 +502,42 @@ object Corpus {
       .withColumn("novelty_bp", expr("(10000 * n_novel) div n_ngrams"))
   }
 
+  /** Quality-aware dedup survivor selection: given near-dup PAIRS,
+    * cluster them (connected components) and keep the HIGHEST-QUALITY
+    * member of each cluster instead of the smallest id — the survivor
+    * policy real pipelines use (C4 keeps the longest document; a
+    * quality-classifier score slots in the same way). Unpaired
+    * documents are their own cluster and survive trivially.
+    *
+    * Determinism: survivor = lexicographic struct-min of
+    * (−score, id) — highest score, smallest id on ties. Cluster labels
+    * are [[graft.ops.Dedup.connectedComponents]]'s min-id components
+    * (reliable-checkpoint rounds at cluster scale).
+    *
+    * Scale shape: CC over the pairs (pairs-sized, never the corpus),
+    * one id-grain left join, one cluster-grain aggregate.
+    *
+    * @param scoreCol integer-valued quality (length, classifier bp, …)
+    * @return one SURVIVOR row per cluster: (idCol, cluster, n_members,
+    *         score)
+    */
+  def dedupKeepBest(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val labels = graft.ops.Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("id"), col("cluster_id"))
+    docs.select(col(idCol).as("id"), col(scoreCol).cast("long").as("score"))
+      .join(labels, Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster_id"), col("id")))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("score")).as("ns"), col("id").as("id"))).as("best"))
+      .select(col("best.id").as(idCol), col("cluster"), col("n_members"),
+        (-col("best.ns")).as("score"))
+  }
+
   /** Cross-source duplication matrix: distinct-shingle Jaccard and
     * overlap coefficient for every SLICE PAIR — the "which of my crawl
     * sources are republishing each other" heatmap that decides whether

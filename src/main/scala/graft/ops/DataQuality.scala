@@ -107,6 +107,11 @@ object DataQuality {
 
   private val freshSlot = new CacheSlot
 
+  /** jsonKeyCensus's key-grain aggregate feeds the census rows AND the
+    * sentinel row count — slot-cached so the corpus parses once.
+    */
+  private val censusSlot = new CacheSlot
+
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks given")
     require(checks.map(_.name).distinct.size == checks.size, "duplicate check names")
@@ -133,6 +138,44 @@ object DataQuality {
       .agg(count(lit(1)).as("metric"))
       .select(lit(name).as("check_name"), col("metric"),
         (col("metric") === 0L).cast("int").as("passed"))
+  }
+
+  /** Semi-structured key census: which JSON keys exist in a payload
+    * column, how often, with how many distinct values — the
+    * schema-drift monitor for the `props`-style columns every event
+    * feed carries (a producer silently adding/renaming a field shows up
+    * here long before anything downstream parses it).
+    *
+    * Values are compared as STRINGS (`map<string,string>` coercion) —
+    * the census asks "what shapes arrive", not "what do they mean".
+    * One scan, one key-grain aggregate; share is floored bp over rows
+    * with a parseable payload.
+    *
+    * @return one row per key: (key, n_present, n_distinct, share_bp)
+    */
+  def jsonKeyCensus(df: DataFrame, jsonCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    // a sentinel entry per row makes the row count fall out of the SAME
+    // key-grain aggregate — one corpus scan serves the census AND the
+    // share denominator (the v22 multi-consumer lesson). A real payload
+    // key equal to the control-char sentinel would collide (map_concat
+    // raises under the default dedup policy) — documented, not checked.
+    val sentinel = "\u0000__rows__"
+    val kv = df.where(col(jsonCol).isNotNull)
+      .select(from_json(col(jsonCol), MapType(StringType, StringType)).as("m"))
+      .where(col("m").isNotNull)
+      .select(explode(map_concat(col("m"), map(lit(sentinel), lit(""))))
+        .as(Seq("key", "value")))
+    val agg = censusSlot.persist(
+      kv.groupBy("key")
+        .agg(count(lit(1)).as("n_present"),
+          countDistinct(col("value")).as("n_distinct")))
+    val tot = agg.where(col("key") === sentinel)
+      .select(col("n_present").as("n_rows"))
+    agg.where(col("key") =!= sentinel)
+      .crossJoin(tot)
+      .withColumn("share_bp", expr("(10000 * n_present) div n_rows"))
+      .select("key", "n_present", "n_distinct", "share_bp")
   }
 
   /** Functional-dependency profiler: does `lhs → rhs` hold? The

@@ -152,6 +152,58 @@ object Similarity {
     bfSlot.persist(rankTopK(scored, k))
   }
 
+  /** Contrastive triplet mining — the training-PAIR generation step of
+    * an embedding-model pipeline (Schroff 2015's hard mining, batch
+    * form): for each anchor, the HARDEST positive (least-similar
+    * same-label vector — the pair the model most needs to pull
+    * together) and the HARDEST negative (most-similar different-label
+    * vector — the pair it most needs to push apart), plus the violation
+    * flag (`cos_neg ≥ cos_pos` — the triplets worth training on).
+    *
+    * Determinism: cosines come from the shared v1 IEEE tree
+    * (`cosine_native` — bit-reproducible), argmin/argmax are
+    * lexicographic struct extremes with the id as tie-break (positive
+    * ties → smaller id, negative ties → larger id: whatever the struct
+    * order gives, mirrored exactly in the oracle), the violation flag
+    * compares FULL-precision doubles before the 6dp boundary rounding.
+    * Anchors whose label has no other member mine no positive and are
+    * dropped (a single-member class has nothing to pull toward).
+    *
+    * Scale shape: one |anchors|·|corpus| scoring pass (the exact tier —
+    * swap in an IVF probe for the candidate set when the corpus
+    * outgrows it), one anchor-grain aggregate; output is 1 row per
+    * anchor.
+    *
+    * @return (anchor_id, label, pos_id, cos_pos, neg_id, cos_neg,
+    *         violated)
+    */
+  def tripletMine(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val par = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val c = corpus.repartition(par, col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col(labelCol).as("c_label"))
+    val a = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("a_vec"),
+      col(labelCol).as("a_label"))
+    val scored = c.join(a, col("neighbor_id") =!= col("anchor_id"))
+      .withColumn("cos", cosine_native(col("a_vec"), col("c_vec")))
+    scored.groupBy("anchor_id", "a_label")
+      .agg(
+        min(when(col("c_label") === col("a_label"),
+          struct(col("cos"), col("neighbor_id")))).as("p"),
+        max(when(col("c_label") =!= col("a_label"),
+          struct(col("cos"), col("neighbor_id")))).as("ng"))
+      .where(col("p").isNotNull && col("ng").isNotNull)
+      .select(col("anchor_id"), col("a_label").as("label"),
+        col("p.neighbor_id").as("pos_id"), round(col("p.cos"), 6).as("cos_pos"),
+        col("ng.neighbor_id").as("neg_id"), round(col("ng.cos"), 6).as("cos_neg"),
+        (col("ng.cos") >= col("p.cos")).cast("int").as("violated"))
+  }
+
   /** Scalar-quantized (SQ) top-k — the third compression family next
     * to raw IVF and PQ/ADC: each dimension is affinely quantized to
     * `2^bits` levels against the corpus's per-dimension [min, max]

@@ -459,6 +459,21 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       ("b", "c") -> ((1L, 1L, 0L, 0L, 0L))))
   }
 
+  test("dedupKeepBest: clusters keep the highest score (smallest id on ties); singletons survive") {
+    import spark.implicits._
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (4L, 1L), (5L, 6L), (6L, 6L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Corpus.dedupKeepBest(docs, pairs, "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // chain {1,2,3} → survivor 2 (score 9); {5,6} tie at 6 → smaller id 5
+    assert(out == Map(
+      2L -> ((1L, 3L, 9L)),
+      4L -> ((4L, 1L, 1L)),
+      5L -> ((5L, 2L, 6L))))
+  }
+
   test("splitLeakage: only text present in train leaks; within-split dups are not leakage") {
     import spark.implicits._
     val df = Seq(

@@ -100,6 +100,22 @@ class DataQualitySpec extends AnyFunSuite with SparkSpec {
       "c" -> ((1L, 820800L, 0L))))
   }
 
+  test("jsonKeyCensus: key shares over parseable rows; unparseable payloads drop") {
+    import spark.implicits._
+    val df = Seq(
+      Some("""{"a": 1, "b": "x"}"""),
+      Some("""{"a": 2}"""),
+      Some("not json"),
+      None).toDF("payload")
+    val out = DataQuality.jsonKeyCensus(df, "payload")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 2 parseable rows: a in both (distinct values 1,2), b in one
+    assert(out == Map(
+      "a" -> ((2L, 2L, 10000L)),
+      "b" -> ((1L, 1L, 5000L))))
+  }
+
   test("fdViolations: violating group counted once, all-NULL rhs determines nothing") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (1L, Some("a")), (2L, Some("a")),

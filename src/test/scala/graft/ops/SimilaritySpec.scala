@@ -648,6 +648,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.length == 1 && out.head.getLong(1) == 40L)
   }
 
+  test("tripletMine: hardest positive/negative, equality violates, single-member labels drop") {
+    import spark.implicits._
+    // label 0: v1=v2=(1,0); label 1: v3=(0,1), v4=(−1,0); label 2: v5 alone
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(-1.0f, 0.0f), 1),
+      (5L, Seq(0.5f, 0.5f), 2)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.tripletMine(emb, emb, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5), r.getInt(6))))
+      .toMap
+    assert(out.size == 4 && !out.contains(5L)) // v5 anchors no positive…
+    // …but still serves as everyone's hardest negative (cos ±√2/2)
+    assert(out(1L) == ((2L, 1.0, 5L, 0.707107, 0)))
+    // v3: pos v4 (cos 0); hardest neg v5 at 0.707107 ≥ 0 → violated —
+    // exactly the triplet worth training on
+    assert(out(3L) == ((4L, 0.0, 5L, 0.707107, 1)))
+    assert(out(4L) == ((3L, 0.0, 5L, -0.707107, 0)))
+  }
+
   test("binaryQuantTopK: signs against floored-mean thresholds, exact signed dot") {
     import spark.implicits._
     // thresholds: per-dim mean of (1e6, −1e6) = 0; a → (+,−), b → (−,+);
