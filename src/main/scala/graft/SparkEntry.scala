@@ -3204,6 +3204,32 @@ object SparkEntry {
     // ---- E5: time-bounded stream-stream join, batch twin under the
     //      driver (same clickAttribution plan runs in streaming with
     //      two-sided watermarks; StreamJoinSpec proves equivalence) ----
+    // ---- E54: stream-static SCD2 as-of enrichment — each event picks
+    //      up the loyalty-tier VERSION valid at its event time, as a
+    //      REAL stateless stream (each micro-batch joins the dimension
+    //      snapshot); pre-first-purchase events keep NULL ----
+    "e54_stream_scd2" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val vw = Window.partitionBy("key").orderBy(col("eff_from").asc, col("eid").asc)
+      val dim = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts").as("eff_from"),
+          col("event_id").as("eid"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("tier_cents"))
+        .withColumn("version", row_number().over(vw).cast("long"))
+        .withColumn("eff_to", lead("eff_from", 1).over(vw))
+        .drop("eid")
+      val stream = graft.streaming.EventStreams
+        .readNsEventStream(s, s"$dir/events.parquet")
+      val out = graft.streaming.EventStreams.scd2Enrich(stream, dim)
+        .select(col("event_id"), col("version"), col("tier_cents"))
+      graft.streaming.EventStreams.runToTable(out, "e54_sink")
+      s.catalog.refreshTable("e54_sink")
+      s.table("e54_sink")
+        .groupBy("version")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("tier_cents")).as("sum_tier_cents"))
+    }),
+
     "e5_click_attribution" -> ((s, dir) => {
       val ev = events(s, dir)
       graft.streaming.EventStreams.clickAttribution(
@@ -6763,6 +6789,27 @@ object SparkEntry {
     "v20_sq_recall" -> ivfRecallOracle,
 
     "v22_embedding_drift" -> embeddingDriftOracle,
+
+    // the purchase-versioned SCD2 dim replayed (row_number + lead over
+    // the (ts, event_id) order), the disjoint-interval as-of join, and
+    // the per-version rollup — pre-first-purchase events in the NULL
+    // version group
+    "e54_stream_scd2" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts, value
+                    FROM events),
+         p AS (SELECT user_id AS key, ts AS eff_from,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS tier_cents,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS BIGINT) AS version,
+                 LEAD(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS eff_to
+               FROM e WHERE event_type = 'purchase'),
+         j AS (SELECT e.event_id, p.version, p.tier_cents
+               FROM e LEFT JOIN p ON e.user_id = p.key AND e.ts >= p.eff_from
+                 AND (p.eff_to IS NULL OR e.ts < p.eff_to))
+         SELECT version, COUNT(*) AS n_events,
+           CAST(SUM(tier_cents) AS BIGINT) AS sum_tier_cents
+         FROM j GROUP BY 1""",
 
     // the v1 cosine tree scored once; hardest positive = (cos ASC, id
     // ASC) rank 1 among same-label, hardest negative = (cos DESC, id

@@ -207,6 +207,42 @@ object EventStreams {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col(attrCol), col("n_events"), col("weighted_value"))
 
+  /** Stream-static SCD2 as-of enrichment: each event picks up the
+    * dimension VERSION valid at its event time (`ts ∈ [eff_from,
+    * eff_to)`, open-ended current version) — the temporal-dimension
+    * join every event pipeline needs ("which loyalty tier / price book
+    * / config was active when this happened"), as a STREAM. Stream-
+    * static joins are STATELESS: each micro-batch plans an ordinary
+    * join against the dimension snapshot, so there is no watermark
+    * requirement and no state store — the streaming-legal form of the
+    * batch as-of join for the slowly-changing-dimension case (bounded
+    * versions per key; the general nearest-event as-of needs e4's
+    * machinery).
+    *
+    * LEFT OUTER, stream side preserved: events before their key's first
+    * version carry NULL — dropping them would silently shrink the
+    * stream. SCD2 intervals are disjoint by construction so at most one
+    * version matches; a zero-length version (two changes at the same
+    * instant) matches nothing, deterministically.
+    *
+    * @param dim static SCD2 table: (key, version, eff_from,
+    *            eff_to — NULL for current, attrs…)
+    * @param keyCol the stream column matching `dim.key`
+    */
+  def scd2Enrich(
+      events: DataFrame,
+      dim: DataFrame,
+      keyCol: String = "user_id"): DataFrame = {
+    val e = events.as("e")
+    val d = dim.as("d")
+    e.join(d,
+      col(s"e.$keyCol") === col("d.key") &&
+        col("e.ts") >= col("d.eff_from") &&
+        (col("d.eff_to").isNull || col("e.ts") < col("d.eff_to")),
+      "left_outer")
+      .drop(col("d.key"))
+  }
+
   /** Gap-session aggregation via the built-in `session_window` — works
     * identically as a batch plan and a streaming plan (with watermark),
     * which is how the twin-equivalence test proves the streaming path.

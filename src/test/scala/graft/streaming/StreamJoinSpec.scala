@@ -137,4 +137,37 @@ class StreamJoinSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
   }
+
+  test("scd2Enrich: event-time version pick is batch-split-invariant; " +
+       "boundary joins the NEW version, pre-history is NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2-mb").toString
+    def row(id: Long, t: String) =
+      (id, java.sql.Timestamp.valueOf(t), 1L, "click", 1.0, "{}")
+    // one file per event → maxFilesPerTrigger=1 = one micro-batch each
+    for (r <- Seq(
+        row(1L, "2024-01-01 09:00:00"),   // before any version → NULL
+        row(2L, "2024-01-01 10:00:00"),   // AT v1's eff_from → v1 (>= boundary)
+        row(3L, "2024-01-01 12:30:00")))  // inside the open-ended v2
+      Seq(r).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val dim = Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        Some(java.sql.Timestamp.valueOf("2024-01-01 12:00:00")), 100L),
+      (1L, 2L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"),
+        None: Option[java.sql.Timestamp], 200L))
+      .toDF("key", "version", "eff_from", "eff_to", "tier_cents")
+    def run(multiBatch: Boolean): Map[Long, Option[Long]] = {
+      val r = spark.readStream.schema(EventStreams.eventSchema)
+      val stream = (if (multiBatch) r.option("maxFilesPerTrigger", "1") else r).parquet(dir)
+      EventStreams.runToMemorySink(spark,
+        EventStreams.scd2Enrich(stream, dim).select(col("event_id"), col("version")),
+        s"scd2_mb_$multiBatch", OutputMode.Append())
+        .collect()
+        .map(r0 => r0.getLong(0) ->
+          (if (r0.isNullAt(1)) None else Some(r0.getLong(1)))).toMap
+    }
+    val multi = run(multiBatch = true)
+    assert(multi == run(multiBatch = false))
+    assert(multi == Map(1L -> None, 2L -> Some(1L), 3L -> Some(2L)))
+  }
 }
