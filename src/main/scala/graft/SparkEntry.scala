@@ -1629,6 +1629,29 @@ object SparkEntry {
         .na.fill(0L, Seq("n_quality", "n_unique", "n_final", "tokens_final"))
     }),
 
+    // ---- LLM2: the corpus pipeline's STREAMING head as a REAL stream —
+    //      Gopher gate (the same one definition as llm1) → within-stream
+    //      (lang, md5) dropDuplicates carrying state across micro-
+    //      batches → stateless anti-join vs frozen history; per-language
+    //      new-unique counts and token budget ----
+    "llm2_stream_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val history = docs.where(col("doc_id") < 250)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_llm2_").toFile
+      org.apache.spark.graft.sparkShims.deleteDirOnExit(scratch)
+      val streamDir = scratch.getAbsolutePath
+      docs.where(col("doc_id") >= 250).write.mode("overwrite").parquet(streamDir)
+      val stream = s.readStream
+        .schema(s.read.parquet(streamDir).schema).parquet(streamDir)
+      val out = graft.streaming.CorpusStreams.ingestPipeline(
+        stream, history, "doc_id", "text", "lang", minWords = 30)
+      graft.streaming.EventStreams.runToTable(out, "llm2_sink")
+      s.catalog.refreshTable("llm2_sink")
+      s.table("llm2_sink").groupBy("lang")
+        .agg(count(lit(1)).as("n_new_unique"),
+          sum(col("n_tokens")).as("tokens_new"))
+    }),
+
     // ---- D: MinHash+LSH near-dup (verified exact-Jaccard output; shares the d4 oracle) ----
     "d2_minhash_neardup" -> ((s, dir) =>
       graft.ops.Dedup.minhashNearDup(t(s, dir, "documents"), "doc_id", "text", 0.8)),
@@ -6789,6 +6812,39 @@ object SparkEntry {
     "v20_sq_recall" -> ivfRecallOracle,
 
     "v22_embedding_drift" -> embeddingDriftOracle,
+
+    // the t21 gopher predicate on the stream half, distinct (lang, md5)
+    // with per-group token count (identical text → identical count, so
+    // MIN is THE value), history hashes anti-joined, per-lang rollup
+    "llm2_stream_pipeline" ->
+      """WITH st AS (SELECT doc_id, text, lang FROM documents WHERE doc_id >= 250),
+         hist AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
+         d AS (SELECT lang, text, md5(text) AS h,
+                 regexp_extract_all(lower(text), '\S+') AS w,
+                 CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nc
+               FROM st),
+         r AS (SELECT lang, text, h, nc,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(w, x ->
+                   len(regexp_replace(x, '[^a-z]', '', 'g')) > 0)) AS BIGINT) AS n_alpha,
+                 (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END +
+                  CASE WHEN list_contains(w, 'a') THEN 1 ELSE 0 END +
+                  CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END +
+                  CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END +
+                  CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END) AS n_stop
+               FROM d),
+         g AS (SELECT lang, h,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+               FROM r
+               WHERE n_words >= 30 AND n_words <= 100000
+                 AND nc >= n_words * 3 AND nc <= n_words * 10
+                 AND n_alpha * 10 >= n_words * 8 AND n_stop >= 2),
+         u AS (SELECT lang, h, MIN(n_tokens) AS n_tokens FROM g GROUP BY 1, 2),
+         u2 AS (SELECT u.lang, u.n_tokens FROM u
+                LEFT JOIN hist ON u.h = hist.h WHERE hist.h IS NULL)
+         SELECT lang, COUNT(*) AS n_new_unique,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_new
+         FROM u2 GROUP BY 1""",
 
     // the purchase-versioned SCD2 dim replayed (row_number + lead over
     // the (ts, event_id) order), the disjoint-interval as-of join, and

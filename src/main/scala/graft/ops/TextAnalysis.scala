@@ -426,26 +426,47 @@ object TextAnalysis {
       minMeanLen: Int = 3,
       maxMeanLen: Int = 10,
       minStopwords: Int = 2,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")): DataFrame =
+    gopherFlags(docs.select(col(idCol), col(textCol)), textCol,
+      minWords, maxWords, minMeanLen, maxMeanLen, minStopwords, stopwords)
+      .select(idCol, "n_words", "ok_words", "ok_mean_len",
+        "ok_alpha_words", "ok_stopwords", "keep")
+
+  /** The ONE definition of the Gopher flag computation — a pure narrow
+    * projection that APPENDS the flag columns and keeps everything else,
+    * so it composes onto a STREAM (llm2's ingest gate) as well as the
+    * batch [[gopherRules]] report. Same thresholds, same cross-
+    * multiplied integer arithmetic.
+    */
+  def gopherFlags(
+      docs: DataFrame,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Int = 3,
+      maxMeanLen: Int = 10,
+      minStopwords: Int = 2,
       stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")): DataFrame = {
-    val toks = tokens(lower(col(textCol)))
-    val base = docs.select(col(idCol), toks.as("w"),
-      length(regexp_replace(col(textCol), "\\s", "")).cast("long").as("n_chars_tok"))
-    val nWords = size(col("w")).cast("long")
-    val nAlpha = size(filter(col("w"),
+    val nWords = size(col("__w")).cast("long")
+    val nAlpha = size(filter(col("__w"),
       t => length(regexp_replace(t, "[^a-z]", "")) > 0)).cast("long")
     val nStop = stopwords.map(s =>
-      when(array_contains(col("w"), s), 1).otherwise(0)).reduce(_ + _)
-    base.select(
-      col(idCol),
-      nWords.as("n_words"),
-      (nWords >= minWords && nWords <= maxWords).as("ok_words"),
+      when(array_contains(col("__w"), s), 1).otherwise(0)).reduce(_ + _)
+    docs
+      .withColumn("__w", tokens(lower(col(textCol))))
+      .withColumn("__nc",
+        length(regexp_replace(col(textCol), "\\s", "")).cast("long"))
+      .withColumn("n_words", nWords)
+      .withColumn("ok_words", nWords >= minWords && nWords <= maxWords)
       // minMeanLen ≤ chars/words ≤ maxMeanLen, cross-multiplied
-      (col("n_chars_tok") >= nWords * minMeanLen &&
-        col("n_chars_tok") <= nWords * maxMeanLen).as("ok_mean_len"),
-      (nAlpha * 10L >= nWords * 8L).as("ok_alpha_words"),
-      (nStop >= minStopwords).as("ok_stopwords"))
+      .withColumn("ok_mean_len",
+        col("__nc") >= nWords * minMeanLen && col("__nc") <= nWords * maxMeanLen)
+      .withColumn("ok_alpha_words", nAlpha * 10L >= nWords * 8L)
+      .withColumn("ok_stopwords", nStop >= minStopwords)
       .withColumn("keep",
-        col("ok_words") && col("ok_mean_len") && col("ok_alpha_words") && col("ok_stopwords"))
+        col("ok_words") && col("ok_mean_len") &&
+          col("ok_alpha_words") && col("ok_stopwords"))
+      .drop("__w", "__nc")
   }
 
   /** Corpus-wide PMI collocations (Church & Hanks 1990) over adjacent

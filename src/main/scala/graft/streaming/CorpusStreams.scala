@@ -49,6 +49,42 @@ object CorpusStreams {
     * removed by the exact verify, so the output matches the exact
     * cross-corpus Jaccard join (the e20 oracle).
     */
+  /** The llm1 corpus pipeline's STREAMING head: quality-gate each
+    * arriving document ([[graft.ops.TextAnalysis.gopherFlags]] — the
+    * same ONE definition the batch gate uses), drop within-stream exact
+    * duplicates by (lang, text-md5) — first occurrence wins, stateful
+    * `dropDuplicates` carrying state across micro-batches — and
+    * anti-join the FROZEN history's text hashes (stream-static,
+    * stateless). What survives is exactly the new, clean, never-seen
+    * content the batch pipeline would admit.
+    *
+    * Determinism contract: WHICH doc id survives a within-stream
+    * duplicate group depends on arrival order, but every aggregate a
+    * consumer builds over (lang, hash, token count) is order-immune —
+    * identical text has identical token counts (the x17 stance; llm2's
+    * gate aggregates exactly those columns).
+    *
+    * @return streaming DF: (idCol, langCol, h — text md5, n_tokens)
+    */
+  def ingestPipeline(
+      stream: DataFrame,
+      history: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      minWords: Int = 50): DataFrame = {
+    val gated = graft.ops.TextAnalysis
+      .gopherFlags(stream, textCol, minWords = minWords)
+      .where(col("keep"))
+      .withColumn("h", md5(col(textCol)))
+      .dropDuplicates(langCol, "h")
+    val hist = history.select(md5(col(textCol)).as("h")).distinct()
+    gated.join(hist, Seq("h"), "left_anti")
+      .select(col(idCol), col(langCol), col("h"),
+        graft.ops.TextAnalysis.tokenCount(col(textCol)).cast("long")
+          .as("n_tokens"))
+  }
+
   def nearDupVsHistory(
       docs: DataFrame,
       history: DataFrame,

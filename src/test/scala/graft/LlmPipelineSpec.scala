@@ -53,4 +53,39 @@ class LlmPipelineSpec extends AnyFunSuite with SparkSpec {
       "en" -> ((1L, 1L, 1L, 1L, 30L)),
       "de" -> ((1L, 0L, 0L, 0L, 0L))))
   }
+
+  test("llm2: the streaming head — gate, cross-batch dedup state, history anti-join — " +
+       "one file per micro-batch equals one batch, golden rows pinned") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val goodB = good.replace("quick brown fox", "slow grey wolf")
+    val dir = java.nio.file.Files.createTempDirectory("llm2_spec_").toString
+    // one file per write → maxFilesPerTrigger=1 replays each as its own
+    // micro-batch; the doc-203 duplicate arrives TWO BATCHES after 201,
+    // so dropping it proves dropDuplicates state carries across batches
+    for (batch <- Seq(
+        Seq((201L, good, "en"), (202L, "too short", "en")),
+        Seq((204L, good, "de")),          // same text, DIFFERENT lang → kept
+        Seq((203L, good, "en"), (205L, goodB, "en"))))
+      batch.toDF("doc_id", "text", "lang")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val history = Seq((1L, goodB, "en")).toDF("doc_id", "text", "lang")
+    def run(multiBatch: Boolean): Set[(String, String, Long)] = {
+      val r = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+      val stream = (if (multiBatch) r.option("maxFilesPerTrigger", "1") else r)
+        .parquet(dir)
+      val out = graft.streaming.CorpusStreams.ingestPipeline(
+        stream, history, "doc_id", "text", "lang", minWords = 30)
+      graft.streaming.EventStreams.runToMemorySink(spark, out,
+        s"llm2_mb_$multiBatch", OutputMode.Append())
+        .collect().map(r0 => (r0.getString(1), r0.getString(2), r0.getLong(3)))
+        .toSet
+    }
+    val multi = run(multiBatch = true)
+    assert(multi == run(multiBatch = false))
+    // survivors: good-en once (203 deduped cross-batch), good-de (other
+    // lang), NOT goodB (in history), NOT 202 (quality)
+    val goodMd5 = org.apache.commons.codec.digest.DigestUtils.md5Hex(good)
+    assert(multi == Set(("en", goodMd5, 30L), ("de", goodMd5, 30L)))
+  }
 }
