@@ -1826,6 +1826,35 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "text")
         .withColumnRenamed("slice", "lang")),
 
+    // ---- T: word-blocklist gate (the C4 badwords filter) — exact
+    //      token membership, never substring; per-language drop rates ----
+    "t42_word_blocklist" -> ((s, dir) =>
+      graft.ops.Corpus.wordBlocklist(
+        t(s, dir, "documents"), "text", Seq("slow", "merge"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("blocked").cast("long")).as("n_blocked"))
+        .withColumn("block_bp", expr("(10000 * n_blocked) div n_docs"))),
+
+    // ---- X: price elasticity — log-log OLS of quantity on price per
+    //      brand: milli-nat ln points via the shared lnRatioMicroSql
+    //      tree (scale 1e3 keeps the e32 moment algebra inside longs),
+    //      slope through the exact olsTrend machinery ----
+    "x53_price_elasticity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").groupBy("l_partkey")
+        .agg(sum(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)")).as("qty"))
+      val pt = t(s, dir, "part").select(col("p_partkey").as("l_partkey"),
+        col("p_brand"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("price_cents"))
+      val pts = li.join(pt, Seq("l_partkey"))
+        .select(col("p_brand"),
+          expr(graft.ops.Stats.lnRatioMicroSql("price_cents", "1", 1000L)).as("x"),
+          expr(graft.ops.Stats.lnRatioMicroSql("qty", "1", 1000L)).as("y"))
+      graft.ops.TimeSeries.olsTrend(pts, "p_brand", "x", "y")
+        .withColumnRenamed("key", "p_brand")
+    }),
+
     // ---- T: code-switching gate — 20-token chunk langid votes vs the
     //      doc-level verdict; 'und' chunks reported but excluded from
     //      the disagreement ratio ----
@@ -6440,6 +6469,45 @@ object SparkEntry {
            (10000 * CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT))
              // COUNT(*) AS hapax_bp
          FROM wc GROUP BY lang""",
+
+    // exact token membership via list overlap, per-lang floored bp
+    "t42_word_blocklist" ->
+      """WITH d AS (SELECT lang,
+                  CASE WHEN len(list_intersect(
+                    regexp_extract_all(lower(text), '\S+'),
+                    ['slow', 'merge'])) > 0 THEN 1 ELSE 0 END AS blocked
+                FROM documents)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+           (10000 * CAST(SUM(blocked) AS BIGINT)) // COUNT(*) AS block_bp
+         FROM d GROUP BY 1""",
+
+    // milli-nat ln points through the SAME lnRatioMicroSql tree, then
+    // the e32 moment algebra verbatim
+    "x53_price_elasticity" ->
+      s"""WITH li AS (SELECT l_partkey,
+                  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)) AS BIGINT) AS qty
+                FROM lineitem GROUP BY 1),
+         pt AS (SELECT p_partkey AS l_partkey, p_brand,
+                  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+                FROM part),
+         pts AS (SELECT p_brand AS key,
+                   ${graft.ops.Stats.lnRatioMicroSql("price_cents", "1", 1000L)} AS x,
+                   ${graft.ops.Stats.lnRatioMicroSql("qty", "1", 1000L)} AS y
+                 FROM li JOIN pt USING (l_partkey)),
+         a AS (SELECT key, COUNT(*) AS n_points, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy_raw, SUM(x * x) AS sxx_raw
+               FROM pts GROUP BY 1),
+         b AS (SELECT key, n_points,
+                 n_points * sxy_raw - sx * sy AS sxy,
+                 n_points * sxx_raw - sx * sx AS sxx
+               FROM a)
+         SELECT key AS p_brand, CAST(n_points AS BIGINT) AS n_points,
+           CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
+           CAST(CASE WHEN sxx = 0 THEN NULL ELSE
+             (sxy * 1000000 - ((sxy * 1000000 % sxx + sxx) % sxx)) // sxx END
+             AS BIGINT) AS slope_micro
+         FROM b""",
 
     // doc-level and chunk-level verdicts from the SAME t2 scoring tree
     // (langScoresSql/langVerdictSql); chunks are 20-token list slices

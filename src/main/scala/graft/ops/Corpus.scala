@@ -502,6 +502,25 @@ object Corpus {
       .withColumn("novelty_bp", expr("(10000 * n_novel) div n_ngrams"))
   }
 
+  /** Token-blocklist gate — the C4 "bad words" filter: flag every
+    * document containing ANY blocked token (exact lowercased whitespace
+    * tokens, the t5 tokenizer — substring matching would flag
+    * "classic" for "ass", the classic false-positive this formulation
+    * avoids). Returns the input with a `blocked` 0/1 column so the gate
+    * composes into funnels; one codegen `arrays_overlap` per row, the
+    * blocklist a constant array — no joins, no shuffles.
+    */
+  def wordBlocklist(
+      docs: DataFrame,
+      textCol: String,
+      blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist")
+    docs.withColumn("blocked",
+      arrays_overlap(
+        graft.ops.TextAnalysis.tokens(lower(col(textCol))),
+        array(blocked.map(w => lit(w.toLowerCase)): _*)).cast("int"))
+  }
+
   /** Quality-aware dedup survivor selection: given near-dup PAIRS,
     * cluster them (connected components) and keep the HIGHEST-QUALITY
     * member of each cluster instead of the smallest id — the survivor

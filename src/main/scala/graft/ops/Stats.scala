@@ -635,9 +635,9 @@ object Stats {
     * of KL/JSD-style divergences. Callers multiply by an integer count
     * and sum, so totals are order-immune integers.
     */
-  def lnRatioMicroSql(num: String, den: String): String =
+  def lnRatioMicroSql(num: String, den: String, scale: Long = 1000000L): String =
     s"""CAST(ROUND(LN(CAST($num AS DOUBLE) / CAST($den AS DOUBLE))
-         * 1000000, 0) AS BIGINT)"""
+         * $scale, 0) AS BIGINT)"""
 
   /** Shannon entropy of a categorical mix per key — the diversity gate
     * (is a language's source mix collapsing to one crawl? is a shard's

@@ -459,6 +459,16 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       ("b", "c") -> ((1L, 1L, 0L, 0L, 0L))))
   }
 
+  test("wordBlocklist: exact tokens only — no substring false positives; case-folded") {
+    import spark.implicits._
+    val docs = Seq((1L, "a classic tale"), (2L, "please MERGE this"),
+      (3L, "clean text"), (4L, "ass")).toDF("doc_id", "text")
+    val out = Corpus.wordBlocklist(docs, "text", Seq("ASS", "merge"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // 'classic' contains 'ass' as a substring but is NOT a blocked token
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1))
+  }
+
   test("dedupKeepBest: clusters keep the highest score (smallest id on ties); singletons survive") {
     import spark.implicits._
     val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (4L, 1L), (5L, 6L), (6L, 6L))
