@@ -715,6 +715,15 @@ object SparkEntry {
       graft.ops.Stats.chiSquareIndependence(
         t(s, dir, "orders"), "o_orderstatus", "o_orderpriority")),
 
+    // ---- X: per-cell standardized residuals — x40's drill-down:
+    //      WHICH status×priority cells are over/under-represented;
+    //      shares x40's slot-cached cell aggregate ----
+    "x54_chi_residuals" -> ((s, dir) =>
+      graft.ops.Stats.chiResiduals(
+        t(s, dir, "orders"), "o_orderstatus", "o_orderpriority")
+        .withColumnRenamed("a", "o_orderstatus")
+        .withColumnRenamed("b", "o_orderpriority")),
+
     // ---- X: Gini revenue concentration per nation over customer
     //      totals — histogram-rank formulation (rows never enter a
     //      window), exact decimal terms, floored bp + top-decile share ----
@@ -4474,6 +4483,27 @@ object SparkEntry {
              AS BIGINT) AS dof,
            CAST(SUM(${graft.ops.Stats.chiTermSql("o", "n", "rt", "ct")})
              AS BIGINT) AS chi2_micro
+         FROM grid"""),
+
+    // x40's grid, per cell through the SAME chiResidualSql tree
+    "x54_chi_residuals" ->
+      (s"""WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+                  CAST(COUNT(*) AS BIGINT) AS o
+                FROM orders
+                WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+                GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+         grid AS (SELECT rt.a, ct.b, rt.rt, ct.ct, tot.n,
+                    COALESCE(cells.o, 0) AS o
+                  FROM rt CROSS JOIN ct CROSS JOIN tot
+                  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b)
+         SELECT a AS o_orderstatus, b AS o_orderpriority, o, rt, ct,
+           ${graft.ops.Stats.chiResidualSql("o", "n", "rt", "ct")}
+             AS resid_micro,
+           CASE WHEN ABS(${graft.ops.Stats.chiResidualSql("o", "n", "rt", "ct")})
+             > 2000000 THEN 1 ELSE 0 END AS flagged
          FROM grid"""),
 
     // histogram-rank Gini: tied runs contribute v·(lo+hi)·c exactly

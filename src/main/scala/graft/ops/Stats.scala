@@ -339,6 +339,47 @@ object Stats {
       .select("n", "r_levels", "c_levels", "dof", "chi2_micro")
   }
 
+  /** The shared standardized-residual tree: `(o − e)/√e` with
+    * `e = rt·ct/n`, algebraically `(o·n − rt·ct)/√(n·rt·ct)` — exact
+    * integer cross-products cast once, one subtract, one sqrt, one
+    * divide, rounded micro-units. The per-cell companion to
+    * [[chiTermSql]] (that tree is this one squared).
+    */
+  def chiResidualSql(o: String, n: String, rt: String, ct: String): String =
+    s"""CAST(ROUND(
+         (CAST($o AS DOUBLE) * CAST($n AS DOUBLE)
+           - CAST($rt AS DOUBLE) * CAST($ct AS DOUBLE))
+         / SQRT(CAST($n AS DOUBLE) * CAST($rt AS DOUBLE) * CAST($ct AS DOUBLE))
+         * 1000000, 0) AS BIGINT)"""
+
+  /** Per-cell standardized residuals of the independence model — the
+    * DRILL-DOWN x40's one-number verdict can't give: WHICH (a, b) cells
+    * are over/under-represented, and by how many standard deviations.
+    * Same full R×C grid (an empty cell's deficit is exactly the point),
+    * same slot-cached cell aggregate as [[chiSquareIndependence]] (the
+    * two queries share one scan when run together). |resid| > 2 (micro
+    * 2e6) flags the conventional 2σ cells.
+    *
+    * @return one row per grid cell: (a, b, o, rt, ct, resid_micro,
+    *         flagged)
+    */
+  def chiResiduals(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = chiCellSlot.persist(
+      df.select(col(aCol).as("a"), col(bCol).as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull)
+        .groupBy("a", "b").agg(count(lit(1)).as("o")))
+    val rt = cells.groupBy("a").agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy("b").agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    rt.crossJoin(ct)
+      .join(cells, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("resid_micro", expr(chiResidualSql("o", "n", "rt", "ct")))
+      .withColumn("flagged", (abs(col("resid_micro")) > 2000000L).cast("int"))
+      .select("a", "b", "o", "rt", "ct", "resid_micro", "flagged")
+  }
+
   /** Gini concentration per key — revenue/value inequality (how much of
     * a nation's revenue do its top customers hold?), plus the top-decile
     * share, from ONE value histogram. The classic rank formulation

@@ -256,6 +256,20 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("z")) && r2.isNullAt(r2.fieldIndex("significant")))
   }
 
+  test("chiResiduals: a perfect diagonal flags all four cells at ±2√2; empty cells carry deficit") {
+    import spark.implicits._
+    // 16/0/0/16: e = 8 everywhere → resid = ±(256)/√8192 = ±2.828427σ
+    val rows = Seq.fill(16)(("a1", "b1")) ++ Seq.fill(16)(("a2", "b2"))
+    val out = Stats.chiResiduals(rows.toDF("x", "y"), "x", "y")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(5), r.getInt(6)))).toMap
+    assert(out == Map(
+      ("a1", "b1") -> ((16L, 2828427L, 1)),
+      ("a1", "b2") -> ((0L, -2828427L, 1)),
+      ("a2", "b1") -> ((0L, -2828427L, 1)),
+      ("a2", "b2") -> ((16L, 2828427L, 1))))
+  }
+
   private def mwu(rows: (String, Boolean, Long)*): Map[String, (Long, Long, Long, Long, Option[Long])] =
     Stats.mannWhitneyU(rows.toDF("k", "t", "v"), "k", "t", "v")
       .collect()
