@@ -305,6 +305,41 @@ object Similarity {
     * @return (query_id, neighbor_id, score — exact signed integer as
     *         double, rank)
     */
+  /** `round(x·scaleFp)` integer quantization of a float-vector column —
+    * the v15 recipe as a reusable SQL fragment.
+    */
+  private def intVecSql(vecCol: String, scaleFp: Long): String =
+    s"""transform($vecCol, x ->
+          CAST(round(CAST(x AS DOUBLE) * ${scaleFp}L) AS BIGINT))"""
+
+  /** Per-dimension floored-mean thresholds of an integer-vector column
+    * `cv`, folded to a one-row `thr` array (broadcast like a codebook).
+    */
+  private def bqThresholds(intVecs: DataFrame): DataFrame =
+    intVecs.select(posexplode(col("cv")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("t", expr("(s - ((s % n + n) % n)) div n"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("t")))).as("st"))
+      .select(expr("transform(st, e -> e.t)").as("thr"))
+
+  /** Sign bits of `cv` against `thr`, packed into ONE 64-bit word (bit
+    * 63 lands in the sign position — bitwise, roundtrips).
+    */
+  private val bqPackSql: String =
+    """CASE WHEN size(cv) > 64 THEN
+         CAST(raise_error('binary quantization supports at most 64 dims per word') AS BIGINT)
+       ELSE aggregate(transform(cv, (x, i) ->
+         IF(x >= thr[i], shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)
+       END"""
+
+  /** Asymmetric binary score: exact integer `Σ_d ±q_d` — the
+    * full-precision integer query dotted with the corpus signs.
+    */
+  private val bqScoreSql: String =
+    """aggregate(transform(qv, (x, i) ->
+         IF((shiftright(word, i) & 1) = 1, x, -x)),
+       0L, (a, b) -> a + b)"""
+
   def binaryQuantTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -312,32 +347,87 @@ object Similarity {
       vecCol: String,
       k: Int,
       scaleFp: Long = 1000000L): DataFrame = {
-    def intVec(df: DataFrame, as: String) =
-      df.select(col(idCol), expr(
-        s"""transform($vecCol, x ->
-              CAST(round(CAST(x AS DOUBLE) * ${scaleFp}L) AS BIGINT))""").as(as))
-    val c0 = intVec(corpus, "cv").withColumnRenamed(idCol, "neighbor_id")
-    val thr = c0.select(posexplode(col("cv")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-      .withColumn("t", expr("(s - ((s % n + n) % n)) div n"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("t")))).as("st"))
-      .select(expr("transform(st, e -> e.t)").as("thr"))
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
+      expr(intVecSql(vecCol, scaleFp)).as("cv"))
+    val thr = bqThresholds(c0)
     val packed = c0.crossJoin(broadcast(thr))
-      .withColumn("word", expr(
-        """CASE WHEN size(cv) > 64 THEN
-             CAST(raise_error('binaryQuantTopK supports at most 64 dims per word') AS BIGINT)
-           ELSE aggregate(transform(cv, (x, i) ->
-             IF(x >= thr[i], shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)
-           END"""))
+      .withColumn("word", expr(bqPackSql))
       .select("neighbor_id", "word")
-    val q = intVec(queries, "qv").withColumnRenamed(idCol, "query_id")
+    val q = queries.select(col(idCol).as("query_id"),
+      expr(intVecSql(vecCol, scaleFp)).as("qv"))
     val scored = packed.join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", expr(
-        """aggregate(transform(qv, (x, i) ->
-             IF((shiftright(word, i) & 1) = 1, x, -x)),
-           0L, (a, b) -> a + b)""").cast("double"))
+      .withColumn("cosine", expr(bqScoreSql).cast("double"))
     rankTopK(scored, k).withColumnRenamed("cosine", "score")
   }
+
+  /** IVF + binary quantization + exact rerank — the three-stage
+    * architecture modern vector deployments run (coarse quantizer →
+    * 1-bit in-cell scan → full-precision refine of a small candidate
+    * set): the probe touches nProbe/nCentroids of the corpus, the scan
+    * inside those cells streams 8-byte words instead of raw vectors,
+    * and only `rerank` candidates per query ever read a raw vector
+    * again. Same deterministic pieces end to end (fixed-point k-means
+    * cells, floored-mean sign thresholds, exact integer coarse scores,
+    * the v1 cosine tree for refine), so the composed recall gate
+    * replays.
+    *
+    * Candidate-cut contract: a true neighbor can be lost EITHER by
+    * cell miss (nProbe) or by the 1-bit scan cut (rerank) — the recall
+    * gate prices both; `rerank ≥ k` required, and rerank ≥ corpus
+    * inside probed cells makes the refine equal ivfProbe exactly.
+    */
+  def ivfBqProbe(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      rerank: Int = 50,
+      scaleFp: Long = 1000000L): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val cv = index.cells.select(col("neighbor_id"), col("cell"),
+      expr(intVecSql("c_vec", scaleFp)).as("cv"))
+    val thr = bqThresholds(cv)
+    val packed = bqPackSlot.persist(
+      cv.crossJoin(broadcast(thr))
+        .withColumn("word", expr(bqPackSql))
+        .select("neighbor_id", "cell", "word"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(index.centroidArr))
+      .select(col("query_id"),
+        expr(intVecSql("q_vec", scaleFp)).as("qv"),
+        explode(graft.functions.IvfCells.top_cells(col("q_vec"), col("cents"), nProbe))
+          .as("cell"))
+    val coarse = packed.join(probes, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", expr(bqScoreSql).cast("double"))
+      .select("query_id", "neighbor_id", "cosine")
+    val cands = rankTopK(coarse, rerank).select("query_id", "neighbor_id")
+    val scored = cands
+      .join(index.cells.select(col("neighbor_id"), col("c_vec")), Seq("neighbor_id"))
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        Seq("query_id"))
+      .withColumn("cosine", cosine_native(col("q_vec"), col("c_vec")))
+    rankTopK(scored, k)
+  }
+
+  private val bqPackSlot = new CacheSlot
+
+  /** One-shot build + [[ivfBqProbe]]. */
+  def ivfBqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      rerank: Int = 50,
+      kmeansIters: Int = 0): DataFrame =
+    ivfBqProbe(ivfBuild(corpus, idCol, vecCol, nCentroids, kmeansIters, persist = false),
+      queries, idCol, vecCol, k, nProbe, rerank)
 
   /** Sparse TF-IDF cosine top-k over TEXT — the term-at-a-time inverted-
     * index formulation (the sparse complement of the dense ANN tiers:

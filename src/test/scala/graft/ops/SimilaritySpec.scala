@@ -668,6 +668,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) == ((3L, 0.0, 5L, -0.707107, 0)))
   }
 
+  test("ivfBqTopK: probing every cell with a corpus-sized rerank equals brute force bit-for-bit") {
+    import spark.implicits._
+    // the strong composite invariant: with nProbe = nCentroids no cell
+    // is missed, and rerank ≥ corpus makes the 1-bit scan a no-op cut —
+    // the refine then IS brute force over everything
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 30L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val q = emb.where(col("vec_id") % 5 === 0)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+      .collect().map(_.toSeq).toSet
+    val bq = Similarity.ivfBqTopK(emb, q, "vec_id", "embedding", 3,
+      nCentroids = 4, nProbe = 4, rerank = 30, kmeansIters = 1)
+      .collect().map(_.toSeq).toSet
+    assert(bq == bf)
+  }
+
+  test("ivfBqTopK: rerank below k is refused") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfBqTopK(emb, emb, "vec_id", "embedding", 5, rerank = 3)
+    }
+  }
+
   test("binaryQuantTopK: signs against floored-mean thresholds, exact signed dot") {
     import spark.implicits._
     // thresholds: per-dim mean of (1e6, −1e6) = 0; a → (+,−), b → (−,+);
