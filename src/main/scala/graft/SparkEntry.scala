@@ -715,6 +715,29 @@ object SparkEntry {
       graft.ops.Stats.chiSquareIndependence(
         t(s, dir, "orders"), "o_orderstatus", "o_orderpriority")),
 
+    // ---- X: Cramér's V — effect size from x40's exact chi-square
+    //      (a huge n makes trivial dependence 'significant'; V says
+    //      whether it matters); shares the slot-cached cells ----
+    "x55_cramers_v" -> ((s, dir) =>
+      graft.ops.Stats.chiSquareIndependence(
+        t(s, dir, "orders"), "o_orderstatus", "o_orderpriority")
+        .withColumn("cramers_v_micro", expr(graft.ops.Stats.cramersVSql(
+          "chi2_micro", "n", "r_levels", "c_levels")))),
+
+    // ---- G: double-sweep diameter lower bound — two BFS traversals
+    //      give the 'how stretched is this graph' triage number ----
+    "g17_diameter" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(explode(array(
+        struct(col("a").as("s"), col("b").as("d")),
+        struct(col("b").as("s"), col("a").as("d")))).as("e"))
+        .select(col("e.s").as("a"), col("e.d").as("b"))
+      graft.ops.Graph.diameterDoubleSweep(edges, "a", "b", maxHops = 8)
+    }),
+
     // ---- X: per-cell standardized residuals — x40's drill-down:
     //      WHICH status×priority cells are over/under-represented;
     //      shares x40's slot-cached cell aggregate ----
@@ -4497,6 +4520,60 @@ object SparkEntry {
            CAST(SUM(${graft.ops.Stats.chiTermSql("o", "n", "rt", "ct")})
              AS BIGINT) AS chi2_micro
          FROM grid"""),
+
+    // x40's statistic plus the SAME cramersVSql tree over it
+    "x55_cramers_v" ->
+      (s"""WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+                  CAST(COUNT(*) AS BIGINT) AS o
+                FROM orders
+                WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+                GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+         grid AS (SELECT rt.a, ct.b, rt.rt, ct.ct, tot.n,
+                    COALESCE(cells.o, 0) AS o
+                  FROM rt CROSS JOIN ct CROSS JOIN tot
+                  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+         f AS (SELECT MAX(n) AS n,
+                 CAST(COUNT(DISTINCT a) AS BIGINT) AS r_levels,
+                 CAST(COUNT(DISTINCT b) AS BIGINT) AS c_levels,
+                 CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+                   AS BIGINT) AS dof,
+                 CAST(SUM(${graft.ops.Stats.chiTermSql("o", "n", "rt", "ct")})
+                   AS BIGINT) AS chi2_micro
+               FROM grid)
+         SELECT n, r_levels, c_levels, dof, chi2_micro,
+           ${graft.ops.Stats.cramersVSql("chi2_micro", "n", "r_levels", "c_levels")}
+             AS cramers_v_micro
+         FROM f"""),
+
+    // both sweeps as bounded recursive closures: min-id seed, farthest
+    // = (max hops, min node), second closure's max hop + reach count
+    "g17_diameter" ->
+      """WITH RECURSIVE p AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM p
+               UNION ALL SELECT b, a FROM p),
+         s0 AS (SELECT MIN(LEAST(src, dst)) AS node FROM e),
+         r1 AS (SELECT node, 0 AS d FROM s0
+                UNION
+                SELECT e.dst, r1.d + 1 FROM r1 JOIN e ON e.src = r1.node
+                WHERE r1.d < 8),
+         h1 AS (SELECT node, MIN(d) AS hops FROM r1 GROUP BY 1),
+         far AS (SELECT node AS far_node, hops AS ecc_seed FROM h1
+                 ORDER BY hops DESC, node ASC LIMIT 1),
+         r2 AS (SELECT far_node AS node, 0 AS d FROM far
+                UNION
+                SELECT e.dst, r2.d + 1 FROM r2 JOIN e ON e.src = r2.node
+                WHERE r2.d < 8),
+         h2 AS (SELECT node, MIN(d) AS hops FROM r2 GROUP BY 1)
+         SELECT (SELECT CAST(node AS BIGINT) FROM s0) AS seed_node,
+           (SELECT CAST(far_node AS BIGINT) FROM far) AS far_node,
+           (SELECT CAST(ecc_seed AS BIGINT) FROM far) AS ecc_seed,
+           CAST(MAX(hops) AS BIGINT) AS diameter_lb,
+           COUNT(*) AS n_reached
+         FROM h2""",
 
     // x40's grid, per cell through the SAME chiResidualSql tree
     "x54_chi_residuals" ->

@@ -357,6 +357,45 @@ object Graph {
     known
   }
 
+  /** Double-sweep diameter lower bound (the standard BFS heuristic —
+    * Magnien/Latapy/Habib 2009): BFS from a deterministic seed (the
+    * smallest node id), then BFS again from the farthest node found —
+    * the second eccentricity is a lower bound on the diameter, usually
+    * tight on real graphs, at the cost of exactly TWO traversals (the
+    * exact diameter is all-pairs BFS — wrong tool past toy scale; this
+    * is the one-number "how stretched is this graph" triage before
+    * paying for anything iterative).
+    *
+    * Deterministic end to end: min-id seed, farthest = (max hops, min
+    * node id) struct-extreme, both sweeps the same checkpoint-cut
+    * level-synchronous rounds as [[bfsHops]]. `maxHops` bounds both
+    * sweeps — a bound BELOW the true eccentricity truncates (the
+    * bounded-round contract every iterative operator here carries).
+    *
+    * @return one row: (seed_node, far_node, ecc_seed, diameter_lb,
+    *         n_reached — nodes within maxHops of far_node)
+    */
+  def diameterDoubleSweep(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxHops: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val seed = e.select(least(col("src"), col("dst")).as("s"))
+      .agg(min(col("s")).as("s"))
+    val d1 = bfsHops(e, "src", "dst", seed, "s", maxHops)
+    val farEcc = d1.agg(
+      min(struct((-col("hops")).as("nh"), col("node").as("node"))).as("b"))
+      .select(col("b.node").as("far_node"), (-col("b.nh")).as("ecc_seed"))
+    val d2 = bfsHops(e, "src", "dst",
+      farEcc.select(col("far_node").as("s")), "s", maxHops)
+    seed.crossJoin(farEcc)
+      .crossJoin(d2.agg(max(col("hops")).as("diameter_lb"),
+        count(lit(1)).as("n_reached")))
+      .select(col("s").as("seed_node"), col("far_node"), col("ecc_seed"),
+        col("diameter_lb"), col("n_reached"))
+  }
+
   /** Per-seed BFS hop distances, bounded depth — [[bfsHops]] with seed
     * IDENTITY preserved: each seed runs its own level-synchronous
     * expansion, all seeds advancing together in one join per round

@@ -352,6 +352,19 @@ object Stats {
          / SQRT(CAST($n AS DOUBLE) * CAST($rt AS DOUBLE) * CAST($ct AS DOUBLE))
          * 1000000, 0) AS BIGINT)"""
 
+  /** The shared Cramér's V tree: `V = √(χ²/(n·min(r−1, c−1)))` over the
+    * exact micro-unit χ² and integer counts — effect SIZE, the
+    * sample-size-free companion to x40's statistic (a huge n makes any
+    * trivial dependence "significant"; V says whether it matters).
+    * Rounded micro-units; degenerate 1×C / R×1 grids → NULL.
+    */
+  def cramersVSql(chi2Micro: String, n: String, r: String, c: String): String =
+    s"""CASE WHEN LEAST($r - 1, $c - 1) > 0 THEN
+         CAST(ROUND(SQRT((CAST($chi2Micro AS DOUBLE) / 1000000.0)
+           / (CAST($n AS DOUBLE) * CAST(LEAST($r - 1, $c - 1) AS DOUBLE)))
+           * 1000000, 0) AS BIGINT)
+       ELSE CAST(NULL AS BIGINT) END"""
+
   /** Per-cell standardized residuals of the independence model — the
     * DRILL-DOWN x40's one-number verdict can't give: WHICH (a, b) cells
     * are over/under-represented, and by how many standard deviations.

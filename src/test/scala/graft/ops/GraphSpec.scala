@@ -548,4 +548,19 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert((out.getLong(1), out.getLong(2), out.getLong(3), out.isNullAt(4)) ==
       ((0L, 0L, 0L, true)))
   }
+
+  test("diameterDoubleSweep: a path graph reads its exact diameter; maxHops truncates honestly") {
+    // path 1—2—3—4—5: seed = 1, farthest = 5 at ecc 4, sweep-2 from 5
+    // spans the whole path → diameter 4, all 5 nodes reached
+    val p = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val e = (p ++ p.map(_.swap)).toDF("s", "d")
+    val out = Graph.diameterDoubleSweep(e, "s", "d", maxHops = 8).head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4)) == ((1L, 5L, 4L, 4L, 5L)))
+    // bounded at 2 hops: sweep 1 stops at node 3 (far = min id among
+    // max-hop nodes), sweep 2 from 3 reaches everything within 2
+    val cut = Graph.diameterDoubleSweep(e, "s", "d", maxHops = 2).head()
+    assert((cut.getLong(0), cut.getLong(1), cut.getLong(2), cut.getLong(3),
+      cut.getLong(4)) == ((1L, 3L, 2L, 2L, 5L)))
+  }
 }

@@ -256,6 +256,21 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("z")) && r2.isNullAt(r2.fieldIndex("significant")))
   }
 
+  test("cramersVSql: a perfect 2×2 association reads exactly 1.0; 1×C grids are NULL") {
+    import spark.implicits._
+    val rows = Seq.fill(16)(("a1", "b1")) ++ Seq.fill(16)(("a2", "b2"))
+    val r = Stats.chiSquareIndependence(rows.toDF("x", "y"), "x", "y")
+      .withColumn("v", expr(Stats.cramersVSql("chi2_micro", "n", "r_levels", "c_levels")))
+      .head()
+    // χ² = n for a perfect 2×2 → V = √(n/(n·1)) = 1 exactly
+    assert(r.getAs[Long]("v") == 1000000L)
+    val flat = Seq.fill(8)(("a1", "b1")) ++ Seq.fill(8)(("a1", "b2"))
+    val r2 = Stats.chiSquareIndependence(flat.toDF("x", "y"), "x", "y")
+      .withColumn("v", expr(Stats.cramersVSql("chi2_micro", "n", "r_levels", "c_levels")))
+      .head()
+    assert(r2.isNullAt(r2.fieldIndex("v"))) // min(r−1, c−1) = 0
+  }
+
   test("chiResiduals: a perfect diagonal flags all four cells at ±2√2; empty cells carry deficit") {
     import spark.implicits._
     // 16/0/0/16: e = 8 everywhere → resid = ±(256)/√8192 = ±2.828427σ
