@@ -715,6 +715,15 @@ object SparkEntry {
       graft.ops.Stats.chiSquareIndependence(
         t(s, dir, "orders"), "o_orderstatus", "o_orderpriority")),
 
+    // ---- X: one-way ANOVA — do mean values differ across event
+    //      types? (the k-group generalization of the two-sample tests);
+    //      rounded group units, one shared F tree ----
+    "x56_anova_f" -> ((s, dir) =>
+      graft.ops.Stats.anovaF(
+        events(s, dir).withColumn("cents",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")),
+        "event_type", "cents")),
+
     // ---- X: Cramér's V — effect size from x40's exact chi-square
     //      (a huge n makes trivial dependence 'significant'; V says
     //      whether it matters); shares the slot-cached cells ----
@@ -4520,6 +4529,29 @@ object SparkEntry {
            CAST(SUM(${graft.ops.Stats.chiTermSql("o", "n", "rt", "ct")})
              AS BIGINT) AS chi2_micro
          FROM grid"""),
+
+    // per-group exact sums, the SAME rounded group-term and F trees
+    "x56_anova_f" ->
+      (s"""WITH v AS (SELECT event_type AS g,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         gg AS (SELECT g, COUNT(*) AS n_g, CAST(SUM(v) AS HUGEINT) AS s_g,
+                  CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q_g
+                FROM v GROUP BY 1),
+         f AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+                 CAST(SUM(n_g) AS BIGINT) AS n,
+                 CAST(SUM(s_g) AS HUGEINT) AS s,
+                 CAST(SUM(q_g) AS HUGEINT) AS q,
+                 CAST(SUM(${graft.ops.Stats.anovaGroupTermSql("s_g", "n_g")})
+                   AS BIGINT) AS a
+               FROM gg),
+         f2 AS (SELECT k_groups, n, q, a,
+                  ${graft.ops.Stats.anovaGroupTermSql("s", "n")} AS b
+                FROM f)
+         SELECT k_groups, n, k_groups - 1 AS dfb, n - k_groups AS dfw,
+           ${graft.ops.Stats.anovaFSql("a", "b", "q", "n", "k_groups")} AS f_micro
+         FROM f2"""),
 
     // x40's statistic plus the SAME cramersVSql tree over it
     "x55_cramers_v" ->

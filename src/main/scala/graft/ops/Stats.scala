@@ -352,6 +352,61 @@ object Stats {
          / SQRT(CAST($n AS DOUBLE) * CAST($rt AS DOUBLE) * CAST($ct AS DOUBLE))
          * 1000000, 0) AS BIGINT)"""
 
+  /** One-way ANOVA's per-group term `round(S_g²/n_g)` — a deterministic
+    * rounded unit per group (the micro-nat recipe applied to the
+    * between-group sum of squares), so the group sum is an order-immune
+    * exact long.
+    */
+  def anovaGroupTermSql(s: String, n: String): String =
+    s"""CAST(ROUND(CAST($s AS DOUBLE) * CAST($s AS DOUBLE)
+         / CAST($n AS DOUBLE), 0) AS BIGINT)"""
+
+  /** The shared one-way F tree over exact integers: `F = (SSB/(k−1)) /
+    * (SSW/(n−k))` with SSB = A − B (rounding can push a null-effect SSB
+    * a hair negative — clamped at 0) and SSW = Q − A. Degenerate cases
+    * (one group, n ≤ k, zero within-group variance) → NULL.
+    */
+  def anovaFSql(a: String, b: String, q: String, n: String, k: String): String =
+    s"""CASE WHEN $k > 1 AND $n > $k AND ($q - $a) > 0 THEN
+         CAST(ROUND(CAST(GREATEST($a - $b, 0) AS DOUBLE)
+           * CAST($n - $k AS DOUBLE)
+           / (CAST($q - $a AS DOUBLE) * CAST($k - 1 AS DOUBLE))
+           * 1000000, 0) AS BIGINT)
+       ELSE CAST(NULL AS BIGINT) END"""
+
+  /** One-way ANOVA across groups — "do the group MEANS differ?", the
+    * k-group generalization of e45/e52's two-sample questions. Inputs
+    * integerize once (cents); per-group sums and the global Σx² are
+    * exact decimals; the only non-exact steps are the per-group rounded
+    * units ([[anovaGroupTermSql]], ≤0.5 absolute error each — noise at
+    * monitoring scale) and the single final [[anovaFSql]] tree, so the
+    * micro-unit F replays bit-for-bit. Compare against an F quantile
+    * out of band (dfb/dfw are emitted).
+    *
+    * Scale shape: one (group) map-side-partial aggregate — the scan is
+    * the whole cost — then arithmetic on the groups-sized relation.
+    *
+    * @return one row: (k_groups, n, dfb, dfw, f_micro)
+    */
+  def anovaF(df: DataFrame, groupCol: String, centsCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("g"), col(centsCol).cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("v").cast("decimal(38,0)")).as("s_g"),
+        sum(col("v").cast("decimal(19,0)") * col("v")).as("q_g"))
+    g.agg(count(lit(1)).as("k_groups"),
+        sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"),
+        sum(col("q_g")).as("q"),
+        sum(expr(anovaGroupTermSql("s_g", "n_g"))).as("a"))
+      .withColumn("b", expr(anovaGroupTermSql("s", "n")))
+      .withColumn("dfb", col("k_groups") - 1)
+      .withColumn("dfw", col("n") - col("k_groups"))
+      .withColumn("f_micro", expr(anovaFSql("a", "b", "q", "n", "k_groups")))
+      .select("k_groups", "n", "dfb", "dfw", "f_micro")
+  }
+
   /** The shared Cramér's V tree: `V = √(χ²/(n·min(r−1, c−1)))` over the
     * exact micro-unit χ² and integer counts — effect SIZE, the
     * sample-size-free companion to x40's statistic (a huge n makes any

@@ -256,6 +256,21 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("z")) && r2.isNullAt(r2.fieldIndex("significant")))
   }
 
+  test("anovaF: hand-replayed F; zero within-group variance is NULL, never infinite") {
+    import spark.implicits._
+    // A{0,2}, B{4,6}: A-term round(4/2)=2 + round(100/2)=50 → a=52,
+    // b=round(144/4)=36, q=56 → SSB=16, SSW=4 → F=(16/1)/(4/2)=8
+    val df = Seq(("A", 0L), ("A", 2L), ("B", 4L), ("B", 6L)).toDF("g", "v")
+    val r = Stats.anovaF(df, "g", "v").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 4L, 1L, 2L, 8000000L)))
+    // perfectly separated constants: SSW = 0 → NULL (report the
+    // degenerate case, don't divide by it)
+    val sep = Seq(("A", 0L), ("A", 0L), ("B", 10L), ("B", 10L)).toDF("g", "v")
+    val r2 = Stats.anovaF(sep, "g", "v").head()
+    assert(r2.isNullAt(4))
+  }
+
   test("cramersVSql: a perfect 2×2 association reads exactly 1.0; 1×C grids are NULL") {
     import spark.implicits._
     val rows = Seq.fill(16)(("a1", "b1")) ++ Seq.fill(16)(("a2", "b2"))
