@@ -380,7 +380,12 @@ object Graph {
       srcCol: String,
       dstCol: String,
       maxHops: Int): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // every BFS round of BOTH sweeps joins the edge relation — without
+    // the slot a derived edge list (e.g. the orders⋈lineitem co-purchase
+    // projection) re-plans per round (the g1 adjacency-slot lesson;
+    // measured 13.3 s → ~5 s at sf0.1)
+    val e = diamEdgeSlot.persist(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val seed = e.select(least(col("src"), col("dst")).as("s"))
       .agg(min(col("s")).as("s"))
     val d1 = bfsHops(e, "src", "dst", seed, "s", maxHops)
@@ -395,6 +400,8 @@ object Graph {
       .select(col("s").as("seed_node"), col("far_node"), col("ecc_seed"),
         col("diameter_lb"), col("n_reached"))
   }
+
+  private val diamEdgeSlot = new CacheSlot
 
   /** Per-seed BFS hop distances, bounded depth — [[bfsHops]] with seed
     * IDENTITY preserved: each seed runs its own level-synchronous
