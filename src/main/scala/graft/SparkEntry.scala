@@ -2286,15 +2286,18 @@ object SparkEntry {
 
     // ---- V: IVF + binary quantization + exact rerank — the three-
     //      stage vector-DB architecture (coarse cells → 1-bit scan →
-    //      full-precision refine of 50 candidates); measured 0.796
-    //      recall@5 vs the ~0.83 nProbe-8 cell ceiling ----
+    //      full-precision refine). rerank = 200: on an unclustered
+    //      corpus the 1-bit candidates are near-interchangeable, so the
+    //      cut must track in-cell density (measured at sf0.1: 50→0.667,
+    //      100→0.74, 200→0.781 vs the ~0.79 nProbe-8 cell ceiling;
+    //      tools.ProfileV29) — the knob a deployment sizes per corpus ----
     "v29_ivfbq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") % 10 === 0)
       recallGate(
         graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
         graft.ops.Similarity.ivfBqTopK(emb, q, "vec_id", "embedding", 5,
-          nCentroids = 16, nProbe = 8, rerank = 50, kmeansIters = 1))
+          nCentroids = 16, nProbe = 8, rerank = 200, kmeansIters = 1))
     }),
 
     // ---- V: FILTERED ANN — search within a metadata predicate
