@@ -715,6 +715,33 @@ object SparkEntry {
       graft.ops.Stats.chiSquareIndependence(
         t(s, dir, "orders"), "o_orderstatus", "o_orderpriority")),
 
+    // ---- MON1: the monitoring capstone — freshness, PSI drift, CUSUM
+    //      alarms, and the key FD check composed into ONE labeled
+    //      health report (the llm1/air1 discipline applied to the
+    //      monitoring tier: a drift in any member breaks a specific
+    //      labeled row) ----
+    "mon1_health_report" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val fresh = graft.ops.DataQuality.freshness(ev, "event_type", "ts")
+        .select(lit("freshness").as("check_id"), col("slice").as("key"),
+          lit("lag_s").as("metric"), col("lag_s").cast("long").as("value"))
+      val psi = graft.ops.Stats.psi(ev, "event_type", "value",
+          expr("unix_micros(ts) div 86400000000 < 19738"), binWidthCents = 2000L)
+        .select(lit("psi").as("check_id"), col("key"),
+          lit("psi_micro").as("metric"), col("psi_micro").cast("long").as("value"))
+      val cus = graft.ops.TimeSeries.cusumChangepoints(
+          ev, "event_type", "ts", "value", alarmPctOfMean = 50)
+        .select(lit("cusum").as("check_id"), col("key"),
+          lit("n_alarm_days").as("metric"),
+          col("n_alarm_days").cast("long").as("value"))
+      val fd = graft.ops.DataQuality.fdViolations(ev, Seq("event_id"),
+          "user_id", "event_id_determines_user")
+        .select(lit("fd").as("check_id"), col("check_name").as("key"),
+          lit("n_violating").as("metric"),
+          col("n_violating").cast("long").as("value"))
+      fresh.unionByName(psi).unionByName(cus).unionByName(fd)
+    }),
+
     // ---- X: one-way ANOVA — do mean values differ across event
     //      types? (the k-group generalization of the two-sample tests);
     //      rounded group units, one shared F tree ----
@@ -3829,7 +3856,7 @@ object SparkEntry {
          FROM inst JOIN enc USING (w) GROUP BY doc_id"""
   }
 
-  def oracleSql: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "a1_full_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -8290,4 +8317,26 @@ object SparkEntry {
          FROM l
          WHERE pr IS NULL OR abs(r - pr) + abs(g - pg) + abs(b - pb) > 40"""
   )
+
+  /** The mon1 capstone oracle is BUILT FROM the member monitors'
+    * oracles (the corrSql one-definition discipline lifted to whole
+    * queries): each sub-oracle runs verbatim as a subquery and melts to
+    * the common (check_id, key, metric, value) grain — a drift in any
+    * member breaks a specific labeled row.
+    */
+  def oracleSql: Map[String, String] =
+    oracleBase + ("mon1_health_report" ->
+      s"""SELECT 'freshness' AS check_id, event_type AS key, 'lag_s' AS metric,
+            CAST(lag_s AS BIGINT) AS value
+          FROM (${oracleBase("e48_freshness")})
+          UNION ALL
+          SELECT 'psi', event_type, 'psi_micro', CAST(psi_micro AS BIGINT)
+          FROM (${oracleBase("x39_psi_drift")})
+          UNION ALL
+          SELECT 'cusum', event_type, 'n_alarm_days', CAST(n_alarm_days AS BIGINT)
+          FROM (${oracleBase("e39_cusum_changepoint")})
+          UNION ALL
+          SELECT 'fd', check_name, 'n_violating', CAST(n_violating AS BIGINT)
+          FROM (${oracleBase("x51_fd_check")})
+          WHERE check_name = 'event_id_determines_user'""")
 }
