@@ -1930,6 +1930,25 @@ object SparkEntry {
       graft.ops.TextAnalysis.codeSwitching(
         t(s, dir, "documents"), "doc_id", "text", chunkTokens = 20)),
 
+    // ---- T: NEAR-DUP split leakage — t40's n-gram complement: a test
+    //      doc most of whose shingles the train split already contains
+    //      is contaminated even when no exact hash matches. novelty_bp
+    //      from the t34 kernel (test docs vs the train shingle set),
+    //      leaked = novelty < 50% ----
+    "t43_split_ngram_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sp = graft.ops.Corpus.assignSplit(docs, "doc_id", 90, 5)
+      val withSplit = docs.join(sp, Seq("doc_id"))
+      val train = withSplit.where(col("split") === "train")
+      val rest = withSplit.where(col("split") =!= "train")
+      graft.ops.Corpus.ngramNovelty(rest, train, "doc_id", "text", n = 3)
+        .join(sp, Seq("doc_id"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("novelty_bp") < 5000, 1L).otherwise(0L)).as("n_leaked"))
+        .withColumn("leak_bp", expr("(10000 * n_leaked) div n_docs"))
+    }),
+
     // ---- T: Jensen–Shannon token-distribution divergence — each
     //      language slice vs the corpus complement; exact cross-
     //      multiplied count ratios through the shared lnRatioMicroSql
@@ -6651,6 +6670,39 @@ object SparkEntry {
            (10000 * CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT))
              // COUNT(*) AS hapax_bp
          FROM wc GROUP BY lang""",
+
+    // t10's split + t34's shingle/novelty replay with train as the
+    // reference set; leaked = novelty below 5000 bp
+    "t43_split_ngram_leakage" ->
+      """WITH sp AS (SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+           FROM documents),
+         d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+               FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(w)-1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS s
+                FROM d),
+         dg AS (SELECT sh.doc_id, unnest(s) AS g
+                FROM sh JOIN sp USING (doc_id) WHERE sp.split <> 'train'),
+         rg AS (SELECT DISTINCT unnest(s) AS g
+                FROM sh JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+         nv AS (SELECT dg.doc_id, COUNT(*) AS n_ngrams,
+                  CAST(COUNT(CASE WHEN rg.g IS NULL THEN 1 END) AS BIGINT)
+                    AS n_novel
+                FROM dg LEFT JOIN rg ON dg.g = rg.g GROUP BY 1),
+         nb AS (SELECT doc_id, (10000 * n_novel) // n_ngrams AS novelty_bp
+                FROM nv)
+         SELECT sp.split, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN novelty_bp < 5000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaked,
+           (10000 * CAST(SUM(CASE WHEN novelty_bp < 5000 THEN 1 ELSE 0 END)
+             AS BIGINT)) // COUNT(*) AS leak_bp
+         FROM nb JOIN sp USING (doc_id) GROUP BY 1""",
 
     // exact token membership via list overlap, per-lang floored bp
     "t42_word_blocklist" ->
