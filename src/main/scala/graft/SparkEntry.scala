@@ -2201,6 +2201,13 @@ object SparkEntry {
         emb, emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding", 5)
     }),
 
+    // ---- V: nearest-class-centroid accuracy — the cheapest "do these
+    //      embeddings encode the label" probe; exact integer centroids
+    //      and L2², one broadcast-codegen corpus pass ----
+    "v30_prototype_accuracy" -> ((s, dir) =>
+      graft.ops.Clustering.prototypeAccuracy(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label")),
+
     // ---- V: contrastive triplet mining — hardest positive (least-
     //      similar same-label) + hardest negative (most-similar
     //      different-label) per anchor, violation flag on full-precision
@@ -7170,6 +7177,36 @@ object SparkEntry {
          SELECT version, COUNT(*) AS n_events,
            CAST(SUM(tier_cents) AS BIGINT) AS sum_tier_cents
          FROM j GROUP BY 1""",
+
+    // floored integer per-label centroids (the v22 recipe), exact
+    // integer L2² distances, (d, label) argmin, per-true-label rollup
+    "v30_prototype_accuracy" ->
+      """WITH b AS (SELECT vec_id, label,
+                  list_transform(embedding,
+                    x -> CAST(ROUND(x::DOUBLE * 1000) AS BIGINT)) AS qv
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         e AS (SELECT label, unnest(range(1, len(qv)+1)) AS pos,
+                 unnest(qv) AS x FROM b),
+         s AS (SELECT label, pos, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n
+               FROM e GROUP BY 1, 2),
+         c AS (SELECT label AS clabel, pos,
+                 (s - ((s % n + n) % n)) // n AS c FROM s),
+         q AS (SELECT vec_id, label, unnest(range(1, len(qv)+1)) AS pos,
+                 unnest(qv) AS x FROM b),
+         d AS (SELECT q.vec_id, q.label, c.clabel,
+                 CAST(SUM((q.x - c.c) * (q.x - c.c)) AS BIGINT) AS d2
+               FROM q JOIN c USING (pos) GROUP BY 1, 2, 3),
+         a AS (SELECT vec_id, label, clabel,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, clabel ASC) AS rn
+               FROM d)
+         SELECT label, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           (10000 * CAST(SUM(CASE WHEN clabel = label THEN 1 ELSE 0 END)
+             AS BIGINT)) // COUNT(*) AS accuracy_bp
+         FROM a WHERE rn = 1 GROUP BY 1""",
 
     // the v1 cosine tree scored once; hardest positive = (cos ASC, id
     // ASC) rank 1 among same-label, hardest negative = (cos DESC, id

@@ -171,6 +171,61 @@ object Clustering {
     *         integer sum, min_margin_fp / max_margin_fp DOUBLE): the
     *         warehouse-replayable margin profile of the clustering
     */
+  /** Nearest-class-centroid accuracy — the cheapest "are these
+    * embeddings separable by label" probe (a prototype classifier:
+    * Rocchio / nearest-mean). Each label's centroid is the FLOORED
+    * integer mean of its quantized vectors (the v15/v22 recipe), every
+    * vector assigns to the nearest centroid by EXACT integer squared
+    * L2 (ties → smaller label id), and the report is per-true-label
+    * accuracy in floored bp. Near-chance accuracy says the embedding
+    * space doesn't encode the label; high accuracy justifies paying
+    * for k-NN/classifier tiers.
+    *
+    * Scale shape: one posexplode pass → (labels × dims) sums →
+    * a one-row broadcast centroid array; assignment is ONE codegen
+    * corpus pass (the corpus never shuffles — the v15 contract);
+    * per-label rollup is labels-sized.
+    *
+    * @return per label: (label, n, n_correct, accuracy_bp)
+    */
+  def prototypeAccuracy(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      scaleFp: Int = 1000): DataFrame = {
+    require(scaleFp >= 1, s"scaleFp must be >= 1, got $scaleFp")
+    val base = df.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("id"), col(labelCol).cast("int").as("label"),
+        expr(s"""transform($vecCol, x ->
+          CAST(round(CAST(x AS DOUBLE) * $scaleFp) AS BIGINT))""").as("qv"))
+    val sums = base
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("(s - ((s % n + n) % n)) div n"))
+    val centArr = sums
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("st"))
+      .select(col("label"), expr("transform(st, e -> e.c)").as("cv"))
+      .agg(sort_array(collect_list(struct(col("label"), col("cv")))).as("cents"))
+    base.crossJoin(broadcast(centArr))
+      .withColumn("best", expr(
+        """aggregate(
+             transform(cents, e -> named_struct(
+               'd', aggregate(zip_with(qv, e.cv, (a, b) -> (a - b) * (a - b)),
+                 0L, (x, y) -> x + y),
+               'l', e.label)),
+             named_struct('d', CAST(NULL AS BIGINT), 'l', CAST(NULL AS INT)),
+             (acc, e) -> CASE WHEN acc.d IS NULL OR e.d < acc.d
+               OR (e.d = acc.d AND e.l < acc.l) THEN e ELSE acc END)"""))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("best.l") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy_bp", expr("(10000 * n_correct) div n"))
+  }
+
   def marginGate(
       corpus: DataFrame,
       idCol: String,

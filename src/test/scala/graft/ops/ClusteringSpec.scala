@@ -136,4 +136,24 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     assert(Seq(1L, 2L, 3L).map(out(_)._2).distinct == Seq(1L))
     assert(Seq(10L, 11L, 12L).map(out(_)._2).distinct == Seq(10L))
   }
+
+  test("prototypeAccuracy: a traitor outvoted by its labelmates flips to the other prototype") {
+    import spark.implicits._
+    // four label-0 vectors at (2, 0) pin c0 = (1600, 2000) even with
+    // the traitor at (0, 10); c1 = (0, 3000). Traitor distances:
+    // d0 = 1600² + 8000² = 66.56e6 > d1 = 7000² = 49e6 → predicted 1 →
+    // label 0 reads 4/5 = 8000 bp, label 1 stays perfect. (A traitor in
+    // a SMALL label instead drags its own centroid after it and stays
+    // "correct" — the prototype classifier's honest failure mode.)
+    val emb = ((1L to 4L).map(i => (i, Seq(2.0f, 0.0f), 0)) ++ Seq(
+      (5L, Seq(0.0f, 10.0f), 0),
+      (6L, Seq(0.0f, 2.0f), 1), (7L, Seq(0.0f, 4.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Clustering.prototypeAccuracy(emb, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      0 -> ((5L, 4L, 8000L)),
+      1 -> ((2L, 2L, 10000L))))
+  }
 }
