@@ -2719,6 +2719,24 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
     }),
 
+    // ---- E: day-of-week seasonality profile — the calendar shape per
+    //      event_type (portable dow = (epoch_day+4)%7, 0=Sunday) ----
+    "e55_dow_profile" -> ((s, dir) =>
+      graft.ops.TimeSeries.dayOfWeekProfile(events(s, dir), "event_type", "ts")
+        .withColumnRenamed("key", "event_type")),
+
+    // ---- G: co-purchase edge churn — first half (1995-97) vs second
+    //      (1998+): how much of the link structure survived? ----
+    "g19_edge_churn" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("a"), col("l_suppkey").as("b"),
+          col("o_orderdate"))
+      graft.ops.Graph.edgeChurn(
+        base.where(col("o_orderdate") < "1998-01-01"),
+        base.where(col("o_orderdate") >= "1998-01-01"), "a", "b")
+    }),
+
     // ---- E: Mann–Kendall trend significance — the distribution-free
     //      "is e50's slope noise?" test on the same daily series; S and
     //      the tie-corrected 18·Var(S) are pure integers, z via the
@@ -6124,6 +6142,53 @@ object SparkEntry {
            CAST(MAX(CASE WHEN (n + 1) // 2 BETWEEN hi - c + 1 AND hi
              THEN slope END) AS BIGINT) AS ts_slope_micro
          FROM rk GROUP BY 1""",
+
+    // portable integer dow, ≤7 rows per key, peak = (max n, min dow)
+    "e55_dow_profile" ->
+      """WITH c AS (SELECT event_type,
+                  ((epoch_us(ts::TIMESTAMP) // 86400000000) + 4) % 7 AS dow,
+                  COUNT(*) AS n
+                FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, dow, n,
+                 SUM(n) OVER (PARTITION BY event_type) AS tot,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY n DESC, dow ASC) AS rk
+               FROM c),
+         p AS (SELECT event_type, dow AS peak_dow FROM w WHERE rk = 1)
+         SELECT w.event_type, CAST(dow AS BIGINT) AS dow,
+           CAST(n AS BIGINT) AS n,
+           (10000 * CAST(n AS BIGINT)) // CAST(tot AS BIGINT) AS share_bp,
+           CASE WHEN dow = peak_dow THEN 1 ELSE 0 END AS is_peak
+         FROM w JOIN p USING (event_type)""",
+
+    // canonicalized distinct edge sets per period, one full-outer set
+    // comparison, integer churn counts + stability Jaccard
+    "g19_edge_churn" ->
+      """WITH base AS (SELECT o_custkey AS a, l_suppkey AS b, o_orderdate
+                       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         ea AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+                FROM base WHERE o_orderdate < '1998-01-01'),
+         eb AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+                FROM base WHERE o_orderdate >= '1998-01-01'),
+         j AS (SELECT COALESCE(ea.u, eb.u) AS u, COALESCE(ea.v, eb.v) AS v,
+                 CASE WHEN ea.u IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+                 CASE WHEN eb.u IS NOT NULL THEN 1 ELSE 0 END AS in_b
+               FROM ea FULL OUTER JOIN eb ON ea.u = eb.u AND ea.v = eb.v)
+         SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+           CAST(SUM(in_b) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(SUM(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CASE WHEN SUM(in_a) + SUM(in_b)
+                  - SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) > 0
+             THEN (10000 * CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT))
+               // CAST(SUM(in_a) + SUM(in_b)
+                  - SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           END AS jaccard_bp
+         FROM j""",
 
     // the same daily series; S = Σ sgn pairs and the tie-corrected
     // 18·Var(S) are exact integers, the continuity-corrected z goes

@@ -401,6 +401,39 @@ object Graph {
         col("diameter_lb"), col("n_reached"))
   }
 
+  /** Edge churn between two snapshots of a graph — the link-graph
+    * drift monitor (how much of last month's co-purchase structure
+    * survived? did a crawl's link graph turn over?). All-integer set
+    * arithmetic over canonicalized (min, max) undirected edges; one
+    * full-outer join of the two distinct edge sets.
+    *
+    * @return one row: (n_a, n_b, n_retained, n_added, n_removed,
+    *         jaccard_bp — stability of the edge set)
+    */
+  def edgeChurn(
+      edgesA: DataFrame,
+      edgesB: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    def canon(df: DataFrame, flag: String) =
+      df.select(least(col(srcCol), col(dstCol)).as("u"),
+          greatest(col(srcCol), col(dstCol)).as("v"))
+        .distinct().withColumn(flag, lit(1))
+    canon(edgesA, "in_a").join(canon(edgesB, "in_b"), Seq("u", "v"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_a"), lit(0))).cast("long").as("n_a"),
+        sum(coalesce(col("in_b"), lit(0))).cast("long").as("n_b"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("in_a").isNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_added"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNull, 1L)
+          .otherwise(0L)).as("n_removed"))
+      .withColumn("jaccard_bp",
+        expr("""CASE WHEN n_a + n_b - n_retained > 0 THEN
+                  (10000 * n_retained) div (n_a + n_b - n_retained) END"""))
+  }
+
   private val diamEdgeSlot = new CacheSlot
 
   /** Per-seed BFS hop distances, bounded depth — [[bfsHops]] with seed

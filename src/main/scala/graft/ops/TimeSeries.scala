@@ -676,6 +676,36 @@ object TimeSeries {
         col("dispersion_micro"))
   }
 
+  /** Day-of-week seasonality profile per key — the calendar-shape
+    * fingerprint (which weekday peaks, how uneven the week is) that
+    * decides e38's season and explains e49's deseasonalization. The
+    * weekday index is PORTABLE integer arithmetic — `(epoch_day + 4) %
+    * 7` with 0 = Sunday (engine-native day-of-week functions disagree
+    * on numbering: Spark 1=Sunday..7, DuckDB 0=Sunday..6) — so the
+    * profile replays bit-for-bit. Peak = max count, ties → smaller
+    * index. One (key, dow) aggregate; ≤7 rows per key leave the scan.
+    *
+    * @return (key, dow — 0=Sunday, n, share_bp, is_peak)
+    */
+  def dayOfWeekProfile(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val counts = df.select(col(keyCol).as("key"),
+        expr(s"((CAST(CAST($tsCol AS TIMESTAMP) AS LONG) div 86400) + 4) % 7")
+          .as("dow"))
+      .groupBy("key", "dow").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("tot",
+        sum(col("n")).over(Window.partitionBy("key")))
+      .withColumn("peak",
+        min(struct((-col("n")).as("nn"), col("dow").as("dow")))
+          .over(Window.partitionBy("key")))
+      .select(col("key"), col("dow"), col("n"),
+        expr("(10000 * n) div tot").as("share_bp"),
+        (col("dow") === col("peak.dow")).cast("int").as("is_peak"))
+  }
+
   def mannKendall(
       df: DataFrame,
       keyCol: String,

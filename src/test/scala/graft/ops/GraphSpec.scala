@@ -549,6 +549,14 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       ((0L, 0L, 0L, true)))
   }
 
+  test("edgeChurn: canonicalized undirected sets — a reversed edge is retained, not churned") {
+    val a = Seq(1L -> 2L, 2L -> 3L).toDF("s", "d")
+    val b = Seq(2L -> 1L, 3L -> 4L).toDF("s", "d") // (2,1) ≡ (1,2)
+    val r = Graph.edgeChurn(a, b, "s", "d").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((2L, 2L, 1L, 1L, 1L, 3333L)))
+  }
+
   test("diameterDoubleSweep: a path graph reads its exact diameter; maxHops truncates honestly") {
     // path 1—2—3—4—5: seed = 1, farthest = 5 at ecc 4, sweep-2 from 5
     // spans the whole path → diameter 4, all 5 nodes reached

@@ -355,6 +355,20 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     assert(out("k") == ((4L, -5L, 138L, Some(-1444630L))))
   }
 
+  test("dayOfWeekProfile: portable dow (0=Sunday), peak ties to the smaller index") {
+    // 2024-01-07 is a Sunday: ((19729 + 4) % 7) = 0 — the portability
+    // contract (Spark dayofweek says 1, DuckDB says 0; we use neither)
+    val df = Seq(
+      ("k", "2024-01-07 10:00:00"), ("k", "2024-01-07 11:00:00"),
+      ("k", "2024-01-08 10:00:00")).toDF("k", "ts")
+    val out = TimeSeries.dayOfWeekProfile(df, "k", "ts")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(out == Map(
+      0L -> ((2L, 6666L, 1)),
+      1L -> ((1L, 3333L, 0))))
+  }
+
   test("dispersionIndex: bursty vs metronomic keys over the shared calendar span") {
     // global span day0..day2 = 3 days (day1 has zero events — it must
     // count). bursty: counts (3,0,1) → S=4, Σy²=10 →
