@@ -1894,6 +1894,13 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "text")
         .withColumnRenamed("slice", "lang")),
 
+    // ---- T: character entropy — the encoded-blob / repeated-spam
+    //      detector; micro-nat terms via the shared entropy tree over
+    //      the per-doc codepoint histogram ----
+    "t44_char_entropy" -> ((s, dir) =>
+      graft.ops.TextAnalysis.charEntropy(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- T: word-blocklist gate (the C4 badwords filter) — exact
     //      token membership, never substring; per-language drop rates ----
     "t42_word_blocklist" -> ((s, dir) =>
@@ -6742,6 +6749,20 @@ object SparkEntry {
            (10000 * CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT))
              // COUNT(*) AS hapax_bp
          FROM wc GROUP BY lang""",
+
+    // per-doc codepoint histogram through the SAME entropy term tree
+    "t44_char_entropy" ->
+      (s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch
+               WHERE length(ch) > 0 GROUP BY 1, 2),
+         w AS (SELECT doc_id, c,
+                 SUM(c) OVER (PARTITION BY doc_id) AS n FROM c)
+         SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
+           COUNT(*) AS n_distinct_chars,
+           CAST(SUM(${graft.ops.Stats.entropyTermSql("c", "n")}) AS BIGINT)
+             AS entropy_micro
+         FROM w GROUP BY 1"""),
 
     // t10's split + t34's shingle/novelty replay with train as the
     // reference set; leaked = novelty below 5000 bp

@@ -103,6 +103,45 @@ object TextAnalysis {
       .drop("__toks" +: scoreCols: _*)
   }
 
+  /** Per-document character entropy — the encoded-blob / degenerate-
+    * text detector token features miss: base64 dumps, hex blobs and
+    * minified code read HIGH (near-uniform characters), repeated-
+    * character spam reads LOW, while prose sits in a narrow band.
+    * Micro-nat terms via the shared
+    * [[graft.ops.Stats.entropyTermSql]] tree over the per-doc
+    * character histogram (codepoint grain — Spark `split(text, "")`
+    * and DuckDB `string_split(text, '')` agree), summed as exact longs.
+    * Thresholding is caller policy; this emits the measurement.
+    *
+    * Scale shape: the char fan-out is repartitioned by id first (the
+    * standard fan-out discipline) and collapses to (doc, distinct
+    * char) — alphabet-sized per doc — before the doc-partitioned
+    * window and rollup.
+    *
+    * @return (idCol, n_chars, n_distinct_chars, entropy_micro)
+    */
+  def charEntropy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val hist = docs.where(col(textCol).isNotNull)
+      .repartition(par, col(idCol))
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .where(length(col("ch")) > 0)
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+    hist
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy(idCol)))
+      .withColumn("term", expr(graft.ops.Stats.entropyTermSql("c", "n")))
+      .groupBy(col(idCol))
+      .agg(max(col("n")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("term")).as("entropy_micro"))
+  }
+
   /** Code-switching / language-consistency gate: chunk each document
     * into fixed token windows, language-ID every chunk ([[withLangPred]]
     * — the staged form; the single-Column form re-runs the regexp ~20×

@@ -366,6 +366,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(r.fieldIndex("fit_corr")))
   }
 
+  test("charEntropy: uniform alphabet reads ln(k) exactly; constant spam reads 0") {
+    import spark.implicits._
+    // 'abcd' uniform over 4 chars → 4 terms of round((1/4)·ln(4)·1e6)
+    // = 4·346574 = 1386296; 'aaaa' → ln(1) = 0 exactly
+    val docs = Seq((1L, "abcd"), (2L, "aaaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((4L, 4L, 1386296L)),
+      2L -> ((4L, 1L, 0L))))
+  }
+
   private def cs(chunkTokens: Int, docs: (Long, String)*): Map[Long, (String, Long, Long, Long, Option[Long])] = {
     import spark.implicits._
     TextAnalysis.codeSwitching(docs.toDF("doc_id", "text"), "doc_id", "text", chunkTokens)
