@@ -2794,6 +2794,20 @@ object SparkEntry {
     "d15_source_overlap" -> ((s, dir) =>
       graft.ops.Corpus.sourceOverlap(t(s, dir, "documents"), "source", "text")),
 
+    // ---- D: per-domain quota cap (the C4 per-domain limit) — at most
+    //      20 docs per source, best-first by (n_chars DESC, id ASC);
+    //      WindowGroupLimit keeps a bounded heap per group ----
+    "d18_domain_cap" -> ((s, dir) =>
+      graft.ops.Corpus.capPerGroup(
+        t(s, dir, "documents"), "doc_id", "source", "n_chars", 20)),
+
+    // ---- X: PSI per-bin drill-down — WHICH value range drifted (the
+    //      x54 stance applied to x39); signed share delta in bp ----
+    "x57_psi_bins" -> ((s, dir) =>
+      graft.ops.Stats.psiBins(events(s, dir), "event_type", "value",
+        expr("unix_micros(ts) div 86400000000 < 19738"), binWidthCents = 2000L)
+        .withColumnRenamed("key", "event_type")),
+
     // ---- D: MinHash band sweep — capacity planning for the LSH
     //      budget; nested-prefix tiers make candidate growth and recall
     //      monotonicity THEOREMS, the full tier must recover the exact
@@ -6749,6 +6763,42 @@ object SparkEntry {
            (10000 * CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT))
              // COUNT(*) AS hapax_bp
          FROM wc GROUP BY lang""",
+
+    // the row_number replay of the (score DESC, id ASC) cap
+    "d18_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank
+                FROM documents)
+         SELECT doc_id, source, score, rank FROM r WHERE rank <= 20""",
+
+    // x39's smoothed cross-products emitted per bin through the SAME
+    // psiTermSql tree, plus the signed share delta (positive-mod floor)
+    "x57_psi_bins" ->
+      (s"""WITH b AS (SELECT event_type AS key,
+                  CASE WHEN epoch_us(ts::TIMESTAMP) // 86400000000 < 19738
+                    THEN 1 ELSE 0 END AS is_ref,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                FROM events WHERE value IS NOT NULL),
+         c AS (SELECT key,
+                 (cents - ((cents % 2000 + 2000) % 2000)) // 2000 AS bin,
+                 SUM(is_ref) AS c_ref, SUM(1 - is_ref) AS c_cur
+               FROM b GROUP BY 1, 2),
+         t AS (SELECT key, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                 CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+                 COUNT(*) AS n_bins FROM c GROUP BY 1),
+         m AS (SELECT c.key, c.bin, c.c_ref, c.c_cur,
+                 CAST(c.c_cur + 1 AS HUGEINT) * (t.n_ref + t.n_bins) AS ra,
+                 CAST(c.c_ref + 1 AS HUGEINT) * (t.n_cur + t.n_bins) AS rb,
+                 CAST(t.n_cur + t.n_bins AS HUGEINT) * (t.n_ref + t.n_bins) AS den
+               FROM c JOIN t USING (key))
+         SELECT key AS event_type, CAST(bin AS BIGINT) AS bin,
+           CAST(c_ref AS BIGINT) AS c_ref, CAST(c_cur AS BIGINT) AS c_cur,
+           ${graft.ops.Stats.psiTermSql("ra", "rb", "den")} AS term_micro,
+           CAST((10000 * (ra - rb)
+             - (((10000 * (ra - rb)) % den + den) % den)) // den AS BIGINT)
+             AS share_delta_bp
+         FROM m"""),
 
     // per-doc codepoint histogram through the SAME entropy term tree
     "t44_char_entropy" ->

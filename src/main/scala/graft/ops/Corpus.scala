@@ -502,6 +502,33 @@ object Corpus {
       .withColumn("novelty_bp", expr("(10000 * n_novel) div n_ngrams"))
   }
 
+  /** Per-group quota cap — the C4 per-domain limit: keep at most
+    * `maxPerGroup` documents per group (domain/source), best-first by
+    * (score DESC, id ASC) so the survivors are deterministic. A single
+    * over-represented domain otherwise dominates a language's mix
+    * silently (the d15 overlap matrix finds WHICH domains; this is the
+    * enforcement). Planned as a rank-filter window — Spark rewrites it
+    * to WindowGroupLimit, so each group keeps a bounded heap below the
+    * exchange, never a full sort.
+    *
+    * @return the surviving rows: (idCol, groupCol, score, rank)
+    */
+  def capPerGroup(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: String,
+      maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup >= 1, s"maxPerGroup must be >= 1, got $maxPerGroup")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol), col(groupCol),
+      col(scoreCol).cast("long").as("score"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("score").desc, col(idCol).asc)
+    base.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= maxPerGroup)
+  }
+
   /** Token-blocklist gate — the C4 "bad words" filter: flag every
     * document containing ANY blocked token (exact lowercased whitespace
     * tokens, the t5 tokenizer — substring matching would flag

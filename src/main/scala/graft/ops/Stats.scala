@@ -287,6 +287,54 @@ object Stats {
         max(col("n_bins")).as("n_bins"), sum(col("term")).as("psi_micro"))
   }
 
+  /** PSI per-bin drill-down — WHICH value range drifted (the x54
+    * stance applied to x39): the same smoothed cross-product terms as
+    * [[psi]], emitted per (key, bin) with the reference/current share
+    * difference in signed basis points (`10⁴·(ra − rb) div den` —
+    * positive = the bin GREW). Same one-scan histogram; ≤ bins rows
+    * per key leave it.
+    *
+    * @return (key, bin — lower edge in binWidth units, c_ref, c_cur,
+    *         term_micro, share_delta_bp)
+    */
+  def psiBins(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      refPred: Column,
+      binWidthCents: Long = 2000L): DataFrame = {
+    require(binWidthCents >= 1, s"bin width must be >= 1 cent, got $binWidthCents")
+    import org.apache.spark.sql.expressions.Window
+    val w = binWidthCents
+    val base = df.select(col(keyCol).as("key"),
+        refPred.cast("int").as("is_ref"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .where(col("cents").isNotNull)
+      .withColumn("bin", expr(s"(cents - ((cents % $w + $w) % $w)) div $w"))
+    val cells = base.groupBy("key", "bin")
+      .agg(sum(col("is_ref")).as("c_ref"),
+        sum(lit(1) - col("is_ref")).as("c_cur"))
+    val wk = Window.partitionBy("key")
+    cells
+      .withColumn("n_ref", sum(col("c_ref")).over(wk))
+      .withColumn("n_cur", sum(col("c_cur")).over(wk))
+      .withColumn("n_bins", count(lit(1)).over(wk))
+      .withColumn("ra", (col("c_cur") + 1).cast("decimal(18,0)") *
+        (col("n_ref") + col("n_bins")).cast("decimal(18,0)"))
+      .withColumn("rb", (col("c_ref") + 1).cast("decimal(18,0)") *
+        (col("n_cur") + col("n_bins")).cast("decimal(18,0)"))
+      .withColumn("den", (col("n_cur") + col("n_bins")).cast("decimal(18,0)") *
+        (col("n_ref") + col("n_bins")).cast("decimal(18,0)"))
+      .withColumn("term_micro", expr(psiTermSql("ra", "rb", "den")))
+      // signed share delta: (cur share − ref share) in floored bp via
+      // the SAME exact cross-products; positive-mod floor (deltas go
+      // negative)
+      .withColumn("share_delta_bp", expr(
+        """CAST((10000 * (ra - rb)
+             - (((10000 * (ra - rb)) % den + den) % den)) div den AS BIGINT)"""))
+      .select("key", "bin", "c_ref", "c_cur", "term_micro", "share_delta_bp")
+  }
+
   /** The shared chi-square cell term: `(o·N − r·c)²/(N·r·c)` — which IS
     * `(o−e)²/e` with `e = r·c/N` — in rounded micro-units, every input
     * an exact integer and every op (multiply, subtract, divide, round)

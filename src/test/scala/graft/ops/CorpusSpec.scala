@@ -459,6 +459,18 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       ("b", "c") -> ((1L, 1L, 0L, 0L, 0L))))
   }
 
+  test("capPerGroup: best-first survivors, deterministic tie-break, small groups untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 5L)).toDF("doc_id", "src", "score")
+    val out = Corpus.capPerGroup(docs, "doc_id", "src", "score", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // a: scores 30(id2), 30(id4), 20, 10 → keep ids 2 and 4 (tie →
+    // smaller id first); b keeps its only doc
+    assert(out == Map(2L -> 1L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("wordBlocklist: exact tokens only — no substring false positives; case-folded") {
     import spark.implicits._
     val docs = Seq((1L, "a classic tale"), (2L, "please MERGE this"),
