@@ -464,6 +464,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).length >= 3, p)
   }
 
+  test("d18: the per-domain cap plans as WindowGroupLimit — a bounded heap per " +
+       "group below the exchange, never a full per-group sort") {
+    val p = plan("d18_domain_cap")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("x39: PSI is one scan — bin cells feed totals and terms through one window chain") {
     val p = plan("x39_psi_drift")
     assert("FileScan parquet".r.findAllIn(p).length == 1,
