@@ -1697,6 +1697,40 @@ object SparkEntry {
         .na.fill(0L, Seq("n_quality", "n_unique", "n_final", "tokens_final"))
     }),
 
+    // ---- CARD1: the per-language corpus DATACARD — the release
+    //      artifact every dataset ships: volume, token budget, quality
+    //      rate, uniqueness, type-token ratio, exact median length,
+    //      in one report (run-once-per-release: the three corpus
+    //      scans are the report's cost, not a pipeline's) ----
+    "card1_corpus_datacard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = graft.ops.TextAnalysis
+        .gopherFlags(docs.select("doc_id", "text", "lang"), "text", minWords = 30)
+        .withColumn("h", md5(col("text")))
+        .withColumn("n_toks",
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
+      val agg = base.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+        countDistinct(col("h")).as("n_unique"))
+      val vocab = graft.ops.TextAnalysis.vocabularyStats(docs, "lang", "text")
+        .select(col("slice").as("lang"), col("ttr_bp"))
+      val tc = base.groupBy("lang", "n_toks").agg(count(lit(1)).as("c"))
+      val wd = Window.partitionBy("lang").orderBy("n_toks")
+      val med = tc.withColumn("hi", sum(col("c")).over(wd))
+        .withColumn("lo", col("hi") - col("c") + 1)
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("lang")))
+        .groupBy("lang")
+        .agg(max(when(expr("(5000 * n + 9999) div 10000")
+          .between(col("lo"), col("hi")), col("n_toks"))).as("median_tokens"))
+      agg.join(vocab, Seq("lang")).join(med, Seq("lang"))
+        .withColumn("quality_bp", expr("(10000 * n_quality) div n_docs"))
+        .withColumn("unique_bp", expr("(10000 * n_unique) div n_docs"))
+        .select("lang", "n_docs", "n_tokens", "quality_bp", "unique_bp",
+          "ttr_bp", "median_tokens")
+    }),
+
     // ---- LLM2: the corpus pipeline's STREAMING head as a REAL stream —
     //      Gopher gate (the same one definition as llm1) → within-stream
     //      (lang, md5) dropDuplicates carrying state across micro-
@@ -7259,6 +7293,57 @@ object SparkEntry {
     "v20_sq_recall" -> ivfRecallOracle,
 
     "v22_embedding_drift" -> embeddingDriftOracle,
+
+    // the datacard replayed from proven fragments: t21's gopher
+    // predicate, md5 uniqueness, t36's (lang, word) vocab for TTR,
+    // x15's histogram-rank median over token counts
+    "card1_corpus_datacard" ->
+      """WITH d AS (SELECT doc_id, lang, text, md5(text) AS h,
+                  regexp_extract_all(lower(text), '\S+') AS w,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_toks,
+                  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nc
+                FROM documents),
+         r AS (SELECT lang, h, n_toks,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(w, x ->
+                   len(regexp_replace(x, '[^a-z]', '', 'g')) > 0)) AS BIGINT) AS n_alpha,
+                 (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END +
+                  CASE WHEN list_contains(w, 'a') THEN 1 ELSE 0 END +
+                  CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END +
+                  CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END +
+                  CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END) AS n_stop,
+                 nc
+               FROM d),
+         agg AS (SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN n_words >= 30 AND n_words <= 100000
+                     AND nc >= n_words * 3 AND nc <= n_words * 10
+                     AND n_alpha * 10 >= n_words * 8 AND n_stop >= 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+                   CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique
+                 FROM r GROUP BY 1),
+         wv AS (SELECT lang, word, COUNT(*) AS c
+                FROM (SELECT lang, unnest(w) AS word FROM d)
+                WHERE length(word) > 0 GROUP BY 1, 2),
+         vocab AS (SELECT lang,
+                     (10000 * COUNT(*)) // CAST(SUM(c) AS BIGINT) AS ttr_bp
+                   FROM wv GROUP BY 1),
+         tc AS (SELECT lang, n_toks, COUNT(*) AS c FROM d GROUP BY 1, 2),
+         rk AS (SELECT lang, n_toks, c,
+                  SUM(c) OVER (PARTITION BY lang ORDER BY n_toks
+                    ROWS UNBOUNDED PRECEDING) AS hi,
+                  SUM(c) OVER (PARTITION BY lang) AS n
+                FROM tc),
+         med AS (SELECT lang,
+                   CAST(MAX(CASE WHEN (5000 * n + 9999) // 10000
+                     BETWEEN hi - c + 1 AND hi THEN n_toks END) AS BIGINT)
+                     AS median_tokens
+                 FROM rk GROUP BY 1)
+         SELECT agg.lang, agg.n_docs, agg.n_tokens,
+           (10000 * n_quality) // n_docs AS quality_bp,
+           (10000 * n_unique) // n_docs AS unique_bp,
+           vocab.ttr_bp, med.median_tokens
+         FROM agg JOIN vocab USING (lang) JOIN med USING (lang)""",
 
     // the t21 gopher predicate on the stream half, distinct (lang, md5)
     // with per-group token count (identical text → identical count, so
