@@ -2242,6 +2242,14 @@ object SparkEntry {
         emb, emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding", 5)
     }),
 
+    // ---- V: embedding norm profile — the vector-column DQ gate
+    //      (un-normalized or zero vectors break cosine silently);
+    //      exact integer norms², x15 median ----
+    "v31_norm_profile" -> ((s, dir) =>
+      graft.ops.Similarity.normProfile(
+        t(s, dir, "embeddings"), "label", "embedding")
+        .withColumnRenamed("slice", "label")),
+
     // ---- V: nearest-class-centroid accuracy — the cheapest "do these
     //      embeddings encode the label" probe; exact integer centroids
     //      and L2², one broadcast-codegen corpus pass ----
@@ -7398,6 +7406,27 @@ object SparkEntry {
          SELECT version, COUNT(*) AS n_events,
            CAST(SUM(tier_cents) AS BIGINT) AS sum_tier_cents
          FROM j GROUP BY 1""",
+
+    // exact integer norms² over quantized vectors, histogram-rank median
+    "v31_norm_profile" ->
+      """WITH n AS (SELECT label AS slice,
+                  CAST(list_sum(list_transform(embedding,
+                    x -> CAST(ROUND(x::DOUBLE * 1000) AS BIGINT) *
+                         CAST(ROUND(x::DOUBLE * 1000) AS BIGINT))) AS BIGINT) AS n2
+                FROM embeddings WHERE embedding IS NOT NULL),
+         h AS (SELECT slice, n2, COUNT(*) AS c FROM n GROUP BY 1, 2),
+         r AS (SELECT slice, n2, c,
+                 SUM(c) OVER (PARTITION BY slice ORDER BY n2
+                   ROWS UNBOUNDED PRECEDING) AS hi,
+                 SUM(c) OVER (PARTITION BY slice) AS n
+               FROM h)
+         SELECT slice AS label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN n2 < 1 THEN c ELSE 0 END) AS BIGINT) AS n_zeroish,
+           CAST(MIN(n2) AS BIGINT) AS min_norm_sq,
+           CAST(MAX(CASE WHEN (5000 * n + 9999) // 10000
+             BETWEEN hi - c + 1 AND hi THEN n2 END) AS BIGINT) AS median_norm_sq,
+           CAST(MAX(n2) AS BIGINT) AS max_norm_sq
+         FROM r GROUP BY 1""",
 
     // floored integer per-label centroids (the v22 recipe), exact
     // integer L2² distances, (d, label) argmin, per-true-label rollup

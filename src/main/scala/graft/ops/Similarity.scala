@@ -305,6 +305,46 @@ object Similarity {
     * @return (query_id, neighbor_id, score — exact signed integer as
     *         double, rank)
     */
+  /** Embedding norm profile — the vector-column DQ gate: an upstream
+    * model change that stops L2-normalizing (or emits zero vectors for
+    * empty inputs) silently breaks every dot-product ranking downstream;
+    * this reads the norm² distribution per slice BEFORE anything
+    * consumes the column. Exact integer norms² over quantized vectors
+    * (the v15 recipe), the x15 histogram-rank median (rows never enter
+    * a window), near-zero counted against `minNormSq` in quantized
+    * units².
+    *
+    * @return (slice, n_vecs, n_zeroish, min_norm_sq, median_norm_sq,
+    *         max_norm_sq)
+    */
+  def normProfile(
+      df: DataFrame,
+      sliceCol: String,
+      vecCol: String,
+      scaleFp: Long = 1000L,
+      minNormSq: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norms = df.where(col(vecCol).isNotNull)
+      .select(col(sliceCol).as("slice"),
+        expr(s"""aggregate(transform($vecCol, x ->
+              CAST(round(CAST(x AS DOUBLE) * ${scaleFp}L) AS BIGINT)),
+            0L, (acc, q) -> acc + q * q)""").as("n2"))
+    val hist = norms.groupBy("slice", "n2").agg(count(lit(1)).as("c"))
+    val wk = Window.partitionBy("slice").orderBy("n2")
+    hist
+      .withColumn("hi", sum(col("c")).over(wk))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("slice")))
+      .groupBy("slice")
+      .agg(max(col("n")).as("n_vecs"),
+        sum(when(col("n2") < minNormSq, col("c")).otherwise(0L))
+          .as("n_zeroish"),
+        min(col("n2")).as("min_norm_sq"),
+        max(when(expr("(5000 * n + 9999) div 10000")
+          .between(col("lo"), col("hi")), col("n2"))).as("median_norm_sq"),
+        max(col("n2")).as("max_norm_sq"))
+  }
+
   /** `round(x·scaleFp)` integer quantization of a float-vector column —
     * the v15 recipe as a reusable SQL fragment.
     */

@@ -668,6 +668,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) == ((3L, 0.0, 5L, -0.707107, 0)))
   }
 
+  test("normProfile: zero vectors counted, exact norms², lower-median on even counts") {
+    import spark.implicits._
+    // norms² at scale 1000: (1,0)→1e6, (2,0)→4e6, zero→0, (0,3)→9e6;
+    // n=4 → rank ⌈n/2⌉=2 → lower-median 1e6
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(2.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 0.0f), 0), (4L, Seq(0.0f, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.normProfile(emb, "label", "embedding").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((4L, 1L, 0L, 1000000L, 9000000L)))
+  }
+
   test("ivfBqTopK: probing every cell with a corpus-sized rerank equals brute force bit-for-bit") {
     import spark.implicits._
     // the strong composite invariant: with nProbe = nCentroids no cell
