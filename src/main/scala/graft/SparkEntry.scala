@@ -302,16 +302,20 @@ object SparkEntry {
     //      wins where zones nest ----
     // ---- D: canonical-URL dedup (the C4/RefinedWeb first pass) —
     //      three messy variants of every page (www + case, root dot +
-    //      tracker param, default port + two trackers) must collapse
-    //      to ONE canonical key; smallest doc_id survives ----
+    //      tracker param, https default port + two trackers) must
+    //      collapse to ONE canonical key; the fourth variant carries a
+    //      NON-default port (http://…:443) and must stay DISTINCT —
+    //      the port strip is scheme-aware, not a blanket 80/443 rule;
+    //      smallest doc_id survives ----
     "d14_url_canonical" -> ((s, dir) => {
       val urls = t(s, dir, "documents").select(col("doc_id"),
-        expr("""CASE CAST(doc_id % 3 AS INT)
+        expr("""CASE CAST(doc_id % 4 AS INT)
           WHEN 0 THEN 'https://www.example' || (doc_id % 50) || '.com/p/' || (doc_id % 200)
           WHEN 1 THEN 'HTTPS://Example' || (doc_id % 50) || '.com./p/' || (doc_id % 200)
                       || '?utm_source=feed'
-          ELSE 'https://example' || (doc_id % 50) || '.com:443/p/' || (doc_id % 200)
+          WHEN 2 THEN 'https://example' || (doc_id % 50) || '.com:443/p/' || (doc_id % 200)
                       || '?gclid=abc&ref=tw#frag'
+          ELSE 'http://example' || (doc_id % 50) || '.com:443/p/' || (doc_id % 200)
           END""").as("url"))
       graft.ops.Corpus.dedupByCanonicalUrl(urls, "doc_id", "url")
         .withColumnRenamed("id", "doc_id")
@@ -568,18 +572,23 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         graft.ops.Classifier.syntheticWeights(s, 4096), 4096)),
 
-    // ---- T: classifier calibration — precision/recall/F1 at every
-    //      observed score threshold vs an is-English label; the sweep
-    //      runs over the distinct-score table, never the corpus ----
+    // ---- T: classifier calibration — precision/recall/F1 per score
+    //      threshold vs an is-English label. Scores are QUANTIZED to a
+    //      1000-fp grid before the sweep (standard PR-curve practice):
+    //      the distinct-threshold table is then bounded by the score
+    //      RANGE, not the corpus — prCurve's raise_error ceiling
+    //      enforces the bound instead of assuming it ----
     "t33_pr_curve" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val scored = graft.ops.Classifier.hashedLinearScore(
         docs, "doc_id", "text",
         graft.ops.Classifier.syntheticWeights(s, 4096), 4096)
       graft.ops.Classifier.prCurve(
-        scored.join(docs.select(col("doc_id"),
-          (col("lang") === "en").as("is_pos")), Seq("doc_id")),
-        "score_fp", "is_pos")
+        scored
+          .withColumn("score_q", expr("(score_fp div 1000L) * 1000L"))
+          .join(docs.select(col("doc_id"),
+            (col("lang") === "en").as("is_pos")), Seq("doc_id")),
+        "score_q", "is_pos")
     }),
 
     // ---- T: PMI collocations — corpus-wide phrase mining over
@@ -5211,12 +5220,15 @@ object SparkEntry {
          FROM sr LEFT JOIN sq USING (lang) LEFT JOIN su USING (lang)
            LEFT JOIN sf USING (lang)""",
 
-    // the t22 score replayed, then the cumulative sweep over the
-    // distinct-score grain: tp/fp are DESC running sums, fn/tn derive
-    // from the one-row totals, ratios are floored basis points
+    // the t22 score replayed, quantized to the same 1000-fp grid
+    // (// truncates toward zero exactly like Spark's div), then the
+    // cumulative sweep over the bounded distinct-threshold grain:
+    // tp/fp are DESC running sums, fn/tn derive from the one-row
+    // totals, ratios are floored basis points
     "t33_pr_curve" ->
       (classifierScoreCtes + """,
-         lab AS (SELECT sc.score_fp, (doc.lang = 'en') AS is_pos
+         lab AS (SELECT (sc.score_fp // 1000) * 1000 AS score_fp,
+                   (doc.lang = 'en') AS is_pos
                  FROM sc JOIN documents doc USING (doc_id)
                  WHERE doc.lang IS NOT NULL),
          ps AS (SELECT score_fp AS threshold_fp,
@@ -7981,17 +7993,20 @@ object SparkEntry {
     // longest (most specific) match survives per doc
     // the same canonicalization pipeline in DuckDB's dialect (global
     // regexp flags explicit; lower() preserves length so the scheme
-    // length locates '://' exactly as the engine does)
+    // length locates '://' exactly as the engine does; the port strip
+    // is scheme-aware — only the scheme's DEFAULT port collapses)
     "d14_url_canonical" ->
       """WITH u AS (SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INT)
+           CASE CAST(doc_id % 4 AS INT)
              WHEN 0 THEN 'https://www.example' || CAST(doc_id % 50 AS VARCHAR)
                          || '.com/p/' || CAST(doc_id % 200 AS VARCHAR)
              WHEN 1 THEN 'HTTPS://Example' || CAST(doc_id % 50 AS VARCHAR)
                          || '.com./p/' || CAST(doc_id % 200 AS VARCHAR) || '?utm_source=feed'
-             ELSE 'https://example' || CAST(doc_id % 50 AS VARCHAR)
+             WHEN 2 THEN 'https://example' || CAST(doc_id % 50 AS VARCHAR)
                          || '.com:443/p/' || CAST(doc_id % 200 AS VARCHAR)
                          || '?gclid=abc&ref=tw#frag'
+             ELSE 'http://example' || CAST(doc_id % 50 AS VARCHAR)
+                         || '.com:443/p/' || CAST(doc_id % 200 AS VARCHAR)
            END AS url FROM documents),
          s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS nofrag FROM u),
          s2 AS (SELECT doc_id, nofrag,
@@ -8001,8 +8016,13 @@ object SparkEntry {
          s4 AS (SELECT doc_id, scheme, rest,
                   split_part(rest, '/', 1) AS hostport FROM s3),
          s5 AS (SELECT doc_id, scheme,
-                  regexp_replace(regexp_replace(regexp_replace(lower(hostport),
-                    ':(80|443)$', ''), '\.+$', ''), '^www\.', '') AS host,
+                  regexp_replace(regexp_replace(
+                    CASE WHEN scheme = 'http'
+                           THEN regexp_replace(lower(hostport), ':80$', '')
+                         WHEN scheme = 'https'
+                           THEN regexp_replace(lower(hostport), ':443$', '')
+                         ELSE lower(hostport) END,
+                    '\.+$', ''), '^www\.', '') AS host,
                   regexp_replace(regexp_replace(regexp_replace(
                     substr(rest, length(hostport) + 1),
                     '[?&](utm_[^&=#?]*|fbclid|gclid|ref)=[^&]*', '', 'g'),

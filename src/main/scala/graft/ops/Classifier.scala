@@ -171,23 +171,34 @@ object Classifier {
     * to score grain BEFORE any window — the cumulative sweep runs over
     * the distinct-score table (the e34 "window over the triangle,
     * never the events" discipline), and the totals join in as a
-    * one-row scalar cross. The unpartitioned window is bounded by the
-    * input contract, not the corpus: calibration runs on the LABELED
-    * slice (a human- or LM-annotated sample, 10³–10⁶ rows by
-    * construction — labels are the expensive resource), never on the
-    * 100 TB corpus the resulting cutoff is applied to.
-    * NULL-label rows are dropped up front — an unlabeled row belongs
-    * to no side of the confusion matrix, and keeping its score would
-    * emit a threshold row with tp+fp = 0 (a divide-by-zero in any
-    * replaying engine).
+    * one-row scalar cross. The unpartitioned window's bound is
+    * ENFORCED, not assumed: the sweep `raise_error`s when the
+    * distinct-threshold count exceeds `maxThresholds` (default 2¹⁶ —
+    * a curve nobody reads point-by-point past that). A high-resolution
+    * scorer over an unbounded labeled slice would otherwise funnel a
+    * near-doc-count distinct-score table through one task; the guard
+    * turns that silent serial plan into a loud instruction to quantize
+    * scores to a bounded grid first (the standard PR-curve practice —
+    * see the t33 wiring, which buckets fixed-point scores before the
+    * sweep). NULL-label rows are dropped up front — an unlabeled row
+    * belongs to no side of the confusion matrix, and keeping its score
+    * would emit a threshold row with tp+fp = 0 (a divide-by-zero in
+    * any replaying engine).
     *
     * @param scoreCol integral score column (fixed-point)
     * @param labelCol boolean ground-truth column
+    * @param maxThresholds hard ceiling on distinct thresholds — the
+    *        documented bound that keeps the cumulative sweep a
+    *        grid-sized window; exceeding it raises, never serializes
     * @return one row per distinct score: (threshold_fp, tp, fp, fn,
     *         tn, precision_bp, recall_bp, f1_bp); recall_bp NULL when
     *         the labeled slice has no positives
     */
-  def prCurve(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+  def prCurve(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      maxThresholds: Long = 65536L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perScore = scored
       .where(col(labelCol).isNotNull)
@@ -196,7 +207,13 @@ object Classifier {
         count(when(!col(labelCol), 1)).as("n_neg"))
     val totals = perScore.agg(
       sum(col("n_pos")).cast("long").as("total_pos"),
-      sum(col("n_neg")).cast("long").as("total_neg"))
+      sum(col("n_neg")).cast("long").as("total_neg"),
+      // the window-bound guard rides the totals aggregate the sweep
+      // already pays for — no extra job, no extra scan
+      expr(s"if(count(1) <= ${maxThresholds}L, count(1), raise_error(concat(" +
+          s"'prCurve: ', count(1), ' distinct thresholds exceeds the documented " +
+          s"bound $maxThresholds - quantize scores to a bounded grid before the sweep')))")
+        .as("n_thresholds"))
     val desc = Window.orderBy(col("threshold_fp").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perScore
@@ -204,6 +221,9 @@ object Classifier {
         sum(col("n_pos")).over(desc).as("tp"),
         sum(col("n_neg")).over(desc).as("fp"))
       .crossJoin(totals)
+      // always-true reference that column pruning cannot remove — it is
+      // what keeps the raise_error guard in the executed plan
+      .where(col("n_thresholds") > 0)
       .select(col("threshold_fp"), col("tp"), col("fp"),
         (col("total_pos") - col("tp")).as("fn"),
         (col("total_neg") - col("fp")).as("tn"),

@@ -441,8 +441,16 @@ object Corpus {
     val rest = noFrag.substr(length(scheme) + lit(4), length(noFrag))
     val hostport = split_part(rest, lit("/"), lit(1))
     val pathq = rest.substr(length(hostport) + lit(1), length(rest))
-    val host = regexp_replace(regexp_replace(regexp_replace(
-      lower(hostport), ":(80|443)$", ""), "\\.+$", ""), "^www\\.", "")
+    // strip only the SCHEME'S default port: http://host:443/p and
+    // http://host/p are genuinely distinct origins — a blanket
+    // ":(80|443)" strip would collapse them into one canonical key and
+    // silently drop a distinct document (CASE on the already-extracted
+    // scheme keeps the chain codegen-only and oracle-replayable)
+    val portless = when(scheme === "http", regexp_replace(lower(hostport), ":80$", ""))
+      .when(scheme === "https", regexp_replace(lower(hostport), ":443$", ""))
+      .otherwise(lower(hostport))
+    val host = regexp_replace(regexp_replace(
+      portless, "\\.+$", ""), "^www\\.", "")
     // tracker removal takes the LEADING separator with it (the
     // separator anchors the param name — 'preref=2' must not lose its
     // 'ref=2' tail), then the first surviving '&' is promoted back to

@@ -311,25 +311,35 @@ object Dedup {
     * report a dedup deployment makes before committing an LSH budget
     * over 100 TB (v24's nProbe sweep applied to the near-dup tier):
     * candidate volume and recall against the EXACT-Jaccard truth set,
-    * per prefix-nested band tier, from ONE banding pass.
+    * per band tier, from ONE shared signature pass.
     *
-    * The gates are executable THEOREMS, not clustering-luck numbers
-    * (the v24 stance): tiers are PREFIXES of one fixed banding, so a
-    * pair found at tier b is found at every larger tier — candidate
-    * sets are nested and recall is provably monotone; and an exact
-    * duplicate (j = 1) has an identical signature, so EVERY tier finds
-    * it. Mid-threshold recall values depend on the hash draw and are
-    * deliberately engine-internal (the x17/e46 stance: only
-    * order-immune guarantees cross to an oracle).
+    * Every tier is the REAL configuration a b-band deployment would
+    * run: tier b hashes b bands of k/b signature rows (not b prefix
+    * bands of the largest tier's k/maxBands rows — prefix tiers report
+    * the candidate volume of a banding nobody deploys, which defeats a
+    * capacity report). The gates stay executable THEOREMS (the v24
+    * stance) because the tiers form a DIVISIBILITY CHAIN and
+    * `foldBands` chunks contiguously: a tier-b band is a union of
+    * whole tier-(m·b) bands, so agreeing on the whole block implies
+    * agreeing on every sub-block — candidate sets are nested, recall
+    * is provably monotone, and an exact duplicate (j = 1, identical
+    * signature) is found by EVERY tier. Mid-threshold recall values
+    * depend on the hash draw and are deliberately engine-internal
+    * (the x17/e46 stance: only order-immune guarantees cross to an
+    * oracle).
     *
-    * Cost shape: the pair-grain `min(band_idx)` aggregate replaces a
-    * per-tier candidate join — one bucket self-join total, every tier's
-    * counts fall out of ONE conditional aggregation over the
-    * (pair, first_band) relation full-outer-joined with the truth set.
+    * Cost shape: one signature pass feeds all tiers (Σ tiers band keys
+    * per doc — ~2× the largest tier for a doubling chain), then ONE
+    * bucket self-join keyed on (tier, band) and a pair-grain
+    * `min(tier)` aggregate; every tier's counts fall out of ONE
+    * conditional aggregation over the (pair, first_tier) relation
+    * full-outer-joined with the truth set.
     *
-    * @param bandTiers strictly increasing; the LAST tier is the banding
-    *                  actually built (must divide k) and, per the d2
-    *                  contract, must recover the full truth set
+    * @param bandTiers strictly increasing divisibility chain (each
+    *                  tier divides the next — the nesting theorem's
+    *                  hypothesis); every tier must divide k; the LAST
+    *                  tier, per the d2 contract, must recover the full
+    *                  truth set
     * @return one row per tier: (bands, n_candidates, n_truth, n_hit,
     *         recall_bp — NULL when the truth set is empty)
     */
@@ -344,26 +354,33 @@ object Dedup {
     require(bandTiers.nonEmpty && bandTiers == bandTiers.sorted &&
       bandTiers.distinct == bandTiers && bandTiers.head >= 1,
       s"bandTiers must be strictly increasing and positive: $bandTiers")
-    val maxBands = bandTiers.last
-    require(k % maxBands == 0, s"largest tier $maxBands must divide k=$k")
+    require(bandTiers.sliding(2).forall(p => p.length < 2 || p(1) % p(0) == 0),
+      s"bandTiers must form a divisibility chain (each divides the next) — " +
+        s"that is what makes nesting/monotonicity theorems, not luck: $bandTiers")
+    bandTiers.foreach(b =>
+      require(k % b == 0, s"every tier must divide k=$k (tier $b is not a " +
+        "real b-band configuration otherwise)"))
     val sigs = sigSlot.persist(minhashSignatures(df, idCol, textCol, n, k))
-    val banded = sigs.select(col("doc_id"),
-      posexplode_outer(graft.functions.MinHash.bands_from_sig(col("sig"), maxBands))
-        .as(Seq("band_idx", "band_key")))
-    val firstBand = banded
-      .select(col("doc_id").as("id_a"), col("band_idx"), col("band_key"))
-      .join(banded.select(col("doc_id").as("id_b"), col("band_idx"), col("band_key")),
-        Seq("band_idx", "band_key"))
+    val banded = bandTiers.map { b =>
+      sigs.select(col("doc_id"), lit(b).as("tier"),
+        posexplode_outer(graft.functions.MinHash.bands_from_sig(col("sig"), b))
+          .as(Seq("band_idx", "band_key")))
+    }.reduce(_ unionAll _)
+    val firstTier = banded
+      .select(col("doc_id").as("id_a"), col("tier"), col("band_idx"), col("band_key"))
+      .join(banded.select(col("doc_id").as("id_b"), col("tier"), col("band_idx"),
+          col("band_key")),
+        Seq("tier", "band_idx", "band_key"))
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(min(col("band_idx")).as("fb"))
+      .groupBy("id_a", "id_b").agg(min(col("tier")).as("ft"))
     val truth = ngramJaccardPairsAuto(df, idCol, textCol, threshold, n)
       .select(col("id_a"), col("id_b"), lit(1L).as("is_true"))
-    val j = firstBand.join(truth, Seq("id_a", "id_b"), "full_outer")
-      .select(col("fb"), coalesce(col("is_true"), lit(0L)).as("is_true"))
+    val j = firstTier.join(truth, Seq("id_a", "id_b"), "full_outer")
+      .select(col("ft"), coalesce(col("is_true"), lit(0L)).as("is_true"))
     val aggs = bandTiers.flatMap { b =>
       Seq(
-        sum(when(col("fb") < b, 1L).otherwise(0L)).as(s"nc_$b"),
-        sum(when(col("fb") < b && col("is_true") === 1L, 1L).otherwise(0L))
+        sum(when(col("ft") <= b, 1L).otherwise(0L)).as(s"nc_$b"),
+        sum(when(col("ft") <= b && col("is_true") === 1L, 1L).otherwise(0L))
           .as(s"nh_$b"))
     } :+ sum(col("is_true")).as("n_truth")
     val one = j.agg(aggs.head, aggs.tail: _*)

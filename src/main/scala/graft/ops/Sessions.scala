@@ -291,11 +291,15 @@ object Sessions {
       .agg((max(col("ref_day")) - max(col("day"))).as("r_days"), // ref_day is constant
         count(lit(1)).as("f_n"), sum(col("cents")).as("m_cents"))
     // exact discrete quintile cuts over the metric HISTOGRAM (x15):
-    // one row out per metric, joined back as a scalar
+    // one row out per metric, joined back as a scalar. The cumulative
+    // runs through the PARALLEL prefix sum, not an unpartitioned
+    // window: the m_cents histogram is effectively user-sized (exact
+    // cent sums are near-unique per user — the same "value-domain
+    // bound" fallacy the x47 skyline fell for), so a single-task
+    // cumulative here would serialize the population sweep at scale.
     def cuts(c: String): DataFrame = {
       val hist = metrics.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
-      val cum = hist.withColumn("cum", sum(col("cnt")).over(
-        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val cum = graft.ops.Stats.cumSumParallel(hist, "v", "cnt", "cum")
       val withN = cum.crossJoin(metrics.agg(count(lit(1)).as("n")))
       withN.agg(
         min(when(col("cum") >= expr("(2000 * n + 9999) div 10000"), col("v"))).as(s"${c}_t20"),

@@ -700,15 +700,24 @@ object Stats {
     *
     * Shape: collapse to the distinct-(x,y) HISTOGRAM first (two hash
     * aggregates, fully parallel — same-x rows below that x's max y are
-    * dominated by definition and never reach the frontier pass), then
-    * one running-max window ordered by x: a candidate survives iff
-    * max(y) over strictly-greater x (RANGE (1 FOLLOWING, UNBOUNDED) —
-    * integer metrics make the strict frame exact) is NULL or < its y.
-    * The window is unpartitioned, but it runs over the per-x maxima —
-    * |distinct x| rows, not |rows| (for cents/day-grain metrics that
-    * is bounded by the value domain, the x15 histogram argument). Ties
-    * on both metrics are mutually non-dominating: the pair stays, with
-    * its row count.
+    * dominated by definition and never reach the frontier pass), then a
+    * BUCKET-PARTITIONED two-pass suffix max over the per-x maxima: a
+    * candidate survives iff max(y) over strictly-greater x is NULL or
+    * < its y, and that suffix max decomposes exactly as
+    * greatest(within-bucket suffix max, max y of all HIGHER buckets).
+    * Pass 1 runs the strict RANGE (1 FOLLOWING, UNBOUNDED) frame inside
+    * each [[uniformBuckets]] bucket (bucket id is a monotone function
+    * of x, so equal x never straddle and "higher bucket" ⇒ "strictly
+    * greater x" — the frame stays exact); pass 2 is a buckets-sized
+    * suffix max over the per-bucket maxima (≤
+    * `spark.sql.shuffle.partitions` rows — config-bounded, the ONLY
+    * unpartitioned window here), broadcast back. Candidates never
+    * funnel through one task: the old single unpartitioned window
+    * sorted ~|distinct x| rows in ONE partition — for an
+    * effectively-unique x (per-customer spend in cents) that is a
+    * straggler-to-OOM serial plan at 10⁸ customers. Ties on both
+    * metrics are mutually non-dominating: the pair stays, with its row
+    * count.
     *
     * @return (x, y, n_points) — the frontier pairs under the caller's
     *         column names via the usual rename, n_points = rows at
@@ -721,10 +730,81 @@ object Stats {
       .groupBy("x", "y").agg(count(lit(1)).as("n_points"))
     val mx = g.groupBy("x").agg(max(col("y")).as("y"))
     val cand = mx.join(g, Seq("x", "y"))
-    cand.withColumn("my", max(col("y")).over(
-        Window.orderBy("x").rangeBetween(1L, Window.unboundedFollowing)))
+    val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parts = uniformBuckets(cand, "x", par)
+    // pass 1: exact strict suffix max WITHIN each bucket
+    val wIn = Window.partitionBy("pid").orderBy("x")
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val local = parts.withColumn("my_in", max(col("y")).over(wIn))
+    // pass 2: suffix max ACROSS buckets — one row per non-empty bucket,
+    // the config-bounded relation the x15 argument allows
+    val hi = parts.groupBy("pid").agg(max(col("y")).as("py"))
+      .withColumn("my_hi", max(col("py")).over(
+        Window.orderBy("pid").rowsBetween(1L, Window.unboundedFollowing)))
+      .select("pid", "my_hi")
+    local.join(broadcast(hi), Seq("pid"))
+      // greatest() skips NULLs: NULL only when no strictly-greater x
+      // exists anywhere — the global frontier's right edge
+      .withColumn("my", greatest(col("my_in"), col("my_hi")))
       .where(col("my").isNull || col("my") < col("y"))
       .select("x", "y", "n_points")
+  }
+
+  /** Order-immune uniform bucketing of a LONG order column — the shared
+    * primitive that turns an unpartitioned running-agg window into a
+    * partitioned two-pass plan (the x47 skyline fix, reused by every
+    * cumulative-histogram consumer). Adds `pid` ∈ [0, nBuckets):
+    * `((v − min) · nBuckets) div (max − min + 1)` over a broadcast
+    * one-row min/max scalar. Properties the two-pass decompositions
+    * rely on: pid is a MONOTONE function of the value (higher bucket ⇒
+    * strictly greater values — equal values can never straddle), and it
+    * is DETERMINISTIC without caching (min/max are order-free
+    * aggregates, so plan branches that recompute the scalar get
+    * identical bucket ids — no persist, no pid-consistency hazard; a
+    * sampled repartitionByRange would need a cache pin for exactly that
+    * reason). Decimal arithmetic keeps the product exact for any long
+    * span. Skewed value distributions give imbalanced buckets — never
+    * wrong answers, and never worse than the one-task plan this
+    * replaces.
+    */
+  def uniformBuckets(df: DataFrame, orderCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val mm = df.agg(min(col(orderCol)).cast("decimal(38,0)").as("_bmin"),
+      max(col(orderCol)).cast("decimal(38,0)").as("_bmax"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("pid", expr(
+        s"CAST(((CAST($orderCol AS DECIMAL(38,0)) - _bmin) * $nBuckets) " +
+          s"div (_bmax - _bmin + 1) AS INT)"))
+      .drop("_bmin", "_bmax")
+  }
+
+  /** Parallel prefix sum over a DISTINCT-keyed relation (a histogram):
+    * `cumCol = Σ value over rows with orderCol ≤ this row's` without an
+    * unpartitioned window. Pass 1 sums within each uniform bucket
+    * (partitioned window); pass 2 adds the lower buckets' totals — a
+    * nBuckets-sized relation (config-bounded, the only unpartitioned
+    * window) broadcast back. Requires orderCol values DISTINCT (the
+    * histogram contract — ROWS and RANGE frames then agree).
+    */
+  private[ops] def cumSumParallel(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      cumCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parts = uniformBuckets(df, orderCol, par)
+    val wIn = Window.partitionBy("pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lower = parts.groupBy("pid").agg(sum(col(valueCol)).cast("long").as("_pt"))
+      .withColumn("_lo", coalesce(sum(col("_pt")).over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("_lo"))
+    parts
+      .withColumn("_loc", sum(col(valueCol)).over(wIn).cast("long"))
+      .join(broadcast(lower), Seq("pid"))
+      .withColumn(cumCol, col("_loc") + col("_lo"))
+      .drop("pid", "_loc", "_lo")
   }
 
   private val tClsSlot = new CacheSlot

@@ -87,8 +87,13 @@ object AvroSource {
       if (rows.hasNext) {
         val schema = new Schema.Parser().parse(schemaJson)
         val part = TaskContext.getPartitionId()
+        // attempt-unique staging (the WarcSource.write rationale):
+        // concurrent attempts of one partition never share a tmp file,
+        // so the published shard is always a complete file
+        val attempt = TaskContext.get().taskAttemptId()
         val fs = new org.apache.hadoop.fs.Path(pathStr).getFileSystem(confOf())
-        val tmp = new org.apache.hadoop.fs.Path(pathStr, f".part-$part%05d.avro.inprogress")
+        val tmp = new org.apache.hadoop.fs.Path(
+          pathStr, f".part-$part%05d.attempt-$attempt%d.avro.inprogress")
         val dst = new org.apache.hadoop.fs.Path(pathStr, f"part-$part%05d.avro")
         val os = fs.create(tmp, true)
         val writer = new DataFileWriter[GenericRecord](

@@ -98,8 +98,19 @@ object WarcSource {
       .foreachPartition { rows: Iterator[Row] =>
         if (rows.hasNext) {
           val part = TaskContext.getPartitionId()
+          // the staging name carries the TASK ATTEMPT id (the
+          // FileOutputCommitter discipline): two live attempts of one
+          // partition (speculation, a zombie after stage retry) must
+          // never share a tmp file — a shared name lets the zombie
+          // truncate the winner mid-write and publish a torn shard.
+          // With unique staging, every attempt writes a COMPLETE file
+          // and the delete+rename is last-writer-wins between complete
+          // files; dot-prefixed leftovers are invisible to the
+          // `*.warc`-globbed reader.
+          val attempt = TaskContext.get().taskAttemptId()
           val fs = new org.apache.hadoop.fs.Path(pathStr).getFileSystem(confOf())
-          val tmp = new org.apache.hadoop.fs.Path(pathStr, f".part-$part%05d.warc.inprogress")
+          val tmp = new org.apache.hadoop.fs.Path(
+            pathStr, f".part-$part%05d.attempt-$attempt%d.warc.inprogress")
           val dst = new org.apache.hadoop.fs.Path(pathStr, f"part-$part%05d.warc")
           val os = fs.create(tmp, true)
           try {

@@ -481,4 +481,49 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("row_number"), p)
     assert(p.contains("partial_count"), p)
   }
+
+  // ------------------------------------------------------------------
+  // The x47 lesson as a standing rule: an unpartitioned window plans as
+  // ONE task — a serial sort of its whole input. That is only
+  // acceptable when the input is provably bounded by something OTHER
+  // than the data (a config knob, a fixed tier list, a quantized grid),
+  // and every such window must say so HERE. The sweep walks the
+  // OPTIMIZED logical plan of every query in the surface (subqueries
+  // included) and fails on any unpartitioned Window in a query that is
+  // not in the allowlist — so the next x47 is caught at review time,
+  // with this table as the place its bound must be argued.
+  // ------------------------------------------------------------------
+  test("no single-partition window over a data-sized relation anywhere " +
+      "in the query surface") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    GraftExtensions.register(spark) // some queries resolve SQL-registered functions
+    // query name -> why its unpartitioned window is domain-bounded
+    val bounded: Map[String, String] = Map(
+      "d16_minhash_sweep" -> "|bandTiers| rows (4) — the tier report, not the corpus",
+      "e33_rfm" -> "cumSumParallel's pass-2 prefix — <= shuffle.partitions rows per metric",
+      "e42_kaplan_meier" -> "distinct event-day grain — the risk-set table",
+      "e47_conversion_latency" -> "distinct latency seconds (domain-bounded grain)",
+      "t33_pr_curve" -> "quantized score grid — prCurve raise_errors past 65536 thresholds",
+      "v24_nprobe_sweep" -> "|probes| tiers (3) — the sweep report, not the corpus",
+      "x47_skyline" -> "two-pass suffix max pass 2 — <= shuffle.partitions bucket maxima",
+      "x48_skew_profile" -> "top-N hot keys (N fixed by the caller)")
+    val found = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.optimizedPlan
+      var n = 0
+      plan.foreachWithSubqueries {
+        case w: LWindow if w.partitionSpec.isEmpty => n += 1
+        case _ =>
+      }
+      if (n > 0) Some(name -> n) else None
+    }.toMap
+    val offenders = found.keySet -- bounded.keySet
+    assert(offenders.isEmpty,
+      s"unpartitioned window(s) in: ${offenders.toSeq.sorted.mkString(", ")} — " +
+        "either partition the window or argue its bound in the allowlist above")
+    // the allowlist must stay honest: an entry whose query no longer
+    // has an unpartitioned window is stale documentation
+    val stale = bounded.keySet -- found.keySet
+    assert(stale.isEmpty,
+      s"stale allowlist entries (no unpartitioned window left): ${stale.toSeq.sorted}")
+  }
 }

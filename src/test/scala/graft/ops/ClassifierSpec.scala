@@ -162,4 +162,18 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
       5L -> ((1L, 0L, 0L, 1L, 10000L, Some(10000L), 10000L)),
       1L -> ((1L, 1L, 0L, 0L, 5000L, Some(10000L), 6666L))))
   }
+
+  test("prCurve: more distinct thresholds than the documented bound RAISES — " +
+      "the unpartitioned sweep must never silently serialize an unbounded grid") {
+    val df = Seq(5L -> true, 3L -> false, 1L -> true).toDF("score_fp", "is_pos")
+    val e = intercept[Exception] {
+      Classifier.prCurve(df, "score_fp", "is_pos", maxThresholds = 2L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("distinct thresholds exceeds")), e.toString)
+    // at or under the bound the curve is untouched
+    assert(Classifier.prCurve(df, "score_fp", "is_pos", maxThresholds = 3L)
+      .count() == 3L)
+  }
 }

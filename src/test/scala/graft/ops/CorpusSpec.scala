@@ -388,6 +388,24 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(canon == Set("https://example.com/p/1"))
   }
 
+  test("canonicalizeUrl: only the SCHEME'S default port strips — a cross-scheme " +
+      "80/443 is a distinct origin and must survive") {
+    val out = Seq(
+      // default ports for their own scheme: strip
+      ("http://e.com:80/p", "http://e.com/p"),
+      ("https://e.com:443/p", "https://e.com/p"),
+      // the other scheme's default port is NOT this scheme's default:
+      // a blanket ':(80|443)' strip would silently merge these origins
+      ("http://e.com:443/p", "http://e.com:443/p"),
+      ("https://e.com:80/p", "https://e.com:80/p"),
+      // root dot still strips in combination with the default port
+      ("https://e.com.:443/p", "https://e.com/p"))
+      .toDF("url", "want")
+      .select(Corpus.canonicalizeUrl(col("url")).as("c"), col("want"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    out.foreach { case (c, want) => assert(c == want, s"$c != $want") }
+  }
+
   test("canonicalizeUrl: content params survive in order; separators repair around removed trackers") {
     val out = Seq(
       ("https://e.com/s?a=1&utm_source=x&b=2", "https://e.com/s?a=1&b=2"),

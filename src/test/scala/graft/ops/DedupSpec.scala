@@ -293,5 +293,40 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.minhashBandSweep(docs, "doc_id", "text", k = 128, bandTiers = Seq(3, 7))
     }
+    // tiers that each divide k but are NOT a divisibility chain: the
+    // nesting theorem's hypothesis fails, so the sweep must refuse
+    intercept[IllegalArgumentException] {
+      Dedup.minhashBandSweep(docs, "doc_id", "text", k = 24, bandTiers = Seq(2, 3))
+    }
+  }
+
+  test("minhashBandSweep: each tier reports the REAL b-band deployment's candidates, " +
+      "not a prefix of the largest banding") {
+    import graft.functions.MinHash
+    // two docs sharing most-but-not-all shingles: coarse bands (few
+    // bands, many rows each) may miss while fine bands hit — the per-
+    // tier count must equal what bands_from_sig(sig, b) itself yields
+    val base = (1 to 60).map(i => s"s$i")
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, (base.take(55) ++ Seq("q1 q2 q3 q4 q5")).mkString(" ")),
+      (3L, (300 to 360).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val rep = Dedup.minhashBandSweep(docs, "doc_id", "text", 0.8, 3, 128, Seq(4, 8, 16, 32))
+      .orderBy("bands").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 128)
+    Seq(4, 8, 16, 32).foreach { b =>
+      val real = sigs
+        .select(col("doc_id"),
+          posexplode(MinHash.bands_from_sig(col("sig"), b)).as(Seq("band_idx", "band_key")))
+        .as("x").join(
+          sigs.select(col("doc_id"),
+            posexplode(MinHash.bands_from_sig(col("sig"), b)).as(Seq("band_idx", "band_key")))
+            .as("y"),
+          Seq("band_idx", "band_key"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+      assert(rep(b) == real, s"tier $b: sweep says ${rep(b)}, real $b-band deployment $real")
+    }
   }
 }
