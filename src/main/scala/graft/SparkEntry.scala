@@ -2365,9 +2365,17 @@ object SparkEntry {
     }),
 
     // ---- V: IVF approximate top-k (approx; rows-only check) ----
+    // ---- V: IVF probe explain — the candidate-set IDENTITY (probed
+    //      cells, candidate counts) is an exact deterministic function
+    //      of the corpus, so it is fully hash-oracled: the oracle
+    //      replays xxhash64 seed selection in SQL arithmetic, the
+    //      argmin cell assignment over in-order IEEE double sums, and
+    //      the nProbe-deep probe ranking. Only the tie-order of equal
+    //      cosines stays engine-internal — and that is pinned by the
+    //      v3i/v5/v24 recall gates ----
     "v3_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      graft.ops.Similarity.ivfTopK(
+      graft.ops.Similarity.ivfProbeReport(
         emb, emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding", 5)
     }),
 
@@ -3842,6 +3850,91 @@ object SparkEntry {
   private val ivfRecallOracle: String =
     ivfRecallCtes +
       "\n       SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok FROM r WHERE rank <= 5"
+
+  // ---- xxhash64(BIGINT, seed 42) replayed in DuckDB arithmetic: the
+  // exact Spark XXH64.hashLong chain (one 8-byte block + avalanche)
+  // staged as CTE columns. Products run mod 2^64 through a 32-bit
+  // split (a direct 64×64 product overflows INT128), rotations are
+  // shift-sum (the halves never overlap bits), xors on the UBIGINT
+  // view, and the final value converts back to the SIGNED ordering
+  // Spark sorts by. Value-identical to Spark's xxhash64 — the v3
+  // oracle hash gate re-proves it corpus-wide every round. ----
+  private def xxhMulMod(a: String, b: String): String =
+    s"((((($a) % 4294967296::HUGEINT) * ($b)) + ((((($a) // 4294967296::HUGEINT) * ($b))" +
+      s" % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % 18446744073709551616::HUGEINT)"
+  private def xxhRotl(x: String, r: Int): String =
+    s"(((($x) * ${BigInt(2).pow(r)}::HUGEINT) % 18446744073709551616::HUGEINT)" +
+      s" + (($x) // ${BigInt(2).pow(64 - r)}::HUGEINT))"
+  private def xxhXor(a: String, b: String): String =
+    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
+
+  /** CTE chain `hx1..hsg` computing `xh` = xxhash64(idExpr) for every
+    * row of `srcCte`; join back on `xid`. P1..P5 are the XXH64 primes;
+    * 2870177450012600311 = (42 + P5 + 8) — the seeded accumulator.
+    */
+  private def xxh64Ctes(srcCte: String, idExpr: String): String = {
+    val P1 = "11400714785074694791::HUGEINT"
+    val P2 = "14029467366897019727::HUGEINT"
+    val P3 = "1609587929392839161::HUGEINT"
+    val P4 = "9650029242287828579::HUGEINT"
+    s"""hx1 AS (SELECT $idExpr AS xid, ${xxhMulMod(s"CAST($idExpr AS HUGEINT)", P2)} AS k0
+                FROM $srcCte),
+       hx2 AS (SELECT xid, ${xxhMulMod(xxhRotl("k0", 31), P1)} AS kk FROM hx1),
+       hx3 AS (SELECT xid, ${xxhXor("2870177450012600311::HUGEINT", "kk")} AS h0 FROM hx2),
+       hx4 AS (SELECT xid, ((${xxhMulMod(xxhRotl("h0", 27), P1)} + $P4)
+                 % 18446744073709551616::HUGEINT) AS h2 FROM hx3),
+       hx5 AS (SELECT xid, ${xxhXor("h2", "h2 // 8589934592::HUGEINT")} AS h3 FROM hx4),
+       hx6 AS (SELECT xid, ${xxhMulMod("h3", P2)} AS h4 FROM hx5),
+       hx7 AS (SELECT xid, ${xxhXor("h4", "h4 // 536870912::HUGEINT")} AS h5 FROM hx6),
+       hx8 AS (SELECT xid, ${xxhMulMod("h5", P3)} AS h6 FROM hx7),
+       hx9 AS (SELECT xid, ${xxhXor("h6", "h6 // 4294967296::HUGEINT")} AS h7 FROM hx8),
+       hsg AS (SELECT xid, CASE WHEN h7 >= 9223372036854775808::HUGEINT
+                 THEN CAST(h7 - 18446744073709551616::HUGEINT AS BIGINT)
+                 ELSE CAST(h7 AS BIGINT) END AS xh FROM hx9)"""
+  }
+
+  /** v3's oracle: the full IVF candidate-set identity replayed —
+    * xxhash64 seed selection ([[xxh64Ctes]]), argmin cell assignment
+    * over IN-ORDER IEEE double sums (list_reduce is a sequential left
+    * fold, matching the kernel's loop; subtraction/multiply/add are
+    * correctly rounded, so the doubles are bit-identical), ties to the
+    * smaller cell id, probes nProbe-deep by the same order, candidate
+    * counts from the assignment histogram, and n_results derived as
+    * least(k, n_candidates − 1) — the query's own cell is always probe
+    * rank 1, so the query is always a self-excluded candidate.
+    */
+  private val ivfProbeReportOracle: String =
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+       ${xxh64Ctes("emb", "vec_id")},
+       seeds AS (SELECT e.embedding,
+                   ROW_NUMBER() OVER (ORDER BY h.xh ASC, h.xid ASC) AS centroid_id
+                 FROM emb e JOIN hsg h ON e.vec_id = h.xid
+                 ORDER BY h.xh ASC, h.xid ASC LIMIT 16),
+       dist AS (SELECT e.vec_id, s.centroid_id,
+                  list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                    i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.embedding[i] AS DOUBLE))
+                       * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.embedding[i] AS DOUBLE))),
+                    (x, y) -> x + y) AS d
+                FROM emb e CROSS JOIN seeds s),
+       ranked AS (SELECT vec_id, centroid_id,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY d ASC, centroid_id ASC) AS rn
+                  FROM dist),
+       cells AS (SELECT vec_id, centroid_id AS cell FROM ranked WHERE rn = 1),
+       csz AS (SELECT cell, COUNT(*) AS cell_n FROM cells GROUP BY 1),
+       probes AS (SELECT vec_id AS query_id, centroid_id AS cell, rn AS probe_rank
+                  FROM ranked WHERE vec_id % 10 = 0 AND rn <= 4),
+       rep AS (SELECT p.query_id,
+                 string_agg(CAST(p.cell AS VARCHAR), ',' ORDER BY p.probe_rank)
+                   AS probed_cells,
+                 COUNT(*) AS n_cells_probed,
+                 SUM(COALESCE(z.cell_n, 0)) AS n_candidates
+               FROM probes p LEFT JOIN csz z ON p.cell = z.cell GROUP BY 1)
+       SELECT query_id, probed_cells,
+         CAST(n_cells_probed AS BIGINT) AS n_cells_probed,
+         CAST(n_candidates AS BIGINT) AS n_candidates,
+         CAST(LEAST(5, n_candidates - 1) AS BIGINT) AS n_results
+       FROM rep"""
 
   /** v13/v14's oracle: the recall count plus the EXACT grown index row
     * count — append correctness is pinned by both (a lost append batch
@@ -7300,6 +7393,12 @@ object SparkEntry {
     // — they enforce the same contract via the shared recallGate helper,
     // and a drift between two copies would gate different invariants
     "v3i_ivf_recall" -> ivfRecallOracle,
+
+    // the probe-report identity: xxhash64 seeds, argmin cells, probe
+    // ranks, candidate counts — all replayed exactly (see
+    // ivfProbeReportOracle's Scaladoc); the last rows-only entry
+    // becomes a full hash oracle
+    "v3_ivf_topk" -> ivfProbeReportOracle,
 
     "v29_ivfbq_recall" -> ivfRecallOracle,
 

@@ -991,6 +991,63 @@ object Similarity {
     ivfProbe(ivfBuild(corpus, idCol, vecCol, nCentroids, kmeansIters, persist = false),
       queries, idCol, vecCol, k, nProbe)
 
+  private val reportCellsSlot = new CacheSlot
+
+  /** IVF probe EXPLAIN — the deterministic IDENTITY of each query's
+    * candidate set: which cells get probed (in probe order), how many
+    * cells, how many candidate rows those cells hold, and how many
+    * ranked results come back. The ranked NEIGHBORS of an approximate
+    * probe are clustering-luck (and tie-order) — this report is not:
+    * seed selection (smallest xxhash64(id)), cell assignment (argmin
+    * squared-L2, in-order IEEE double sums, ties to the smaller cell
+    * id) and probe selection (the same argmin taken nProbe deep) are
+    * all exact deterministic functions of the corpus, so an external
+    * engine replaying the same arithmetic reproduces every column
+    * bit-for-bit — the v3 oracle does exactly that, xxhash64 replayed
+    * in SQL included. `n_results` comes from the ACTUAL probe, while
+    * the oracle derives it as least(k, n_candidates − 1) (the query's
+    * own cell is always probe rank 1, so the query itself is always a
+    * candidate and always self-excluded): a drift between the probe
+    * machinery and the candidate identity breaks that column.
+    *
+    * Scale shape: one slot-cached cell assignment feeds both the size
+    * histogram and the probe join; the report is queries-sized.
+    *
+    * @return (query_id, probed_cells — comma string in probe order,
+    *         n_cells_probed, n_candidates, n_results)
+    */
+  def ivfProbeReport(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      kmeansIters: Int = 0): DataFrame = {
+    val built = ivfBuild(corpus, idCol, vecCol, nCentroids, kmeansIters, persist = false)
+    val idx = built.copy(cells = reportCellsSlot.persist(built.cells))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(idx.centroidArr))
+      .select(col("query_id"),
+        posexplode(graft.functions.IvfCells.top_cells(col("q_vec"), col("cents"), nProbe))
+          .as(Seq("probe_rank", "cell")))
+    val sizes = idx.cells.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+    val rep = probes.join(sizes, Seq("cell"), "left")
+      .na.fill(0L, Seq("cell_n"))
+      .groupBy("query_id")
+      .agg(
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("probe_rank"), col("cell")))),
+          s => s.getField("cell").cast("string"))).as("probed_cells"),
+        count(lit(1)).as("n_cells_probed"),
+        sum(col("cell_n")).as("n_candidates"))
+    val results = ivfProbe(idx, queries, idCol, vecCol, k, nProbe)
+      .groupBy("query_id").agg(count(lit(1)).as("n_results"))
+    rep.join(results, Seq("query_id"), "left").na.fill(0L, Seq("n_results"))
+  }
+
   private val sweepCellsSlot = new CacheSlot
 
   /** nProbe–recall sweep — the capacity-planning measurement every IVF
