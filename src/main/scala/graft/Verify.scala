@@ -24,8 +24,24 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Submit queries concurrently (Spark's scheduler interleaves jobs) —
     // most of these are small; serial execution leaves the cluster idle
-    // between stages and multiplies wall time ~4x.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // between stages and multiplies wall time ~4x. BUT driver heap
+    // scales with IN-FLIGHT queries, not data (the measured rule: 8 GiB
+    // carries 4 concurrent queries at sf0.1 ≈ 17 MB of parquet; the 10×
+    // replica needed 64 GiB at the same concurrency — ~2 GiB per
+    // in-flight query per sf0.1-equivalent of input). So the pool is
+    // heap-aware by default: concurrency degrades toward serial before
+    // the driver OOMs, instead of requiring a manual 64 GiB rerun.
+    // GRAFT_VERIFY_PARALLEL overrides (the operator knows best).
+    val dirMb = Option(new java.io.File(sfDir).listFiles())
+      .map(_.filter(_.isFile).map(_.length()).sum / 1e6).getOrElse(17.0)
+    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    val perQueryGb = math.max(2.0, dirMb / 11.0)
+    val autoPar = math.max(1, math.min(4, (heapGb / perQueryGb).toInt))
+    val par = sys.env.get("GRAFT_VERIFY_PARALLEL").map(_.toInt).getOrElse(autoPar)
+    System.err.println(s"[verify] input ${dirMb.round} MB, driver heap ${heapGb} GiB " +
+      s"-> $par concurrent quer${if (par == 1) "y" else "ies"}" +
+      (if (sys.env.contains("GRAFT_VERIFY_PARALLEL")) " (env override)" else ""))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = SparkEntry.queries.toSeq
