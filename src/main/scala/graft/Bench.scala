@@ -37,7 +37,18 @@ object Bench {
       }
     })
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a1_full_agg,g1_pagerank,... restricts the run —
+    // the 100×-scaling headline bench uses this (running all ~260 queries at
+    // 100× measures the oracle harness's patience, not the engine)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    }
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1).map { case (name, fn) =>
       val j0 = jobCounter.get()
       val c0 = cpuCounter.get()
       val t0 = System.nanoTime()

@@ -295,6 +295,14 @@ object SparkEntry {
       graft.ops.Dedup.overlapPairs(
         sharedTailDocs(s, dir, 40, " "), "doc_id", "text", n = 3, minBp = 9000L)),
 
+    // ---- D: containment over the deterministic 10% doc slice — the
+    //      10× oracle check for d13's spill-class inverted-index
+    //      self-join (same d16s/d17s/g10s rationale) ----
+    "d13s_containment_slice" -> ((s, dir) =>
+      graft.ops.Dedup.overlapPairs(
+        sharedTailDocs(s, dir, 40, " ").where(col("doc_id") % 10 === 3),
+        "doc_id", "text", n = 3, minBp = 9000L)),
+
     // ---- D: URL blocklist — domain-SUFFIX matching as a hash join
     //      (C4/RefinedWeb's URL gate): hosts synthesize from doc ids
     //      (every fifth gets a cdn. subdomain), patterns block a whole
@@ -2284,6 +2292,37 @@ object SparkEntry {
       graft.ops.Corpus.dedupKeepBest(docs, pairs, "doc_id", "n_chars")
     }),
 
+    // ---- D: slice variants of the spill-class dedup gates — the SAME
+    //      operators over a deterministic 10% doc slice (replica
+    //      strides are multiples of 10, so whole duplicate groups
+    //      survive the slice). These exist so d16/d17 keep a real
+    //      hash-oracle check at 10×, where the full-corpus DuckDB truth
+    //      CTE spills ~77 GB (an oracle-cost problem, not an engine
+    //      one — the engine side runs full-corpus at every SF) ----
+    "d16s_band_sweep_slice" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") % 10 === 3)
+      val rep = graft.ops.Dedup.minhashBandSweep(
+        docs, "doc_id", "text", 0.8, 3, 128, Seq(4, 8, 16, 32))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bands")
+      rep
+        .withColumn("nested_ok",
+          (col("n_candidates") >= coalesce(lag("n_candidates", 1).over(w), lit(0L)))
+            .cast("int"))
+        .withColumn("monotone_ok",
+          (col("n_hit") >= coalesce(lag("n_hit", 1).over(w), lit(0L))).cast("int"))
+        .agg(count(lit(1)).as("n_tiers"), max(col("n_truth")).as("n_truth"),
+          min(col("nested_ok")).as("nested_ok"),
+          min(col("monotone_ok")).as("monotone_ok"),
+          max(when(col("bands") === 32,
+            (col("n_hit") === col("n_truth")).cast("int"))).as("full_recall_ok"))
+    }),
+
+    "d17s_keep_best_slice" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") % 10 === 3)
+      val pairs = graft.ops.Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text", 0.8)
+      graft.ops.Corpus.dedupKeepBest(docs, pairs, "doc_id", "n_chars")
+    }),
+
     // ---- X: JSON key census — schema-drift monitor over the props
     //      payload; purchases get an augmented payload (built as an
     //      IDENTICAL string in both engines) so the census is
@@ -2979,6 +3018,16 @@ object SparkEntry {
     //      bounded-heap top-5 neighbors per supplier ----
     "g10_itemcf" -> ((s, dir) => {
       val rel = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("e"), col("l_suppkey").as("i"))
+      graft.ops.Graph.itemCf(rel, "e", "i", k = 5, minShared = 2L)
+    }),
+
+    // ---- G: ItemCF over the deterministic 10% customer slice — the
+    //      10× oracle check for g10's spill-class wedge self-join ----
+    "g10s_itemcf_slice" -> ((s, dir) => {
+      val rel = t(s, dir, "orders")
+        .where(col("o_custkey") % 10 === 3)
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("e"), col("l_suppkey").as("i"))
       graft.ops.Graph.itemCf(rel, "e", "i", k = 5, minShared = 2L)
@@ -3850,6 +3899,122 @@ object SparkEntry {
   private val ivfRecallOracle: String =
     ivfRecallCtes +
       "\n       SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok FROM r WHERE rank <= 5"
+
+  /** d16's oracle parameterized on the document source — `docsSrc` is a
+    * table name or parenthesized subquery aliased `documents`; the
+    * slice variant (d16s) injects a deterministic doc_id filter so the
+    * capacity report stays oracle-checkable at 10× (the full-corpus
+    * truth CTE is the documented ~77 GB DuckDB spill case).
+    */
+  private def d16Oracle(docsSrc: String): String =
+    s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+                  FROM $docsSrc AS docsrc),
+       sh AS (SELECT doc_id,
+                CASE WHEN len(w) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                ELSE [array_to_string(w, ' ')] END AS s
+              FROM d),
+       inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       sz AS (SELECT doc_id, len(s) AS n FROM sh),
+       inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+                 FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id),
+       tr AS (SELECT COUNT(*) AS n_truth
+              FROM inter JOIN sz na ON id_a = na.doc_id
+                         JOIN sz nb ON id_b = nb.doc_id
+              WHERE i / (na.n + nb.n - i) >= 0.8)
+       SELECT CAST(4 AS BIGINT) AS n_tiers, CAST(n_truth AS BIGINT) AS n_truth,
+         1 AS nested_ok, 1 AS monotone_ok, 1 AS full_recall_ok
+       FROM tr"""
+
+  /** d17's oracle parameterized the same way (both `FROM documents`
+    * sites take the source).
+    */
+  private def d17Oracle(docsSrc: String): String =
+    s"""WITH RECURSIVE d AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+                  FROM $docsSrc AS docsrc),
+       sh AS (SELECT doc_id,
+                CASE WHEN len(w) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                ELSE [array_to_string(w, ' ')] END AS s
+              FROM d),
+       inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       sz AS (SELECT doc_id, len(s) AS n FROM sh),
+       inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+                 FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id),
+       pr AS (SELECT id_a, id_b
+             FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+             WHERE i / (na.n + nb.n - i) >= 0.8),
+       e AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+       reach(src, dst) AS (
+         SELECT src, dst FROM e
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       lab AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+               FROM reach GROUP BY src),
+       al AS (SELECT d0.doc_id, COALESCE(lab.cluster, d0.doc_id) AS cluster,
+                d0.n_chars AS score
+              FROM $docsSrc d0 LEFT JOIN lab USING (doc_id)),
+       r AS (SELECT doc_id, cluster, score,
+               COUNT(*) OVER (PARTITION BY cluster) AS n_members,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                 ORDER BY score DESC, doc_id ASC) AS rn
+             FROM al)
+       SELECT doc_id, cluster, CAST(n_members AS BIGINT) AS n_members,
+         CAST(score AS BIGINT) AS score
+       FROM r WHERE rn = 1"""
+
+  /** d13's oracle with an optional predicate on the augmented-doc side
+    * (the slice variant bounds the inverted-index self-join at 10×).
+    */
+  private def d13Oracle(augWhere: String): String =
+    s"""WITH aug AS (SELECT d.doc_id,
+                      d.text || ' ' || s.text AS text
+                    FROM documents d JOIN documents s ON s.doc_id = d.doc_id % 40
+                    $augWhere),
+       t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w FROM aug),
+       sh AS (SELECT doc_id,
+                CASE WHEN len(w) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                ELSE [array_to_string(w, ' ')] END AS s
+              FROM t),
+       inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       sz AS (SELECT doc_id, len(s) AS n FROM sh),
+       inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared
+                 FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+       SELECT i.id_a, i.id_b, CAST(i.shared AS BIGINT) AS shared,
+         CAST(LEAST(a.n, b.n) AS BIGINT) AS n_small,
+         CAST(i.shared * 10000 // LEAST(a.n, b.n) AS BIGINT) AS contain_bp
+       FROM inter i JOIN sz a ON a.doc_id = i.id_a JOIN sz b ON b.doc_id = i.id_b
+       WHERE i.shared * 10000 >= 9000 * LEAST(a.n, b.n)"""
+
+  /** g10's oracle with an optional relation-level predicate (the slice
+    * variant bounds the wedge self-join at 10×).
+    */
+  private def g10Oracle(relWhere: String): String =
+    s"""WITH r AS (SELECT DISTINCT o_custkey AS e, l_suppkey AS i
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey $relWhere),
+       p AS (SELECT a.i AS src, b.i AS dst, COUNT(*) AS n_shared
+             FROM r a JOIN r b ON a.e = b.e AND a.i < b.i
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       d AS (SELECT i, COUNT(*) AS deg FROM r GROUP BY i),
+       dir AS (SELECT src AS item, dst AS neighbor, n_shared FROM p
+               UNION ALL SELECT dst, src, n_shared FROM p),
+       s AS (SELECT item, neighbor,
+               ROUND(CAST(n_shared AS DOUBLE)
+                 / sqrt(CAST(da.deg AS DOUBLE) * CAST(db.deg AS DOUBLE)), 6) AS cosine
+             FROM dir JOIN d da ON da.i = dir.item JOIN d db ON db.i = dir.neighbor),
+       rk AS (SELECT item, neighbor, cosine,
+                CAST(ROW_NUMBER() OVER (PARTITION BY item
+                  ORDER BY cosine DESC, neighbor ASC) AS INT) AS rank FROM s)
+       SELECT CAST(item AS BIGINT) AS item, CAST(neighbor AS BIGINT) AS neighbor,
+         cosine, rank
+       FROM rk WHERE rank <= 5"""
 
   // ---- xxhash64(BIGINT, seed 42) replayed in DuckDB arithmetic: the
   // exact Spark XXH64.hashLong chain (one 8-byte block + avalanche)
@@ -6119,30 +6284,18 @@ object SparkEntry {
          WHERE i / (na.n + nb.n - i) >= 0.8""",
 
     // the exact-Jaccard truth count (d4's CTEs) plus the theorem gates:
-    // prefix-nested tiers are nested/monotone by construction, and the
-    // full 32-band tier recovers the truth set (the d2 contract,
+    // divisibility-chain tiers are nested/monotone by construction, and
+    // the full 32-band tier recovers the truth set (the d2 contract,
     // verified exhaustively at both test SFs)
-    "d16_minhash_sweep" ->
-      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
-                    FROM documents),
-         sh AS (SELECT doc_id,
-                  CASE WHEN len(w) >= 3 THEN
-                    list_distinct(list_transform(range(1, len(w)-1),
-                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                  ELSE [array_to_string(w, ' ')] END AS s
-                FROM d),
-         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         sz AS (SELECT doc_id, len(s) AS n FROM sh),
-         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
-                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
-                   GROUP BY x.doc_id, y.doc_id),
-         tr AS (SELECT COUNT(*) AS n_truth
-                FROM inter JOIN sz na ON id_a = na.doc_id
-                           JOIN sz nb ON id_b = nb.doc_id
-                WHERE i / (na.n + nb.n - i) >= 0.8)
-         SELECT CAST(4 AS BIGINT) AS n_tiers, CAST(n_truth AS BIGINT) AS n_truth,
-           1 AS nested_ok, 1 AS monotone_ok, 1 AS full_recall_ok
-         FROM tr""",
+    "d16_minhash_sweep" -> d16Oracle("documents"),
+
+    // the same report over the deterministic 10% doc slice — the 10×
+    // check for the spill-class oracle (the full-corpus truth CTE
+    // spills ~77 GB DuckDB-side at 10×; the slice keeps whole replica
+    // groups because the replica stride is a multiple of 10, so the
+    // duplicate structure survives intact)
+    "d16s_band_sweep_slice" ->
+      d16Oracle("(SELECT * FROM documents WHERE doc_id % 10 = 3)"),
 
     "t1_text_stats" ->
       """SELECT doc_id,
@@ -6599,25 +6752,12 @@ object SparkEntry {
                   JOIN d db ON db.i = consequent
                   CROSS JOIN n""",
 
-    "g10_itemcf" ->
-      """WITH r AS (SELECT DISTINCT o_custkey AS e, l_suppkey AS i
-                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         p AS (SELECT a.i AS src, b.i AS dst, COUNT(*) AS n_shared
-               FROM r a JOIN r b ON a.e = b.e AND a.i < b.i
-               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         d AS (SELECT i, COUNT(*) AS deg FROM r GROUP BY i),
-         dir AS (SELECT src AS item, dst AS neighbor, n_shared FROM p
-                 UNION ALL SELECT dst, src, n_shared FROM p),
-         s AS (SELECT item, neighbor,
-                 ROUND(CAST(n_shared AS DOUBLE)
-                   / sqrt(CAST(da.deg AS DOUBLE) * CAST(db.deg AS DOUBLE)), 6) AS cosine
-               FROM dir JOIN d da ON da.i = dir.item JOIN d db ON db.i = dir.neighbor),
-         rk AS (SELECT item, neighbor, cosine,
-                  CAST(ROW_NUMBER() OVER (PARTITION BY item
-                    ORDER BY cosine DESC, neighbor ASC) AS INT) AS rank FROM s)
-         SELECT CAST(item AS BIGINT) AS item, CAST(neighbor AS BIGINT) AS neighbor,
-           cosine, rank
-         FROM rk WHERE rank <= 5""",
+    "g10_itemcf" -> g10Oracle(""),
+
+    // ItemCF over the deterministic 10% customer slice — the 10× check
+    // for this spill-class oracle (the full wedge self-join was the
+    // run that threatened to fill the disk at 10×)
+    "g10s_itemcf_slice" -> g10Oracle("WHERE o_custkey % 10 = 3"),
 
     // exact integer epoch-week indices, DECIMAL-exact cents, cumulative
     // over the weeks-sized triangle
@@ -7598,41 +7738,12 @@ object SparkEntry {
 
     // d6's recursive closure over the EXACT-Jaccard pairs, then the
     // per-cluster (score DESC, id ASC) survivor with member counts
-    "d17_keep_best" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
-                    FROM documents),
-         sh AS (SELECT doc_id,
-                  CASE WHEN len(w) >= 3 THEN
-                    list_distinct(list_transform(range(1, len(w)-1),
-                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                  ELSE [array_to_string(w, ' ')] END AS s
-                FROM d),
-         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         sz AS (SELECT doc_id, len(s) AS n FROM sh),
-         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
-                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
-                   GROUP BY x.doc_id, y.doc_id),
-         pr AS (SELECT id_a, id_b
-               FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
-               WHERE i / (na.n + nb.n - i) >= 0.8),
-         e AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
-         reach(src, dst) AS (
-           SELECT src, dst FROM e
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
-         lab AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
-                 FROM reach GROUP BY src),
-         al AS (SELECT d0.doc_id, COALESCE(lab.cluster, d0.doc_id) AS cluster,
-                  d0.n_chars AS score
-                FROM documents d0 LEFT JOIN lab USING (doc_id)),
-         r AS (SELECT doc_id, cluster, score,
-                 COUNT(*) OVER (PARTITION BY cluster) AS n_members,
-                 ROW_NUMBER() OVER (PARTITION BY cluster
-                   ORDER BY score DESC, doc_id ASC) AS rn
-               FROM al)
-         SELECT doc_id, cluster, CAST(n_members AS BIGINT) AS n_members,
-           CAST(score AS BIGINT) AS score
-         FROM r WHERE rn = 1""",
+    "d17_keep_best" -> d17Oracle("documents"),
+
+    // keep-best over the deterministic 10% doc slice — the 10× check
+    // for this spill-class oracle (same rationale as d16s)
+    "d17s_keep_best_slice" ->
+      d17Oracle("(SELECT * FROM documents WHERE doc_id % 10 = 3)"),
 
     // the identical augmented-payload string, keys via json_keys,
     // values as unquoted strings, share over parseable rows
@@ -8066,27 +8177,11 @@ object SparkEntry {
     // cross-multiplications — see TextAnalysis.lmScore
     // d4's shingle CTE over the shared-tail construction; containment
     // thresholds replay as integer cross-multiplications
-    "d13_containment" ->
-      """WITH aug AS (SELECT d.doc_id,
-                        d.text || ' ' || s.text AS text
-                      FROM documents d JOIN documents s ON s.doc_id = d.doc_id % 40),
-         t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM aug),
-         sh AS (SELECT doc_id,
-                  CASE WHEN len(w) >= 3 THEN
-                    list_distinct(list_transform(range(1, len(w)-1),
-                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                  ELSE [array_to_string(w, ' ')] END AS s
-                FROM t),
-         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         sz AS (SELECT doc_id, len(s) AS n FROM sh),
-         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared
-                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
-                   GROUP BY 1, 2)
-         SELECT i.id_a, i.id_b, CAST(i.shared AS BIGINT) AS shared,
-           CAST(LEAST(a.n, b.n) AS BIGINT) AS n_small,
-           CAST(i.shared * 10000 // LEAST(a.n, b.n) AS BIGINT) AS contain_bp
-         FROM inter i JOIN sz a ON a.doc_id = i.id_a JOIN sz b ON b.doc_id = i.id_b
-         WHERE i.shared * 10000 >= 9000 * LEAST(a.n, b.n)""",
+    "d13_containment" -> d13Oracle(""),
+
+    // the same pairs over the 10% slice (tail SOURCES stay unsliced —
+    // they are the doc_id % 40 lookup table, not the corpus)
+    "d13s_containment_slice" -> d13Oracle("WHERE d.doc_id % 10 = 3"),
 
     // reversed-label prefixes joined against reversed patterns; the
     // longest (most specific) match survives per doc

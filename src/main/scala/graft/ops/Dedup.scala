@@ -377,12 +377,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), lit(1L).as("is_true"))
     val j = firstTier.join(truth, Seq("id_a", "id_b"), "full_outer")
       .select(col("ft"), coalesce(col("is_true"), lit(0L)).as("is_true"))
+    // coalesce: a corpus with NO candidate pairs and NO truth pairs (a
+    // small clean slice) must report zeros, not a row of NULL gates
     val aggs = bandTiers.flatMap { b =>
       Seq(
-        sum(when(col("ft") <= b, 1L).otherwise(0L)).as(s"nc_$b"),
-        sum(when(col("ft") <= b && col("is_true") === 1L, 1L).otherwise(0L))
-          .as(s"nh_$b"))
-    } :+ sum(col("is_true")).as("n_truth")
+        coalesce(sum(when(col("ft") <= b, 1L).otherwise(0L)), lit(0L)).as(s"nc_$b"),
+        coalesce(sum(when(col("ft") <= b && col("is_true") === 1L, 1L).otherwise(0L)),
+          lit(0L)).as(s"nh_$b"))
+    } :+ coalesce(sum(col("is_true")), lit(0L)).as("n_truth")
     val one = j.agg(aggs.head, aggs.tail: _*)
     one.select(col("n_truth"), expr(
         s"stack(${bandTiers.size}, " +
