@@ -23,6 +23,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The deterministic 10% customer slice of the co-purchase relation —
+    * the shared input of the g4s/g11s/g12s/g14s slice gates (the full
+    * relation's DuckDB oracle is the 10× spill class; the slice keeps
+    * each graph operator hash-checked above sf0.1).
+    */
+  private def copurchaseSlice(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .where(col("o_custkey") % 10 === 3)
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+
   /** events.parquet's ts layout has varied across testdata generations
     * (TIMESTAMP(NANOS) read as a raw long under `nanosAsLong`;
     * TIMESTAMP(MICROS) read as TIMESTAMP_NTZ) — normalize to a plain
@@ -488,11 +499,29 @@ object SparkEntry {
       graft.ops.Graph.modularity(pairs, "src", "dst", labels, "node", "community")
     }),
 
+    "g12s_modularity_slice" -> ((s, dir) => {
+      val pairs = graft.ops.Graph.cacheEdges(
+        graft.ops.Graph.coOccurrenceEdges(
+          copurchaseSlice(s, dir), "cust", "part", minShared = 3))
+      val edges = pairs.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+        .select(col("e.s").as("a"), col("e.d").as("b"))
+      val labels = graft.ops.Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      graft.ops.Graph.modularity(pairs, "src", "dst", labels, "node", "community")
+    }),
+
     "g2_triangles" -> ((s, dir) => {
       val rel = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       val edges = graft.ops.Graph.coOccurrenceEdges(rel, "cust", "part", minShared = 3)
+      graft.ops.Graph.triangleCounts(edges, "src", "dst")
+    }),
+
+    "g2s_triangles_slice" -> ((s, dir) => {
+      val edges = graft.ops.Graph.coOccurrenceEdges(
+        copurchaseSlice(s, dir), "cust", "part", minShared = 3)
       graft.ops.Graph.triangleCounts(edges, "src", "dst")
     }),
 
@@ -533,6 +562,35 @@ object SparkEntry {
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       val edges = graft.ops.Graph.coOccurrenceEdges(rel, "cust", "part", minShared = 3)
       graft.ops.Graph.assortativity(edges, "src", "dst")
+    }),
+
+    // ---- G: slice variants of the co-purchase-graph statistics — the
+    //      SAME operators over the deterministic 10% customer slice.
+    //      They exist because g4/g11/g12/g14's DuckDB oracles exhaust
+    //      the temp budget on the full 10× graph (the cp self-join is
+    //      quadratic in replica count); the engine side runs the full
+    //      graph at every SF, and these keep each operator
+    //      hash-checked above sf0.1 ----
+    "g4s_label_prop_slice" -> ((s, dir) => {
+      val rel = copurchaseSlice(s, dir)
+      val pairs = graft.ops.Graph.coOccurrenceEdges(rel, "cust", "part", minShared = 3)
+      val edges = pairs.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+        .select(col("e.s").as("a"), col("e.d").as("b"))
+      graft.ops.Graph.labelPropagation(edges, "a", "b", rounds = 3)
+    }),
+
+    "g11s_assortativity_slice" -> ((s, dir) => {
+      val edges = graft.ops.Graph.coOccurrenceEdges(
+        copurchaseSlice(s, dir), "cust", "part", minShared = 3)
+      graft.ops.Graph.assortativity(edges, "src", "dst")
+    }),
+
+    "g14s_clustering_coeff_slice" -> ((s, dir) => {
+      val edges = graft.ops.Graph.coOccurrenceEdges(
+        copurchaseSlice(s, dir), "cust", "part", minShared = 3)
+      graft.ops.Graph.clusteringCoefficient(edges, "src", "dst")
     }),
 
     // ---- G: personalized PageRank — teleport concentrated on a seed
@@ -2368,6 +2426,19 @@ object SparkEntry {
       graft.ops.Similarity.mmrDiversify(cands, emb, "vec_id", "embedding", 5, 7000)
     }),
 
+    // ---- V: MMR over a 1% query slice (full corpus) — the 10× check
+    //      for v10's spill-class oracle: the replay's brute-force
+    //      query×corpus cross is 4×10⁹ rows at 10× with the full query
+    //      set; 200 queries keep the greedy-selection replay exact and
+    //      affordable ----
+    "v10s_mmr_slice" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cands = graft.ops.Similarity.bruteForceTopK(
+          emb, emb.where(col("vec_id") % 1000 === 0), "vec_id", "embedding", 15)
+        .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
+      graft.ops.Similarity.mmrDiversify(cands, emb, "vec_id", "embedding", 5, 7000)
+    }),
+
     // ---- V: string-keyed top-k — doc-UUID-shaped ids take the
     //      string-keyed bounded heap (not the window fallback); ids are
     //      deliberately UNpadded so binary string order diverges from
@@ -2701,6 +2772,13 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.3, minPts = 5)),
 
+    // ---- V: DBSCAN over the 1% vector slice — the 10× oracle check
+    //      for v18's O(n²) ε-graph replay ----
+    "v18s_dbscan_slice" -> ((s, dir) =>
+      graft.ops.Clustering.dbscan(
+        t(s, dir, "embeddings").where(col("vec_id") % 100 === 3),
+        "vec_id", "embedding", threshold = 0.3, minPts = 5)),
+
     // ---- T: fixed-length token windows with overlap (stride <
     //      maxTokens) — the max-seq-len chunking step upstream of t15's
     //      packing ----
@@ -3002,11 +3080,29 @@ object SparkEntry {
       graft.ops.Graph.hits(edges, "src", "dst", iterations = 2)
     }),
 
+    "g8s_hits_slice" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .where(col("o_custkey") % 10 === 3)
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.ops.Graph.hits(edges, "src", "dst", iterations = 2)
+    }),
+
     // ---- G: 3-core of the high-volume trade graph (quantity ≥ 45
     //      sparsifies like g7) — simultaneous peeling, 4 bounded rounds
     //      the oracle unrolls; survivors with their in-core degree ----
     "g9_kcore" -> ((s, dir) => {
       val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_quantity") >= 45)
+        .select((col("o_custkey") * 2).as("x"), (col("l_suppkey") * 2 + 1).as("y"))
+      graft.ops.Graph.kCore(pairs, "x", "y", k = 3, rounds = 4)
+    }),
+
+    "g9s_kcore_slice" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .where(col("o_custkey") % 10 === 3)
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .where(col("l_quantity") >= 45)
         .select((col("o_custkey") * 2).as("x"), (col("l_suppkey") * 2 + 1).as("y"))
@@ -3697,9 +3793,12 @@ object SparkEntry {
     * community assignment; a drift between two copies would grade
     * different clusterings).
     */
-  private val labelPropOracleCtes: String =
-    """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-                   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+  // the co-purchase graph CTEs shared by g4/g12 (and, re-sliced, their
+  // 10× slice variants — the cp self-join on part is the DuckDB
+  // spill-class member of the graph family)
+  private def labelPropOracleCtes(cpWhere: String = ""): String =
+    s"""WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey $cpWhere),
        e AS (SELECT a.c AS s1, b.c AS s2 FROM cp a JOIN cp b
              ON a.p = b.p AND a.c < b.c
              GROUP BY 1, 2 HAVING COUNT(*) >= 3),
@@ -3868,11 +3967,145 @@ object SparkEntry {
     * Pearson tree ([[graft.ops.Stats.corrSql]]) the engine evaluates —
     * the x35 determinism contract applied to graph structure.
     */
-  private def assortativityOracle: String = {
+  /** g8's two unrolled HITS rounds over the bipartite trade graph (the
+    * slice variant bounds the edge relation — DuckDB materializes the
+    * whole unrolled chain at 10× and exhausts its temp budget).
+    */
+  private def hitsOracle(pWhere: String): String =
+    s"""WITH p AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey $pWhere),
+       n AS (SELECT src AS node FROM p UNION SELECT dst FROM p),
+       h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub_fp FROM n),
+       a1r AS (SELECT dst AS node, SUM(hub_fp) AS m
+               FROM p JOIN h0 ON p.src = h0.node GROUP BY dst),
+       a1 AS (SELECT n.node, COALESCE(a1r.m, 0) * 1000000
+                // GREATEST((SELECT COALESCE(MAX(m), 1) FROM a1r), 1) AS auth_fp
+              FROM n LEFT JOIN a1r USING (node)),
+       h1r AS (SELECT src AS node, SUM(auth_fp) AS m
+               FROM p JOIN a1 ON p.dst = a1.node GROUP BY src),
+       h1 AS (SELECT n.node, COALESCE(h1r.m, 0) * 1000000
+                // GREATEST((SELECT COALESCE(MAX(m), 1) FROM h1r), 1) AS hub_fp
+              FROM n LEFT JOIN h1r USING (node)),
+       a2r AS (SELECT dst AS node, SUM(hub_fp) AS m
+               FROM p JOIN h1 ON p.src = h1.node GROUP BY dst),
+       a2 AS (SELECT n.node, COALESCE(a2r.m, 0) * 1000000
+                // GREATEST((SELECT COALESCE(MAX(m), 1) FROM a2r), 1) AS auth_fp
+              FROM n LEFT JOIN a2r USING (node)),
+       h2r AS (SELECT src AS node, SUM(auth_fp) AS m
+               FROM p JOIN a2 ON p.dst = a2.node GROUP BY src),
+       h2 AS (SELECT n.node, COALESCE(h2r.m, 0) * 1000000
+                // GREATEST((SELECT COALESCE(MAX(m), 1) FROM h2r), 1) AS hub_fp
+              FROM n LEFT JOIN h2r USING (node))
+       SELECT CAST(h2.node AS BIGINT) AS node, CAST(h2.hub_fp AS BIGINT) AS hub_fp,
+         CAST(a2.auth_fp AS BIGINT) AS auth_fp
+       FROM h2 JOIN a2 USING (node)"""
+
+  /** g9's unrolled 3-core peeling (the slice variant bounds the edge
+    * relation the same way — note the predicate composes with the
+    * existing l_quantity filter, hence the AND form).
+    */
+  private def kcoreOracle(pAnd: String): String =
+    s"""WITH p AS (SELECT o_custkey * 2 AS x, l_suppkey * 2 + 1 AS y
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                  WHERE l_quantity >= 45 $pAnd),
+       e0 AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM p),
+       k1 AS (SELECT node FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+              GROUP BY node HAVING COUNT(*) >= 3),
+       e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT node FROM k1)
+                AND b IN (SELECT node FROM k1)),
+       k2 AS (SELECT node FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+              GROUP BY node HAVING COUNT(*) >= 3),
+       e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT node FROM k2)
+                AND b IN (SELECT node FROM k2)),
+       k3 AS (SELECT node FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+              GROUP BY node HAVING COUNT(*) >= 3),
+       e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM k3)
+                AND b IN (SELECT node FROM k3)),
+       k4 AS (SELECT node FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+              GROUP BY node HAVING COUNT(*) >= 3),
+       e4 AS (SELECT a, b FROM e3 WHERE a IN (SELECT node FROM k4)
+                AND b IN (SELECT node FROM k4))
+       SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+       GROUP BY node"""
+
+  /** g2's per-node triangle counts over the co-purchase graph (the
+    * slice variant passes the same cp predicate).
+    */
+  private def trianglesOracle(cpWhere: String = ""): String =
+    s"""WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey $cpWhere),
+       e AS (SELECT a.c AS s1, b.c AS s2 FROM cp a JOIN cp b
+             ON a.p = b.p AND a.c < b.c
+             GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       tri AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+               FROM e e1
+               JOIN e e2 ON e1.s1 = e2.s1 AND e1.s2 < e2.s2
+               JOIN e e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2),
+       n AS (SELECT a AS node FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri)
+       SELECT node, COUNT(*) AS n_triangles FROM n GROUP BY node"""
+
+  /** g14's per-node triangle/coefficient oracle over the co-purchase
+    * graph (the slice variant passes the same cp predicate).
+    */
+  private def clusteringCoeffOracle(cpWhere: String = ""): String =
+    s"""WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey $cpWhere),
+       e AS (SELECT a.c AS s1, b.c AS s2 FROM cp a JOIN cp b
+             ON a.p = b.p AND a.c < b.c
+             GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       tri AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+               FROM e e1
+               JOIN e e2 ON e1.s1 = e2.s1 AND e1.s2 < e2.s2
+               JOIN e e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2),
+       tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+              FROM (SELECT a AS node FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri) GROUP BY 1),
+       sym AS (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e),
+       deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+               FROM sym GROUP BY 1)
+       SELECT d.node, d.deg, COALESCE(tn.n_triangles, 0) AS n_triangles,
+         CAST((20000 * CAST(COALESCE(tn.n_triangles, 0) AS HUGEINT))
+           // (CAST(d.deg AS HUGEINT) * (d.deg - 1)) AS BIGINT) AS coeff_bp
+       FROM deg d LEFT JOIN tn USING (node) WHERE d.deg >= 2"""
+
+  /** g12's Newman-Q oracle over the shared label-prop CTEs (the slice
+    * variant passes the same cp predicate).
+    */
+  private def modularityOracle(cpWhere: String = ""): String =
+    labelPropOracleCtes(cpWhere) + """,
+         comm AS (SELECT node, label AS community FROM l3),
+         mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM e),
+         intra AS (SELECT CAST(COUNT(*) AS HUGEINT) AS intra FROM e
+                   JOIN comm ca ON e.s1 = ca.node
+                   JOIN comm cb ON e.s2 = cb.node
+                   WHERE ca.community = cb.community),
+         deg AS (SELECT src AS node, COUNT(*) AS deg FROM eb GROUP BY 1),
+         dc AS (SELECT c.community, CAST(SUM(d.deg) AS HUGEINT) AS dsum
+                FROM deg d JOIN comm c USING (node) GROUP BY 1),
+         ag AS (SELECT COUNT(*) AS n_communities,
+                  CAST(SUM(dsum * dsum) AS HUGEINT) AS deg_sq FROM dc),
+         fin AS (SELECT ag.n_communities, mm.m, intra.intra, ag.deg_sq,
+                   CAST(1000000 AS HUGEINT) * (4 * mm.m * intra.intra - ag.deg_sq) AS num,
+                   CAST(4 AS HUGEINT) * mm.m * mm.m AS den
+                 FROM mm, intra, ag)
+         SELECT CAST(n_communities AS BIGINT) AS n_communities,
+           CAST(m AS BIGINT) AS m_edges,
+           CAST(intra AS BIGINT) AS intra_edges,
+           CAST(deg_sq AS BIGINT) AS deg_sq_sum,
+           CASE WHEN m = 0 THEN NULL
+             ELSE CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+             END AS modularity_micro
+         FROM fin"""
+
+  private def assortativityOracle(cpWhere: String = ""): String = {
     val corr = graft.ops.Stats.corrSql(
       "s_dx_dy", "s_dx", "s_dy", "s_dx_dx", "s_dy_dy")
     s"""WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-                    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+                    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey $cpWhere),
         e AS (SELECT a.c AS s1, b.c AS s2 FROM cp a JOIN cp b
               ON a.p = b.p AND a.c < b.c
               GROUP BY 1, 2 HAVING COUNT(*) >= 3),
@@ -3966,6 +4199,113 @@ object SparkEntry {
        SELECT doc_id, cluster, CAST(n_members AS BIGINT) AS n_members,
          CAST(score AS BIGINT) AS score
        FROM r WHERE rn = 1"""
+
+  /** v18's exact DBSCAN replay, parameterized on a corpus slice (the
+    * slice gate bounds the O(n^2) eps-graph distance join at 10x).
+    */
+  private def dbscanOracle(where: String): String = {
+    val base =
+      """WITH RECURSIVE p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.3),
+         sym AS (SELECT id_a AS id, id_b AS nb FROM p UNION ALL SELECT id_b, id_a FROM p),
+         cnt AS (SELECT id, COUNT(*) AS n FROM sym GROUP BY id),
+         core AS (SELECT id FROM cnt WHERE n + 1 >= 5),
+         cp AS (SELECT id_a, id_b FROM p
+                WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)),
+         ce AS (SELECT id_a AS src, id_b AS dst FROM cp UNION SELECT id_b, id_a FROM cp),
+         reach(src, dst) AS (SELECT src, dst FROM ce
+           UNION SELECT r.src, ce.dst FROM reach r JOIN ce ON r.dst = ce.src),
+         cl AS (SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src),
+         corelab AS (SELECT c.id, COALESCE(cl.cluster_id, c.id) AS cluster_id
+                     FROM core c LEFT JOIN cl ON c.id = cl.id),
+         border AS (SELECT s.id, MIN(k.cluster_id) AS cluster_id
+                    FROM sym s JOIN corelab k ON s.nb = k.id
+                    WHERE s.id NOT IN (SELECT id FROM core) GROUP BY s.id)
+         SELECT e.vec_id,
+           CASE WHEN c.id IS NOT NULL THEN 'core'
+                WHEN b.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+           COALESCE(c.cluster_id, b.cluster_id) AS cluster_id
+         FROM embeddings e LEFT JOIN corelab c ON e.vec_id = c.id
+         LEFT JOIN border b ON e.vec_id = b.id"""
+    if (where.isEmpty) base
+    else base
+      .replace("WITH RECURSIVE p AS",
+        s"WITH RECURSIVE embx AS (SELECT * FROM embeddings $where), p AS")
+      .replace("embeddings a JOIN embeddings b", "embx a JOIN embx b")
+      .replace("FROM embeddings e LEFT JOIN", "FROM embx e LEFT JOIN")
+  }
+
+  /** v10's greedy-MMR replay, parameterized on the query-slice
+    * modulus: the replay's brute-force query-corpus cross is the 10x
+    * spill class with the full (mod 10) query set, so the slice gate
+    * (mod 1000, ~1%% of vectors) keeps the selection replay exact and
+    * affordable above sf0.1.
+    */
+  private def mmrOracle(mod: Int): String =
+    mmrOracleBase.replace("vec_id % 10 = 0", s"vec_id % $mod = 0")
+
+  private val mmrOracleBase: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         sc AS (SELECT query_id, c.vec_id AS neighbor_id, c.embedding AS vec,
+             list_sum(list_transform(range(1, len(qe)+1), x -> qe[x]::DOUBLE * c.embedding[x]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, len(qe)+1), x -> qe[x]::DOUBLE * qe[x]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), x -> c.embedding[x]::DOUBLE * c.embedding[x]::DOUBLE)))) AS cos
+           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+         cand AS (SELECT query_id, neighbor_id, ROUND(cos, 6) AS rel, vec FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+             FROM sc) WHERE rn <= 15),
+         pair AS (SELECT a.query_id, a.neighbor_id AS ci, b.neighbor_id AS cj,
+             list_sum(list_transform(range(1, len(a.vec)+1), x -> a.vec[x]::DOUBLE * b.vec[x]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, len(a.vec)+1), x -> a.vec[x]::DOUBLE * a.vec[x]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(b.vec)+1), x -> b.vec[x]::DOUBLE * b.vec[x]::DOUBLE)))) AS sim
+           FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+         sel1 AS (SELECT query_id, neighbor_id, rel AS mmr, 1 AS round FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id ASC) AS rn
+             FROM cand) WHERE rn = 1),
+         sims2 AS (SELECT c.query_id, c.neighbor_id,
+             ROUND((7000*c.rel - 3000*MAX(p.sim)) / 10000.0, 6) AS mmr
+           FROM cand c JOIN sel1 s ON s.query_id = c.query_id
+             JOIN pair p ON p.query_id = c.query_id AND p.ci = c.neighbor_id AND p.cj = s.neighbor_id
+           WHERE NOT EXISTS (SELECT 1 FROM sel1 x WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+           GROUP BY c.query_id, c.neighbor_id, c.rel),
+         pick2 AS (SELECT query_id, neighbor_id, mmr, 2 AS round FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rn
+             FROM sims2) WHERE rn = 1),
+         sel2 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM pick2),
+         sims3 AS (SELECT c.query_id, c.neighbor_id,
+             ROUND((7000*c.rel - 3000*MAX(p.sim)) / 10000.0, 6) AS mmr
+           FROM cand c JOIN sel2 s ON s.query_id = c.query_id
+             JOIN pair p ON p.query_id = c.query_id AND p.ci = c.neighbor_id AND p.cj = s.neighbor_id
+           WHERE NOT EXISTS (SELECT 1 FROM sel2 x WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+           GROUP BY c.query_id, c.neighbor_id, c.rel),
+         pick3 AS (SELECT query_id, neighbor_id, mmr, 3 AS round FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rn
+             FROM sims3) WHERE rn = 1),
+         sel3 AS (SELECT * FROM sel2 UNION ALL SELECT * FROM pick3),
+         sims4 AS (SELECT c.query_id, c.neighbor_id,
+             ROUND((7000*c.rel - 3000*MAX(p.sim)) / 10000.0, 6) AS mmr
+           FROM cand c JOIN sel3 s ON s.query_id = c.query_id
+             JOIN pair p ON p.query_id = c.query_id AND p.ci = c.neighbor_id AND p.cj = s.neighbor_id
+           WHERE NOT EXISTS (SELECT 1 FROM sel3 x WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+           GROUP BY c.query_id, c.neighbor_id, c.rel),
+         pick4 AS (SELECT query_id, neighbor_id, mmr, 4 AS round FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rn
+             FROM sims4) WHERE rn = 1),
+         sel4 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM pick4),
+         sims5 AS (SELECT c.query_id, c.neighbor_id,
+             ROUND((7000*c.rel - 3000*MAX(p.sim)) / 10000.0, 6) AS mmr
+           FROM cand c JOIN sel4 s ON s.query_id = c.query_id
+             JOIN pair p ON p.query_id = c.query_id AND p.ci = c.neighbor_id AND p.cj = s.neighbor_id
+           WHERE NOT EXISTS (SELECT 1 FROM sel4 x WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+           GROUP BY c.query_id, c.neighbor_id, c.rel),
+         pick5 AS (SELECT query_id, neighbor_id, mmr, 5 AS round FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rn
+             FROM sims5) WHERE rn = 1),
+         sel5 AS (SELECT * FROM sel4 UNION ALL SELECT * FROM pick5)
+         SELECT query_id, neighbor_id, round, mmr FROM sel5"""
 
   /** d13's oracle with an optional predicate on the augmented-doc side
     * (the slice variant bounds the inverted-index self-join at 10×).
@@ -4819,7 +5159,7 @@ object SparkEntry {
     // three synchronous rounds unrolled; per-round argmax as row_number
     // (count DESC, label ASC) — the mirror of the struct-max
     "g4_label_prop" ->
-      (labelPropOracleCtes + "\n         SELECT node, label AS community FROM l3"),
+      (labelPropOracleCtes() + "\n         SELECT node, label AS community FROM l3"),
 
     // Newman Q over the SAME unrolled label-prop communities (shared
     // CTEs — one definition): exact HUGEINT counts, floored micro-unit
@@ -5292,72 +5632,31 @@ object SparkEntry {
              ELSE CAST(ABS(z) >= 1.959964 AS INT) END AS significant
          FROM z"""),
 
-    "g12_modularity" ->
-      (labelPropOracleCtes + """,
-         comm AS (SELECT node, label AS community FROM l3),
-         mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM e),
-         intra AS (SELECT CAST(COUNT(*) AS HUGEINT) AS intra FROM e
-                   JOIN comm ca ON e.s1 = ca.node
-                   JOIN comm cb ON e.s2 = cb.node
-                   WHERE ca.community = cb.community),
-         deg AS (SELECT src AS node, COUNT(*) AS deg FROM eb GROUP BY 1),
-         dc AS (SELECT c.community, CAST(SUM(d.deg) AS HUGEINT) AS dsum
-                FROM deg d JOIN comm c USING (node) GROUP BY 1),
-         ag AS (SELECT COUNT(*) AS n_communities,
-                  CAST(SUM(dsum * dsum) AS HUGEINT) AS deg_sq FROM dc),
-         fin AS (SELECT ag.n_communities, mm.m, intra.intra, ag.deg_sq,
-                   CAST(1000000 AS HUGEINT) * (4 * mm.m * intra.intra - ag.deg_sq) AS num,
-                   CAST(4 AS HUGEINT) * mm.m * mm.m AS den
-                 FROM mm, intra, ag)
-         SELECT CAST(n_communities AS BIGINT) AS n_communities,
-           CAST(m AS BIGINT) AS m_edges,
-           CAST(intra AS BIGINT) AS intra_edges,
-           CAST(deg_sq AS BIGINT) AS deg_sq_sum,
-           CASE WHEN m = 0 THEN NULL
-             ELSE CAST((num - ((num % den + den) % den)) // den AS BIGINT)
-             END AS modularity_micro
-         FROM fin"""),
+    "g12_modularity" -> modularityOracle(),
 
-    "g2_triangles" ->
-      """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-                     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-         e AS (SELECT a.c AS s1, b.c AS s2 FROM cp a JOIN cp b
-               ON a.p = b.p AND a.c < b.c
-               GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-         tri AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
-                 FROM e e1
-                 JOIN e e2 ON e1.s1 = e2.s1 AND e1.s2 < e2.s2
-                 JOIN e e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2),
-         n AS (SELECT a AS node FROM tri
-               UNION ALL SELECT b FROM tri
-               UNION ALL SELECT c FROM tri)
-         SELECT node, COUNT(*) AS n_triangles FROM n GROUP BY node""",
+    "g12s_modularity_slice" -> modularityOracle("WHERE o.o_custkey % 10 = 3"),
 
-    "g11_assortativity" -> assortativityOracle,
+    "g2_triangles" -> trianglesOracle(),
+
+    "g2s_triangles_slice" -> trianglesOracle("WHERE o.o_custkey % 10 = 3"),
+
+    "g11_assortativity" -> assortativityOracle(),
+
+    // the same graph statistics over the 10% customer slice — the 10×
+    // checks for the co-purchase-graph spill-class oracles (g4/g11/
+    // g12/g14's cp self-join exhausts DuckDB temp at 10×; the engine
+    // side runs full-graph at every SF)
+    "g11s_assortativity_slice" -> assortativityOracle("WHERE o.o_custkey % 10 = 3"),
+    "g4s_label_prop_slice" ->
+      (labelPropOracleCtes("WHERE o.o_custkey % 10 = 3") +
+        "\n         SELECT node, label AS community FROM l3"),
 
     // g2's triangle CTEs + symmetrized degrees; the bp ratio is pure
     // integer (HUGEINT headroom), deg<2 filtered identically
-    "g14_clustering_coeff" ->
-      """WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-                     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-         e AS (SELECT a.c AS s1, b.c AS s2 FROM cp a JOIN cp b
-               ON a.p = b.p AND a.c < b.c
-               GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-         tri AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
-                 FROM e e1
-                 JOIN e e2 ON e1.s1 = e2.s1 AND e1.s2 < e2.s2
-                 JOIN e e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2),
-         tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
-                FROM (SELECT a AS node FROM tri
-                      UNION ALL SELECT b FROM tri
-                      UNION ALL SELECT c FROM tri) GROUP BY 1),
-         sym AS (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e),
-         deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
-                 FROM sym GROUP BY 1)
-         SELECT d.node, d.deg, COALESCE(tn.n_triangles, 0) AS n_triangles,
-           CAST((20000 * CAST(COALESCE(tn.n_triangles, 0) AS HUGEINT))
-             // (CAST(d.deg AS HUGEINT) * (d.deg - 1)) AS BIGINT) AS coeff_bp
-         FROM deg d LEFT JOIN tn USING (node) WHERE d.deg >= 2""",
+    "g14_clustering_coeff" -> clusteringCoeffOracle(),
+
+    "g14s_clustering_coeff_slice" ->
+      clusteringCoeffOracle("WHERE o.o_custkey % 10 = 3"),
 
     // e38's season-shifted residuals through x37's MAD CTEs — the same
     // day arithmetic, the same histogram-rank medians, over residual
@@ -6673,61 +6972,15 @@ object SparkEntry {
     // 2 unrolled HITS rounds: integer half-round sums, L∞ floor-division
     // normalization (all values non-negative, so DuckDB's floor `//`
     // equals Spark's truncating `div`)
-    "g8_hits" ->
-      """WITH p AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         n AS (SELECT src AS node FROM p UNION SELECT dst FROM p),
-         h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub_fp FROM n),
-         a1r AS (SELECT dst AS node, SUM(hub_fp) AS m
-                 FROM p JOIN h0 ON p.src = h0.node GROUP BY dst),
-         a1 AS (SELECT n.node, COALESCE(a1r.m, 0) * 1000000
-                  // GREATEST((SELECT COALESCE(MAX(m), 1) FROM a1r), 1) AS auth_fp
-                FROM n LEFT JOIN a1r USING (node)),
-         h1r AS (SELECT src AS node, SUM(auth_fp) AS m
-                 FROM p JOIN a1 ON p.dst = a1.node GROUP BY src),
-         h1 AS (SELECT n.node, COALESCE(h1r.m, 0) * 1000000
-                  // GREATEST((SELECT COALESCE(MAX(m), 1) FROM h1r), 1) AS hub_fp
-                FROM n LEFT JOIN h1r USING (node)),
-         a2r AS (SELECT dst AS node, SUM(hub_fp) AS m
-                 FROM p JOIN h1 ON p.src = h1.node GROUP BY dst),
-         a2 AS (SELECT n.node, COALESCE(a2r.m, 0) * 1000000
-                  // GREATEST((SELECT COALESCE(MAX(m), 1) FROM a2r), 1) AS auth_fp
-                FROM n LEFT JOIN a2r USING (node)),
-         h2r AS (SELECT src AS node, SUM(auth_fp) AS m
-                 FROM p JOIN a2 ON p.dst = a2.node GROUP BY src),
-         h2 AS (SELECT n.node, COALESCE(h2r.m, 0) * 1000000
-                  // GREATEST((SELECT COALESCE(MAX(m), 1) FROM h2r), 1) AS hub_fp
-                FROM n LEFT JOIN h2r USING (node))
-         SELECT CAST(h2.node AS BIGINT) AS node, CAST(h2.hub_fp AS BIGINT) AS hub_fp,
-           CAST(a2.auth_fp AS BIGINT) AS auth_fp
-         FROM h2 JOIN a2 USING (node)""",
+    "g8_hits" -> hitsOracle(""),
+
+    "g8s_hits_slice" -> hitsOracle("WHERE o_custkey % 10 = 3"),
 
     // 4 unrolled simultaneous-peeling rounds (converged rounds are
     // no-ops, so bounded rounds == the true 3-core once peeling settles)
-    "g9_kcore" ->
-      """WITH p AS (SELECT o_custkey * 2 AS x, l_suppkey * 2 + 1 AS y
-                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-                    WHERE l_quantity >= 45),
-         e0 AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM p),
-         k1 AS (SELECT node FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
-                GROUP BY node HAVING COUNT(*) >= 3),
-         e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT node FROM k1)
-                  AND b IN (SELECT node FROM k1)),
-         k2 AS (SELECT node FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
-                GROUP BY node HAVING COUNT(*) >= 3),
-         e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT node FROM k2)
-                  AND b IN (SELECT node FROM k2)),
-         k3 AS (SELECT node FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
-                GROUP BY node HAVING COUNT(*) >= 3),
-         e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM k3)
-                  AND b IN (SELECT node FROM k3)),
-         k4 AS (SELECT node FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
-                GROUP BY node HAVING COUNT(*) >= 3),
-         e4 AS (SELECT a, b FROM e3 WHERE a IN (SELECT node FROM k4)
-                  AND b IN (SELECT node FROM k4))
-         SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS deg
-         FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
-         GROUP BY node""",
+    "g9_kcore" -> kcoreOracle(""),
+
+    "g9s_kcore_slice" -> kcoreOracle("AND o_custkey % 10 = 3"),
 
     // integer co-occurrence counts and degrees; the only floating ops
     // (one sqrt, one divide) are correctly rounded in any engine;
@@ -7900,32 +8153,12 @@ object SparkEntry {
          FROM fin)
        WHERE sample_rank <= 10"""),
 
-    "v18_dbscan" ->
-      """WITH RECURSIVE p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-           WHERE list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-             / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
-              * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.3),
-         sym AS (SELECT id_a AS id, id_b AS nb FROM p UNION ALL SELECT id_b, id_a FROM p),
-         cnt AS (SELECT id, COUNT(*) AS n FROM sym GROUP BY id),
-         core AS (SELECT id FROM cnt WHERE n + 1 >= 5),
-         cp AS (SELECT id_a, id_b FROM p
-                WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)),
-         ce AS (SELECT id_a AS src, id_b AS dst FROM cp UNION SELECT id_b, id_a FROM cp),
-         reach(src, dst) AS (SELECT src, dst FROM ce
-           UNION SELECT r.src, ce.dst FROM reach r JOIN ce ON r.dst = ce.src),
-         cl AS (SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src),
-         corelab AS (SELECT c.id, COALESCE(cl.cluster_id, c.id) AS cluster_id
-                     FROM core c LEFT JOIN cl ON c.id = cl.id),
-         border AS (SELECT s.id, MIN(k.cluster_id) AS cluster_id
-                    FROM sym s JOIN corelab k ON s.nb = k.id
-                    WHERE s.id NOT IN (SELECT id FROM core) GROUP BY s.id)
-         SELECT e.vec_id,
-           CASE WHEN c.id IS NOT NULL THEN 'core'
-                WHEN b.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
-           COALESCE(c.cluster_id, b.cluster_id) AS cluster_id
-         FROM embeddings e LEFT JOIN corelab c ON e.vec_id = c.id
-         LEFT JOIN border b ON e.vec_id = b.id""",
+    "v18_dbscan" -> dbscanOracle(""),
+
+    // DBSCAN over a 1% vector slice - the 10x check for v18's
+    // spill-class oracle (the exact eps-graph replay is an O(n^2)
+    // distance join: 4x10^10 pairs at 10x with the full corpus)
+    "v18s_dbscan_slice" -> dbscanOracle("WHERE vec_id % 100 = 3"),
 
     "v17_kmeans_margin" -> (kmeansOracleCtes +
       """,
@@ -8510,66 +8743,11 @@ object SparkEntry {
     // candidate-candidate cosines so one expression serves every round.
     // Integer λ coefficients (7000/3000/10000.0) mirror the engine's
     // basis-point arithmetic bit-for-bit
-    "v10_mmr_diversify" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
-         sc AS (SELECT query_id, c.vec_id AS neighbor_id, c.embedding AS vec,
-             list_sum(list_transform(range(1, len(qe)+1), x -> qe[x]::DOUBLE * c.embedding[x]::DOUBLE))
-             / (sqrt(list_sum(list_transform(range(1, len(qe)+1), x -> qe[x]::DOUBLE * qe[x]::DOUBLE)))
-              * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), x -> c.embedding[x]::DOUBLE * c.embedding[x]::DOUBLE)))) AS cos
-           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
-         cand AS (SELECT query_id, neighbor_id, ROUND(cos, 6) AS rel, vec FROM (
-             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
-             FROM sc) WHERE rn <= 15),
-         pair AS (SELECT a.query_id, a.neighbor_id AS ci, b.neighbor_id AS cj,
-             list_sum(list_transform(range(1, len(a.vec)+1), x -> a.vec[x]::DOUBLE * b.vec[x]::DOUBLE))
-             / (sqrt(list_sum(list_transform(range(1, len(a.vec)+1), x -> a.vec[x]::DOUBLE * a.vec[x]::DOUBLE)))
-              * sqrt(list_sum(list_transform(range(1, len(b.vec)+1), x -> b.vec[x]::DOUBLE * b.vec[x]::DOUBLE)))) AS sim
-           FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
-         sel1 AS (SELECT query_id, neighbor_id, rel AS mmr, 1 AS round FROM (
-             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id ASC) AS rn
-             FROM cand) WHERE rn = 1),
-         sims2 AS (SELECT c.query_id, c.neighbor_id,
-             ROUND((7000*c.rel - 3000*MAX(p.sim)) / 10000.0, 6) AS mmr
-           FROM cand c JOIN sel1 s ON s.query_id = c.query_id
-             JOIN pair p ON p.query_id = c.query_id AND p.ci = c.neighbor_id AND p.cj = s.neighbor_id
-           WHERE NOT EXISTS (SELECT 1 FROM sel1 x WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
-           GROUP BY c.query_id, c.neighbor_id, c.rel),
-         pick2 AS (SELECT query_id, neighbor_id, mmr, 2 AS round FROM (
-             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rn
-             FROM sims2) WHERE rn = 1),
-         sel2 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM pick2),
-         sims3 AS (SELECT c.query_id, c.neighbor_id,
-             ROUND((7000*c.rel - 3000*MAX(p.sim)) / 10000.0, 6) AS mmr
-           FROM cand c JOIN sel2 s ON s.query_id = c.query_id
-             JOIN pair p ON p.query_id = c.query_id AND p.ci = c.neighbor_id AND p.cj = s.neighbor_id
-           WHERE NOT EXISTS (SELECT 1 FROM sel2 x WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
-           GROUP BY c.query_id, c.neighbor_id, c.rel),
-         pick3 AS (SELECT query_id, neighbor_id, mmr, 3 AS round FROM (
-             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rn
-             FROM sims3) WHERE rn = 1),
-         sel3 AS (SELECT * FROM sel2 UNION ALL SELECT * FROM pick3),
-         sims4 AS (SELECT c.query_id, c.neighbor_id,
-             ROUND((7000*c.rel - 3000*MAX(p.sim)) / 10000.0, 6) AS mmr
-           FROM cand c JOIN sel3 s ON s.query_id = c.query_id
-             JOIN pair p ON p.query_id = c.query_id AND p.ci = c.neighbor_id AND p.cj = s.neighbor_id
-           WHERE NOT EXISTS (SELECT 1 FROM sel3 x WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
-           GROUP BY c.query_id, c.neighbor_id, c.rel),
-         pick4 AS (SELECT query_id, neighbor_id, mmr, 4 AS round FROM (
-             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rn
-             FROM sims4) WHERE rn = 1),
-         sel4 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM pick4),
-         sims5 AS (SELECT c.query_id, c.neighbor_id,
-             ROUND((7000*c.rel - 3000*MAX(p.sim)) / 10000.0, 6) AS mmr
-           FROM cand c JOIN sel4 s ON s.query_id = c.query_id
-             JOIN pair p ON p.query_id = c.query_id AND p.ci = c.neighbor_id AND p.cj = s.neighbor_id
-           WHERE NOT EXISTS (SELECT 1 FROM sel4 x WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
-           GROUP BY c.query_id, c.neighbor_id, c.rel),
-         pick5 AS (SELECT query_id, neighbor_id, mmr, 5 AS round FROM (
-             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rn
-             FROM sims5) WHERE rn = 1),
-         sel5 AS (SELECT * FROM sel4 UNION ALL SELECT * FROM pick5)
-         SELECT query_id, neighbor_id, round, mmr FROM sel5""",
+    "v10_mmr_diversify" -> mmrOracle(10),
 
+    "v10s_mmr_slice" -> mmrOracle(1000),
+
+    
     "v1s_topk_string_ids" ->
       """WITH q AS (SELECT 'doc-' || CAST(vec_id AS VARCHAR) AS query_id, embedding AS qe
                     FROM embeddings WHERE vec_id % 10 = 0),

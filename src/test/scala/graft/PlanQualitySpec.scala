@@ -500,6 +500,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     // query name -> why its unpartitioned window is domain-bounded
     val bounded: Map[String, String] = Map(
       "d16_minhash_sweep" -> "|bandTiers| rows (4) — the tier report, not the corpus",
+      "d16s_band_sweep_slice" -> "|bandTiers| rows (4) — same gate as d16 over the slice",
       "e33_rfm" -> "cumSumParallel's pass-2 prefix — <= shuffle.partitions rows per metric",
       "e42_kaplan_meier" -> "distinct event-day grain — the risk-set table",
       "e47_conversion_latency" -> "distinct latency seconds (domain-bounded grain)",

@@ -13,10 +13,27 @@ import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 
-con = duckdb.connect()
-for f in glob.glob(f"{sf_dir}/*.parquet"):
-    name = os.path.basename(f).split(".parquet")[0]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+# Above-sf0.1 resilience knobs (the g4/g11-class lesson: a temp-spill
+# ENOSPC POISONS the DuckDB allocator — every later query on the same
+# connection then dies with a bogus 2 KB OOM):
+#   ORACLE_MEM_LIMIT   e.g. 48GB  -> SET memory_limit
+#   ORACLE_TEMP_LIMIT  e.g. 60GB  -> SET max_temp_directory_size (fail the
+#                                    one spilling query fast, not the disk)
+#   ORACLE_FRESH_CON=1            -> a new connection per query, so one
+#                                    query's death cannot poison the rest
+def connect():
+    c = duckdb.connect()
+    if os.environ.get("ORACLE_MEM_LIMIT"):
+        c.execute(f"SET memory_limit='{os.environ['ORACLE_MEM_LIMIT']}'")
+    if os.environ.get("ORACLE_TEMP_LIMIT"):
+        c.execute(f"SET max_temp_directory_size='{os.environ['ORACLE_TEMP_LIMIT']}'")
+    for f in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(f).split(".parquet")[0]
+        c.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    return c
+
+fresh_con = os.environ.get("ORACLE_FRESH_CON", "") == "1"
+con = connect()
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 
@@ -50,10 +67,18 @@ for d in sorted(glob.glob(f"{out_dir}/*/")):
         continue
     t0 = time.time()
     try:
+        if fresh_con:
+            con.close()
+            con = connect()
         duck_df = con.execute(oracles[name]).fetchdf()
     except Exception as e:
-        print(f"✗ {name}: oracle SQL ERROR: {e}")
+        print(f"✗ {name}: oracle SQL ERROR: {e}", flush=True)
         fails += 1
+        try:  # a failed spill can poison the allocator — always reconnect
+            con.close()
+        except Exception:
+            pass
+        con = connect()
         continue
     if timing:
         print(f"  [oracle {time.time()-t0:.1f}s] {name}", flush=True)
