@@ -2797,6 +2797,14 @@ object SparkEntry {
         .select("vec_id")
     }),
 
+    // ---- V: SemDeDup over the 1% vector slice — the 10× oracle check
+    //      for v9's within-cluster pairwise replay ----
+    "v9s_semantic_dedup_slice" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").where(col("vec_id") % 100 === 3)
+      graft.ops.Corpus.semanticDedup(emb, "vec_id", "embedding", 0.9)
+        .select("vec_id")
+    }),
+
     // ---- E: gap sessionization ----
     // ---- E: bot-session detection — sessions whose event RATE is
     //      inhumanly high (≥ 5 events, mean inter-event gap under 2
@@ -3796,10 +3804,15 @@ object SparkEntry {
   // the co-purchase graph CTEs shared by g4/g12 (and, re-sliced, their
   // 10× slice variants — the cp self-join on part is the DuckDB
   // spill-class member of the graph family)
+  // cp and e are MATERIALIZED: DuckDB otherwise re-inlines the CTE per
+  // consumer, and g12's modularity branches (intra join, degree sums)
+  // recompute the quadratic cp self-join several times — measured as
+  // the difference between a 23 s g4s oracle and a g12s that exhausts
+  // a 46 GB temp budget on the SAME graph
   private def labelPropOracleCtes(cpWhere: String = ""): String =
-    s"""WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+    s"""WITH cp AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
                    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey $cpWhere),
-       e AS (SELECT a.c AS s1, b.c AS s2 FROM cp a JOIN cp b
+       e AS MATERIALIZED (SELECT a.c AS s1, b.c AS s2 FROM cp a JOIN cp b
              ON a.p = b.p AND a.c < b.c
              GROUP BY 1, 2 HAVING COUNT(*) >= 3),
        eb AS (SELECT s1 AS src, s2 AS dst FROM e UNION ALL SELECT s2, s1 FROM e),
@@ -4199,6 +4212,30 @@ object SparkEntry {
        SELECT doc_id, cluster, CAST(n_members AS BIGINT) AS n_members,
          CAST(score AS BIGINT) AS score
        FROM r WHERE rn = 1"""
+
+  /** v9's SemDeDup replay, parameterized on a corpus slice (the 10x
+    * slice gate; same scheme as dbscanOracle).
+    */
+  private def semdedupOracle(where: String): String = {
+    val base =
+      """WITH RECURSIVE e0 AS (SELECT vec_id, embedding FROM embeddings),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.9),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         cl AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+                FROM reach GROUP BY src)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT vec_id FROM cl WHERE vec_id <> cluster_id)"""
+    if (where.isEmpty) base
+    else base.replace("FROM embeddings", s"FROM (SELECT * FROM embeddings $where)")
+  }
 
   /** v18's exact DBSCAN replay, parameterized on a corpus slice (the
     * slice gate bounds the O(n^2) eps-graph distance join at 10x).
@@ -8788,22 +8825,12 @@ object SparkEntry {
 
     // v2's pair construction at θ=0.9 + d6's recursive reachability:
     // survivors = all ids minus non-representative cluster members
-    "v9_semantic_dedup" ->
-      """WITH RECURSIVE e0 AS (SELECT vec_id, embedding FROM embeddings),
-         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
-           WHERE list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-           / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
-            * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.9),
-         e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-         reach(src, dst) AS (
-           SELECT src, dst FROM e
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
-         cl AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
-                FROM reach GROUP BY src)
-         SELECT vec_id FROM embeddings
-         WHERE vec_id NOT IN (SELECT vec_id FROM cl WHERE vec_id <> cluster_id)""",
+    "v9_semantic_dedup" -> semdedupOracle(""),
+
+    // SemDeDup over the 1% vector slice - the 10x check for v9's
+    // spill-class oracle (within-cluster pairwise cosines grow ~100x
+    // per 10x of corpus in the replay)
+    "v9s_semantic_dedup_slice" -> semdedupOracle("WHERE vec_id % 100 = 3"),
 
     "e1_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, value, ts::TIMESTAMP AS t FROM events),
