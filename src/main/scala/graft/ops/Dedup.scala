@@ -602,7 +602,31 @@ object Dedup {
       textCol: String,
       threshold: Double,
       n: Int = 3,
-      candPerPosting: Double = 16.0): DataFrame = {
+      candPerPosting: Double = 16.0,
+      collapseDups: Boolean = true,
+      collapseRatio: Double = 0.7): DataFrame = {
+    // EXACT-COPY COLLAPSE tier (the web-crawl regime: the 100× replica
+    // corpus holds 99 exact copies of every doc, and the exact-Jaccard
+    // shuffle then carries shingle arrays for r(r−1)/2 pairs PER GROUP —
+    // measured as a >74 GB shuffle-spill ENOSPC at 100×). Jaccard is a
+    // function of the TEXTS, so the pair table over distinct texts plus
+    // an output-sized expansion is the same answer: pairs among copies
+    // are exactly j = 1, cross-group pairs inherit their
+    // representatives' j. One count/count-distinct scan decides; the
+    // quadratic tiers then run on the distinct-text relation only.
+    if (collapseDups) {
+      val dstats = df
+        .agg(count(when(col(textCol).isNotNull, 1)).as("n"),
+          count_distinct(when(col(textCol).isNotNull, md5(col(textCol)))).as("d"))
+        .head()
+      val (nDocs, nDistinct) = (dstats.getLong(0), dstats.getLong(1))
+      if (nDocs > 0 && nDistinct < collapseRatio * nDocs) {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"ngramJaccardPairsAuto: $nDistinct distinct texts over $nDocs docs " +
+            s"(< $collapseRatio) -> exact-copy collapse tier")
+        return ngramJaccardPairsCollapsed(df, idCol, textCol, threshold, n, candPerPosting)
+      }
+    }
     val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sh = shingleSlot.persist(df.repartition(par, col(idCol))
       .select(col(idCol).as("doc_id"),
@@ -624,6 +648,50 @@ object Dedup {
         s"-> ${if (usePrefix) "prefix-filter" else "naive inverted-index"} tier")
     if (usePrefix) ngramJaccardPairsPrefix(df, idCol, textCol, threshold, n)
     else ngramJaccardPairs(df, idCol, textCol, threshold, n)
+  }
+
+  private val collapseSlot = new CacheSlot
+
+  /** The collapse tier's body: group by text hash, run the quadratic
+    * machinery on the distinct-text REPRESENTATIVES (recursing into the
+    * auto dispatch with collapse off), then expand — within-group pairs
+    * are j = 1 by identity, cross-group pairs join members through the
+    * two group keys (equi-joins sized by the OUTPUT, never a shuffle of
+    * shingle arrays per pair). NULL texts are excluded up front exactly
+    * as the direct tiers exclude them (no shingles → no postings).
+    */
+  private def ngramJaccardPairsCollapsed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int,
+      candPerPosting: Double): DataFrame = {
+    val keyed = collapseSlot.persist(
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+          md5(col(textCol)).as("h")))
+    // one representative (smallest id) per distinct text; first(text) is
+    // deterministic here because every text in a group is IDENTICAL
+    val reps = keyed.groupBy("h")
+      .agg(min(col("doc_id")).as("rep_id"), first(col("text")).as("text"))
+    val rp = ngramJaccardPairsAuto(
+      reps.select(col("rep_id").as("doc_id"), col("text")),
+      "doc_id", "text", threshold, n, candPerPosting, collapseDups = false)
+    val mem = keyed.select(col("h"), col("doc_id"))
+    val ra = reps.select(col("rep_id").as("id_a"), col("h").as("ha"))
+    val rb = reps.select(col("rep_id").as("id_b"), col("h").as("hb"))
+    val cross = rp
+      .join(ra, Seq("id_a")).join(rb, Seq("id_b"))
+      .join(mem.select(col("h").as("ha"), col("doc_id").as("ma")), Seq("ha"))
+      .join(mem.select(col("h").as("hb"), col("doc_id").as("mb")), Seq("hb"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    val within = mem.select(col("h"), col("doc_id").as("id_a"))
+      .join(mem.select(col("h"), col("doc_id").as("id_b")), Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    cross.union(within)
   }
 
   // ------------------------------------------------ duplicate clustering

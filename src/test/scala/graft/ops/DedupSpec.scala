@@ -300,6 +300,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("exact-copy collapse tier == the direct quadratic tiers, pair for pair") {
+    // replica regime: 3 distinct texts × several exact copies each, one
+    // near-dup cross-group pair, one unique text, one NULL text (must
+    // pair with nothing in either tier)
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 27).map(i => s"w$i") ++ Seq("q1 q2 q3")).mkString(" ")
+    val other = (100 to 130).map(i => s"z$i").mkString(" ")
+    val docs = (
+      (0L to 4L).map(i => (i, base)) ++
+      (10L to 13L).map(i => (i, near)) ++
+      (20L to 23L).map(i => (i, other)) ++
+      Seq((30L, (200 to 230).map(i => s"u$i").mkString(" ")), (31L, null: String))
+    ).toDF("doc_id", "text")
+    def pairs(collapse: Boolean) =
+      Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text", 0.8, 3, collapseDups = collapse)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val collapsed = pairs(collapse = true)
+    val direct = pairs(collapse = false)
+    assert(collapsed == direct, s"collapsed minus direct: ${collapsed -- direct}; " +
+      s"direct minus collapsed: ${direct -- collapsed}")
+    // the corpus is 13/15 duplicates -> the collapse tier must have run
+    // (within-group identity pairs exist and carry exactly 1.0)
+    assert(collapsed.exists(_._3 == 1.0))
+    assert(!collapsed.exists(p => p._1 == 31L || p._2 == 31L)) // NULL text pairs nothing
+  }
+
   test("minhashBandSweep: each tier reports the REAL b-band deployment's candidates, " +
       "not a prefix of the largest banding") {
     import graft.functions.MinHash
