@@ -23,6 +23,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The dense-duplicate corpus of the d4c/d2c collapse gates: the
+    * deterministic 10% doc slice, each doc replicated 4× with ids
+    * doc_id*4+r — 75% duplicate density, past the collapse-dispatch
+    * cutoff at every SF by construction (density is replication-set,
+    * not corpus-dependent). Mirrored bit for bit by [[denseDocsSql]].
+    */
+  private def denseDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(col("doc_id") % 10 === 3)
+      .select(explode(sequence(lit(0L), lit(3L))).as("r"),
+        col("doc_id"), col("text"))
+      .select((col("doc_id") * 4 + col("r")).as("doc_id"), col("text"))
+
   /** The deterministic 10% customer slice of the co-purchase relation —
     * the shared input of the g4s/g11s/g12s/g14s slice gates (the full
     * relation's DuckDB oracle is the 10× spill class; the slice keeps
@@ -1870,6 +1883,28 @@ object SparkEntry {
     // ---- D: exact n-gram Jaccard pairs ----
     "d4_ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairsAuto(t(s, dir, "documents"), "doc_id", "text", 0.8)),
+
+    // ---- D: exact n-gram Jaccard over a DENSE-duplicate corpus (the
+    //      web-crawl replica regime): the deterministic 10% doc slice,
+    //      each doc replicated 4× (75% dup density — past the 0.7
+    //      cutoff, so the exact-copy collapse tier dispatches; the
+    //      DedupSpec tier assertion pins that this fixture shape
+    //      provably takes the collapse path). The oracle is d4's own
+    //      SQL over the same replication — jaccard of identical texts
+    //      is 1 by identity, so the direct quadratic answer IS the
+    //      collapse tier's contract ----
+    "d4c_ngram_jaccard_dense" -> ((s, dir) =>
+      graft.ops.Dedup.ngramJaccardPairsAuto(
+        denseDocs(s, dir), "doc_id", "text", 0.8)),
+
+    // ---- D: MinHash near-dup over the same dense corpus — the collapse
+    //      dispatch ahead of the signature kernel (exact copies share a
+    //      signature and pair at j=1 always, so LSH on distinct-text
+    //      reps + group expansion is the same pair set; the LSH==exact
+    //      contract makes d4's SQL the oracle here too) ----
+    "d2c_minhash_dense" -> ((s, dir) =>
+      graft.ops.Dedup.minhashNearDup(
+        denseDocs(s, dir), "doc_id", "text", 0.8)),
 
     // ---- T: token counts + character ratios ----
     "t1_text_stats" -> ((s, dir) => {
@@ -4152,6 +4187,40 @@ object SparkEntry {
     * capacity report stays oracle-checkable at 10× (the full-corpus
     * truth CTE is the documented ~77 GB DuckDB spill case).
     */
+  /** The d4c/d2c dense-corpus fixture as a DuckDB relation — the 10%
+    * doc slice replicated 4× with ids doc_id*4+r, mirroring
+    * [[denseDocs]] bit for bit (range(4) yields 0..3 like
+    * sequence(0,3)).
+    */
+  private val denseDocsSql: String =
+    """(SELECT d.doc_id * 4 + t.range AS doc_id, d.text
+        FROM documents d CROSS JOIN range(4) t
+        WHERE d.doc_id % 10 = 3)"""
+
+  /** d4's exact n-gram Jaccard pair oracle, parameterized over the
+    * documents relation: the d4c/d2c dense gates reuse it verbatim —
+    * jaccard of identical texts is 1 by identity, so the direct
+    * quadratic SQL is also the exact-copy collapse tier's contract, and
+    * (by the LSH==exact contract) minhashNearDup's.
+    */
+  private def d4Oracle(docsSrc: String): String =
+    s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+                  FROM $docsSrc AS docsrc),
+       sh AS (SELECT doc_id,
+                CASE WHEN len(w) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(w)-1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                ELSE [array_to_string(w, ' ')] END AS s
+              FROM d),
+       inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       sz AS (SELECT doc_id, len(s) AS n FROM sh),
+       inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+                 FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id)
+       SELECT id_a, id_b, ROUND(i / (na.n + nb.n - i), 6) AS jaccard
+       FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+       WHERE i / (na.n + nb.n - i) >= 0.8"""
+
   private def d16Oracle(docsSrc: String): String =
     s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
                   FROM $docsSrc AS docsrc),
@@ -6601,23 +6670,13 @@ object SparkEntry {
          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
 
-    "d4_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
-                    FROM documents),
-         sh AS (SELECT doc_id,
-                  CASE WHEN len(w) >= 3 THEN
-                    list_distinct(list_transform(range(1, len(w)-1),
-                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                  ELSE [array_to_string(w, ' ')] END AS s
-                FROM d),
-         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         sz AS (SELECT doc_id, len(s) AS n FROM sh),
-         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
-                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
-                   GROUP BY x.doc_id, y.doc_id)
-         SELECT id_a, id_b, ROUND(i / (na.n + nb.n - i), 6) AS jaccard
-         FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
-         WHERE i / (na.n + nb.n - i) >= 0.8""",
+    "d4_ngram_jaccard" -> d4Oracle("documents"),
+
+    // the dense-corpus collapse gates: d4's own SQL over the replicated
+    // slice (see denseDocsSql); d2c shares it through the LSH==exact
+    // contract
+    "d4c_ngram_jaccard_dense" -> d4Oracle(denseDocsSql),
+    "d2c_minhash_dense" -> d4Oracle(denseDocsSql),
 
     // the exact-Jaccard truth count (d4's CTEs) plus the theorem gates:
     // divisibility-chain tiers are nested/monotone by construction, and
@@ -8784,7 +8843,6 @@ object SparkEntry {
 
     "v10s_mmr_slice" -> mmrOracle(1000),
 
-    
     "v1s_topk_string_ids" ->
       """WITH q AS (SELECT 'doc-' || CAST(vec_id AS VARCHAR) AS query_id, embedding AS qe
                     FROM embeddings WHERE vec_id % 10 = 0),

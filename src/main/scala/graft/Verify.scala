@@ -32,9 +32,19 @@ object Verify {
     // heap-aware by default: concurrency degrades toward serial before
     // the driver OOMs, instead of requiring a manual 64 GiB rerun.
     // GRAFT_VERIFY_PARALLEL overrides (the operator knows best).
-    val dirMb = Option(new java.io.File(sfDir).listFiles())
-      .map(_.filter(_.isFile).map(_.length()).sum / 1e6).getOrElse(17.0)
-    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    // recursive walk: directory-shaped parquet datasets (part files
+    // under a table dir) must count — a flat listFiles sums 0 MB for
+    // them and the heuristic then treats a 10× input as tiny
+    def sizeBytes(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(sizeBytes).sum).getOrElse(0L)
+    val dirMb = {
+      val mb = sizeBytes(new java.io.File(sfDir)) / 1e6
+      if (mb > 0) mb else 17.0 // nonexistent/empty dir: assume sf0.1-ish
+    }
+    // round, don't floor: -Xmx8g reports maxMemory a shade under 8 GiB,
+    // and floor-dividing by 2^30 would cost a concurrency slot
+    val heapGb = math.round(Runtime.getRuntime.maxMemory.toDouble / (1L << 30))
     val perQueryGb = math.max(2.0, dirMb / 11.0)
     val autoPar = math.max(1, math.min(4, (heapGb / perQueryGb).toInt))
     val par = sys.env.get("GRAFT_VERIFY_PARALLEL").map(_.toInt).getOrElse(autoPar)

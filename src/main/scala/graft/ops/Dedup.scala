@@ -239,8 +239,36 @@ object Dedup {
       threshold: Double = 0.8,
       n: Int = 3,
       k: Int = 128,
-      bands: Int = 32): DataFrame = {
+      bands: Int = 32,
+      collapseDups: Boolean = true,
+      collapseRatio: Double = 0.7): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+
+    // EXACT-COPY COLLAPSE dispatch (the ngramJaccardPairsAuto rationale,
+    // applied before the signature kernel): on a replica-heavy crawl the
+    // shingling+hashing pass and the band shuffle pay per COPY while the
+    // answer is determined per distinct TEXT — exact copies share a
+    // signature, land in every common bucket, and pair at j = 1 always
+    // (identical shingle sets), so running LSH on distinct-text
+    // representatives and expanding through the group keys is the same
+    // pair set. NOTE dupDensity is an eager one-scan action at CALL time
+    // (see its doc); duplicate-light callers pass collapseDups=false.
+    if (collapseDups) {
+      val (nDocs, nDistinct) = dupDensity(df, textCol)
+      if (nDocs > 0 && nDistinct < collapseRatio * nDocs) {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"minhashNearDup: $nDistinct distinct texts over $nDocs docs " +
+            s"(< $collapseRatio) -> exact-copy collapse tier")
+        val out = collapseExpandPairs(df, idCol, textCol) { reps =>
+          minhashNearDup(reps, "doc_id", "text", threshold, n, k, bands,
+            collapseDups = false)
+        }
+        // AFTER the rep-level recursion (which records its own tier)
+        lastTier.put("minhashNearDup", "collapse")
+        return out
+      }
+    }
+    lastTier.put("minhashNearDup", "direct")
 
     // bounded cache: a new call releases the previous call's signature
     // table (corpus-sized), so repeated invocations don't accumulate
@@ -586,10 +614,13 @@ object Dedup {
     * within ~2× of each other, so misrouting there is benign by
     * construction.
     *
-    * Cost of deciding: ONE extra scalar aggregation over the shingle-hash
-    * frequency table (a map-side-combining groupBy on fixed-width longs
-    * — the same first pass the prefix tier runs anyway) and one driver
-    * scalar. The shingle table itself is persisted through the shared
+    * Cost of deciding: the duplicate-density probe is an EAGER action —
+    * one full text scan at CALL time, before the returned DataFrame is
+    * ever evaluated (skip it with collapseDups=false when the corpus is
+    * known duplicate-light) — plus ONE extra scalar aggregation over the
+    * shingle-hash frequency table (a map-side-combining groupBy on
+    * fixed-width longs — the same first pass the prefix tier runs
+    * anyway) and one driver scalar. The shingle table itself is persisted through the shared
     * slot before deciding, so the dispatched tier's identical plan is a
     * cache HIT, not a recompute; `df` is double-counted by Spark's
     * cost model, never by execution. df products are summed as doubles —
@@ -612,19 +643,20 @@ object Dedup {
     // function of the TEXTS, so the pair table over distinct texts plus
     // an output-sized expansion is the same answer: pairs among copies
     // are exactly j = 1, cross-group pairs inherit their
-    // representatives' j. One count/count-distinct scan decides; the
-    // quadratic tiers then run on the distinct-text relation only.
+    // representatives' j. One count/count-distinct scan decides (an
+    // EAGER action at call time — see dupDensity's doc; duplicate-light
+    // callers skip it with collapseDups=false); the quadratic tiers then
+    // run on the distinct-text relation only.
     if (collapseDups) {
-      val dstats = df
-        .agg(count(when(col(textCol).isNotNull, 1)).as("n"),
-          count_distinct(when(col(textCol).isNotNull, md5(col(textCol)))).as("d"))
-        .head()
-      val (nDocs, nDistinct) = (dstats.getLong(0), dstats.getLong(1))
+      val (nDocs, nDistinct) = dupDensity(df, textCol)
       if (nDocs > 0 && nDistinct < collapseRatio * nDocs) {
         org.slf4j.LoggerFactory.getLogger(getClass).info(
           s"ngramJaccardPairsAuto: $nDistinct distinct texts over $nDocs docs " +
             s"(< $collapseRatio) -> exact-copy collapse tier")
-        return ngramJaccardPairsCollapsed(df, idCol, textCol, threshold, n, candPerPosting)
+        val out = ngramJaccardPairsCollapsed(df, idCol, textCol, threshold, n, candPerPosting)
+        // AFTER the rep-level recursion (which records its own tier)
+        lastTier.put("ngramJaccard", "collapse")
+        return out
       }
     }
     val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -646,38 +678,74 @@ object Dedup {
       s"ngramJaccardPairsAuto: postings=$postings candidateRows=$cand " +
         s"ratio=${if (postings == 0) 0.0 else cand / postings} cutoff=$candPerPosting " +
         s"-> ${if (usePrefix) "prefix-filter" else "naive inverted-index"} tier")
+    lastTier.put("ngramJaccard", if (usePrefix) "prefix" else "naive")
     if (usePrefix) ngramJaccardPairsPrefix(df, idCol, textCol, threshold, n)
     else ngramJaccardPairs(df, idCol, textCol, threshold, n)
   }
 
   private val collapseSlot = new CacheSlot
 
-  /** The collapse tier's body: group by text hash, run the quadratic
-    * machinery on the distinct-text REPRESENTATIVES (recursing into the
-    * auto dispatch with collapse off), then expand — within-group pairs
-    * are j = 1 by identity, cross-group pairs join members through the
-    * two group keys (equi-joins sized by the OUTPUT, never a shuffle of
-    * shingle arrays per pair). NULL texts are excluded up front exactly
-    * as the direct tiers exclude them (no shingles → no postings).
+  /** Which tier each *Auto dispatch last chose ("ngramJaccard" →
+    * collapse/prefix/naive, "minhashNearDup" → collapse/direct). A
+    * testability hook ONLY — the d4c/d2c gate specs assert the collapse
+    * path provably ran; never read it for control flow.
     */
-  private def ngramJaccardPairsCollapsed(
+  private[graft] val lastTier =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Duplicate-density probe shared by the collapse-dispatching pair
+    * operators: (non-null-text docs, distinct texts). NOTE this is an
+    * EAGER action at plan-construction time — one full text scan (a
+    * map-side-combining count-distinct over xxhash64) runs when the
+    * operator is CALLED, even if the returned DataFrame is never
+    * evaluated. Callers that know their corpus is duplicate-light skip
+    * it with collapseDups=false. xxhash64 is safe HERE because a
+    * collision only nudges a cost estimate toward collapsing — and the
+    * collapse tier is exact on ANY corpus — while the tier's group
+    * identity below must not collide and uses SHA-256.
+    */
+  private def dupDensity(df: DataFrame, textCol: String): (Long, Long) = {
+    val r = df
+      .agg(count(when(col(textCol).isNotNull, 1)).as("n"),
+        count_distinct(when(col(textCol).isNotNull, xxhash64(col(textCol)))).as("d"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Shared exact-copy collapse machinery: group docs by text identity,
+    * run the expensive pair machinery (`repPairs`) on one REPRESENTATIVE
+    * per distinct text, then expand — within-group pairs are j = 1 by
+    * identity, cross-group pairs join members through the two group keys
+    * (equi-joins sized by the OUTPUT, never a shuffle of shingle arrays
+    * or signatures per pair). NULL texts are excluded up front exactly
+    * as the direct tiers exclude them (no shingles → no postings, no
+    * signature → no bands).
+    *
+    * Group identity is SHA-256 of the text, NOT a 64/128-bit hash: this
+    * is a web-crawl dedup path where adversarial documents are the
+    * stated regime, and a collision here silently merges distinct texts
+    * into one group, fabricating j = 1 pairs (md5 chosen-prefix
+    * collisions are practical). One SHA pass per doc is noise next to
+    * the shingling it replaces.
+    *
+    * `repPairs` receives (doc_id, text) — one row per distinct text,
+    * doc_id = the smallest member id — and must return
+    * (id_a, id_b, jaccard) with id_a < id_b over those rep ids.
+    */
+  private def collapseExpandPairs(
       df: DataFrame,
       idCol: String,
-      textCol: String,
-      threshold: Double,
-      n: Int,
-      candPerPosting: Double): DataFrame = {
+      textCol: String)(repPairs: DataFrame => DataFrame): DataFrame = {
     val keyed = collapseSlot.persist(
       df.where(col(textCol).isNotNull)
         .select(col(idCol).as("doc_id"), col(textCol).as("text"),
-          md5(col(textCol)).as("h")))
+          sha2(col(textCol), 256).as("h")))
     // one representative (smallest id) per distinct text; first(text) is
     // deterministic here because every text in a group is IDENTICAL
+    // (SHA-256 group identity — a weaker key would break this silently)
     val reps = keyed.groupBy("h")
       .agg(min(col("doc_id")).as("rep_id"), first(col("text")).as("text"))
-    val rp = ngramJaccardPairsAuto(
-      reps.select(col("rep_id").as("doc_id"), col("text")),
-      "doc_id", "text", threshold, n, candPerPosting, collapseDups = false)
+    val rp = repPairs(reps.select(col("rep_id").as("doc_id"), col("text")))
     val mem = keyed.select(col("h"), col("doc_id"))
     val ra = reps.select(col("rep_id").as("id_a"), col("h").as("ha"))
     val rb = reps.select(col("rep_id").as("id_b"), col("h").as("hb"))
@@ -693,6 +761,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
     cross.union(within)
   }
+
+  /** The n-gram collapse tier's body: [[collapseExpandPairs]] recursing
+    * into the auto dispatch with collapse off for the rep-level pairs.
+    */
+  private def ngramJaccardPairsCollapsed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int,
+      candPerPosting: Double): DataFrame =
+    collapseExpandPairs(df, idCol, textCol) { reps =>
+      ngramJaccardPairsAuto(reps, "doc_id", "text", threshold, n,
+        candPerPosting, collapseDups = false)
+    }
 
   // ------------------------------------------------ duplicate clustering
 

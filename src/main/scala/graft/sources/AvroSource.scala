@@ -118,6 +118,14 @@ object AvroSource {
         } finally writer.close()
         if (fs.exists(dst)) fs.delete(dst, false)
         require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+        // best-effort orphan sweep (the WarcSource.write rationale):
+        // attempt-unique staging files from failed/killed attempts
+        // would otherwise accumulate in the output dir forever
+        val orphans = fs.globStatus(new org.apache.hadoop.fs.Path(
+          pathStr, f".part-$part%05d.attempt-*.avro.inprogress"))
+        if (orphans != null) orphans.foreach { o =>
+          try { fs.delete(o.getPath, false); () } catch { case _: Exception => () }
+        }
       }
     }
   }

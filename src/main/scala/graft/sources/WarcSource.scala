@@ -132,6 +132,17 @@ object WarcSource {
           } finally os.close()
           if (fs.exists(dst)) fs.delete(dst, false)
           require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+          // best-effort orphan sweep: attempt-unique staging names are
+          // never overwritten by a retry (unlike the old fixed tmp
+          // name), so a failed/killed attempt's file would accumulate
+          // forever. Deleting a still-live sibling attempt's tmp is
+          // safe: that zombie fails its own rename loudly and Spark
+          // ignores a failure of an already-succeeded task.
+          val orphans = fs.globStatus(new org.apache.hadoop.fs.Path(
+            pathStr, f".part-$part%05d.attempt-*.warc.inprogress"))
+          if (orphans != null) orphans.foreach { o =>
+            try { fs.delete(o.getPath, false); () } catch { case _: Exception => () }
+          }
         }
       }
   }

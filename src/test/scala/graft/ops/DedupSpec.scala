@@ -317,12 +317,43 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text", 0.8, 3, collapseDups = collapse)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val collapsed = pairs(collapse = true)
+    // the dispatch hook proves the collapse path RAN (not just that the
+    // answer matches — a density regression silently routing dense
+    // corpora to the quadratic tiers would still pass an answers-only
+    // equivalence check)
+    assert(Dedup.lastTier.get("ngramJaccard") == "collapse")
     val direct = pairs(collapse = false)
     assert(collapsed == direct, s"collapsed minus direct: ${collapsed -- direct}; " +
       s"direct minus collapsed: ${direct -- collapsed}")
     // the corpus is 13/15 duplicates -> the collapse tier must have run
     // (within-group identity pairs exist and carry exactly 1.0)
     assert(collapsed.exists(_._3 == 1.0))
+    assert(!collapsed.exists(p => p._1 == 31L || p._2 == 31L)) // NULL text pairs nothing
+  }
+
+  test("minhash collapse tier == the direct LSH pipeline, pair for pair") {
+    // same replica regime as the n-gram collapse test: the collapse
+    // dispatch must fire ahead of the signature kernel and expand to the
+    // identical pair set the direct pipeline finds
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 27).map(i => s"w$i") ++ Seq("q1 q2 q3")).mkString(" ")
+    val other = (100 to 130).map(i => s"z$i").mkString(" ")
+    val docs = (
+      (0L to 4L).map(i => (i, base)) ++
+      (10L to 13L).map(i => (i, near)) ++
+      (20L to 23L).map(i => (i, other)) ++
+      Seq((30L, (200 to 230).map(i => s"u$i").mkString(" ")), (31L, null: String))
+    ).toDF("doc_id", "text")
+    def pairs(collapse: Boolean) =
+      Dedup.minhashNearDup(docs, "doc_id", "text", 0.8, collapseDups = collapse)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val collapsed = pairs(collapse = true)
+    assert(Dedup.lastTier.get("minhashNearDup") == "collapse")
+    val direct = pairs(collapse = false)
+    assert(Dedup.lastTier.get("minhashNearDup") == "direct")
+    assert(collapsed == direct, s"collapsed minus direct: ${collapsed -- direct}; " +
+      s"direct minus collapsed: ${direct -- collapsed}")
+    assert(collapsed.exists(_._3 == 1.0)) // within-group identity pairs
     assert(!collapsed.exists(p => p._1 == 31L || p._2 == 31L)) // NULL text pairs nothing
   }
 
