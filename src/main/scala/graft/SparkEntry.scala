@@ -36,6 +36,25 @@ object SparkEntry {
         col("doc_id"), col("text"))
       .select((col("doc_id") * 4 + col("r")).as("doc_id"), col("text"))
 
+  /** The recall-gate query set: the vec_id%10 tenth of the corpus by
+    * default. That fraction makes gate work queries × corpus — quadratic
+    * in SF by construction — so scale-up benches OOM measuring the GATE,
+    * not the engine (the r7 100× finding). SPARK_GRAFT_QUERY_BUDGET=N
+    * caps it at the FIRST N of those queries (vec_id < 10N: vec_ids are
+    * dense from 0 and the replica stride is a multiple of 10, so the
+    * subset is deterministic and identical across scale-ups — the
+    * tools.ScaleProbe fixed-budget production shape). BENCH-ONLY knob:
+    * correctness runs never set it — the oracle SQL replays the default
+    * full tenth, and a budget-capped run would hash-mismatch loudly.
+    */
+  private def gateQueries(emb: DataFrame): DataFrame = {
+    val base = emb.where(col("vec_id") % 10 === 0)
+    sys.env.get("SPARK_GRAFT_QUERY_BUDGET") match {
+      case Some(n) => base.where(col("vec_id") < 10L * n.toLong)
+      case None => base
+    }
+  }
+
   /** The deterministic 10% customer slice of the co-purchase relation —
     * the shared input of the g4s/g11s/g12s/g14s slice gates (the full
     * relation's DuckDB oracle is the 10× spill class; the slice keeps
@@ -1875,10 +1894,26 @@ object SparkEntry {
     //      near-dup pairs (cluster_id = smallest reachable doc id);
     //      oracle recomputes components with a recursive transitive
     //      closure over the same exact-Jaccard pairs ----
-    "d6_dedup_clusters" -> ((s, dir) => {
-      val pairs = graft.ops.Dedup.minhashNearDup(t(s, dir, "documents"), "doc_id", "text", 0.8)
-      graft.ops.Dedup.connectedComponents(pairs)
-    }),
+    "d6_dedup_clusters" -> ((s, dir) =>
+      graft.ops.Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text", 0.8)),
+
+    // ---- D: the fused collapse tier's own hash gate — clusters over
+    //      the dense replica corpus (see d4c): CC must run on the
+    //      rep-level graph and members inherit the label in one
+    //      output-sized join; the oracle replays the recursive
+    //      transitive closure over the same replicated relation ----
+    "d6c_dedup_clusters_dense" -> ((s, dir) =>
+      graft.ops.Dedup.nearDupClusters(denseDocs(s, dir), "doc_id", "text", 0.8)),
+
+    // ---- D: clusters over the deterministic 10% doc slice — the 10×
+    //      oracle check for d6's spill-class recursive-closure replay
+    //      (~77 GB DuckDB temp at 10× full corpus; the d13s/d16s/d17s
+    //      rationale — replica strides are multiples of 10, so whole
+    //      duplicate groups survive the slice) ----
+    "d6s_dedup_clusters_slice" -> ((s, dir) =>
+      graft.ops.Dedup.nearDupClusters(
+        t(s, dir, "documents").where(col("doc_id") % 10 === 3),
+        "doc_id", "text", 0.8)),
 
     // ---- D: exact n-gram Jaccard pairs ----
     "d4_ngram_jaccard" -> ((s, dir) =>
@@ -2349,7 +2384,7 @@ object SparkEntry {
     "v1_topk_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.ops.Similarity.bruteForceTopK(
-        emb, emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding", 5)
+        emb, gateQueries(emb), "vec_id", "embedding", 5)
     }),
 
     // ---- V: embedding norm profile — the vector-column DQ gate
@@ -2557,7 +2592,7 @@ object SparkEntry {
     //      tools.ProfileV29) — the knob a deployment sizes per corpus ----
     "v29_ivfbq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.where(col("vec_id") % 10 === 0)
+      val q = gateQueries(emb)
       recallGate(
         graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
         graft.ops.Similarity.ivfBqTopK(emb, q, "vec_id", "embedding", 5,
@@ -2708,7 +2743,7 @@ object SparkEntry {
     //      its |Q|·refine survivors from the raw table by id ----
     "v8_ivfpq_disk_index" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.where(col("vec_id") % 10 === 0)
+      val q = gateQueries(emb)
       val idx = graft.ops.Similarity.ivfPqBuild(
         emb, "vec_id", "embedding", nCentroids = 16, m = 16, ksub = 64,
         iters = 1, persist = false)
@@ -4220,6 +4255,37 @@ object SparkEntry {
        SELECT id_a, id_b, ROUND(i / (na.n + nb.n - i), 6) AS jaccard
        FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
        WHERE i / (na.n + nb.n - i) >= 0.8"""
+
+  /** d6's cluster oracle (d4's exact-pair CTEs + a recursive transitive
+    * closure), parameterized over the documents relation so the d6c
+    * dense gate replays it over the replicated slice. AS MATERIALIZED
+    * on the pair CTE: DuckDB re-inlines CTEs per consumer (the g12
+    * lesson) and `e` consumes `p` twice.
+    */
+  private def d6Oracle(docsSrc: String): String =
+    s"""WITH RECURSIVE d AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+                    FROM $docsSrc AS docsrc),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(w)-1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS s
+                FROM d),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+                   GROUP BY x.doc_id, y.doc_id),
+         p AS MATERIALIZED (SELECT id_a, id_b
+               FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+               WHERE i / (na.n + nb.n - i) >= 0.8),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+         SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         FROM reach GROUP BY src"""
 
   private def d16Oracle(docsSrc: String): String =
     s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
@@ -6606,30 +6672,17 @@ object SparkEntry {
          FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
          WHERE i / (na.n + nb.n - i) >= 0.8""",
 
-    "d6_dedup_clusters" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
-                    FROM documents),
-         sh AS (SELECT doc_id,
-                  CASE WHEN len(w) >= 3 THEN
-                    list_distinct(list_transform(range(1, len(w)-1),
-                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                  ELSE [array_to_string(w, ' ')] END AS s
-                FROM d),
-         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         sz AS (SELECT doc_id, len(s) AS n FROM sh),
-         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
-                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
-                   GROUP BY x.doc_id, y.doc_id),
-         p AS (SELECT id_a, id_b
-               FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
-               WHERE i / (na.n + nb.n - i) >= 0.8),
-         e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-         reach(src, dst) AS (
-           SELECT src, dst FROM e
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
-         SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-         FROM reach GROUP BY src""",
+    "d6_dedup_clusters" -> d6Oracle("documents"),
+
+    // the fused-collapse cluster gate over the dense replica corpus
+    // (see denseDocsSql); the closure's cliques contract to the same
+    // per-doc labels the engine's rep-level CC + expansion assigns
+    "d6c_dedup_clusters_dense" -> d6Oracle(denseDocsSql),
+
+    // d6 over the deterministic 10% doc slice — the tractable 10×
+    // replay of the spill-class full-corpus closure
+    "d6s_dedup_clusters_slice" ->
+      d6Oracle("(SELECT * FROM documents WHERE doc_id % 10 = 3)"),
 
     // simhash64 recomputed EXACTLY: per-token FNV-1a/64 as a byte fold
     // (UBIGINT xor + HUGEINT modular multiply emulate the wrapping

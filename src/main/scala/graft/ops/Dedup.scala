@@ -732,19 +732,30 @@ object Dedup {
     * doc_id = the smallest member id — and must return
     * (id_a, id_b, jaccard) with id_a < id_b over those rep ids.
     */
-  private def collapseExpandPairs(
-      df: DataFrame,
-      idCol: String,
-      textCol: String)(repPairs: DataFrame => DataFrame): DataFrame = {
+  /** The collapse tiers' shared grouping: (keyed = (doc_id, text, h)
+    * with NULL texts dropped, reps = one (h, rep_id, text) row per
+    * distinct text, rep_id = the smallest member id). `keyed` goes
+    * through the bounded slot — both downstream shapes (pair expansion,
+    * cluster expansion) consume it several times. first(text) is
+    * deterministic because every text in a group is IDENTICAL
+    * (SHA-256 group identity — a weaker key would break this silently).
+    */
+  private def collapseKeyed(
+      df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
     val keyed = collapseSlot.persist(
       df.where(col(textCol).isNotNull)
         .select(col(idCol).as("doc_id"), col(textCol).as("text"),
           sha2(col(textCol), 256).as("h")))
-    // one representative (smallest id) per distinct text; first(text) is
-    // deterministic here because every text in a group is IDENTICAL
-    // (SHA-256 group identity — a weaker key would break this silently)
     val reps = keyed.groupBy("h")
       .agg(min(col("doc_id")).as("rep_id"), first(col("text")).as("text"))
+    (keyed, reps)
+  }
+
+  private def collapseExpandPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String)(repPairs: DataFrame => DataFrame): DataFrame = {
+    val (keyed, reps) = collapseKeyed(df, idCol, textCol)
     val rp = repPairs(reps.select(col("rep_id").as("doc_id"), col("text")))
     val mem = keyed.select(col("h"), col("doc_id"))
     val ra = reps.select(col("rep_id").as("id_a"), col("h").as("ha"))
@@ -832,6 +843,69 @@ object Dedup {
         case None => converge(pairs, maxIter)
       }
     }
+  }
+
+  /** Near-duplicate clusters end-to-end — [[minhashNearDup]] →
+    * [[connectedComponents]] — with the exact-copy collapse dispatch
+    * FUSED across both stages. The fusion matters because the cluster
+    * answer is PER-DOC (linear), unlike the pair answer (quadratic in
+    * replica count): collapsing only inside minhashNearDup would expand
+    * r(r−1)/2 identity pairs per replica group just for the CC stage to
+    * contract them again, so at 100× replicas CC grinds a 27M-edge graph
+    * whose every clique contracts to one node. Fused, CC runs on the
+    * REP-level pair graph (one node per distinct text) and members
+    * inherit their group's label in one output-sized join.
+    *
+    * Label correctness: cluster_id = the smallest reachable DOC id. A
+    * group's rep is its smallest member, so the smallest doc in an
+    * expanded cluster IS the smallest rep in the rep-level cluster —
+    * members inherit the rep-level label unchanged. A group with ≥ 2
+    * members but no cross-group pair is its own cluster (its copies
+    * pair with each other at j = 1); a singleton group with no cross
+    * pair appears in no pair at all and is excluded, exactly as the
+    * direct path excludes it.
+    */
+  def nearDupClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      n: Int = 3,
+      k: Int = 128,
+      bands: Int = 32,
+      collapseDups: Boolean = true,
+      collapseRatio: Double = 0.7,
+      maxIter: Int = 25): DataFrame = {
+    if (collapseDups) {
+      val (nDocs, nDistinct) = dupDensity(df, textCol)
+      if (nDocs > 0 && nDistinct < collapseRatio * nDocs) {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"nearDupClusters: $nDistinct distinct texts over $nDocs docs " +
+            s"(< $collapseRatio) -> fused exact-copy collapse tier")
+        val (keyed, reps) = collapseKeyed(df, idCol, textCol)
+        val repPairs = minhashNearDup(
+          reps.select(col("rep_id").as("doc_id"), col("text")),
+          "doc_id", "text", threshold, n, k, bands, collapseDups = false)
+        val repCC = connectedComponents(repPairs, maxIter)
+          .select(col("doc_id").as("rep_id"), col("cluster_id"))
+        val groups = keyed.groupBy("h")
+          .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_members"))
+        val labels = groups.join(repCC, Seq("rep_id"), "left")
+          .where(col("cluster_id").isNotNull || col("n_members") >= 2)
+          .select(col("h"),
+            coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+        val out = keyed.join(labels, Seq("h"))
+          .select(col("doc_id"), col("cluster_id"))
+        lastTier.put("nearDupClusters", "collapse")
+        return out
+      }
+    }
+    lastTier.put("nearDupClusters", "direct")
+    // collapseDups=false below: the density was probed (or declined)
+    // HERE; re-probing inside minhashNearDup would double the scan
+    connectedComponents(
+      minhashNearDup(df, idCol, textCol, threshold, n, k, bands,
+        collapseDups = false), maxIter)
   }
 
   /** Round-state materialization — see [[CheckpointCut.cut]] (reliable

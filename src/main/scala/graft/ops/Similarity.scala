@@ -433,14 +433,18 @@ object Similarity {
       cv.crossJoin(broadcast(thr))
         .withColumn("word", expr(bqPackSql))
         .select("neighbor_id", "cell", "word"))
-    val probes = queries
+    // materialize + broadcast-pin, the ivfPqProbe rationale: qv (the
+    // fixed-point query vector) must be computed once per probe row, not
+    // per scored pair, and the corpus-side packed words must be the
+    // STREAMED side of the coarse scan at every scale
+    val probes = bqProbeSlot.persist(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .crossJoin(broadcast(index.centroidArr))
       .select(col("query_id"),
         expr(intVecSql("q_vec", scaleFp)).as("qv"),
         explode(graft.functions.IvfCells.top_cells(col("q_vec"), col("cents"), nProbe))
-          .as("cell"))
-    val coarse = packed.join(probes, Seq("cell"))
+          .as("cell")))
+    val coarse = packed.join(broadcast(probes), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", expr(bqScoreSql).cast("double"))
       .select("query_id", "neighbor_id", "cosine")
@@ -454,6 +458,8 @@ object Similarity {
   }
 
   private val bqPackSlot = new CacheSlot
+  private val bqProbeSlot = new CacheSlot
+  private val pqProbeSlot = new CacheSlot
 
   /** One-shot build + [[ivfBqProbe]]. */
   def ivfBqTopK(
@@ -1481,7 +1487,18 @@ object Similarity {
     require(refine <= k || refineWith.nonEmpty,
       s"refine=$refine > k=$k needs refineWith (an (id, vec) table — " +
         "typically the original corpus) for the exact re-rank")
-    val probes = queries
+    // MATERIALIZE the probe table (bounded slot): the LUT must be
+    // computed once per (query, cell) row. Left lazy, Catalyst collapses
+    // the projection into the scoring join's output and re-evaluates
+    // pq_lut PER SCORED PAIR — ksub·dim multiplies instead of m adds per
+    // pair, measured 1110 s vs ~11 s on the v8 gate at a 200k corpus
+    // with a 200-query budget. The broadcast hint below then pins the
+    // SHAPE: the probe side (queries × nProbe rows — budget-sized by
+    // design) ships to the corpus side's partitions, never the reverse —
+    // AQE left alone had elected to broadcast the (small-at-test-SF)
+    // CELLS side and stream the one-partition probe side, serializing
+    // the whole ADC scan into a single task.
+    val probes = pqProbeSlot.persist(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .crossJoin(broadcast(index.centroidArr))
       .select(col("query_id"), col("q_vec"),
@@ -1490,9 +1507,9 @@ object Similarity {
       .crossJoin(broadcast(index.pqCents))
       .select(col("query_id"), col("cell"),
         graft.functions.PqKernels.pq_lut(col("q_vec"), col("pq_cents"), index.m, index.ksub).as("lut"),
-        sqrt(dot_native(col("q_vec"), col("q_vec"))).as("qnorm"))
+        sqrt(dot_native(col("q_vec"), col("q_vec"))).as("qnorm")))
     val scored = index.cells
-      .join(probes, Seq("cell"))
+      .join(broadcast(probes), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         when(col("norm") > 0d && col("qnorm") > 0d,

@@ -357,6 +357,37 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!collapsed.exists(p => p._1 == 31L || p._2 == 31L)) // NULL text pairs nothing
   }
 
+  test("nearDupClusters: fused collapse labels == direct pipeline labels") {
+    // replica regime with every cluster shape the label proof names: a
+    // cross-group near-dup cluster (base+near groups merge), an exact-
+    // copy-only group (its own cluster), a singleton in no pair
+    // (excluded), and a NULL text (excluded)
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 27).map(i => s"w$i") ++ Seq("q1 q2 q3")).mkString(" ")
+    val other = (100 to 130).map(i => s"z$i").mkString(" ")
+    val docs = (
+      (0L to 4L).map(i => (i, base)) ++
+      (10L to 13L).map(i => (i, near)) ++
+      (20L to 23L).map(i => (i, other)) ++
+      Seq((30L, (200 to 230).map(i => s"u$i").mkString(" ")), (31L, null: String))
+    ).toDF("doc_id", "text")
+    def clusters(collapse: Boolean) =
+      Dedup.nearDupClusters(docs, "doc_id", "text", 0.8, collapseDups = collapse)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val collapsed = clusters(collapse = true)
+    assert(Dedup.lastTier.get("nearDupClusters") == "collapse")
+    val direct = clusters(collapse = false)
+    assert(Dedup.lastTier.get("nearDupClusters") == "direct")
+    assert(collapsed == direct,
+      s"collapsed: $collapsed\ndirect: $direct")
+    // shape checks: base+near merged under the global min (0), the
+    // exact-copy-only group clustered under its own min (20), the
+    // singleton (30) and NULL (31) excluded
+    assert(collapsed(13L) == 0L && collapsed(4L) == 0L)
+    assert(collapsed(23L) == 20L)
+    assert(!collapsed.contains(30L) && !collapsed.contains(31L))
+  }
+
   test("minhashBandSweep: each tier reports the REAL b-band deployment's candidates, " +
       "not a prefix of the largest banding") {
     import graft.functions.MinHash

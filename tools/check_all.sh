@@ -1,7 +1,87 @@
 #!/bin/bash
-# One-shot local gate: compile, tests, oracle parity at sf0.01, bench at sf0.1.
+# One-shot local gates.
+#
+#   tools/check_all.sh            compile, tests, oracle parity at sf0.01,
+#                                 bench at sf0.1
+#   tools/check_all.sh 100x       the 100x verification ceiling: slice gates
+#                                 + capstones + the §2 core, hash-oracled at
+#                                 /tmp/sf100x (60M lineitem, 500k docs with
+#                                 99 exact copies each, 200k vectors). Slice
+#                                 oracles are cost-bounded by the SLICE, so
+#                                 they stay tractable where the full-corpus
+#                                 quadratic replays are not. Writes
+#                                 VERIFY_100X.log.
+#   tools/check_all.sh 10x        full-surface verify + DuckDB oracle at the
+#                                 10x replica — DEFAULT CONFIG, no manual
+#                                 knobs: driver heap, oracle memory/temp
+#                                 limits, fresh-connection isolation, and the
+#                                 documented spill-class skip list are all
+#                                 set here. Every skipped full-corpus oracle
+#                                 is hash-checked at 10x through its slice
+#                                 gate (d13s/d16s/d17s/d6s/g*s/v9s/v10s/v18s)
+#                                 which this same run verifies.
+#
+# GRAFT_ROUND=N additionally snapshots the full per-query bench JSON to
+# BENCH_full_rN.json (all ~270 walls survive for round-over-round diffs —
+# the driver's BENCH_rN.json is a truncated stdout tail).
 set -e
 cd "$(dirname "$0")/.."
+
+if [ "${1:-}" = "100x" ]; then
+  [ -d /tmp/sf100x ] || python3 tools/replicate_10x.py /root/testdata/sf0.1 /tmp/sf100x 100
+  # §2 core (DuckDB replays are aggregate/join-shaped: linear at 100x) +
+  # capstones + every slice gate. Deliberately absent: p2_select_star
+  # (the compare pulls both 60M-row dumps through a pandas sort — an
+  # oracle-harness bound, and p2 is a pass-through scan already 10x-
+  # verified) and the dense-fixture gates d2c/d4c/d6c (denseDocs
+  # REPLICATES the docs table 4x — at 100x that manufactures a 2M-doc
+  # corpus whose oracle pair replay is the exact spill class the slices
+  # exist to avoid; the collapse tiers' 100x evidence is the headline
+  # bench rows + the 10x hashes).
+  Q=src2_sql_scan,p1_projection_filter,a1_full_agg,a2_conditional_agg
+  Q=$Q,j1_broadcast_join,j2_multi_join,j3_decorrelated_quota,j4_correlated_scalar
+  Q=$Q,w1_window_dedup,s1_scalar_transforms,s2_obfuscate,x3_topk,x5_setops,x7_null_semantics
+  Q=$Q,air1_mart_pipeline,llm1_corpus_pipeline,mon1_health_report,card1_corpus_datacard
+  Q=$Q,d6s_dedup_clusters_slice,d13s_containment_slice,d16s_band_sweep_slice,d17s_keep_best_slice
+  Q=$Q,g2s_triangles_slice,g4s_label_prop_slice,g8s_hits_slice,g9s_kcore_slice
+  Q=$Q,g10s_itemcf_slice,g11s_assortativity_slice,g12s_modularity_slice,g14s_clustering_coeff_slice
+  Q=$Q,v1s_topk_string_ids,v9s_semantic_dedup_slice,v10s_mmr_slice,v18s_dbscan_slice
+  echo "== verify 100x (engine) =="
+  rm -rf /tmp/graft_v100x
+  SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g} \
+    sbt -batch "runMain graft.Verify /tmp/sf100x /tmp/graft_v100x $Q" 2>&1 \
+    | grep -E "\[verify\]" || true
+  echo "== oracle 100x (DuckDB) =="
+  ORACLE_MEM_LIMIT=40GB ORACLE_TEMP_LIMIT=50GB ORACLE_FRESH_CON=1 ORACLE_TIMING=1 \
+    python3 tools/check_oracle.py /tmp/sf100x /tmp/graft_v100x 2>&1 | tee VERIFY_100X.log
+  exit 0
+fi
+
+if [ "${1:-}" = "10x" ]; then
+  [ -d /tmp/sf10x ] || python3 tools/replicate_10x.py /root/testdata/sf0.1 /tmp/sf10x 10
+  echo "== verify 10x (engine) =="
+  rm -rf /tmp/graft_v10x
+  # 32g: Verify's heap gate then picks the measured-safe concurrency for a
+  # ~170 MB input on its own (GRAFT_VERIFY_PARALLEL still overrides)
+  SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-32g} \
+    sbt -batch "runMain graft.Verify /tmp/sf10x /tmp/graft_v10x" 2>&1 \
+    | grep -E "\[verify\]" || true
+  echo "== oracle 10x (DuckDB) =="
+  # Spill-class full-corpus oracles: quadratic-in-replica-count DuckDB
+  # replays (wedge/shingle self-joins, recursive closures) that burn
+  # 50-77+ GB of temp EACH at 10x — more than this box holds. The ENGINE
+  # ran them (above); their 10x hash evidence is the slice gates named in
+  # the header, which run full-strength in this same compare.
+  SPILL_SKIP=d13_containment,d16_minhash_sweep,d17_keep_best,d6_dedup_clusters
+  SPILL_SKIP=$SPILL_SKIP,g2_triangles,g4_label_prop,g8_hits,g9_kcore
+  SPILL_SKIP=$SPILL_SKIP,g10_itemcf,g11_assortativity,g12_modularity,g14_clustering_coeff
+  SPILL_SKIP=$SPILL_SKIP,v9_semantic_dedup,v10_mmr_diversify,v18_dbscan
+  ORACLE_SKIP=$SPILL_SKIP ORACLE_MEM_LIMIT=40GB ORACLE_TEMP_LIMIT=50GB \
+    ORACLE_FRESH_CON=1 ORACLE_TIMING=1 \
+    python3 tools/check_oracle.py /tmp/sf10x /tmp/graft_v10x
+  exit 0
+fi
+
 echo "== compile =="; sbt -batch compile | grep -E "success|error"
 echo "== tests ==";   sbt -batch test 2>&1 | grep -E "Tests:|Passed: Total|FAILED"
 echo "== verify sf0.01 =="
@@ -14,3 +94,7 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/graft_vout" 2>&1 | g
 python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/graft_vout
 echo "== bench sf0.1 =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
+if [ -n "${GRAFT_ROUND:-}" ]; then
+  cp target/bench.json "BENCH_full_r${GRAFT_ROUND}.json"
+  echo "snapshotted target/bench.json -> BENCH_full_r${GRAFT_ROUND}.json"
+fi
