@@ -66,6 +66,21 @@ object SparkEntry {
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
 
+  /** The 1% centile variant of [[copurchaseSlice]] — the 100× gates'
+    * input. A mod-10 slice is slice-QUADRATIC in replica count
+    * (custkey strides are powers of 10, so it keeps EVERY replica of
+    * 1-in-10 base customers; at 100× the sliced graph's DuckDB wedge
+    * replays exhaust the temp budget exactly like the full graph did
+    * at 10×). mod-100 keeps every replica of 1-in-100 base customers —
+    * the same full-strength within-family structure at the slice size
+    * that passes at 10×.
+    */
+  private def copurchaseCentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .where(col("o_custkey") % 100 === 37)
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+
   /** events.parquet's ts layout has varied across testdata generations
     * (TIMESTAMP(NANOS) read as a raw long under `nanosAsLong`;
     * TIMESTAMP(MICROS) read as TIMESTAMP_NTZ) — normalize to a plain
@@ -346,6 +361,23 @@ object SparkEntry {
         sharedTailDocs(s, dir, 40, " ").where(col("doc_id") % 10 === 3),
         "doc_id", "text", n = 3, minBp = 9000L)),
 
+    // ---- D: containment over the deterministic 1% centile slice —
+    //      the 100× gate. The 10% slice is slice-QUADRATIC in replica
+    //      count (replica strides are powers of 10, so a mod-10 slice
+    //      keeps EVERY copy of 1-in-10 base docs: at 100× that is 500
+    //      texts × 100 copies whose exact-tier candidate shuffle
+    //      out-spills one box — the measured r8 ENOSPC). mod-100 keeps
+    //      every copy of 1-in-100 base docs: same operator, same
+    //      full-strength within-group pair structure, slice sized like
+    //      the 10% slice at 10× (which passes). d13's exact tier
+    //      deliberately has NO collapse dispatch to hide behind —
+    //      containment of non-identical doc-in-doc pairs is what it
+    //      exists for ----
+    "d13s2_containment_centile" -> ((s, dir) =>
+      graft.ops.Dedup.overlapPairs(
+        sharedTailDocs(s, dir, 40, " ").where(col("doc_id") % 100 === 37),
+        "doc_id", "text", n = 3, minBp = 9000L)),
+
     // ---- D: URL blocklist — domain-SUFFIX matching as a hash join
     //      (C4/RefinedWeb's URL gate): hosts synthesize from doc ids
     //      (every fifth gets a cdn. subdomain), patterns block a whole
@@ -557,6 +589,28 @@ object SparkEntry {
       graft.ops.Graph.triangleCounts(edges, "src", "dst")
     }),
 
+    // ---- G: the 1% centile variants — the 100× gates for the six
+    //      graph statistics whose 10%-slice DuckDB replays exhaust the
+    //      temp budget at 100× (slice-quadratic in replica count —
+    //      see copurchaseCentile) ----
+    "g2s2_triangles_centile" -> ((s, dir) => {
+      val edges = graft.ops.Graph.coOccurrenceEdges(
+        copurchaseCentile(s, dir), "cust", "part", minShared = 3)
+      graft.ops.Graph.triangleCounts(edges, "src", "dst")
+    }),
+
+    "g12s2_modularity_centile" -> ((s, dir) => {
+      val pairs = graft.ops.Graph.cacheEdges(
+        graft.ops.Graph.coOccurrenceEdges(
+          copurchaseCentile(s, dir), "cust", "part", minShared = 3))
+      val edges = pairs.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+        .select(col("e.s").as("a"), col("e.d").as("b"))
+      val labels = graft.ops.Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      graft.ops.Graph.modularity(pairs, "src", "dst", labels, "node", "community")
+    }),
+
     // ---- G: local clustering coefficient over the same co-purchase
     //      graph as g2 — neighbor-density share per node, all-integer
     //      floored bp; deg<2 omitted, triangle-free nodes report 0 ----
@@ -622,6 +676,18 @@ object SparkEntry {
     "g14s_clustering_coeff_slice" -> ((s, dir) => {
       val edges = graft.ops.Graph.coOccurrenceEdges(
         copurchaseSlice(s, dir), "cust", "part", minShared = 3)
+      graft.ops.Graph.clusteringCoefficient(edges, "src", "dst")
+    }),
+
+    "g11s2_assortativity_centile" -> ((s, dir) => {
+      val edges = graft.ops.Graph.coOccurrenceEdges(
+        copurchaseCentile(s, dir), "cust", "part", minShared = 3)
+      graft.ops.Graph.assortativity(edges, "src", "dst")
+    }),
+
+    "g14s2_clustering_coeff_centile" -> ((s, dir) => {
+      val edges = graft.ops.Graph.coOccurrenceEdges(
+        copurchaseCentile(s, dir), "cust", "part", minShared = 3)
       graft.ops.Graph.clusteringCoefficient(edges, "src", "dst")
     }),
 
@@ -2509,6 +2575,20 @@ object SparkEntry {
       graft.ops.Similarity.mmrDiversify(cands, emb, "vec_id", "embedding", 5, 7000)
     }),
 
+    // the 100× MMR gate: v10s already thins QUERIES to mod-1000, but
+    // its oracle still crosses them with the FULL corpus (40M scored
+    // rows each dragging a 64-float vector through a per-query sort —
+    // the measured 46.5 GB temp blow-up at 100×); slicing the corpus
+    // to mod-10 keeps the same greedy-rounds structure at 1/10 the
+    // candidate-generation cost
+    "v10s2_mmr_centile" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").where(col("vec_id") % 10 === 0)
+      val cands = graft.ops.Similarity.bruteForceTopK(
+          emb, emb.where(col("vec_id") % 1000 === 0), "vec_id", "embedding", 15)
+        .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
+      graft.ops.Similarity.mmrDiversify(cands, emb, "vec_id", "embedding", 5, 7000)
+    }),
+
     // ---- V: string-keyed top-k — doc-UUID-shaped ids take the
     //      string-keyed bounded heap (not the window fallback); ids are
     //      deliberately UNpadded so binary string order diverges from
@@ -2520,6 +2600,22 @@ object SparkEntry {
         concat(lit("doc-"), col("vec_id").cast("string")).as("vec_id"), col("embedding"))
       graft.ops.Similarity.bruteForceTopK(
         strId(emb0), strId(emb0.where(col("vec_id") % 10 === 0)),
+        "vec_id", "embedding", 5)
+    }),
+
+    // ---- V: string-keyed top-k over the centile-sliced corpus — the
+    //      100× gate for the string-id tie-break path. The v1s oracle
+    //      is queries × corpus BY CONSTRUCTION (a brute-force replay is
+    //      the definition of exact top-k), so its full-tenth query set
+    //      over the full corpus is hours of DuckDB at 100×; this keeps
+    //      queries ⊂ a mod-10 corpus slice with a mod-1000 query set
+    //      (strides are powers of 10 — both subsets replicate) ----
+    "v1s2_topk_string_centile" -> ((s, dir) => {
+      val emb0 = t(s, dir, "embeddings").where(col("vec_id") % 10 === 0)
+      def strId(df: org.apache.spark.sql.DataFrame) = df.select(
+        concat(lit("doc-"), col("vec_id").cast("string")).as("vec_id"), col("embedding"))
+      graft.ops.Similarity.bruteForceTopK(
+        strId(emb0), strId(emb0.where(col("vec_id") % 1000 === 0)),
         "vec_id", "embedding", 5)
     }),
 
@@ -3167,6 +3263,16 @@ object SparkEntry {
       graft.ops.Graph.hits(edges, "src", "dst", iterations = 2)
     }),
 
+    // the 1% centile variant — the 100× gate (see copurchaseCentile)
+    "g8s2_hits_centile" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .where(col("o_custkey") % 100 === 37)
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.ops.Graph.hits(edges, "src", "dst", iterations = 2)
+    }),
+
     // ---- G: 3-core of the high-volume trade graph (quantity ≥ 45
     //      sparsifies like g7) — simultaneous peeling, 4 bounded rounds
     //      the oracle unrolls; survivors with their in-core degree ----
@@ -3181,6 +3287,16 @@ object SparkEntry {
     "g9s_kcore_slice" -> ((s, dir) => {
       val pairs = t(s, dir, "orders")
         .where(col("o_custkey") % 10 === 3)
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_quantity") >= 45)
+        .select((col("o_custkey") * 2).as("x"), (col("l_suppkey") * 2 + 1).as("y"))
+      graft.ops.Graph.kCore(pairs, "x", "y", k = 3, rounds = 4)
+    }),
+
+    // the 1% centile variant — the 100× gate (see copurchaseCentile)
+    "g9s2_kcore_centile" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .where(col("o_custkey") % 100 === 37)
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .where(col("l_quantity") >= 45)
         .select((col("o_custkey") * 2).as("x"), (col("l_suppkey") * 2 + 1).as("y"))
@@ -4091,22 +4207,22 @@ object SparkEntry {
     s"""WITH p AS (SELECT o_custkey * 2 AS x, l_suppkey * 2 + 1 AS y
                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
                   WHERE l_quantity >= 45 $pAnd),
-       e0 AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM p),
-       k1 AS (SELECT node FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+       e0 AS MATERIALIZED (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM p),
+       k1 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
               GROUP BY node HAVING COUNT(*) >= 3),
-       e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT node FROM k1)
+       e1 AS MATERIALIZED (SELECT a, b FROM e0 WHERE a IN (SELECT node FROM k1)
                 AND b IN (SELECT node FROM k1)),
-       k2 AS (SELECT node FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+       k2 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
               GROUP BY node HAVING COUNT(*) >= 3),
-       e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT node FROM k2)
+       e2 AS MATERIALIZED (SELECT a, b FROM e1 WHERE a IN (SELECT node FROM k2)
                 AND b IN (SELECT node FROM k2)),
-       k3 AS (SELECT node FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+       k3 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
               GROUP BY node HAVING COUNT(*) >= 3),
-       e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM k3)
+       e3 AS MATERIALIZED (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM k3)
                 AND b IN (SELECT node FROM k3)),
-       k4 AS (SELECT node FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+       k4 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
               GROUP BY node HAVING COUNT(*) >= 3),
-       e4 AS (SELECT a, b FROM e3 WHERE a IN (SELECT node FROM k4)
+       e4 AS MATERIALIZED (SELECT a, b FROM e3 WHERE a IN (SELECT node FROM k4)
                 AND b IN (SELECT node FROM k4))
        SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS deg
        FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
@@ -4419,6 +4535,36 @@ object SparkEntry {
   private def mmrOracle(mod: Int): String =
     mmrOracleBase.replace("vec_id % 10 = 0", s"vec_id % $mod = 0")
 
+  /** [[mmrOracle]] with the CORPUS side also sliced (the 100× gate —
+    * see the v10s2 queries entry). */
+  private def mmrOracleSliced(qMod: Int, cMod: Int): String =
+    mmrOracle(qMod).replace(
+      "FROM embeddings c",
+      s"FROM (SELECT * FROM embeddings WHERE vec_id % $cMod = 0) c")
+
+  /** The string-keyed brute-force top-k replay (v1s / v1s2): queries
+    * from the mod-`qMod` subset, corpus optionally mod-`cMod` sliced.
+    */
+  private def v1sOracle(qMod: Int, cMod: Option[Int]): String = {
+    val corpus = cMod
+      .map(m => s"(SELECT * FROM embeddings WHERE vec_id % $m = 0)")
+      .getOrElse("embeddings")
+    s"""WITH q AS (SELECT 'doc-' || CAST(vec_id AS VARCHAR) AS query_id, embedding AS qe
+                    FROM embeddings WHERE vec_id % $qMod = 0),
+         s AS (SELECT query_id, 'doc-' || CAST(c.vec_id AS VARCHAR) AS neighbor_id,
+           list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+           FROM $corpus c CROSS JOIN q
+           WHERE 'doc-' || CAST(c.vec_id AS VARCHAR) <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
+         FROM r WHERE rank <= 5"""
+  }
+
   private val mmrOracleBase: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
          sc AS (SELECT query_id, c.vec_id AS neighbor_id, c.embedding AS vec,
@@ -4426,15 +4572,15 @@ object SparkEntry {
              / (sqrt(list_sum(list_transform(range(1, len(qe)+1), x -> qe[x]::DOUBLE * qe[x]::DOUBLE)))
               * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), x -> c.embedding[x]::DOUBLE * c.embedding[x]::DOUBLE)))) AS cos
            FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
-         cand AS (SELECT query_id, neighbor_id, ROUND(cos, 6) AS rel, vec FROM (
+         cand AS MATERIALIZED (SELECT query_id, neighbor_id, ROUND(cos, 6) AS rel, vec FROM (
              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
              FROM sc) WHERE rn <= 15),
-         pair AS (SELECT a.query_id, a.neighbor_id AS ci, b.neighbor_id AS cj,
+         pair AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS ci, b.neighbor_id AS cj,
              list_sum(list_transform(range(1, len(a.vec)+1), x -> a.vec[x]::DOUBLE * b.vec[x]::DOUBLE))
              / (sqrt(list_sum(list_transform(range(1, len(a.vec)+1), x -> a.vec[x]::DOUBLE * a.vec[x]::DOUBLE)))
               * sqrt(list_sum(list_transform(range(1, len(b.vec)+1), x -> b.vec[x]::DOUBLE * b.vec[x]::DOUBLE)))) AS sim
            FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
-         sel1 AS (SELECT query_id, neighbor_id, rel AS mmr, 1 AS round FROM (
+         sel1 AS MATERIALIZED (SELECT query_id, neighbor_id, rel AS mmr, 1 AS round FROM (
              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id ASC) AS rn
              FROM cand) WHERE rn = 1),
          sims2 AS (SELECT c.query_id, c.neighbor_id,
@@ -4446,7 +4592,7 @@ object SparkEntry {
          pick2 AS (SELECT query_id, neighbor_id, mmr, 2 AS round FROM (
              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rn
              FROM sims2) WHERE rn = 1),
-         sel2 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM pick2),
+         sel2 AS MATERIALIZED (SELECT * FROM sel1 UNION ALL SELECT * FROM pick2),
          sims3 AS (SELECT c.query_id, c.neighbor_id,
              ROUND((7000*c.rel - 3000*MAX(p.sim)) / 10000.0, 6) AS mmr
            FROM cand c JOIN sel2 s ON s.query_id = c.query_id
@@ -4456,7 +4602,7 @@ object SparkEntry {
          pick3 AS (SELECT query_id, neighbor_id, mmr, 3 AS round FROM (
              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rn
              FROM sims3) WHERE rn = 1),
-         sel3 AS (SELECT * FROM sel2 UNION ALL SELECT * FROM pick3),
+         sel3 AS MATERIALIZED (SELECT * FROM sel2 UNION ALL SELECT * FROM pick3),
          sims4 AS (SELECT c.query_id, c.neighbor_id,
              ROUND((7000*c.rel - 3000*MAX(p.sim)) / 10000.0, 6) AS mmr
            FROM cand c JOIN sel3 s ON s.query_id = c.query_id
@@ -4466,7 +4612,7 @@ object SparkEntry {
          pick4 AS (SELECT query_id, neighbor_id, mmr, 4 AS round FROM (
              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, neighbor_id ASC) AS rn
              FROM sims4) WHERE rn = 1),
-         sel4 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM pick4),
+         sel4 AS MATERIALIZED (SELECT * FROM sel3 UNION ALL SELECT * FROM pick4),
          sims5 AS (SELECT c.query_id, c.neighbor_id,
              ROUND((7000*c.rel - 3000*MAX(p.sim)) / 10000.0, 6) AS mmr
            FROM cand c JOIN sel4 s ON s.query_id = c.query_id
@@ -5812,6 +5958,16 @@ object SparkEntry {
 
     "g2s_triangles_slice" -> trianglesOracle("WHERE o.o_custkey % 10 = 3"),
 
+    // the 1% centile gates — the 100× checks for the six graph
+    // statistics whose 10%-slice replays are themselves slice-
+    // quadratic in replica count (see copurchaseCentile)
+    "g2s2_triangles_centile" -> trianglesOracle("WHERE o.o_custkey % 100 = 37"),
+    "g12s2_modularity_centile" -> modularityOracle("WHERE o.o_custkey % 100 = 37"),
+    "g11s2_assortativity_centile" ->
+      assortativityOracle("WHERE o.o_custkey % 100 = 37"),
+    "g14s2_clustering_coeff_centile" ->
+      clusteringCoeffOracle("WHERE o.o_custkey % 100 = 37"),
+
     "g11_assortativity" -> assortativityOracle(),
 
     // the same graph statistics over the 10% customer slice — the 10×
@@ -7125,11 +7281,17 @@ object SparkEntry {
 
     "g8s_hits_slice" -> hitsOracle("WHERE o_custkey % 10 = 3"),
 
+    // the 1% centile gate — the 100× check (see copurchaseCentile)
+    "g8s2_hits_centile" -> hitsOracle("WHERE o_custkey % 100 = 37"),
+
     // 4 unrolled simultaneous-peeling rounds (converged rounds are
     // no-ops, so bounded rounds == the true 3-core once peeling settles)
     "g9_kcore" -> kcoreOracle(""),
 
     "g9s_kcore_slice" -> kcoreOracle("AND o_custkey % 10 = 3"),
+
+    // the 1% centile gate — the 100× check (see copurchaseCentile)
+    "g9s2_kcore_centile" -> kcoreOracle("AND o_custkey % 100 = 37"),
 
     // integer co-occurrence counts and degrees; the only floating ops
     // (one sqrt, one divide) are correctly rounded in any engine;
@@ -8565,6 +8727,9 @@ object SparkEntry {
     // they are the doc_id % 40 lookup table, not the corpus)
     "d13s_containment_slice" -> d13Oracle("WHERE d.doc_id % 10 = 3"),
 
+    // the 1% centile slice (the 100× gate — see the queries entry)
+    "d13s2_containment_centile" -> d13Oracle("WHERE d.doc_id % 100 = 37"),
+
     // reversed-label prefixes joined against reversed patterns; the
     // longest (most specific) match survives per doc
     // the same canonicalization pipeline in DuckDB's dialect (global
@@ -8896,21 +9061,12 @@ object SparkEntry {
 
     "v10s_mmr_slice" -> mmrOracle(1000),
 
-    "v1s_topk_string_ids" ->
-      """WITH q AS (SELECT 'doc-' || CAST(vec_id AS VARCHAR) AS query_id, embedding AS qe
-                    FROM embeddings WHERE vec_id % 10 = 0),
-         s AS (SELECT query_id, 'doc-' || CAST(c.vec_id AS VARCHAR) AS neighbor_id,
-           list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE))
-           / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
-            * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
-           FROM embeddings c CROSS JOIN q
-           WHERE 'doc-' || CAST(c.vec_id AS VARCHAR) <> query_id),
-         r AS (SELECT query_id, neighbor_id, cos,
-           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-             ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
-           FROM s)
-         SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
-         FROM r WHERE rank <= 5""",
+    "v10s2_mmr_centile" -> mmrOracleSliced(1000, 10),
+
+    "v1s_topk_string_ids" -> v1sOracle(10, None),
+
+    // the 100× string-id gate: mod-1000 queries over the mod-10 corpus
+    "v1s2_topk_string_centile" -> v1sOracle(1000, Some(10)),
 
     "v2_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
-/** Executor-LOSS fault injection (VERDICT r6 item 4): the reliable-
-  * checkpoint tier's claim — "round state survives executor loss when a
-  * checkpoint dir is set" — tested as a contract instead of asserted
-  * from lineage. Three phases:
+/** Executor-LOSS fault injection (VERDICT r6 item 4; phases 4-5 added
+  * for VERDICT r7 item 5): the reliable-checkpoint tier's claim —
+  * "round state survives executor loss when a checkpoint dir is set" —
+  * tested as a contract instead of asserted from lineage. Five phases:
   *
   *   1. baseline — plain `local[4]`, no faults: the reference ranks of
   *      a 16-round PageRank over the g1 graph;
@@ -28,7 +28,24 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
   *      next consumer must FAIL with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
   *      — the documented unsafe-under-decommission behavior
   *      ("a lost executor fails the query instead of recomputing",
-  *      CheckpointCut's Scaladoc).
+  *      CheckpointCut's Scaladoc);
+  *   4. connected components (a SECOND iterative family — unlike
+  *      PageRank's fixed 16 rounds, `Dedup.connectedComponents`
+  *      converges data-dependently, interleaves checkpoint state with
+  *      MEMORY_AND_DISK persists it materializes mid-round, and sits
+  *      behind the label memo): executor killed mid-convergence with a
+  *      reliable checkpoint dir — labels must exactly equal the
+  *      no-fault baseline;
+  *   5. streaming state-store recovery: a stateful streaming query
+  *      (`dropDuplicatesWithinWatermark`, file source, one micro-batch
+  *      per file) loses an executor AFTER two committed micro-batches;
+  *      the retried tasks must reload dedup state for their partitions
+  *      from the checkpointLocation (HDFS-backed state store), so
+  *      duplicates of PRE-KILL ids arriving in POST-KILL batches are
+  *      still suppressed and the output equals the batch twin exactly.
+  *      State lost rather than recovered would EMIT those duplicates —
+  *      a wrong answer, not a crash — which is why the check is
+  *      row-set equality, not query survival.
   *
   * Exit code 99 marks the deliberate kill in worker logs.
   *
@@ -96,6 +113,47 @@ object FaultInject {
   private def ranksOf(spark: SparkSession, dir: String): Map[Long, Long] =
     graft.ops.Graph.pageRank(g1Edges(spark, dir), "a", "b", iterations = rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** The CC phase's pair relation: the same co-order edges as
+    * canonical (id_a < id_b) pairs. Bipartite ids (even customers, odd
+    * suppliers) so least/greatest only canonicalizes — no self loops.
+    */
+  private def ccPairs(spark: SparkSession, dir: String): DataFrame =
+    g1Edges(spark, dir)
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"))
+      .distinct()
+
+  private def ccLabels(spark: SparkSession, dir: String): Map[Long, Long] =
+    graft.ops.Dedup.connectedComponents(ccPairs(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Stage the streaming-phase fixture: 8 parquet files, one
+    * micro-batch each (`maxFilesPerTrigger=1`). Files 0-3 carry fresh
+    * ids (250 each); files 4-7 carry ONLY duplicates of ids first seen
+    * in files 0-3 — i.e. every row after the kill point (batch ≥ 2)
+    * re-sends state the query committed before the kill, at a LATER
+    * event time. Everything sits inside the 1 h watermark horizon, so
+    * `dropDuplicatesWithinWatermark` must suppress all 1000 re-sends —
+    * iff the retried tasks actually reload pre-kill state from the
+    * checkpoint. Returns (dir, expected sorted event_id seq).
+    */
+  private def stageStreamFixture(spark: SparkSession): (String, Seq[Long]) = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fault_stream").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def rows(ids: Range, offsetSec: Int) = ids.map(i =>
+      (i.toLong, new java.sql.Timestamp(t0 + offsetSec * 1000L + i),
+        i.toLong % 7, "x", 1.0, "{}"))
+    val files =
+      (0 to 3).map(f => rows(f * 250 until (f + 1) * 250, f * 60)) ++
+      (0 to 3).map(f => rows(f * 250 until (f + 1) * 250, 1200 + f * 60))
+    files.zipWithIndex.foreach { case (rs, i) =>
+      rs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/f$i")
+    }
+    (s"$dir/f*", (0L until 1000L).toSeq)
+  }
 
   /** The executor holding the MOST persisted round-state blocks right
     * now — the surgical victim for the localCheckpoint phase: killing a
@@ -165,10 +223,13 @@ object FaultInject {
       "SPARK_HOME must point at a Spark dist (executor JVM launch)")
     var failures = 0
 
-    // 1. baseline, no faults
+    // 1. baseline, no faults (PageRank for phase 2, CC labels for phase 4)
     val local = graft.EngineSession.local("4", "fault-baseline")
     val expected = ranksOf(local, dir)
-    println(s"baseline: ${expected.size} ranked nodes")
+    val expectedLabels = ccLabels(local, dir)
+    println(s"baseline: ${expected.size} ranked nodes, " +
+      s"${expectedLabels.size} labeled nodes " +
+      s"(CC converged in ${graft.ops.Dedup.lastConvergenceRounds} rounds)")
     local.stop()
 
     // 2. reliable checkpoint dir + executor kill → must complete & match
@@ -238,6 +299,106 @@ object FaultInject {
               s"(failed as documented: ${e.getClass.getSimpleName}: " +
               s"${String.valueOf(e.getMessage).take(120)})")
         }
+      } finally spark.stop()
+    }
+
+    // 4. connected components mid-convergence + executor kill → labels
+    // must match the baseline exactly (checkpointed round state +
+    // mid-round MEMORY_AND_DISK persists both recover through the
+    // reliable checkpoint FILES; the label memo cannot leak across
+    // sessions — it is session-keyed)
+    {
+      val spark = clusterSession("fault-cc")
+      spark.sparkContext.setLogLevel("WARN")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_fault_cc").toString
+      spark.sparkContext.setCheckpointDir(ckpt)
+      // probe is job 1; edges/seed checkpoints land next, so the kill
+      // fires inside the convergence loop
+      val fired = armKill(spark, killAfterJobs = 4)
+      try {
+        val got = ccLabels(spark, dir)
+        val ok = fired.get() && got == expectedLabels
+        println(s"connected components under executor loss: " +
+          s"${if (ok) "PASS" else "FAIL"} (kill fired=${fired.get()}, " +
+          s"nodes=${got.size}, match=${got == expectedLabels}, " +
+          s"rounds=${graft.ops.Dedup.lastConvergenceRounds})")
+        if (!ok) failures += 1
+      } catch {
+        case e: Throwable =>
+          println(s"connected components under executor loss: FAIL (query died: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)})")
+          failures += 1
+      } finally spark.stop()
+    }
+
+    // 5. streaming state-store recovery: lose an executor after two
+    // committed micro-batches; later batches re-send every pre-kill id
+    // (later event time, inside the watermark), so the output is the
+    // 1000 first arrivals IFF the retried tasks reload dedup state
+    // from the checkpointLocation — lost state EMITS the re-sends (a
+    // wrong answer, not a crash), which the multiset equality catches
+    {
+      val spark = clusterSession("fault-stream")
+      spark.sparkContext.setLogLevel("WARN")
+      val sc = spark.sparkContext
+      while (sc.getExecutorMemoryStatus.size < 3) Thread.sleep(200) // driver + 2
+      try {
+        val (glob, expectedIds) = stageStreamFixture(spark)
+        val ckptLoc = java.nio.file.Files
+          .createTempDirectory("graft_fault_stream_ckpt").toString
+        val victim = sc.parallelize(1 to 4, 4)
+          .map(_ => org.apache.spark.SparkEnv.get.executorId).collect().min
+        val batches = new AtomicInteger(0)
+        val fired = new AtomicBoolean(false)
+        spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            if (e.progress.numInputRows > 0) batches.incrementAndGet()
+            ()
+          }
+        })
+        val killer = new Thread(() => {
+          while (batches.get() < 2) Thread.sleep(10)
+          if (fired.compareAndSet(false, true)) {
+            System.err.println(s"[fault-inject] killing executor $victim " +
+              s"after ${batches.get()} committed micro-batches")
+            try {
+              sc.parallelize(1 to 8, 8).foreach { _ =>
+                if (org.apache.spark.SparkEnv.get.executorId == victim) System.exit(99)
+              }
+            } catch { case _: Throwable => () }
+          }
+        })
+        killer.setDaemon(true)
+        killer.start()
+        val q = spark.readStream
+          .schema(graft.streaming.EventStreams.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(glob)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark(Seq("event_id"))
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .format("memory").queryName("fault_sdedup")
+          .option("checkpointLocation", ckptLoc)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val got = spark.table("fault_sdedup")
+          .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+        val ok = fired.get() && got == expectedIds
+        println(s"streaming state-store recovery under executor loss: " +
+          s"${if (ok) "PASS" else "FAIL"} (kill fired=${fired.get()}, " +
+          s"batches=${batches.get()}, rows=${got.size}, " +
+          s"match=${got == expectedIds})")
+        if (!ok) failures += 1
+      } catch {
+        case e: Throwable =>
+          println(s"streaming state-store recovery under executor loss: FAIL " +
+            s"(query died: ${e.getClass.getSimpleName}: " +
+            s"${String.valueOf(e.getMessage).take(160)})")
+          failures += 1
       } finally spark.stop()
     }
 
