@@ -3,7 +3,15 @@
 #
 #   tools/check_all.sh            compile, tests, oracle parity at sf0.01,
 #                                 bench at sf0.1
-#   tools/check_all.sh 100x       the 100x verification ceiling: slice gates
+#   tools/check_all.sh 1000x      the 1000x verification ceiling: the
+#                                 constant-output / linear-oracle surface
+#                                 (§2 relational core, x/e/t batteries,
+#                                 linear dedup gates, vector profiles,
+#                                 capstone aggregates) hash-oracled at
+#                                 /tmp/sf1000x — 600M-row lineitem, 100M
+#                                 events, 5M docs, 5M vectors (~17 GB).
+#                                 Writes VERIFY_1000X.log.
+#   tools/check_all.sh 100x       the 100x verification wide pass: slice gates
 #                                 + capstones + the §2 core, hash-oracled at
 #                                 /tmp/sf100x (60M lineitem, 500k docs with
 #                                 99 exact copies each, 200k vectors). Slice
@@ -29,19 +37,53 @@ cd "$(dirname "$0")/.."
 
 if [ "${1:-}" = "100x" ]; then
   [ -d /tmp/sf100x ] || python3 tools/replicate_10x.py /root/testdata/sf0.1 /tmp/sf100x 100
-  # §2 core (DuckDB replays are aggregate/join-shaped: linear at 100x) +
-  # capstones + every slice gate. Deliberately absent: p2_select_star
-  # (the compare pulls both 60M-row dumps through a pandas sort — an
-  # oracle-harness bound, and p2 is a pass-through scan already 10x-
-  # verified) and the dense-fixture gates d2c/d4c/d6c (denseDocs
+  # §2 core + capstones + every slice gate + (r8, this session) the whole
+  # constant-output / linear-oracle battery: x-tier analytics, e-tier event
+  # analytics incl. the REAL streaming queries, t-tier corpus statistics,
+  # the linear dedup gates (decontaminate, url/domain, simhash invariant,
+  # entity resolution) and the linear vector profiles (v22/v31).
+  # Deliberately absent: the dense-fixture gates d2c/d4c/d6c (denseDocs
   # REPLICATES the docs table 4x — at 100x that manufactures a 2M-doc
   # corpus whose oracle pair replay is the exact spill class the slices
   # exist to avoid; the collapse tiers' 100x evidence is the headline
-  # bench rows + the 10x hashes).
-  Q=src2_sql_scan,p1_projection_filter,a1_full_agg,a2_conditional_agg
+  # bench rows + the 10x hashes), the full graph/minhash/containment/
+  # keep-best/mmr/dbscan/semantic-dedup tiers (their DuckDB replays are
+  # the measured 50GB+ temp spill class — each is hash-checked here
+  # through its slice/centile gate), and the v-tier recall gates (their
+  # oracles replay queries x corpus brute force: hours of DuckDB at 100x;
+  # v1s2 carries that class).
+  Q=src2_sql_scan,p1_projection_filter,p2_select_star,a1_full_agg,a2_conditional_agg,a3_rollup
   Q=$Q,j1_broadcast_join,j2_multi_join,j3_decorrelated_quota,j4_correlated_scalar
   Q=$Q,w1_window_dedup,s1_scalar_transforms,s2_obfuscate,x3_topk,x5_setops,x7_null_semantics
-  Q=$Q,air1_mart_pipeline,llm1_corpus_pipeline,mon1_health_report,card1_corpus_datacard
+  Q=$Q,air1_mart_pipeline,llm1_corpus_pipeline,llm2_stream_pipeline,mon1_health_report,card1_corpus_datacard
+  # x-tier: lineitem/orders-shaped aggregates, constant outputs, linear
+  # DuckDB replays (x19/x21 rewrite a 60M-row layout each — kept: that IS
+  # the scale evidence for the clustering writers)
+  Q=$Q,x1_distinct_agg,x4_approx_distinct,x6_percentiles,x8_pivot,x9_cube,x11_bucketed_join
+  Q=$Q,x12_salted_join,x13_grouping_sets,x14_profile,x15_percentiles,x17_heavy_hitters
+  Q=$Q,x18_group_sample,x19_zorder,x20_weighted_sample,x21_hilbert,x22_countmin,x23_dq_report
+  Q=$Q,x24_winsorize,x25_hll_union,x26_recursive_cte,x27_k_anonymity,x28_table_checksum
+  Q=$Q,x29_table_diff,x32_approx_pct_gate,x33_unpivot,x34_hll_overlap,x35_corr_matrix
+  Q=$Q,x36_l_diversity,x37_mad_outliers,x38_benford,x39_psi_drift,x40_chi_square,x41_gini
+  Q=$Q,x42_ks_drift,x43_entropy,x44_quantile_bins,x45_t_closeness,x46_weighted_pct,x47_skyline
+  Q=$Q,x48_skew_profile,x49_ivm_agg,x50_spearman,x51_fd_check,x52_json_census
+  Q=$Q,x53_price_elasticity,x54_chi_residuals,x55_cramers_v,x56_anova_f,x57_psi_bins
+  # e-tier: 10M-event analytics, time-bounded or constant outputs; the
+  # streaming entries (e7/e9/e27/e46/e54) run REAL file-source streams
+  Q=$Q,e2_window_hourly,e3_json_extract,e13_sliding_hourly,e15_funnel,e16_retention
+  Q=$Q,e17_histogram,e21_hopping,e24_ohlc,e27_streaming_ohlc,e30_markov_transitions
+  Q=$Q,e32_trend,e34_cohort_ltv,e35_top_paths,e38_forecast_backtest,e39_cusum_changepoint
+  Q=$Q,e41_autocorr,e42_kaplan_meier,e44_cusum_daily,e45_ab_ztest,e46_stream_heavy_hitters
+  Q=$Q,e47_conversion_latency,e48_freshness,e49_seasonal_anomaly,e50_theil_sen
+  Q=$Q,e51_mann_kendall,e52_mann_whitney,e53_dispersion,e54_stream_scd2,e55_dow_profile
+  Q=$Q,e7_streaming_hourly,e9_stream_enrich
+  # t-tier corpus statistics (500k docs), linear dedup gates, vector profiles
+  Q=$Q,t4i_fingerprint_unique,t5_wordcount,t23_pmi,t24_bpe_train,t31_langid_confusion
+  Q=$Q,t32_dsir_select,t33_pr_curve,t36_vocab_stats,t37_zipf_slope,t39_js_divergence
+  Q=$Q,t40_split_leakage,t42_word_blocklist,t43_split_ngram_leakage
+  Q=$Q,d3i_simhash_exact_dups,d7_decontaminate,d9_bloom_decontaminate,d10_entity_resolution
+  Q=$Q,d14_url_canonical,d15_source_overlap,d18_domain_cap
+  Q=$Q,v22_embedding_drift,v31_norm_profile
   # d13s2 (1% centile) stands in for d13s here: the 10% slice is
   # slice-quadratic in replica count and its exact-tier candidate
   # shuffle ENOSPCs one box at 100x (measured r8) — the mod-100 slice
@@ -67,6 +109,60 @@ if [ "${1:-}" = "100x" ]; then
   echo "== oracle 100x (DuckDB) =="
   ORACLE_MEM_LIMIT=40GB ORACLE_TEMP_LIMIT=50GB ORACLE_FRESH_CON=1 ORACLE_TIMING=1 \
     python3 tools/check_oracle.py /tmp/sf100x /tmp/graft_v100x 2>&1 | tee VERIFY_100X.log
+  exit 0
+fi
+
+if [ "${1:-}" = "1000x" ]; then
+  # The 1000x verification ceiling: 600M-row lineitem (TPC-H SF100-scale
+  # row counts), 100M events, 5M docs (999 exact copies each), 5M vectors
+  # — ~17 GB of parquet built replica-streamed (one row group per replica,
+  # peak memory = one replica). Query set = every constant-output query
+  # whose DuckDB replay is linear: the §2 relational core, the x-tier
+  # battery, batch e-tier analytics, t-tier corpus statistics, linear
+  # dedup gates, vector profiles, capstone aggregates. Excluded, with
+  # reasons: per-row-output queries (both engines dump 100M+ rows through
+  # the pandas compare — harness bound, not engine), streaming queries
+  # (file-source over 2 GB of events = unbounded micro-batch count),
+  # x29 full-outer table diff (two 600M-row shuffles ~ disk budget),
+  # x26 (per-customer recursive output: a 15M-row dump through the pandas
+  # compare on top of digit-tree self-joins over 15M customers — 100x is
+  # its verified ceiling), the quadratic dedup/graph/ANN
+  # tiers and their slices (slice-quadratic in replica count — 100x is
+  # their ceiling; see SCALING.md), t24 BPE train (multi-round full-corpus
+  # re-tokenization: bench evidence, not hash evidence, above 100x).
+  [ -d /tmp/sf1000x ] || python3 tools/replicate_10x.py /root/testdata/sf0.1 /tmp/sf1000x 1000
+  Q=src2_sql_scan,p2_select_star,a1_full_agg,a2_conditional_agg,a3_rollup
+  Q=$Q,j1_broadcast_join,j2_multi_join,x3_topk,x7_null_semantics
+  Q=$Q,llm1_corpus_pipeline,mon1_health_report,card1_corpus_datacard
+  Q=$Q,x1_distinct_agg,x4_approx_distinct,x6_percentiles,x8_pivot,x9_cube,x11_bucketed_join
+  Q=$Q,x12_salted_join,x13_grouping_sets,x14_profile,x15_percentiles,x17_heavy_hitters
+  Q=$Q,x18_group_sample,x20_weighted_sample,x22_countmin,x23_dq_report
+  Q=$Q,x24_winsorize,x25_hll_union,x28_table_checksum,x32_approx_pct_gate,x33_unpivot
+  Q=$Q,x34_hll_overlap,x35_corr_matrix,x36_l_diversity,x37_mad_outliers,x38_benford
+  Q=$Q,x39_psi_drift,x40_chi_square,x41_gini,x42_ks_drift,x43_entropy,x44_quantile_bins
+  Q=$Q,x45_t_closeness,x46_weighted_pct,x47_skyline,x48_skew_profile,x49_ivm_agg
+  Q=$Q,x50_spearman,x51_fd_check,x52_json_census,x53_price_elasticity,x54_chi_residuals
+  Q=$Q,x55_cramers_v,x56_anova_f,x57_psi_bins
+  Q=$Q,e2_window_hourly,e3_json_extract,e13_sliding_hourly,e15_funnel,e16_retention
+  Q=$Q,e17_histogram,e21_hopping,e24_ohlc,e30_markov_transitions,e32_trend,e34_cohort_ltv
+  Q=$Q,e35_top_paths,e38_forecast_backtest,e39_cusum_changepoint,e41_autocorr
+  Q=$Q,e42_kaplan_meier,e44_cusum_daily,e45_ab_ztest,e47_conversion_latency,e48_freshness
+  Q=$Q,e49_seasonal_anomaly,e50_theil_sen,e51_mann_kendall,e52_mann_whitney,e53_dispersion
+  Q=$Q,e55_dow_profile
+  Q=$Q,t4i_fingerprint_unique,t5_wordcount,t23_pmi,t31_langid_confusion,t32_dsir_select
+  Q=$Q,t33_pr_curve,t36_vocab_stats,t37_zipf_slope,t39_js_divergence,t40_split_leakage
+  Q=$Q,t42_word_blocklist,t43_split_ngram_leakage
+  Q=$Q,d3i_simhash_exact_dups,d7_decontaminate,d9_bloom_decontaminate,d10_entity_resolution
+  Q=$Q,d14_url_canonical,d15_source_overlap,d18_domain_cap
+  Q=$Q,v22_embedding_drift,v31_norm_profile
+  echo "== verify 1000x (engine) =="
+  rm -rf /tmp/graft_v1000x
+  SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g} \
+    sbt -batch "runMain graft.Verify /tmp/sf1000x /tmp/graft_v1000x $Q" 2>&1 \
+    | grep -E "\[verify\]" || true
+  echo "== oracle 1000x (DuckDB) =="
+  ORACLE_MEM_LIMIT=40GB ORACLE_TEMP_LIMIT=40GB ORACLE_FRESH_CON=1 ORACLE_TIMING=1 \
+    python3 tools/check_oracle.py /tmp/sf1000x /tmp/graft_v1000x 2>&1 | tee VERIFY_1000X.log
   exit 0
 fi
 

@@ -61,20 +61,24 @@ STRIDE = {
 
 
 def replicate(name: str, offsets: dict):
-    """offsets: column name -> key-domain name in STRIDE"""
+    """offsets: column name -> key-domain name in STRIDE
+
+    Writes one row group per replica through a streaming ParquetWriter, so
+    peak memory is ONE replica regardless of factor (factor=1000 over sf0.1
+    would otherwise need ~60 GB of Arrow buffers for lineitem alone).
+    """
     t = pq.read_table(f"{src}/{name}.parquet")
-    parts = []
-    for i in range(factor):
-        cols = []
-        for c in t.column_names:
-            a = t[c]
-            if c in offsets:
-                a = pc.add(a, pa.scalar(i * STRIDE[offsets[c]], type=a.type))
-            cols.append(a)
-        parts.append(pa.table(cols, names=t.column_names))
-    out = pa.concat_tables(parts)
-    pq.write_table(out, f"{dst}/{name}.parquet")
-    print(f"{name}: {t.num_rows} -> {out.num_rows} rows "
+    with pq.ParquetWriter(f"{dst}/{name}.parquet", t.schema) as w:
+        for i in range(factor):
+            cols = []
+            for c in t.column_names:
+                a = t[c]
+                if c in offsets:
+                    a = pc.add(a, pa.scalar(i * STRIDE[offsets[c]], type=a.type))
+                cols.append(a)
+            w.write_table(pa.table(cols, names=t.column_names))
+    out_rows = t.num_rows * factor
+    print(f"{name}: {t.num_rows} -> {out_rows} rows "
           f"(offsets {({c: STRIDE[d] for c, d in offsets.items()})})")
 
 
