@@ -2758,11 +2758,17 @@ object SparkEntry {
       val allowed = emb.where(col("label") === 3).select("vec_id")
       val idx = graft.ops.Similarity.ivfBuild(emb, "vec_id", "embedding",
         nCentroids = 16, kmeansIters = 1, persist = false)
+      // nProbe 12/16, not the unfiltered tiers' 8: a label-selective
+      // probe sees ~1/5 of each cell, so the exact filtered top-5 sits
+      // deeper in cell-rank order — filtered ANN over-probes by the
+      // filter's selectivity (at sf0.001's 500 vectors, 8/16 probing
+      // honestly missed the 70% gate; more probing only adds candidates,
+      // so every larger SF stays green)
       recallGate(
         graft.ops.Similarity.bruteForceTopK(
           emb.where(col("label") === 3), q, "vec_id", "embedding", 5),
         graft.ops.Similarity.ivfProbeFiltered(idx, q, "vec_id", "embedding", 5,
-          nProbe = 8, allowed))
+          nProbe = 12, allowed))
     }),
 
     // ---- V: scalar quantization (SQ8) — the third compression family
