@@ -6,7 +6,8 @@ object Bench {
     // ONE session bootstrap (EngineSession) — see Verify
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")
     val spark = EngineSession.local(cpus, "graft-bench",
-      Map("spark.sql.legacy.parquet.nanosAsLong" -> "true"))
+      Map("spark.sql.legacy.parquet.nanosAsLong" -> "true"),
+      inputDir = Some(sfDir))
     // Warm the JVM/codegen/FS paths so the first measured query isn't
     // charged for session bring-up (~5s of JIT + parquet footer reads).
     // Fixed, named warm-up query (the sorted-first one): an arbitrary

@@ -13,29 +13,79 @@ import org.apache.spark.sql.SparkSession
   *     oracle bit-for-bit.
   */
 object EngineSession {
+  /** Recursive on-disk size of a file or directory (directory-shaped
+    * parquet datasets — part files under a table dir — must count).
+    * Shared by the shuffle-partition autosizer here and Verify's
+    * heap-aware concurrency gate. Nonexistent path → 0. */
+  def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(path))
+  }
+
+  /** Target post-shuffle partition input at the design point: the r8
+    * 1000x measurement (tools.ProfileSpill, SCALING.md) put the knee at
+    * 128 partitions for a ~17 GB input — ~128 MiB of source bytes per
+    * partition. Below threads×target the thread-count default wins, so
+    * every verified test-SF plan (sf0.001–100x on this box) is
+    * bit-identical with or without an inputDir. */
+  private val TargetPartitionBytes: Long = 128L << 20
+
+  /** Pure partition derivation (unit-tested): thread count until the
+    * input outgrows threads×128 MiB, then one partition per 128 MiB of
+    * source bytes. sf0.001–/tmp/sf100x (≤1.7 GB) all stay at the
+    * 32-thread default on this box; /tmp/sf1000x (~17 GB) derives 129. */
+  def derivePartitions(threads: Int, inputBytes: Long): Int =
+    math.max(threads,
+      ((inputBytes + TargetPartitionBytes - 1) / TargetPartitionBytes).toInt)
+
   /** Standard local session. `cores` defaults to all available.
     * `extraConfs` layers caller-specific settings (e.g. the ns-parquet
     * legacy flag) on the shared base — Verify/Bench build through here
     * so there is ONE session bootstrap, not three drifting copies.
+    * `inputDir` (the sf dir a main is about to read) lets the session
+    * autosize shuffle partitions from input bytes — the r8 lesson that
+    * a fixed thread-count default spills 458 GB on a 17 GB input turned
+    * into code instead of an env var an operator must know about.
     */
   def local(
       cores: String = "*",
       appName: String = "graft",
-      extraConfs: Map[String, String] = Map.empty): SparkSession = {
+      extraConfs: Map[String, String] = Map.empty,
+      inputDir: Option[String] = None): SparkSession = {
     // `cores` is a master THREAD spec — "4,3" (local[N,maxFailures]) is
     // legal — so only its leading integer may size shuffle partitions.
-    // SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for above-sf0.1 inputs:
-    // at /tmp/sf1000x (600M lineitem, 100M events) the thread-count
-    // default puts ~3M rows in each iterative-graph partition and
-    // g1_pagerank spills 458 GB of execution memory; 128 (4× threads,
-    // AQE coalescing still on) halves the spill and cuts wall 20%
-    // (measured r8, tools.ProfileSpill — 512 over-fragments: GC doubles
-    // and wall returns to baseline). On a real cluster this is the
-    // standard 2-4× total-cores setting; the local default stays
-    // thread-count so the verified test-SF surface keeps its plans.
-    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
-      "^[0-9]+".r.findFirstIn(cores)
-        .getOrElse(Runtime.getRuntime.availableProcessors().toString))
+    val threads = "^[0-9]+".r.findFirstIn(cores)
+      .getOrElse(Runtime.getRuntime.availableProcessors().toString).toInt
+    // Partition sizing, in precedence order:
+    //   1. SPARK_GRAFT_SHUFFLE_PARTITIONS — the operator knows best.
+    //      Validated (digits only, fail fast) and WARNed when active: a
+    //      leaked env var from an above-sf0.1 run would otherwise
+    //      silently change the plans of a hash-verified small-SF pass.
+    //   2. max(threads, ceil(inputBytes / 128 MiB)) when inputDir is
+    //      given — at /tmp/sf1000x (~17 GB: 600M-row lineitem, 100M
+    //      events) the thread-count default puts ~3M rows in each
+    //      iterative-graph partition and g1_pagerank spills 458 GB;
+    //      128 (the measured knee — 512 over-fragments: GC doubles and
+    //      wall returns to baseline) halves the spill and cuts wall 20%.
+    //      On a real cluster this is the standard 2-4× total-cores
+    //      setting, derived from data volume instead of hardcoded.
+    //   3. thread count — keeps every verified test-SF plan unchanged.
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") match {
+      case Some(v) =>
+        require(v.matches("^[0-9]+$"),
+          s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive integer, got '$v'")
+        System.err.println(s"[engine] WARN: SPARK_GRAFT_SHUFFLE_PARTITIONS=$v " +
+          "override active — plans differ from the default-config verified surface")
+        v
+      case None =>
+        val n = derivePartitions(threads, inputDir.map(dirBytes).getOrElse(0L))
+        if (n != threads)
+          System.err.println(s"[engine] shuffle partitions autosized to $n " +
+            s"(input ${inputDir.get} exceeds threads=$threads x 128 MiB)")
+        n.toString
+    }
     val base = SparkSession
       .builder()
       .master(s"local[$cores]")

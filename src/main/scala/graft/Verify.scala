@@ -20,7 +20,8 @@ object Verify {
     // conf the factory centralizes
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")
     val spark = EngineSession.local(cpus, "graft-verify",
-      Map("spark.sql.legacy.parquet.nanosAsLong" -> "true"))
+      Map("spark.sql.legacy.parquet.nanosAsLong" -> "true"),
+      inputDir = Some(sfDir))
     new java.io.File(outDir).mkdirs()
     // Submit queries concurrently (Spark's scheduler interleaves jobs) —
     // most of these are small; serial execution leaves the cluster idle
@@ -32,14 +33,8 @@ object Verify {
     // heap-aware by default: concurrency degrades toward serial before
     // the driver OOMs, instead of requiring a manual 64 GiB rerun.
     // GRAFT_VERIFY_PARALLEL overrides (the operator knows best).
-    // recursive walk: directory-shaped parquet datasets (part files
-    // under a table dir) must count — a flat listFiles sums 0 MB for
-    // them and the heuristic then treats a 10× input as tiny
-    def sizeBytes(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).map(_.map(sizeBytes).sum).getOrElse(0L)
     val dirMb = {
-      val mb = sizeBytes(new java.io.File(sfDir)) / 1e6
+      val mb = EngineSession.dirBytes(sfDir) / 1e6
       if (mb > 0) mb else 17.0 // nonexistent/empty dir: assume sf0.1-ish
     }
     // round, don't floor: -Xmx8g reports maxMemory a shade under 8 GiB,
@@ -69,6 +64,14 @@ object Verify {
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
+    // Requested-query manifest: the oracle harness checks COVERAGE against
+    // this list, not against whichever outputs survived — a query that
+    // failed above (logged + no output dir) must surface as a compare
+    // failure downstream, not silently drop out of the count.
+    val requested = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n))).sorted
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      requested.map(JsonUtil.quote).mkString("[", ",", "]"))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${JsonUtil.quote(k)}: ${JsonUtil.quote(v)}" }
       .mkString("{", ",", "}")

@@ -16,9 +16,12 @@ object ProfileSpill {
     val query = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val parts = if (args.length > 2) Some(args(2)) else None
+    // inputDir wired so a no-arg run exercises the autosized default;
+    // an explicit parts arg still wins (extraConfs override the base)
     val spark = graft.EngineSession.local("*", "profile-spill",
       Map("spark.sql.legacy.parquet.nanosAsLong" -> "true") ++
-        parts.map("spark.sql.shuffle.partitions" -> _).toMap)
+        parts.map("spark.sql.shuffle.partitions" -> _).toMap,
+      inputDir = Some(dir))
     val cpu = new java.util.concurrent.atomic.AtomicLong()
     val spillMem = new java.util.concurrent.atomic.AtomicLong()
     val spillDisk = new java.util.concurrent.atomic.AtomicLong()

@@ -54,8 +54,10 @@ timing = os.environ.get("ORACLE_TIMING", "") == "1"
 import time
 
 fails = 0
+produced = set()
 for d in sorted(glob.glob(f"{out_dir}/*/")):
     name = os.path.basename(d.rstrip("/"))
+    produced.add(name)
     if name in skip:
         print(f"  [skipped] {name} (ORACLE_SKIP)")
         continue
@@ -103,5 +105,22 @@ for d in sorted(glob.glob(f"{out_dir}/*/")):
         fails += 1
     else:
         print(f"✓ {name}: {len(s)} rows match")
+
+# Coverage vs the REQUEST, not the surviving outputs: graft.Verify writes
+# <out_dir>/queries.json listing every query it was asked to run (and
+# check_all.sh pipes the engine run through grep, which can swallow a
+# partial failure). A requested query with no output directory is a
+# FAILURE here — this is exactly how the d3i gap in the r8 1000x log went
+# unnoticed. ORACLE_EXPECT=a,b,c overrides the manifest for ad-hoc runs.
+expect_env = os.environ.get("ORACLE_EXPECT", "")
+if expect_env:
+    expected = set(expect_env.split(",")) - {""}
+elif os.path.exists(f"{out_dir}/queries.json"):
+    expected = set(json.load(open(f"{out_dir}/queries.json")))
+else:
+    expected = set()
+for name in sorted(expected - produced - skip):
+    print(f"✗ {name}: engine output missing (requested but not produced)")
+    fails += 1
 
 sys.exit(1 if fails else 0)
