@@ -111,6 +111,35 @@ object SparkEntry {
         (col("n_hit").cast("double") / col("n_bf") >= 0.7).cast("int").as("recall_ok"))
   }
 
+  /** The llm1 corpus funnel — raw docs → Gopher quality gate → exact
+    * dedup → exact-Jaccard near-dup connected components → per-language
+    * funnel counts and final token budget. One definition serves the
+    * full-corpus gate (llm1) and the mod-100 centile gate (llm1s), so
+    * the sliced replay proves the SAME composition.
+    */
+  private def corpusFunnel(docs: DataFrame): DataFrame = {
+    val keep = graft.ops.TextAnalysis
+      .gopherRules(docs, "doc_id", "text", minWords = 30)
+      .where(col("keep")).select("doc_id")
+    val qdocs = docs.join(keep, Seq("doc_id"))
+    val uniqIds = graft.ops.Dedup.exact(qdocs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val udocs = qdocs.join(uniqIds, Seq("doc_id"))
+    val pairs = graft.ops.Dedup.ngramJaccardPairsAuto(udocs, "doc_id", "text", 0.8)
+    val dropped = graft.ops.Dedup.connectedComponents(pairs)
+      .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val fdocs = udocs.join(dropped, Seq("doc_id"), "left_anti")
+    val raw = docs.groupBy("lang").agg(count(lit(1)).as("n_raw"))
+    val q = qdocs.groupBy("lang").agg(count(lit(1)).as("n_quality"))
+    val u = udocs.groupBy("lang").agg(count(lit(1)).as("n_unique"))
+    val f = fdocs.groupBy("lang").agg(count(lit(1)).as("n_final"),
+      sum(graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .as("tokens_final"))
+    raw.join(q, Seq("lang"), "left").join(u, Seq("lang"), "left")
+      .join(f, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_quality", "n_unique", "n_final", "tokens_final"))
+  }
+
   /** Exact-decimal sum of a double column, returned as double. */
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
@@ -1846,30 +1875,20 @@ object SparkEntry {
     //      raw docs → Gopher quality gate → exact dedup → exact-Jaccard
     //      near-dup connected components → per-language funnel counts
     //      and final token budget. One query proves the tiers COMPOSE. ----
-    "llm1_corpus_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
-      val keep = graft.ops.TextAnalysis
-        .gopherRules(docs, "doc_id", "text", minWords = 30)
-        .where(col("keep")).select("doc_id")
-      val qdocs = docs.join(keep, Seq("doc_id"))
-      val uniqIds = graft.ops.Dedup.exact(qdocs, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"))
-      val udocs = qdocs.join(uniqIds, Seq("doc_id"))
-      val pairs = graft.ops.Dedup.ngramJaccardPairsAuto(udocs, "doc_id", "text", 0.8)
-      val dropped = graft.ops.Dedup.connectedComponents(pairs)
-        .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
-      val fdocs = udocs.join(dropped, Seq("doc_id"), "left_anti")
-      val raw = docs.groupBy("lang").agg(count(lit(1)).as("n_raw"))
-      val q = qdocs.groupBy("lang").agg(count(lit(1)).as("n_quality"))
-      val u = udocs.groupBy("lang").agg(count(lit(1)).as("n_unique"))
-      val f = fdocs.groupBy("lang").agg(count(lit(1)).as("n_final"),
-        sum(graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
-          .as("tokens_final"))
-      raw.join(q, Seq("lang"), "left").join(u, Seq("lang"), "left")
-        .join(f, Seq("lang"), "left")
-        .na.fill(0L, Seq("n_quality", "n_unique", "n_final", "tokens_final"))
-    }),
+    "llm1_corpus_pipeline" -> ((s, dir) =>
+      corpusFunnel(t(s, dir, "documents").select("doc_id", "text", "lang"))),
 
+    // ---- LLM1S: the SAME funnel over the doc_id mod-100 centile — the
+    //      bounded-oracle gate for scales where replaying the full
+    //      funnel in DuckDB exhausts memory (tokenizing 5M docs at
+    //      1000x was the one red cell in r8's four-decade table). The
+    //      replica stride is a power of 10, so the centile keeps every
+    //      copy of 1% of base docs — safe here because BOTH engines
+    //      exact-dedup before the quadratic near-dup stage, and the
+    //      oracle's tokenize pass shrinks with the slice. ----
+    "llm1s_funnel_centile" -> ((s, dir) =>
+      corpusFunnel(t(s, dir, "documents").select("doc_id", "text", "lang")
+        .where(col("doc_id") % 100 === 7))),
     // ---- CARD1: the per-language corpus DATACARD — the release
     //      artifact every dataset ships: volume, token budget, quality
     //      rate, uniqueness, type-token ratio, exact median length,
@@ -2758,17 +2777,38 @@ object SparkEntry {
       val allowed = emb.where(col("label") === 3).select("vec_id")
       val idx = graft.ops.Similarity.ivfBuild(emb, "vec_id", "embedding",
         nCentroids = 16, kmeansIters = 1, persist = false)
-      // nProbe 12/16, not the unfiltered tiers' 8: a label-selective
-      // probe sees ~1/5 of each cell, so the exact filtered top-5 sits
-      // deeper in cell-rank order — filtered ANN over-probes by the
-      // filter's selectivity (at sf0.001's 500 vectors, 8/16 probing
-      // honestly missed the 70% gate; more probing only adds candidates,
-      // so every larger SF stays green)
+      // probe depth DERIVED from the filter's measured selectivity
+      // (Similarity.adaptiveNProbe) instead of the r8 constant 12: a
+      // ~1/5-selective label filter sees ~1/5 of each cell, so the
+      // exact filtered top-5 sits ~5x deeper in cell-rank order — at
+      // this 16-cell geometry the derivation saturates to full probing
+      // (= exact over the eligible set; at sf0.001's 500 vectors the
+      // old 8/16 constant honestly missed the 70% gate). More probing
+      // only adds candidates, so every larger SF stays green.
       recallGate(
         graft.ops.Similarity.bruteForceTopK(
           emb.where(col("label") === 3), q, "vec_id", "embedding", 5),
-        graft.ops.Similarity.ivfProbeFiltered(idx, q, "vec_id", "embedding", 5,
-          nProbe = 12, allowed))
+        graft.ops.Similarity.ivfProbeFilteredAdaptive(idx, q, "vec_id", "embedding", 5,
+          baseProbe = 8, allowed))
+    }),
+
+    // ---- V: filtered ANN at ~1/50 selectivity — the regime the r8
+    //      constant (12/16) would MISS: ~2% of each cell is eligible,
+    //      so the true filtered top-5 can sit in any cell and only the
+    //      selectivity-derived depth (which saturates to all 16 cells
+    //      here, i.e. exact over the eligible rows) holds the recall
+    //      gate at every SF ----
+    "v21b_filtered_selective" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 10 === 0)
+      val allowed = emb.where(col("vec_id") % 50 === 7).select("vec_id")
+      val idx = graft.ops.Similarity.ivfBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, kmeansIters = 1, persist = false)
+      recallGate(
+        graft.ops.Similarity.bruteForceTopK(
+          emb.where(col("vec_id") % 50 === 7), q, "vec_id", "embedding", 5),
+        graft.ops.Similarity.ivfProbeFilteredAdaptive(idx, q, "vec_id", "embedding", 5,
+          baseProbe = 8, allowed))
     }),
 
     // ---- V: scalar quantization (SQ8) — the third compression family
@@ -6047,69 +6087,11 @@ object SparkEntry {
     // fragments (t21 gopher, d1 md5-min, d4/d6 exact-Jaccard + recursive
     // CC), then the per-language funnel — one hash gate over the
     // composition, the air1 discipline applied to the LLM tier
-    "llm1_corpus_pipeline" ->
-      """WITH RECURSIVE
-         doc0 AS (SELECT doc_id, text, lang FROM documents),
-         gw AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w,
-                  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nc
-                FROM doc0),
-         gr AS (SELECT doc_id, nc, CAST(len(w) AS BIGINT) AS n_words,
-                  CAST(len(list_filter(w, x ->
-                    len(regexp_replace(x, '[^a-z]', '', 'g')) > 0)) AS BIGINT) AS n_alpha,
-                  (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END +
-                   CASE WHEN list_contains(w, 'a') THEN 1 ELSE 0 END +
-                   CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END +
-                   CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END +
-                   CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END) AS n_stop
-                FROM gw),
-         keep AS (SELECT doc_id FROM gr
-                  WHERE n_words >= 30 AND n_words <= 100000
-                    AND nc >= n_words * 3 AND nc <= n_words * 10
-                    AND n_alpha * 10 >= n_words * 8 AND n_stop >= 2),
-         q AS (SELECT doc0.* FROM doc0 JOIN keep USING (doc_id)),
-         ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
-         u AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
-         uw AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM u),
-         sh AS (SELECT doc_id,
-                  CASE WHEN len(w) >= 3 THEN
-                    list_distinct(list_transform(range(1, len(w)-1),
-                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                  ELSE [array_to_string(w, ' ')] END AS s
-                FROM uw),
-         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         sz AS (SELECT doc_id, len(s) AS n FROM sh),
-         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
-                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
-                   GROUP BY 1, 2),
-         p AS (SELECT id_a, id_b
-               FROM inter JOIN sz na ON id_a = na.doc_id
-                 JOIN sz nb ON id_b = nb.doc_id
-               WHERE i / (na.n + nb.n - i) >= 0.8),
-         e AS (SELECT id_a AS src, id_b AS dst FROM p
-               UNION SELECT id_b, id_a FROM p),
-         reach(src, dst) AS (
-           SELECT src, dst FROM e
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
-         cc AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cid
-                FROM reach GROUP BY src),
-         dropped AS (SELECT doc_id FROM cc WHERE doc_id <> cid),
-         f AS (SELECT u.* FROM u
-               WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
-         sr AS (SELECT lang, COUNT(*) AS n_raw FROM doc0 GROUP BY 1),
-         sq AS (SELECT lang, COUNT(*) AS n_quality FROM q GROUP BY 1),
-         su AS (SELECT lang, COUNT(*) AS n_unique FROM u GROUP BY 1),
-         sf AS (SELECT lang, COUNT(*) AS n_final,
-                  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
-                    AS tokens_final
-                FROM f GROUP BY 1)
-         SELECT sr.lang, sr.n_raw,
-           COALESCE(sq.n_quality, 0) AS n_quality,
-           COALESCE(su.n_unique, 0) AS n_unique,
-           COALESCE(sf.n_final, 0) AS n_final,
-           COALESCE(sf.tokens_final, 0) AS tokens_final
-         FROM sr LEFT JOIN sq USING (lang) LEFT JOIN su USING (lang)
-           LEFT JOIN sf USING (lang)""",
+    "llm1_corpus_pipeline" -> llm1FunnelSql(""),
+    // the centile replay: identical funnel over the mod-100 slice — the
+    // tokenize/shingle CTEs shrink with the slice, so this oracle stays
+    // tractable at 1000x where the full replay OOMs DuckDB
+    "llm1s_funnel_centile" -> llm1FunnelSql("WHERE doc_id % 100 = 7"),
 
     // the t22 score replayed, quantized to the same 1000-fp grid
     // (// truncates toward zero exactly like Spark's div), then the
@@ -8449,6 +8431,12 @@ object SparkEntry {
       "WHERE c.vec_id <> query_id",
       "WHERE c.vec_id <> query_id AND c.label = 3") +
       "\n       SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok FROM r WHERE rank <= 5"),
+    // the 1/50-selective predicate: same recall-gate recipe, eligible
+    // set = the vec_id mod-50 residue
+    "v21b_filtered_selective" -> (ivfRecallCtes.replace(
+      "WHERE c.vec_id <> query_id",
+      "WHERE c.vec_id <> query_id AND c.vec_id % 50 = 7") +
+      "\n       SELECT COUNT(*) AS n_bf, CAST(1 AS INT) AS recall_ok FROM r WHERE rank <= 5"),
     "v5_ivf_disk_index" -> ivfRecallOracle,
     "v6_pq_recall" -> ivfRecallOracle,
     "v7_ivfpq_recall" -> ivfRecallOracle,
@@ -9355,6 +9343,75 @@ object SparkEntry {
     * the common (check_id, key, metric, value) grain — a drift in any
     * member breaks a specific labeled row.
     */
+
+  /** The llm1 funnel oracle, parameterized by the doc0 slice predicate
+    * (empty = the full corpus; the llm1s gate passes the mod-100
+    * centile). Every CTE downstream of doc0 shrinks with the slice.
+    */
+  private def llm1FunnelSql(doc0Where: String): String =
+    s"""WITH RECURSIVE
+         doc0 AS (SELECT doc_id, text, lang FROM documents $doc0Where),
+         gw AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w,
+                  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nc
+                FROM doc0),
+         gr AS (SELECT doc_id, nc, CAST(len(w) AS BIGINT) AS n_words,
+                  CAST(len(list_filter(w, x ->
+                    len(regexp_replace(x, '[^a-z]', '', 'g')) > 0)) AS BIGINT) AS n_alpha,
+                  (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END +
+                   CASE WHEN list_contains(w, 'a') THEN 1 ELSE 0 END +
+                   CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END +
+                   CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END +
+                   CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END) AS n_stop
+                FROM gw),
+         keep AS (SELECT doc_id FROM gr
+                  WHERE n_words >= 30 AND n_words <= 100000
+                    AND nc >= n_words * 3 AND nc <= n_words * 10
+                    AND n_alpha * 10 >= n_words * 8 AND n_stop >= 2),
+         q AS (SELECT doc0.* FROM doc0 JOIN keep USING (doc_id)),
+         ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         u AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+         uw AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w FROM u),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(w)-1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS s
+                FROM uw),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2),
+         p AS (SELECT id_a, id_b
+               FROM inter JOIN sz na ON id_a = na.doc_id
+                 JOIN sz nb ON id_b = nb.doc_id
+               WHERE i / (na.n + nb.n - i) >= 0.8),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         cc AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cid
+                FROM reach GROUP BY src),
+         dropped AS (SELECT doc_id FROM cc WHERE doc_id <> cid),
+         f AS (SELECT u.* FROM u
+               WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+         sr AS (SELECT lang, COUNT(*) AS n_raw FROM doc0 GROUP BY 1),
+         sq AS (SELECT lang, COUNT(*) AS n_quality FROM q GROUP BY 1),
+         su AS (SELECT lang, COUNT(*) AS n_unique FROM u GROUP BY 1),
+         sf AS (SELECT lang, COUNT(*) AS n_final,
+                  CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                    AS tokens_final
+                FROM f GROUP BY 1)
+         SELECT sr.lang, sr.n_raw,
+           COALESCE(sq.n_quality, 0) AS n_quality,
+           COALESCE(su.n_unique, 0) AS n_unique,
+           COALESCE(sf.n_final, 0) AS n_final,
+           COALESCE(sf.tokens_final, 0) AS tokens_final
+         FROM sr LEFT JOIN sq USING (lang) LEFT JOIN su USING (lang)
+           LEFT JOIN sf USING (lang)"""
+
   def oracleSql: Map[String, String] =
     oracleBase + ("mon1_health_report" ->
       s"""SELECT 'freshness' AS check_id, event_type AS key, 'lag_s' AS metric,

@@ -937,6 +937,59 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Probe depth as a FUNCTION of filter selectivity (pure, unit-tested).
+    *
+    * The filtered top-k are the top-k of an s-fraction sub-corpus: in
+    * cell-rank order they sit ~1/s deeper than the unfiltered top-k
+    * (each probed cell contributes only ~s of its rows as candidates,
+    * and the eligible neighbors are spread over proportionally more
+    * cells), so the coverage that `baseProbe` buys unfiltered needs
+    * ~baseProbe/s cells filtered. Clamped to nCentroids, where the probe
+    * is EXACT over the eligible set — the honest answer when the filter
+    * is more selective than baseProbe/nCentroids (a 16-cell toy geometry
+    * saturates quickly; a production √N-centroid index stays
+    * sub-exhaustive). Derived depth is ≥ baseProbe and monotone in 1/s,
+    * and more probing only ADDS candidates, so recall is monotone-safe
+    * upward — a violated recall gate means broken probe machinery, not
+    * an unlucky selectivity.
+    */
+  def adaptiveNProbe(baseProbe: Int, nCentroids: Int, selectivity: Double): Int = {
+    require(baseProbe > 0 && nCentroids > 0,
+      s"baseProbe and nCentroids must be positive, got $baseProbe/$nCentroids")
+    if (selectivity <= 0.0) nCentroids // empty filter: exact (and empty) anyway
+    else math.min(nCentroids,
+      math.max(baseProbe, math.ceil(baseProbe / selectivity).toInt))
+  }
+
+  /** [[ivfProbeFiltered]] with the probe depth DERIVED from the filter's
+    * measured selectivity instead of a hand-tuned constant (the r8 watch
+    * item: a constant chosen for a 1/5-selective filter misses again at
+    * 1/50). Selectivity comes from ONE aggregate over the indexed cells
+    * (total vs eligible row counts — the same one-scan histogram class
+    * as the documented density probe); the scalar feeds
+    * [[adaptiveNProbe]] and the probe plan is unchanged from
+    * [[ivfProbeFiltered]].
+    */
+  def ivfProbeFilteredAdaptive(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      baseProbe: Int,
+      allowed: DataFrame): DataFrame = {
+    val ok = allowed.select(col(allowed.columns.head).as("neighbor_id"))
+    val counts = index.cells
+      .join(ok.withColumn("_ok", lit(1)), Seq("neighbor_id"), "left")
+      .agg(count(lit(1)).as("n"), count(col("_ok")).as("n_ok"))
+      .head()
+    val (nTotal, nOk) = (counts.getLong(0), counts.getLong(1))
+    val nCentroids = index.centroidArr.select(size(col("cents"))).head().getInt(0)
+    val nProbe = adaptiveNProbe(baseProbe, nCentroids,
+      if (nTotal == 0) 0.0 else nOk.toDouble / nTotal)
+    ivfProbeFiltered(index, queries, idCol, vecCol, k, nProbe, allowed)
+  }
+
   /** Persist an IVF index as TABLES — the cluster-scale materialization:
     * `cells` is written bucketed (and sorted) by `cell`, so a filter on
     * probed cell ids prunes to exactly those buckets at scan time

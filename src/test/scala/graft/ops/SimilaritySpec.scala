@@ -544,6 +544,47 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!filtered.map(_._1).contains(2L)) // the closer wrong-label vec is invisible
   }
 
+  test("adaptiveNProbe: depth scales with 1/selectivity, floored at base, clamped at nCentroids") {
+    import Similarity.adaptiveNProbe
+    // unselective filter: the base depth is enough
+    assert(adaptiveNProbe(8, 1024, 1.0) == 8)
+    assert(adaptiveNProbe(8, 1024, 0.9) == 9)
+    // the r8 regime: 1/5-selective -> 5x deeper
+    assert(adaptiveNProbe(8, 1024, 0.2) == 40)
+    // 1/50-selective -> 50x deeper (the depth the constant 12 missed)
+    assert(adaptiveNProbe(8, 1024, 0.02) == 400)
+    // coarse geometry saturates to exact probing
+    assert(adaptiveNProbe(8, 16, 0.2) == 16)
+    assert(adaptiveNProbe(8, 16, 0.02) == 16)
+    // empty filter: probe everything (result is empty regardless)
+    assert(adaptiveNProbe(8, 16, 0.0) == 16)
+    // monotone in 1/s
+    val depths = Seq(1.0, 0.5, 0.1, 0.05, 0.01).map(adaptiveNProbe(4, 4096, _))
+    assert(depths == depths.sorted)
+  }
+
+  test("ivfProbeFilteredAdaptive: derived depth holds the exact answer at 1/5 and 1/50-style selectivity") {
+    // 40 vectors on a ring; a 1-in-8 allowed set is selective enough
+    // that a base-depth probe of the 4-cell index would miss eligible
+    // rows in unprobed cells — the adaptive depth saturates to 4/4 and
+    // must equal the exact filtered baseline
+    val ring = (0L until 40L).map { i =>
+      val a = 2 * math.Pi * i / 40
+      (i, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = ring.where($"vec_id" === 0L)
+    val allowed = ring.where($"vec_id" % 8 === 3).select("vec_id")
+    val idx = Similarity.ivfBuild(ring, "vec_id", "embedding",
+      nCentroids = 4, kmeansIters = 1, persist = false)
+    val adaptive = Similarity.ivfProbeFilteredAdaptive(idx, q, "vec_id", "embedding",
+      3, baseProbe = 1, allowed)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val exact = Similarity.bruteForceTopK(ring.where($"vec_id" % 8 === 3), q,
+      "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(adaptive.toSeq == exact.toSeq)
+  }
+
   test("sqTopK: grid-aligned vectors quantize losslessly — SQ equals brute force exactly") {
     // every coordinate sits on the 8-bit quantization grid of its
     // dimension ([0,255] with 255 levels → integers are exact), so

@@ -55,7 +55,7 @@ if [ "${1:-}" = "100x" ]; then
   Q=src2_sql_scan,p1_projection_filter,p2_select_star,a1_full_agg,a2_conditional_agg,a3_rollup
   Q=$Q,j1_broadcast_join,j2_multi_join,j3_decorrelated_quota,j4_correlated_scalar
   Q=$Q,w1_window_dedup,s1_scalar_transforms,s2_obfuscate,x3_topk,x5_setops,x7_null_semantics
-  Q=$Q,air1_mart_pipeline,llm1_corpus_pipeline,llm2_stream_pipeline,mon1_health_report,card1_corpus_datacard
+  Q=$Q,air1_mart_pipeline,llm1_corpus_pipeline,llm1s_funnel_centile,llm2_stream_pipeline,mon1_health_report,card1_corpus_datacard
   # x-tier: lineitem/orders-shaped aggregates, constant outputs, linear
   # DuckDB replays (x19/x21 rewrite a 60M-row layout each — kept: that IS
   # the scale evidence for the clustering writers)
@@ -133,7 +133,12 @@ if [ "${1:-}" = "1000x" ]; then
   [ -d /tmp/sf1000x ] || python3 tools/replicate_10x.py /root/testdata/sf0.1 /tmp/sf1000x 1000
   Q=src2_sql_scan,p2_select_star,a1_full_agg,a2_conditional_agg,a3_rollup
   Q=$Q,j1_broadcast_join,j2_multi_join,x3_topk,x7_null_semantics
-  Q=$Q,llm1_corpus_pipeline,mon1_health_report,card1_corpus_datacard
+  # llm1s (the mod-100 centile funnel) carries llm1's hash evidence here:
+  # the full-corpus oracle OOMs DuckDB materializing 5M tokenized docs
+  # (the one red cell in the r8 four-decade table) while the centile
+  # replay shrinks every downstream CTE with the slice. The ENGINE still
+  # runs the full llm1 at this scale in the bench headline.
+  Q=$Q,llm1s_funnel_centile,mon1_health_report,card1_corpus_datacard
   Q=$Q,x1_distinct_agg,x4_approx_distinct,x6_percentiles,x8_pivot,x9_cube,x11_bucketed_join
   Q=$Q,x12_salted_join,x13_grouping_sets,x14_profile,x15_percentiles,x17_heavy_hitters
   Q=$Q,x18_group_sample,x20_weighted_sample,x22_countmin,x23_dq_report
