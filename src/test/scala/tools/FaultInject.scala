@@ -9,7 +9,7 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 /** Executor-LOSS fault injection (VERDICT r6 item 4; phases 4-5 added
   * for VERDICT r7 item 5): the reliable-checkpoint tier's claim —
   * "round state survives executor loss when a checkpoint dir is set" —
-  * tested as a contract instead of asserted from lineage. Five phases:
+  * tested as a contract instead of asserted from lineage. Six phases:
   *
   *   1. baseline — plain `local[4]`, no faults: the reference ranks of
   *      a 16-round PageRank over the g1 graph;
@@ -45,7 +45,14 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
   *      still suppressed and the output equals the batch twin exactly.
   *      State lost rather than recovered would EMIT those duplicates —
   *      a wrong answer, not a crash — which is why the check is
-  *      row-set equality, not query survival.
+  *      row-set equality, not query survival;
+  *   6. DRIVER restart under append (r9): the same stateful stream run
+  *      to completion, the SESSION stopped (only checkpointLocation +
+  *      file sink survive), new files appended — every committed id
+  *      re-sent at a later event time inside the horizon, plus a fresh
+  *      range — and a new session restarted on the same checkpoint.
+  *      The sink must equal the batch twin exactly: no reprocessed
+  *      source files, no emitted re-sends, fresh ids flowing.
   *
   * Exit code 99 marks the deliberate kill in worker logs.
   *
@@ -400,6 +407,87 @@ object FaultInject {
             s"${String.valueOf(e.getMessage).take(160)})")
           failures += 1
       } finally spark.stop()
+    }
+
+    // 6. DRIVER restart under append — the operational recovery story a
+    // user actually exercises: run a stateful stream to completion,
+    // STOP THE SESSION (the driver's state is gone; only the
+    // checkpointLocation and the file sink survive), append new files
+    // whose rows re-send every pre-restart id at a later event time
+    // (inside the watermark horizon) plus a fresh id range, then start
+    // a NEW session on the same checkpoint. The restarted query must
+    // (a) not reprocess the already-committed files (file-source log),
+    // (b) reload the dedup state store and suppress all 1000 re-sends,
+    // (c) pass the fresh ids through — so the sink equals the batch
+    // twin (first arrival per event_id) as a row multiset. Lost state
+    // would EMIT the re-sends; a replayed source would duplicate the
+    // first wave: both are wrong ANSWERS this equality catches.
+    {
+      val fixDir = java.nio.file.Files.createTempDirectory("graft_fault_restart").toString
+      val ckptLoc = s"$fixDir/ckpt"
+      val sinkDir = s"$fixDir/sink"
+      val srcDir = s"$fixDir/src"
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      def localSession(app: String): SparkSession = {
+        val s = SparkSession.builder().master("local[4]").appName(app)
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        s
+      }
+      def writeWave(s: SparkSession, ids: Range, offsetSec: Int, file: String): Unit = {
+        import s.implicits._
+        ids.map(i => (i.toLong, new java.sql.Timestamp(t0 + offsetSec * 1000L + i),
+            i.toLong % 7, "x", 1.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.parquet(s"$srcDir/$file")
+      }
+      def runStream(s: SparkSession): Unit = {
+        val q = s.readStream
+          .schema(graft.streaming.EventStreams.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*")
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark(Seq("event_id"))
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .format("parquet").option("path", sinkDir)
+          .option("checkpointLocation", ckptLoc)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      try {
+        // run 1: four files of fresh ids 0..999
+        val s1 = localSession("fault-restart-1")
+        (0 to 3).foreach(f => writeWave(s1, f * 250 until (f + 1) * 250, f * 60, s"f$f"))
+        runStream(s1)
+        val afterRun1 = s1.read.parquet(sinkDir).count()
+        s1.stop() // DRIVER GONE — only ckpt + sink + source files remain
+        // append under the stopped driver: every pre-restart id re-sent
+        // ~20 min later (inside the 1 h horizon) + fresh ids 1000..1249
+        val s2 = localSession("fault-restart-2")
+        (0 to 3).foreach(f =>
+          writeWave(s2, f * 250 until (f + 1) * 250, 1200 + f * 60, s"f${4 + f}"))
+        writeWave(s2, 1000 until 1250, 1500, "f8")
+        runStream(s2) // restart from the same checkpointLocation
+        val got = s2.read.parquet(sinkDir)
+          .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+        val expected = (0L until 1250L).toSeq // batch twin: first arrival per id
+        val ok = afterRun1 == 1000L && got == expected
+        println(s"driver restart under append (streaming): " +
+          s"${if (ok) "PASS" else "FAIL"} (run1 rows=$afterRun1, " +
+          s"run2 rows=${got.size}, match=${got == expected})")
+        if (!ok) failures += 1
+        s2.stop()
+      } catch {
+        case e: Throwable =>
+          println(s"driver restart under append (streaming): FAIL " +
+            s"(query died: ${e.getClass.getSimpleName}: " +
+            s"${String.valueOf(e.getMessage).take(160)})")
+          failures += 1
+      }
     }
 
     if (failures > 0) { println(s"$failures FAILURE(S)"); sys.exit(1) }

@@ -216,4 +216,10 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>&1 | 
 if [ -n "${GRAFT_ROUND:-}" ]; then
   cp target/bench.json "BENCH_full_r${GRAFT_ROUND}.json"
   echo "snapshotted target/bench.json -> BENCH_full_r${GRAFT_ROUND}.json"
+  # round-over-round triage: flag >1.5x wall movers, attribute via the
+  # executor-CPU delta (REAL vs scheduler noise) — see tools/bench_compare.py
+  PREV=$(printf "BENCH_full_r%02d.json" $((10#$GRAFT_ROUND - 1)))
+  if [ -f "$PREV" ]; then
+    python3 tools/bench_compare.py "$PREV" "BENCH_full_r${GRAFT_ROUND}.json" || true
+  fi
 fi
