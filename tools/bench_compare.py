@@ -9,6 +9,11 @@ plan or the data changed); a wall move with flat CPU is scheduler/load noise
 on a shared box (the x23 r8 analysis, scripted — an 8-job sub-second
 operator "regresses" every round the scheduler sneezes).
 
+A "REAL" flag is a triage queue, not a verdict: JIT/codegen warm-up CPU is
+attributed to whichever queries run early in a changed 280-query order, so
+recheck every flagged mover in a fresh JVM (tools.TimeQuery, two passes —
+pass 2 is the warm number) before treating it as a regression.
+
 Usage: python3 tools/bench_compare.py OLD.json NEW.json [threshold=1.5]
 Prints a markdown table; exits 1 if any REAL regression is flagged.
 """
