@@ -2462,6 +2462,27 @@ object SparkEntry {
       graft.ops.Corpus.assignSplit(clean, "doc_id", 90, 5)
     }),
 
+    // ---- T: the t11 composition over the doc_id mod-10 slice — the
+    //      hash gate for scales where the full shingle-pair replay
+    //      out-spills the oracle (quadratic in replica count; >72 GB
+    //      DuckDB temp at 10x, measured r9). Same pipeline, same
+    //      oracle SQL parameterized by the slice. ----
+    "t11s_prepare_slice" -> ((s, dir) => {
+      val all = t(s, dir, "documents").where(col("doc_id") % 10 === 3)
+      val docs = all.select("doc_id", "text")
+      val eval = docs.where(col("doc_id") < 20)
+      val curated = graft.ops.Corpus
+        .curateClustered(docs.where(col("doc_id") >= 20), "doc_id", "text",
+          pairCorpus = Some(all))
+        .select("doc_id")
+      val keptDocs = docs.join(curated, Seq("doc_id"))
+      val contaminated = graft.ops.Corpus
+        .decontaminate(keptDocs, eval, "doc_id", "text", 8)
+        .select("doc_id")
+      val clean = keptDocs.join(contaminated, Seq("doc_id"), "left_anti")
+      graft.ops.Corpus.assignSplit(clean, "doc_id", 90, 5)
+    }),
+
     // ---- V: brute-force exact top-k cosine ----
     // 10% of the corpus as queries (self-kNN slice) — the many-query
     // regime ANN indexing exists for; v3 runs the same workload on the
@@ -8976,63 +8997,9 @@ object SparkEntry {
            FROM keyed)
          WHERE sample_rank <= 50""",
 
-    "t11_prepare_corpus" ->
-      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
-         s AS (
-           SELECT doc_id, text,
-             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-             CASE WHEN length(text) = 0 THEN 0.0
-                  ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio
-           FROM base),
-         q AS (SELECT * FROM s WHERE n_tokens >= 10 AND alpha_ratio >= 0.5),
-         ke AS (SELECT doc_id, text FROM (
-                  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-                  FROM q) WHERE rn = 1),
-         d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
-         sh AS (SELECT doc_id,
-                  CASE WHEN len(w) >= 3 THEN
-                    list_distinct(list_transform(range(1, len(w)-1),
-                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                  ELSE [array_to_string(w, ' ')] END AS sset
-                FROM d),
-         inv AS (SELECT doc_id, unnest(sset) AS g FROM sh),
-         sz AS (SELECT doc_id, len(sset) AS nsh FROM sh),
-         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
-                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
-                   GROUP BY x.doc_id, y.doc_id),
-         p AS (SELECT id_a, id_b FROM inter
-               JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
-               WHERE i / (na.nsh + nb.nsh - i) >= 0.8),
-         e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-         reach(src, dst) AS (
-           SELECT src, dst FROM e
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
-         cc AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-                FROM reach GROUP BY src),
-         kl AS (SELECT cc.doc_id,
-                       MIN(cc.doc_id) OVER (PARTITION BY cc.cluster_id) AS keep_id
-                FROM cc JOIN ke ON cc.doc_id = ke.doc_id),
-         kept AS (SELECT ke.doc_id, ke.text FROM ke
-                  WHERE ke.doc_id NOT IN (SELECT doc_id FROM kl WHERE doc_id <> keep_id)),
-         w8 AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
-                FROM documents),
-         sh8 AS (SELECT doc_id,
-                  CASE WHEN len(w) >= 8 THEN
-                    list_distinct(list_transform(range(1, len(w)-6),
-                      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
-                           w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))
-                  ELSE [array_to_string(w, ' ')] END AS s8
-                FROM w8),
-         ev AS (SELECT DISTINCT unnest(s8) AS g FROM sh8 WHERE doc_id < 20),
-         tr AS (SELECT k.doc_id, unnest(s8.s8) AS g FROM kept k JOIN sh8 s8 USING (doc_id)),
-         cont AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.g = ev.g),
-         clean AS (SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM cont))
-         SELECT doc_id,
-           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
-                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
-                ELSE 'test' END AS split
-         FROM clean""",
+    "t11_prepare_corpus" -> t11PrepareSql(""),
+    // the mod-10 slice replay (see t11PrepareSql scaladoc)
+    "t11s_prepare_slice" -> t11PrepareSql("WHERE doc_id % 10 = 3"),
 
     "v1_topk_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
@@ -9411,6 +9378,72 @@ object SparkEntry {
            COALESCE(sf.tokens_final, 0) AS tokens_final
          FROM sr LEFT JOIN sq USING (lang) LEFT JOIN su USING (lang)
            LEFT JOIN sf USING (lang)"""
+
+  /** The t11 prepare-corpus oracle, parameterized by the docs0 slice
+    * predicate: the shingle inv-self-join + recursive closure replay is
+    * quadratic in replica count, so above sf0.1 the full-corpus replay
+    * exhausts the oracle temp budget (>72 GB measured at 10x, r9) and
+    * the mod-10 slice gate (t11s) carries the hash evidence instead.
+    */
+  private def t11PrepareSql(slice: String): String =
+    s"""WITH RECURSIVE
+         docs0 AS (SELECT doc_id, text FROM documents $slice),
+         base AS (SELECT doc_id, text FROM docs0 WHERE doc_id >= 20),
+         s AS (
+           SELECT doc_id, text,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio
+           FROM base),
+         q AS (SELECT * FROM s WHERE n_tokens >= 10 AND alpha_ratio >= 0.5),
+         ke AS (SELECT doc_id, text FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                  FROM q) WHERE rn = 1),
+         d AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w FROM docs0),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(w)-1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS sset
+                FROM d),
+         inv AS (SELECT doc_id, unnest(sset) AS g FROM sh),
+         sz AS (SELECT doc_id, len(sset) AS nsh FROM sh),
+         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+                   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+                   GROUP BY x.doc_id, y.doc_id),
+         p AS (SELECT id_a, id_b FROM inter
+               JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+               WHERE i / (na.nsh + nb.nsh - i) >= 0.8),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         cc AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+                FROM reach GROUP BY src),
+         kl AS (SELECT cc.doc_id,
+                       MIN(cc.doc_id) OVER (PARTITION BY cc.cluster_id) AS keep_id
+                FROM cc JOIN ke ON cc.doc_id = ke.doc_id),
+         kept AS (SELECT ke.doc_id, ke.text FROM ke
+                  WHERE ke.doc_id NOT IN (SELECT doc_id FROM kl WHERE doc_id <> keep_id)),
+         w8 AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+                FROM docs0),
+         sh8 AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 8 THEN
+                    list_distinct(list_transform(range(1, len(w)-6),
+                      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+                           w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))
+                  ELSE [array_to_string(w, ' ')] END AS s8
+                FROM w8),
+         ev AS (SELECT DISTINCT unnest(s8) AS g FROM sh8 WHERE doc_id < 20),
+         tr AS (SELECT k.doc_id, unnest(s8.s8) AS g FROM kept k JOIN sh8 s8 USING (doc_id)),
+         cont AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.g = ev.g),
+         clean AS (SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+         SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM clean"""
 
   def oracleSql: Map[String, String] =
     oracleBase + ("mon1_health_report" ->

@@ -191,7 +191,11 @@ if [ "${1:-}" = "10x" ]; then
   # 50-77+ GB of temp EACH at 10x — more than this box holds. The ENGINE
   # ran them (above); their 10x hash evidence is the slice gates named in
   # the header, which run full-strength in this same compare.
+  # t11 joined the list in r9: its shingle-pair + recursive-closure
+  # replay needed >72 GB of temp at 10x (grew past the 50 GB budget it
+  # fit in r8); t11s_prepare_slice carries its hash evidence
   SPILL_SKIP=d13_containment,d16_minhash_sweep,d17_keep_best,d6_dedup_clusters
+  SPILL_SKIP=$SPILL_SKIP,t11_prepare_corpus
   SPILL_SKIP=$SPILL_SKIP,g2_triangles,g4_label_prop,g8_hits,g9_kcore
   SPILL_SKIP=$SPILL_SKIP,g10_itemcf,g11_assortativity,g12_modularity,g14_clustering_coeff
   SPILL_SKIP=$SPILL_SKIP,v9_semantic_dedup,v10_mmr_diversify,v18_dbscan
