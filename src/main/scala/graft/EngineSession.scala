@@ -16,13 +16,33 @@ object EngineSession {
   /** Recursive on-disk size of a file or directory (directory-shaped
     * parquet datasets — part files under a table dir — must count).
     * Shared by the shuffle-partition autosizer here and Verify's
-    * heap-aware concurrency gate. Nonexistent path → 0. */
-  def dirBytes(path: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-    walk(new java.io.File(path))
-  }
+    * heap-aware concurrency gate.
+    *
+    * Scheme-aware: resolved through Hadoop's `FileSystem` so the SAME
+    * derivation holds for `hdfs://`, `s3a://`, `file://`, and bare local
+    * paths — at the 100 TB design point the input is object storage, and
+    * a `java.io.File` walk there would size it as 0 bytes and silently
+    * reinstate the thread-count default whose 458 GB g1 spill the
+    * autosizer exists to prevent (SCALING.md, r8 measurement). A path the
+    * filesystem layer cannot resolve (unknown scheme, no such file) sizes
+    * as 0 with a WARN — the conservative fallback, never a crash, because
+    * every caller treats 0 as "keep the thread-count default". */
+  def dirBytes(path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      // Fresh conf (scheme → FileSystem impl ships in hadoop-client);
+      // session confs would matter for auth on a real cluster — callers
+      // there should size AFTER session build and pass
+      // spark.sessionState.newHadoopConf(). Local/file/hdfs need none.
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[engine] WARN: could not size input '$path' " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — autosizer " +
+          "falls back to the thread-count default")
+        0L
+    }
 
   /** Target post-shuffle partition input at the design point: the r8
     * 1000x measurement (tools.ProfileSpill, SCALING.md) put the knee at
@@ -74,7 +94,10 @@ object EngineSession {
     //   3. thread count — keeps every verified test-SF plan unchanged.
     val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") match {
       case Some(v) =>
-        require(v.matches("^[0-9]+$"),
+        // toInt, not a digits regex: "0" and Int-overflowing strings are
+        // digits-only but would fail later inside Spark with an unrelated
+        // error instead of failing fast here (ADVICE r9).
+        require(scala.util.Try(v.toInt).toOption.exists(_ > 0),
           s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive integer, got '$v'")
         System.err.println(s"[engine] WARN: SPARK_GRAFT_SHUFFLE_PARTITIONS=$v " +
           "override active — plans differ from the default-config verified surface")

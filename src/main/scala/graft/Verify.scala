@@ -46,6 +46,15 @@ object Verify {
     System.err.println(s"[verify] input ${dirMb.round} MB, driver heap ${heapGb} GiB " +
       s"-> $par concurrent quer${if (par == 1) "y" else "ies"}" +
       (if (sys.env.contains("GRAFT_VERIFY_PARALLEL")) " (env override)" else ""))
+    // Requested-query manifest, written BEFORE any query runs (ADVICE r9):
+    // the oracle harness checks coverage against this list, and the
+    // partial-failure class it exists to catch — the JVM dying mid-run —
+    // would otherwise also kill the manifest write and silently disable
+    // the check. The requested list is known up front; stamp it now.
+    val requested = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n))).sorted
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      requested.map(JsonUtil.quote).mkString("[", ",", "]"))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -64,14 +73,6 @@ object Verify {
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
-    // Requested-query manifest: the oracle harness checks COVERAGE against
-    // this list, not against whichever outputs survived — a query that
-    // failed above (logged + no output dir) must surface as a compare
-    // failure downstream, not silently drop out of the count.
-    val requested = SparkEntry.queries.keys.toSeq
-      .filter(n => only.forall(_.contains(n))).sorted
-    Files.writeString(Paths.get(s"$outDir/queries.json"),
-      requested.map(JsonUtil.quote).mkString("[", ",", "]"))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${JsonUtil.quote(k)}: ${JsonUtil.quote(v)}" }
       .mkString("{", ",", "}")

@@ -461,6 +461,58 @@ object Similarity {
   private val bqProbeSlot = new CacheSlot
   private val pqProbeSlot = new CacheSlot
 
+  /** Batched-probe results are tiny (|Q_batch|·k rows) but must stay
+    * persisted until the caller consumes the union — an evicted batch
+    * would recompute its whole sub-probe from lineage. Capacity sized
+    * for entries of KBs, not the GB-scale artifacts the default slots
+    * bound; eviction past 64 is a slow-but-correct recompute. */
+  private val pqBatchResultSlot = new CacheSlot(64)
+
+  /** Memory an EXECUTOR actually has, not the box: `spark.executor.memory`
+    * when set; else this JVM's heap under plain `local[n]` (the driver IS
+    * the executor); else Spark's own 1 GiB executor default — which is
+    * what a `local-cluster` or real-cluster executor genuinely gets when
+    * the key is unset (measured here: `local-cluster[2,2,2048]` leaves
+    * the conf empty and launches 1024 MiB executor JVMs). The r9 cluster
+    * probe showed why the distinction matters: an ADC scan sized against
+    * a 128 GiB local heap spilled 4.8 GB and OOM'd an executor on the
+    * cluster shape (SCALING.md §cluster-shape). Suffix-less values are
+    * MiB — Spark's own unit for this key. */
+  def executorMemoryBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.executor.memory")
+      .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsMb(v) << 20)
+      .getOrElse {
+        val master = spark.conf.get("spark.master", "local[*]")
+        if (master == "local" || master.startsWith("local["))
+          Runtime.getRuntime.maxMemory
+        else 1024L << 20
+      }
+
+  /** How many query batches an ADC probe needs so its pinned probe
+    * relation — |Q|·nProbe rows of m·ksub-double LUTs, broadcast to and
+    * hash-pinned on EVERY executor — fits a 1/16 share of executor
+    * memory (pure, unit-tested). The pair stream the scoring join feeds
+    * to the top-k aggregate shrinks by the same factor, so the batch
+    * count bounds both the broadcast pin and the per-task sort that
+    * were spilling on executor-sized heaps. 1 below the budget (the
+    * verified small-SF plans stay bit-identical); capped at |Q|
+    * (one query per batch is the floor of meaningful splitting). */
+  def adcBatchCount(
+      nQueries: Long, nProbe: Int, lutRowBytes: Long, execMemBytes: Long): Int = {
+    require(nProbe > 0 && lutRowBytes > 0 && execMemBytes > 0,
+      s"nProbe/lutRowBytes/execMemBytes must be positive, got " +
+        s"$nProbe/$lutRowBytes/$execMemBytes")
+    if (nQueries <= 0) 1
+    else {
+      // 64 MiB floor: below it the split count stops reflecting a real
+      // memory constraint and only multiplies scheduling overhead
+      val budget = math.max(execMemBytes / 16L, 64L << 20)
+      val probeBytes = nQueries * nProbe.toLong * lutRowBytes
+      val b = (probeBytes + budget - 1) / budget
+      math.max(1L, math.min(b, math.min(nQueries, 100000L))).toInt
+    }
+  }
+
   /** One-shot build + [[ivfBqProbe]]. */
   def ivfBqTopK(
       corpus: DataFrame,
@@ -978,7 +1030,11 @@ object Similarity {
       k: Int,
       baseProbe: Int,
       allowed: DataFrame): DataFrame = {
-    val ok = allowed.select(col(allowed.columns.head).as("neighbor_id"))
+    // distinct BEFORE counting: the probe itself is dup-safe (left_semi),
+    // but a plain left join here would fan out duplicate allowed ids and
+    // inflate measured selectivity — shrinking the derived depth exactly
+    // when the caller's allow-list is messiest (ADVICE r9).
+    val ok = allowed.select(col(allowed.columns.head).as("neighbor_id")).distinct()
     val counts = index.cells
       .join(ok.withColumn("_ok", lit(1)), Seq("neighbor_id"), "left")
       .agg(count(lit(1)).as("n"), count(col("_ok")).as("n_ok"))
@@ -1536,10 +1592,75 @@ object Similarity {
       nProbe: Int = 4,
       refine: Int = 0,
       refineWith: Option[DataFrame] = None): DataFrame = {
-    import graft.functions.VectorKernels.dot_native
     require(refine <= k || refineWith.nonEmpty,
       s"refine=$refine > k=$k needs refineWith (an (id, vec) table — " +
         "typically the original corpus) for the exact re-rank")
+    // Probe sizing: ONE count over the query side (the same documented
+    // one-aggregate class as the adaptive-probe selectivity measurement)
+    // feeds the executor-memory batch derivation. ~64 B covers the
+    // non-LUT probe columns (ids, cell, qnorm, row header).
+    val lutRowBytes = index.m.toLong * index.ksub * 8 + 64
+    val nBatches = adcBatchCount(queries.count(), nProbe, lutRowBytes,
+      executorMemoryBytes(queries.sparkSession))
+    ivfPqProbeBatched(index, queries, idCol, vecCol, k, nProbe, refine,
+      refineWith, nBatches)
+  }
+
+  /** [[ivfPqProbe]] with the batch count pinned (package-visible so the
+    * equality spec can force a multi-batch run on toy data).
+    *
+    * nBatches == 1 is the verified single-plan path. Above it, the
+    * queries split on a deterministic id hash and each sub-probe runs
+    * EAGERLY in sequence — the one shape that actually bounds executor
+    * memory: a lazy union of B broadcast sub-plans materializes all B
+    * probe relations at once (AQE schedules their exchanges as soon as
+    * dependencies allow), which is exactly the full-size pin the split
+    * exists to avoid. Each batch's tiny top-k result persists before the
+    * next batch starts, so at any instant one budget-sized probe
+    * relation and one budget-sized pair sort are live; per-query
+    * independence of top-k makes the union bit-equal to the unbatched
+    * answer (spec'd). Measured on `local-cluster[4,8,8192]` at 10×:
+    * the unbatched probe spilled 4.0+1.0 GB and lost an executor to
+    * OOM; batched (4) runs spill-free — SCALING.md §cluster-shape.
+    */
+  private[graft] def ivfPqProbeBatched(
+      index: IvfPqIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      refine: Int,
+      refineWith: Option[DataFrame],
+      nBatches: Int): DataFrame = {
+    if (nBatches <= 1)
+      ivfPqProbeOnce(index, queries, idCol, vecCol, k, nProbe, refine, refineWith)
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ivfPqProbe: probe relation exceeds the executor-memory budget — " +
+          s"running $nBatches sequential query batches")
+      (0 until nBatches).map { i =>
+        val qb = queries.where(
+          pmod(hash(col(idCol)), lit(nBatches)) === lit(i))
+        val r = ivfPqProbeOnce(index, qb, idCol, vecCol, k, nProbe, refine,
+          refineWith)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.count() // materialize NOW, while this batch's probe relation is resident
+        pqBatchResultSlot.register(r)
+      }.reduce(_.unionByName(_))
+    }
+  }
+
+  private def ivfPqProbeOnce(
+      index: IvfPqIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      refine: Int,
+      refineWith: Option[DataFrame]): DataFrame = {
+    import graft.functions.VectorKernels.dot_native
     // MATERIALIZE the probe table (bounded slot): the LUT must be
     // computed once per (query, cell) row. Left lazy, Catalyst collapses
     // the projection into the scoring join's output and re-evaluates

@@ -23,6 +23,33 @@ class EngineSessionSpec extends AnyFunSuite {
     assert(p >= 128 && p <= 160, s"expected ~128 (the measured knee), got $p")
   }
 
+  test("dirBytes resolves file:// URIs identically to bare local paths") {
+    // The autosizer must see real bytes for every scheme Spark can read —
+    // a local-FS-only walk would size a remote input as 0 and silently
+    // reinstate the 458 GB-spill thread-count default (VERDICT r9 item 1).
+    val dir = java.nio.file.Files.createTempDirectory("graft-dirbytes").toFile
+    val sub = new java.io.File(dir, "nested")
+    try {
+      java.nio.file.Files.write(
+        new java.io.File(dir, "part-0000.bin").toPath, Array.fill[Byte](4096)(7))
+      sub.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(sub, "part-0001.bin").toPath, Array.fill[Byte](1024)(7))
+      val bare = EngineSession.dirBytes(dir.getAbsolutePath)
+      assert(bare === 5120L, "recursive local sizing must count nested part files")
+      assert(EngineSession.dirBytes("file://" + dir.getAbsolutePath) === bare,
+        "file:// URI must size identically to the bare path")
+    } finally {
+      Option(sub.listFiles()).foreach(_.foreach(_.delete())); sub.delete()
+      Option(dir.listFiles()).foreach(_.foreach(_.delete())); dir.delete()
+    }
+  }
+
+  test("unresolvable inputs size as 0 (thread-count fallback), never crash") {
+    assert(EngineSession.dirBytes("/no/such/graft/path") === 0L)
+    assert(EngineSession.dirBytes("nosuchscheme://bucket/prefix") === 0L)
+  }
+
   test("derivation is monotone in input size and floored at threads") {
     val sizes = Seq(0L, 1 * MiB, 4096 * MiB, 17L << 30, 170L << 30)
     val parts = sizes.map(EngineSession.derivePartitions(32, _))

@@ -563,6 +563,49 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(depths == depths.sorted)
   }
 
+  test("adcBatchCount: 1 under the budget, grows with probe bytes, capped at |Q|") {
+    import Similarity.adcBatchCount
+    val lut = 16L * 64 * 8 + 64 // m=16, ksub=64 — the v7/v8 gate geometry
+    val gib = 1L << 30
+    // every verified local shape: 128 GiB heap carries the 10x gate whole
+    assert(adcBatchCount(20000, 12, lut, 128 * gib) == 1)
+    // sf0.1 gate (2k queries) fits even an 8 GiB executor
+    assert(adcBatchCount(2000, 12, lut, 8 * gib) == 1)
+    // the measured r9 OOM shape: 10x gate on 8 GiB executors -> 4 batches
+    assert(adcBatchCount(20000, 12, lut, 8 * gib) == 4)
+    // monotone: smaller executors, more batches
+    val bs = Seq(128, 64, 16, 8, 4, 2).map(g => adcBatchCount(20000, 12, lut, g * gib))
+    assert(bs == bs.sorted)
+    // floor and caps
+    assert(adcBatchCount(0, 12, lut, gib) == 1)
+    // never more batches than queries, even when each query's probe rows
+    // alone outgrow the floored budget
+    assert(adcBatchCount(3, 12, 1L << 26, 1) == 3)
+    assertThrows[IllegalArgumentException](adcBatchCount(10, 0, lut, gib))
+  }
+
+  test("batched IVF-PQ probe equals the single-plan probe bit-for-bit") {
+    // per-query independence of top-k makes the batch split a no-op on
+    // CONTENT; this is the contract that lets executor-memory batching
+    // keep every hash oracle green
+    val queries = clustered.where($"vec_id" < 12)
+    val idx = Similarity.ivfPqBuild(clustered, "vec_id", "embedding",
+      nCentroids = 4, m = 4, ksub = 16, iters = 1)
+    try {
+      val whole = Similarity.ivfPqProbeBatched(idx, queries, "vec_id", "embedding",
+        5, 4, 256, Some(clustered), nBatches = 1).collect().map(_.toSeq).toSet
+      val batched = Similarity.ivfPqProbeBatched(idx, queries, "vec_id", "embedding",
+        5, 4, 256, Some(clustered), nBatches = 3).collect().map(_.toSeq).toSet
+      assert(batched == whole)
+      // the public entry point derives batch=1 here (tiny probe relation)
+      // and must agree too
+      val derived = Similarity.ivfPqProbe(idx, queries, "vec_id", "embedding",
+        5, nProbe = 4, refine = 256, refineWith = Some(clustered))
+        .collect().map(_.toSeq).toSet
+      assert(derived == whole)
+    } finally idx.unpersist()
+  }
+
   test("ivfProbeFilteredAdaptive: derived depth holds the exact answer at 1/5 and 1/50-style selectivity") {
     // 40 vectors on a ring; a 1-in-8 allowed set is selective enough
     // that a base-depth probe of the 4-cell index would miss eligible

@@ -30,6 +30,13 @@ object ClusterProbe {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local-cluster[$workers,$cores,$memMb]")
       .appName("cluster-probe")
+      // Executors do NOT inherit the worker grant: with the key unset,
+      // local-cluster launches 1024 MiB executor JVMs regardless of M
+      // (measured r10 — the r9 table's "8 GiB executors" were really
+      // 1 GiB ones). Stamp it so the probe shape means what it says and
+      // the memory-aware operators (Similarity.executorMemoryBytes) see
+      // the real grant.
+      .config("spark.executor.memory", s"${memMb}m")
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
