@@ -1975,6 +1975,35 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // ---- D: d3i's 4th-decade gate — the same simhash-recovers-every-
+    //      identical-pair invariant, AGGREGATE-shaped (the llm1s/t11s
+    //      pattern): per duplicate GROUP (md5 of the shared text) the
+    //      recovered-pair count, id extremes, and an id checksum. The
+    //      output is #groups rows — constant in replica count — where
+    //      d3i's per-pair dump is quadratic in it (~250M rows at 1000×:
+    //      the pandas-compare harness bound that kept d3i at a 100×
+    //      ceiling). The mod-10 doc slice bounds the ENGINE-side
+    //      candidate volume the same way; both engines aggregate the
+    //      pair stream without materializing it to the harness. Text
+    //      equality is compared via md5 so the pair→text join ships
+    //      32-byte digests, not document bodies, at every scale. ----
+    "d3is_simhash_dup_stats" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(col("doc_id") % 10 === 3)
+      val all = base.unionByName(base.where(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val h = all.select(col("doc_id"), md5(col("text")).as("th"))
+      graft.ops.Dedup.simhashNearDup(all, "doc_id", "text", 3)
+        .join(h.select(col("doc_id").as("id_a"), col("th").as("h_a")), Seq("id_a"))
+        .join(h.select(col("doc_id").as("id_b"), col("th").as("h_b")), Seq("id_b"))
+        .where(col("h_a") === col("h_b"))
+        .groupBy(col("h_a").as("grp"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("id_a")).as("min_id"),
+          max(col("id_b")).as("max_id"),
+          sum(col("id_a") + col("id_b")).as("id_checksum"))
+    }),
+
     // ---- D: cluster-level dedup — connected components over the
     //      near-dup pairs (cluster_id = smallest reachable doc id);
     //      oracle recomputes components with a recursive transitive
@@ -7932,6 +7961,21 @@ object SparkEntry {
                     SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id""",
+
+    // d3i's invariant, aggregate-shaped for the 4th decade: the pair
+    // stream is GROUPed before it reaches the harness, so the replay is
+    // a hash join + streaming aggregate at every replica count (DuckDB
+    // SUM(BIGINT) returns HUGEINT — cast back for schema parity)
+    "d3is_simhash_dup_stats" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3),
+         d AS (SELECT doc_id, text FROM base
+               UNION ALL
+               SELECT doc_id + 1000000, text FROM base WHERE doc_id < 50),
+         p AS (SELECT md5(a.text) AS grp, a.doc_id AS id_a, b.doc_id AS id_b
+               FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id)
+         SELECT grp, COUNT(*) AS n_pairs, MIN(id_a) AS min_id, MAX(id_b) AS max_id,
+                CAST(SUM(id_a + id_b) AS BIGINT) AS id_checksum
+         FROM p GROUP BY grp""",
 
     // the engine's FNV-1a/64 fingerprint recomputed EXACTLY over the
     // space-joined token sequence: byte fold with UBIGINT xor + HUGEINT

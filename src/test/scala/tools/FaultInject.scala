@@ -490,6 +490,120 @@ object FaultInject {
       }
     }
 
+    // 7. HARD KILL MID-COMMIT (r10) — phase 6 stops the session
+    // gracefully after completion; this phase murders the driver DURING
+    // an AvailableNow batch, at the seam between the state-store commits
+    // (task-side, already durable) and the file sink's manifest entry
+    // (driver-side, about to be written). The kill is a separate child
+    // JVM running tools.FaultKillChild with a commit protocol that
+    // Runtime.halt(137)s on its 3rd sink commit — no shutdown hooks, no
+    // cleanup, the kill -9 shape. A restarted session on the same
+    // checkpoint must re-execute the murdered batch: its first attempt's
+    // output files are ORPHANS (on disk, in no manifest) that a
+    // manifest-routed read must discard, while the re-execution's files
+    // commit exactly once. PASS = the dead batch's orphans exist AND the
+    // sink read equals the batch twin (first arrival per event_id) as a
+    // row multiset — double-counting the orphans, losing the batch, or
+    // emitting the re-sent duplicates all break the equality.
+    {
+      val fixDir = java.nio.file.Files.createTempDirectory("graft_fault_kill9").toString
+      val ckptLoc = s"$fixDir/ckpt"
+      val sinkDir = s"$fixDir/sink"
+      val srcDir = s"$fixDir/src"
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      def localSession(app: String): SparkSession = {
+        val s = SparkSession.builder().master("local[4]").appName(app)
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        s
+      }
+      def writeWave(s: SparkSession, ids: Range, offsetSec: Int, file: String): Unit = {
+        import s.implicits._
+        ids.map(i => (i.toLong, new java.sql.Timestamp(t0 + offsetSec * 1000L + i),
+            i.toLong % 7, "x", 1.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.parquet(s"$srcDir/$file")
+      }
+      try {
+        // six one-file batches: f0..f3 fresh 0..999; f4 re-sends 0..249
+        // twenty minutes later (inside the 1 h horizon — reloaded state
+        // must suppress them); f5 fresh 1000..1249
+        val s0 = localSession("fault-kill9-fixtures")
+        (0 to 3).foreach(f => writeWave(s0, f * 250 until (f + 1) * 250, f * 60, s"f$f"))
+        writeWave(s0, 0 until 250, 1200, "f4")
+        writeWave(s0, 1000 until 1250, 1500, "f5")
+        s0.stop()
+        // child driver, murdered at its 3rd sink commit (batch 2 of 6)
+        val cp = Seq("/root/repo/target/scala-2.13/classes",
+          "/root/repo/target/scala-2.13/test-classes", "/opt/spark/jars/*").mkString(":")
+        val javaBin = s"${System.getProperty("java.home")}/bin/java"
+        val cmd = Seq(javaBin) ++ openStr.split(" ").toSeq ++ Seq(
+          "-Xmx3g", "-Dgraft.fault.haltAtCommit=2", "-cp", cp,
+          "tools.FaultKillChild", s"$srcDir/f*", ckptLoc, sinkDir)
+        val childLog = new java.io.File(s"$fixDir/child.log")
+        val proc = new ProcessBuilder(cmd: _*)
+          .redirectErrorStream(true).redirectOutput(childLog).start()
+        val exit = proc.waitFor()
+        val seamFired = exit == 137
+        // the murdered batch's files are on disk; its manifest entry is not
+        val meta = new java.io.File(s"$sinkDir/_spark_metadata")
+        val manifestsBeforeRestart =
+          Option(meta.list()).map(_.count(_.matches("\\d+"))).getOrElse(0)
+        def committedPaths(): Set[String] =
+          Option(meta.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.matches("\\d+"))
+            .flatMap(f => scala.io.Source.fromFile(f).getLines()
+              .flatMap("\"path\":\"([^\"]+)\"".r.findAllMatchIn(_).map(_.group(1))))
+            .map(p => new java.net.URI(p).getPath).toSet
+        def diskParts(): Set[String] =
+          Option(new java.io.File(sinkDir).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.startsWith("part-"))
+            .map(_.getAbsolutePath).toSet
+        val orphansAtDeath = (diskParts() -- committedPaths()).size
+        // restart on the same checkpoint with the DEFAULT protocol: the
+        // murdered batch re-executes, then the remaining batches drain
+        val s2 = localSession("fault-kill9-restart")
+        val q = s2.readStream
+          .schema(graft.streaming.EventStreams.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*")
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark(Seq("event_id"))
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .format("parquet").option("path", sinkDir)
+          .option("checkpointLocation", ckptLoc)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val orphansAfterRestart = (diskParts() -- committedPaths()).size
+        // manifest-routed read (spark.read over a _spark_metadata sink)
+        val got = s2.read.parquet(sinkDir)
+          .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+        val expected = (0L until 1250L).toSeq
+        val ok = seamFired && manifestsBeforeRestart == 2 &&
+          orphansAtDeath > 0 && orphansAfterRestart >= orphansAtDeath &&
+          got == expected
+        println(s"hard kill mid-commit (driver halt between state and sink commit): " +
+          s"${if (ok) "PASS" else "FAIL"} (child exit=$exit, " +
+          s"manifests at death=$manifestsBeforeRestart, orphans=$orphansAtDeath, " +
+          s"rows=${got.size}, match=${got == expected})")
+        if (!ok) {
+          scala.io.Source.fromFile(childLog).getLines().toSeq.takeRight(15)
+            .foreach(l => println(s"  [child] $l"))
+          failures += 1
+        }
+        s2.stop()
+      } catch {
+        case e: Throwable =>
+          println(s"hard kill mid-commit (driver halt between state and sink commit): FAIL " +
+            s"(${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)})")
+          failures += 1
+      }
+    }
+
     if (failures > 0) { println(s"$failures FAILURE(S)"); sys.exit(1) }
     println("fault injection: all phases as expected")
   }

@@ -81,7 +81,7 @@ if [ "${1:-}" = "100x" ]; then
   Q=$Q,t4i_fingerprint_unique,t5_wordcount,t23_pmi,t24_bpe_train,t31_langid_confusion
   Q=$Q,t32_dsir_select,t33_pr_curve,t36_vocab_stats,t37_zipf_slope,t39_js_divergence
   Q=$Q,t40_split_leakage,t42_word_blocklist,t43_split_ngram_leakage
-  Q=$Q,d3i_simhash_exact_dups,d7_decontaminate,d9_bloom_decontaminate,d10_entity_resolution
+  Q=$Q,d3i_simhash_exact_dups,d3is_simhash_dup_stats,d7_decontaminate,d9_bloom_decontaminate,d10_entity_resolution
   Q=$Q,d14_url_canonical,d15_source_overlap,d18_domain_cap
   Q=$Q,v22_embedding_drift,v31_norm_profile
   # d13s2 (1% centile) stands in for d13s here: the 10% slice is
@@ -157,11 +157,14 @@ if [ "${1:-}" = "1000x" ]; then
   Q=$Q,t4i_fingerprint_unique,t5_wordcount,t23_pmi,t31_langid_confusion,t32_dsir_select
   Q=$Q,t33_pr_curve,t36_vocab_stats,t37_zipf_slope,t39_js_divergence,t40_split_leakage
   Q=$Q,t42_word_blocklist,t43_split_ngram_leakage
-  # d3i_simhash_exact_dups is DELIBERATELY absent (100x is its verified
-  # ceiling): its output is one row per recovered exact-dup pair — 24.8M
-  # rows at 100x, ~250M at 1000x — which both engines would dump through
-  # the pandas compare; that measures the harness, not the engine. The r8
-  # log's 101/102 count was taken from a list that still named it.
+  # d3i_simhash_exact_dups' per-pair dump stays absent (its output is one
+  # row per recovered exact-dup pair — ~250M rows at 1000x through the
+  # pandas compare; that measures the harness, not the engine). Its hash
+  # evidence at this decade is d3is_simhash_dup_stats (r10): the SAME
+  # simhash-recovers-every-identical-pair invariant over the mod-10 doc
+  # slice, aggregated per duplicate group BEFORE either engine dumps
+  # anything — both sides stream the pair set into a 500-group aggregate.
+  Q=$Q,d3is_simhash_dup_stats
   Q=$Q,d7_decontaminate,d9_bloom_decontaminate,d10_entity_resolution
   Q=$Q,d14_url_canonical,d15_source_overlap,d18_domain_cap
   Q=$Q,v22_embedding_drift,v31_norm_profile
@@ -215,15 +218,32 @@ echo "== verify sf0.01 =="
 rm -rf /tmp/graft_vout
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/graft_vout" 2>&1 | grep "\[verify\]" || true
 python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/graft_vout
+echo "== COVERAGE.md parity =="
+# every query Verify just ran must be named verbatim in COVERAGE.md — the
+# r9 lesson (t11s landed in the final commit with no inventory row) was
+# that a parity check documented in a header but not wired into the gate
+# does not run; this one fails the default gate loudly
+python3 - <<'EOF'
+import json, sys
+cov = open('COVERAGE.md').read()
+miss = [q for q in json.load(open('/tmp/graft_vout/queries.json')) if q not in cov]
+if miss:
+    sys.exit(f"COVERAGE.md parity FAILED — add inventory rows for: {', '.join(miss)}")
+print(f"parity OK ({len(json.load(open('/tmp/graft_vout/queries.json')))} queries named)")
+EOF
 echo "== bench sf0.1 =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
 if [ -n "${GRAFT_ROUND:-}" ]; then
-  cp target/bench.json "BENCH_full_r${GRAFT_ROUND}.json"
-  echo "snapshotted target/bench.json -> BENCH_full_r${GRAFT_ROUND}.json"
+  # zero-pad the snapshot with the SAME printf the PREV lookup uses —
+  # GRAFT_ROUND=9 used to write BENCH_full_r9.json that round 10's
+  # BENCH_full_r09.json lookup missed, silently skipping the compare
+  SNAP=$(printf "BENCH_full_r%02d.json" $((10#$GRAFT_ROUND)))
+  cp target/bench.json "$SNAP"
+  echo "snapshotted target/bench.json -> $SNAP"
   # round-over-round triage: flag >1.5x wall movers, attribute via the
-  # executor-CPU delta (REAL vs scheduler noise) — see tools/bench_compare.py
+  # executor-CPU + job-count deltas (REAL vs migration vs scheduler noise)
   PREV=$(printf "BENCH_full_r%02d.json" $((10#$GRAFT_ROUND - 1)))
   if [ -f "$PREV" ]; then
-    python3 tools/bench_compare.py "$PREV" "BENCH_full_r${GRAFT_ROUND}.json" || true
+    python3 tools/bench_compare.py "$PREV" "$SNAP" || true
   fi
 fi
