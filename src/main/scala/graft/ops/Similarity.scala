@@ -426,6 +426,48 @@ object Similarity {
       rerank: Int = 50,
       scaleFp: Long = 1000000L): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    // Same executor-memory discipline as [[ivfPqProbe]], with the probe
+    // row costed at its real width: qv is dim fixed-point ints, so at
+    // production dims (1536) a 1M-query probe relation is ~6 GB of
+    // broadcast pin — the v8 failure shape on the bq tier. dim comes
+    // from the one-row centroid table (always resident; cents is an
+    // array of (centroid_id, cent_vec) structs), |Q| from the same
+    // one-count sizing aggregate.
+    val dim = index.centroidArr
+      .select(size(element_at(col("cents"), 1).getField("cent_vec")))
+      .head().getInt(0)
+    val nBatches = adcBatchCount(queries.count(), nProbe, dim.toLong * 4 + 48,
+      executorMemoryBytes(queries.sparkSession))
+    ivfBqProbeBatched(index, queries, idCol, vecCol, k, nProbe, rerank,
+      scaleFp, nBatches)
+  }
+
+  /** [[ivfBqProbe]] with the batch count pinned (package-visible for the
+    * equality spec); see [[ivfPqProbeBatched]] for the eager-sequencing
+    * rationale. */
+  private[graft] def ivfBqProbeBatched(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      rerank: Int,
+      scaleFp: Long,
+      nBatches: Int): DataFrame =
+    runQueryBatches(queries, idCol, nBatches, "ivfBqProbe")(qb =>
+      ivfBqProbeOnce(index, qb, idCol, vecCol, k, nProbe, rerank, scaleFp))
+
+  private def ivfBqProbeOnce(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      rerank: Int,
+      scaleFp: Long): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val cv = index.cells.select(col("neighbor_id"), col("cell"),
       expr(intVecSql("c_vec", scaleFp)).as("cv"))
     val thr = bqThresholds(cv)
@@ -466,7 +508,7 @@ object Similarity {
     * would recompute its whole sub-probe from lineage. Capacity sized
     * for entries of KBs, not the GB-scale artifacts the default slots
     * bound; eviction past 64 is a slow-but-correct recompute. */
-  private val pqBatchResultSlot = new CacheSlot(64)
+  private val probeBatchResultSlot = new CacheSlot(64)
 
   /** Memory an EXECUTOR actually has, not the box: `spark.executor.memory`
     * when set; else this JVM's heap under plain `local[n]` (the driver IS
@@ -1632,24 +1674,37 @@ object Similarity {
       nProbe: Int,
       refine: Int,
       refineWith: Option[DataFrame],
-      nBatches: Int): DataFrame = {
-    if (nBatches <= 1)
-      ivfPqProbeOnce(index, queries, idCol, vecCol, k, nProbe, refine, refineWith)
+      nBatches: Int): DataFrame =
+    runQueryBatches(queries, idCol, nBatches, "ivfPqProbe")(qb =>
+      ivfPqProbeOnce(index, qb, idCol, vecCol, k, nProbe, refine, refineWith))
+
+  /** The eager batch loop both ADC probes share: split the queries on a
+    * deterministic id hash and run each sub-probe to COMPLETION before
+    * the next starts, so at any instant one budget-sized probe relation
+    * and one budget-sized pair sort are live (a lazy union would
+    * materialize every batch's broadcast at once). Per-query
+    * independence of top-k makes the union bit-equal to the unbatched
+    * plan (spec'd on both tiers). Batch results are tiny (|Q_b|·k rows)
+    * and pinned until the caller consumes the union. */
+  private def runQueryBatches(
+      queries: DataFrame,
+      idCol: String,
+      nBatches: Int,
+      op: String)(once: DataFrame => DataFrame): DataFrame =
+    if (nBatches <= 1) once(queries)
     else {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"ivfPqProbe: probe relation exceeds the executor-memory budget — " +
+        s"$op: probe relation exceeds the executor-memory budget — " +
           s"running $nBatches sequential query batches")
       (0 until nBatches).map { i =>
         val qb = queries.where(
           pmod(hash(col(idCol)), lit(nBatches)) === lit(i))
-        val r = ivfPqProbeOnce(index, qb, idCol, vecCol, k, nProbe, refine,
-          refineWith)
+        val r = once(qb)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         r.count() // materialize NOW, while this batch's probe relation is resident
-        pqBatchResultSlot.register(r)
+        probeBatchResultSlot.register(r)
       }.reduce(_.unionByName(_))
     }
-  }
 
   private def ivfPqProbeOnce(
       index: IvfPqIndex,

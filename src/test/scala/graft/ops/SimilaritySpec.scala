@@ -782,6 +782,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(bq == bf)
   }
 
+  test("batched BQ probe equals the single-plan probe bit-for-bit") {
+    import spark.implicits._
+    // the bq tier's executor-memory batching contract, mirroring the pq
+    // spec: hash-split sub-probes union to the exact unbatched answer
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val q = emb.where(col("vec_id") % 4 === 0)
+    val idx = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      nCentroids = 4, kmeansIters = 1, persist = false)
+    val whole = Similarity.ivfBqProbeBatched(idx, q, "vec_id", "embedding",
+      3, 4, 40, 1000000L, nBatches = 1).collect().map(_.toSeq).toSet
+    val batched = Similarity.ivfBqProbeBatched(idx, q, "vec_id", "embedding",
+      3, 4, 40, 1000000L, nBatches = 3).collect().map(_.toSeq).toSet
+    assert(batched == whole)
+    // the public entry derives batch=1 here (tiny probe relation, real
+    // dim measured from the centroid table) and must agree too
+    val derived = Similarity.ivfBqProbe(idx, q, "vec_id", "embedding", 3,
+      nProbe = 4, rerank = 40).collect().map(_.toSeq).toSet
+    assert(derived == whole)
+  }
+
   test("ivfBqTopK: rerank below k is refused") {
     import spark.implicits._
     val emb = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
