@@ -89,6 +89,10 @@ object Graph {
   private val hitsNodeSlot = new CacheSlot
   private val linkPredEdgeSlot = new CacheSlot
   private val linkPredAdjSlot = new CacheSlot
+  // BFS adjacency (collect_set — no outdeg, so a different plan/entry
+  // than the rank loops' edgeSlot; own slot so a BFS can't evict a
+  // concurrently-running PageRank's adjacency or vice versa)
+  private val bfsAdjSlot = new CacheSlot
 
   def pageRank(
       edges: DataFrame,
@@ -309,10 +313,13 @@ object Graph {
     * distance — a pure function of the graph, replayable by a recursive
     * SQL engine as `MIN(depth)` over the reachability closure.
     *
-    * Scale shape: every round is one equi-join on the node key (the
-    * frontier side shuffle-hash-built — no stats after a checkpoint, and
-    * a broadcast hint would die at 1e9 nodes) + one distinct + one
-    * anti-join, all nodes-sized; frontier and label relations are
+    * Scale shape: the CSR-style adjacency builds ONCE into a cache slot,
+    * hash-partitioned on the source key by its own groupBy — so each
+    * round's equi-join re-exchanges only the frontier (shuffle-hash-built:
+    * no stats after a checkpoint, and a broadcast hint would die at 1e9
+    * nodes), the neighbor fan-out regenerating in-pipeline via explode
+    * into the distinct's map-side partial agg + one anti-join, all
+    * nodes-sized; frontier and label relations are
     * eagerly checkpointed so round k never replays rounds 1..k-1. The
     * per-round `isEmpty` early-exit ships ONE boolean to the driver,
     * never data. Unreached nodes are absent from the result (no
@@ -332,6 +339,16 @@ object Graph {
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // CSR-style adjacency, built ONCE and cached hash-partitioned on
+    // src by the groupBy itself (collect_set: parallel edges carry no
+    // BFS information). Joining the raw edge list instead re-exchanges
+    // the whole edges-sized relation EVERY round — measured on the
+    // sf0.1 co-purchase graph (g17, 1.17M-edge bipartite): 12 rounds ×
+    // ~5 executor-CPU-s of pure edge re-shuffle, 55 of the query's
+    // 67 CPU-s. With the cached partitioning satisfying the join's
+    // distribution, each round shuffles only the frontier.
+    val adj = bfsAdjSlot.persist(
+      e.groupBy("src").agg(collect_set(col("dst")).as("dsts")))
     var known = CheckpointCut.cut(seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("hops", lit(0L)))
     var frontier = known.select("node")
@@ -340,8 +357,8 @@ object Graph {
     while (d < maxHops && !frontier.isEmpty) {
       d += 1
       val next = CheckpointCut.cut(
-        e.join(frontier.hint("shuffle_hash"), e("src") === frontier("node"))
-          .select(col("dst").as("node")).distinct()
+        adj.join(frontier.hint("shuffle_hash"), adj("src") === frontier("node"))
+          .select(explode(col("dsts")).as("node")).distinct()
           .join(known, Seq("node"), "left_anti")
           .withColumn("hops", lit(d)))
       val prevKnown = known
@@ -380,10 +397,12 @@ object Graph {
       srcCol: String,
       dstCol: String,
       maxHops: Int): DataFrame = {
-    // every BFS round of BOTH sweeps joins the edge relation — without
-    // the slot a derived edge list (e.g. the orders⋈lineitem co-purchase
-    // projection) re-plans per round (the g1 adjacency-slot lesson;
-    // measured 13.3 s → ~5 s at sf0.1)
+    // the rounds themselves hit [[bfsHops]]'s cached CSR adjacency, but
+    // the RAW edge list still feeds the seed scan AND the adjacency
+    // build — without this slot a derived edge list (e.g. the
+    // orders⋈lineitem co-purchase projection) re-plans for each
+    // (the g1 adjacency-slot lesson; measured 13.3 s → ~5 s at sf0.1);
+    // both sweeps share ONE adjacency entry (identical canonicalized plan)
     val e = diamEdgeSlot.persist(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val seed = e.select(least(col("src"), col("dst")).as("s"))
@@ -458,6 +477,12 @@ object Graph {
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // same CSR-once shape as [[bfsHops]] (shared slot — identical edge
+    // plans, e.g. a diameter sweep and a landmark panel over one graph,
+    // share ONE cached adjacency); each round exchanges only the
+    // (seed, node) frontier, never the edge relation
+    val adj = bfsAdjSlot.persist(
+      e.groupBy("src").agg(collect_set(col("dst")).as("dsts")))
     var known = CheckpointCut.cut(seeds.select(col(seedCol).as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("hops")))
     var frontier = known.select("seed", "node")
@@ -466,8 +491,8 @@ object Graph {
     while (d < maxHops && !frontier.isEmpty) {
       d += 1
       val next = CheckpointCut.cut(
-        e.join(frontier.hint("shuffle_hash"), e("src") === frontier("node"))
-          .select(col("seed"), col("dst").as("node")).distinct()
+        adj.join(frontier.hint("shuffle_hash"), adj("src") === frontier("node"))
+          .select(col("seed"), explode(col("dsts")).as("node")).distinct()
           .join(known, Seq("seed", "node"), "left_anti")
           .withColumn("hops", lit(d)))
       val prevKnown = known
