@@ -620,9 +620,7 @@ object Similarity {
       queryIdCol: String,
       k: Int,
       maxDf: Long = Long.MaxValue): DataFrame = {
-    val words = docs.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
-    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf = termFreqs(docs, idCol, textCol)
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
     val n = docs.where(col(textCol).isNotNull).agg(count(lit(1)).as("n_docs"))
@@ -706,9 +704,7 @@ object Similarity {
       maxDf: Long = Long.MaxValue): DataFrame = {
     val k1 = k1Bp / 10000.0
     val b = bBp / 10000.0
-    val words = docs.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
-    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf = termFreqs(docs, idCol, textCol)
     // dl BEFORE any df filtering: length normalization sees the true doc
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
@@ -720,9 +716,11 @@ object Similarity {
       .select(col("word"),
         expr("cast(round(ln((n_docs - df + 0.5) / (df + 0.5)) * 1000) as bigint)").as("idf_fp"),
         expr("cast(total_dl as double) / cast(n_docs as double)").as("avgdl"))
-    val qTerms = words
+    // the cached tf relation is already one row per (doc, word) — the
+    // query's distinct-term set reads straight off it, no re-tokenize
+    val qTerms = tf
       .join(queryIds.select(col(queryIdCol).as("doc_id")).distinct(), Seq("doc_id"))
-      .select(col("doc_id").as("query_id"), col("word")).distinct()
+      .select(col("doc_id").as("query_id"), col("word"))
     val terms = qTerms
       .join(tf.withColumnRenamed("doc_id", "neighbor_id"), Seq("word"))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -915,6 +913,32 @@ object Similarity {
   private val bfSlot = new CacheSlot
   private val pqCentSlot = new CacheSlot
   private val postingsSlot = new CacheSlot
+  private val tfSlot = new CacheSlot
+
+  /** Shared (doc_id, word, tf) relation for the sparse-retrieval family
+    * ([[sparseCosineTopK]], [[bm25TopK]]): tokenize + term-frequency
+    * aggregate, built ONCE per corpus plan and cached REPARTITIONED ON
+    * THE WORD at full shuffle width. Two reasons, both measured on v27
+    * (which runs both rankers over one corpus): (1) uncached, bm25
+    * re-tokenized the corpus four times (dl, df, the postings join, and
+    * the query-term scan); (2) partitioned on (doc_id, word) — the
+    * groupBy's native layout — AQE sizes the vocab-keyed consumers off
+    * a tiny post-shuffle estimate and coalesces the postings join to
+    * ONE task (a 250k-row single-thread fan-out stage at sf0.1).
+    * Word-partitioning makes `df` exchange-free and every postings join
+    * inherit full width. Same LRU-bounded MEMORY_AND_DISK contract as
+    * [[postingsSlot]]; identical corpus plans (e.g. a hybrid fuse's two
+    * rankers) share ONE entry.
+    */
+  private[ops] def termFreqs(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    tfSlot.persist(
+      docs.select(col(idCol).as("doc_id"),
+          explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .repartition(par, col("word")))
+  }
 
   /** Build the IVF index: pick centroids (deterministic sample, optional
     * Lloyd refinement), then assign every corpus vector to its nearest

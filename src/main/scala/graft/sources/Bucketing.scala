@@ -75,6 +75,20 @@ object Bucketing {
   def replaceTable(df: DataFrame, table: String): Unit =
     writeThenSwap(df, table)((w, t) => w.saveAsTable(t))
 
+  /** Align the writer's partitioning to the bucket layout: repartition
+    * and bucketBy share the same hash (Murmur3 pmod numBuckets), so
+    * after this each write task owns exactly ONE bucket and emits ONE
+    * file. Unaligned, every task opens a parquet writer per bucket it
+    * touches — tasks×buckets files per write (measured on the sf0.1
+    * IVF index: 31 tasks × 16 buckets, 10.5 executor-CPU-s of writer
+    * setup for 2000 rows, then a small-file-bound read back). Write
+    * parallelism becomes the bucket count — which the 100-200 MB/bucket
+    * sizing rule already fixes at table-size/target-file-size tasks.
+    */
+  private def alignToBuckets(
+      df: DataFrame, bucketCols: Seq[String], numBuckets: Int): DataFrame =
+    df.repartition(numBuckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+
   /** Write `df` as a bucketed (and optionally sorted) managed table;
     * stage-then-swap like [[replaceTable]].
     */
@@ -84,7 +98,7 @@ object Bucketing {
       bucketCol: String,
       numBuckets: Int,
       sortCols: Seq[String] = Nil): Unit =
-    writeThenSwap(df, table) { (w0, t) =>
+    writeThenSwap(alignToBuckets(df, Seq(bucketCol), numBuckets), table) { (w0, t) =>
       val w = w0.bucketBy(numBuckets, bucketCol)
       (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
         .saveAsTable(t)
@@ -102,7 +116,8 @@ object Bucketing {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(
       throw new IllegalStateException(s"$table is not bucketed — use a plain append"))
-    val w = df.write.mode("append")
+    val w = alignToBuckets(df, spec.bucketColumnNames, spec.numBuckets)
+      .write.mode("append")
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
     (spec.sortColumnNames match {
       case s if s.nonEmpty => w.sortBy(s.head, s.tail: _*)
@@ -115,19 +130,29 @@ object Bucketing {
     * adds one file set per bucket, and after many appends the
     * small-file count dominates scan setup (the classic streaming-sink
     * failure mode). One compact = one read + one bucketed write behind
-    * the same stage-then-swap crash safety as the original write; each
-    * bucket collapses back to one file per writer task. Run it on a
-    * cadence tied to append count, not time.
+    * the same stage-then-swap crash safety as the original write; with
+    * the bucket-aligned repartition each bucket collapses back to
+    * exactly ONE file. Run it on a cadence tied to append count, not
+    * time.
     */
   def compactBucketed(spark: SparkSession, table: String): Unit = {
     val meta = org.apache.spark.sql.graft.shims.sessionState(spark).catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(
       throw new IllegalStateException(s"$table is not bucketed — nothing to compact"))
-    // safe to read the live table lazily: writeThenSwap consumes the
-    // plan entirely while writing the STAGING copy — the source is only
-    // renamed away after that write completes
-    writeBucketed(spark.table(table), table, spec.bucketColumnNames.head, spec.numBuckets,
+    // Read the table's FILES, not its catalog relation. A bucketed scan
+    // advertises HashPartitioning(bucketCols, n), which lets the planner
+    // drop the bucket-aligning repartition as redundant — and then
+    // DisableUnnecessaryBucketedScan (nothing left exploits the
+    // bucketing) reverts to a one-partition-per-FILE scan, so the
+    // "compact" rewrites every small file 1:1 instead of folding them
+    // (observed: 6 input files → 6 unaligned output files). A path read
+    // carries no bucket metadata: the aligning shuffle survives and each
+    // bucket collapses to exactly one file. Safe to read lazily:
+    // writeThenSwap consumes the plan entirely while writing the STAGING
+    // copy — the source directory is only renamed away after that.
+    val data = spark.read.schema(meta.schema).parquet(meta.location.toString)
+    writeBucketed(data, table, spec.bucketColumnNames.head, spec.numBuckets,
       sortCols = spec.sortColumnNames)
   }
 
