@@ -66,6 +66,35 @@ object SparkEntry {
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
 
+  /** The distinct customer–supplier trade pairs (disjoint long ids:
+    * customers even, suppliers odd) — the shared edge relation of the
+    * supply-chain graph family (PageRank, BFS/diameter, personalized
+    * rank, HITS, landmark closeness). The fact join + distinct is the
+    * expensive part and identical across all of them, so it goes through
+    * [[graft.ops.Graph.cacheEdges]]: one session-cached pair list, every
+    * consumer's first exchange reads it instead of re-joining the fact
+    * tables (alias names differ per consumer but canonicalized plans
+    * don't — Spark erases names, so every variant shares one entry).
+    */
+  private def supplyPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.cacheEdges(
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct())
+
+  /** Both orientations of [[supplyPairs]] via explode, NOT
+    * union(pairs, pairs.swap): union would run the whole fact join +
+    * distinct twice.
+    */
+  private def supplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = supplyPairs(s, dir)
+    pairs.select(explode(array(
+      struct(col("a").as("s"), col("b").as("d")),
+      struct(col("b").as("s"), col("a").as("d")))).as("e"))
+      .select(col("e.s").as("a"), col("e.d").as("b"))
+  }
+
   /** The 1% centile variant of [[copurchaseSlice]] — the 100× gates'
     * input. A mod-10 slice is slice-QUADRATIC in replica count
     * (custkey strides are powers of 10, so it keeps EVERY replica of
@@ -504,17 +533,10 @@ object SparkEntry {
     //      over the recursive closure, so DuckDB's recursive CTE is an
     //      exact oracle ----
     "g3_bfs_hops" -> ((s, dir) => {
-      val pairs = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-        .distinct()
-      val edges = pairs.select(explode(array(
-        struct(col("a").as("s"), col("b").as("d")),
-        struct(col("b").as("s"), col("a").as("d")))).as("e"))
-        .select(col("e.s").as("a"), col("e.d").as("b"))
       val seeds = t(s, dir, "supplier").where(col("s_suppkey") % 10 === 0)
         .select((col("s_suppkey").cast("long") * 2 + 1).as("seed"))
-      graft.ops.Graph.bfsHops(edges, "a", "b", seeds, "seed", maxHops = 3)
+      graft.ops.Graph.bfsHops(
+        supplyEdges(s, dir), "a", "b", seeds, "seed", maxHops = 3)
     }),
 
     // ---- G: landmark closeness + harmonic centrality — per-seed BFS
@@ -522,34 +544,17 @@ object SparkEntry {
     //      round), exact hop sums, floored micro-unit reciprocals;
     //      horizon-bounded, the practical web-scale definition ----
     "g15_closeness" -> ((s, dir) => {
-      val pairs = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-        .distinct()
-      val edges = pairs.select(explode(array(
-        struct(col("a").as("s"), col("b").as("d")),
-        struct(col("b").as("s"), col("a").as("d")))).as("e"))
-        .select(col("e.s").as("a"), col("e.d").as("b"))
       val seeds = t(s, dir, "supplier").where(col("s_suppkey") % 25 === 0)
         .select((col("s_suppkey").cast("long") * 2 + 1).as("seed"))
-      graft.ops.Graph.closenessCentrality(edges, "a", "b", seeds, "seed", maxHops = 3)
+      graft.ops.Graph.closenessCentrality(
+        supplyEdges(s, dir), "a", "b", seeds, "seed", maxHops = 3)
     }),
 
-    "g1_pagerank" -> ((s, dir) => {
+    "g1_pagerank" -> ((s, dir) =>
       // disjoint LONG node ids (customers even, suppliers odd) — long
       // keys hash/shuffle several times cheaper than string-prefixed ones
-      val pairs = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-        .distinct()
-      // both orientations via explode, NOT union(pairs, pairs.swap):
-      // union would run the whole fact join + distinct twice
-      val edges = pairs.select(explode(array(
-        struct(col("a").as("s"), col("b").as("d")),
-        struct(col("b").as("s"), col("a").as("d")))).as("e"))
-        .select(col("e.s").as("a"), col("e.d").as("b"))
-      graft.ops.Graph.pageRank(edges, "a", "b", iterations = 5, dampingBp = 8500)
-    }),
+      graft.ops.Graph.pageRank(
+        supplyEdges(s, dir), "a", "b", iterations = 5, dampingBp = 8500)),
 
     // ---- G: per-node triangle counts over the customer co-purchase
     //      graph (pairs sharing >= 3 distinct parts) — co-occurrence
@@ -581,9 +586,9 @@ object SparkEntry {
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       // the co-occurrence join is the expensive part and BOTH the
       // label-prop rounds and every modularity branch consume it —
-      // cache it once (Spark re-plans the DAG per consumer otherwise)
-      val pairs = graft.ops.Graph.cacheEdges(
-        graft.ops.Graph.coOccurrenceEdges(rel, "cust", "part", minShared = 3))
+      // coOccurrenceEdges self-caches its pair list (one artifact for
+      // every consumer of this graph in the session)
+      val pairs = graft.ops.Graph.coOccurrenceEdges(rel, "cust", "part", minShared = 3)
       val edges = pairs.select(explode(array(
         struct(col("src").as("s"), col("dst").as("d")),
         struct(col("dst").as("s"), col("src").as("d")))).as("e"))
@@ -593,9 +598,8 @@ object SparkEntry {
     }),
 
     "g12s_modularity_slice" -> ((s, dir) => {
-      val pairs = graft.ops.Graph.cacheEdges(
-        graft.ops.Graph.coOccurrenceEdges(
-          copurchaseSlice(s, dir), "cust", "part", minShared = 3))
+      val pairs = graft.ops.Graph.coOccurrenceEdges(
+        copurchaseSlice(s, dir), "cust", "part", minShared = 3)
       val edges = pairs.select(explode(array(
         struct(col("src").as("s"), col("dst").as("d")),
         struct(col("dst").as("s"), col("src").as("d")))).as("e"))
@@ -629,9 +633,8 @@ object SparkEntry {
     }),
 
     "g12s2_modularity_centile" -> ((s, dir) => {
-      val pairs = graft.ops.Graph.cacheEdges(
-        graft.ops.Graph.coOccurrenceEdges(
-          copurchaseCentile(s, dir), "cust", "part", minShared = 3))
+      val pairs = graft.ops.Graph.coOccurrenceEdges(
+        copurchaseCentile(s, dir), "cust", "part", minShared = 3)
       val edges = pairs.select(explode(array(
         struct(col("src").as("s"), col("dst").as("d")),
         struct(col("dst").as("s"), col("src").as("d")))).as("e"))
@@ -726,18 +729,10 @@ object SparkEntry {
     //      trusted ones"). Same integer fixed-point rounds as g1, base
     //      term zero for non-seeds ----
     "g5_personalized_pagerank" -> ((s, dir) => {
-      val pairs = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-        .distinct()
-      val edges = pairs.select(explode(array(
-        struct(col("a").as("s"), col("b").as("d")),
-        struct(col("b").as("s"), col("a").as("d")))).as("e"))
-        .select(col("e.s").as("a"), col("e.d").as("b"))
       val seeds = t(s, dir, "supplier").where(col("s_suppkey") % 10 === 0)
         .select((col("s_suppkey").cast("long") * 2 + 1).as("seed"))
       graft.ops.Graph.personalizedPageRank(
-        edges, "a", "b", seeds, "seed", iterations = 3)
+        supplyEdges(s, dir), "a", "b", seeds, "seed", iterations = 3)
     }),
 
     // ---- SRC5: hive-partitioned parquet roundtrip — documents
@@ -964,17 +959,8 @@ object SparkEntry {
 
     // ---- G: double-sweep diameter lower bound — two BFS traversals
     //      give the 'how stretched is this graph' triage number ----
-    "g17_diameter" -> ((s, dir) => {
-      val pairs = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-        .distinct()
-      val edges = pairs.select(explode(array(
-        struct(col("a").as("s"), col("b").as("d")),
-        struct(col("b").as("s"), col("a").as("d")))).as("e"))
-        .select(col("e.s").as("a"), col("e.d").as("b"))
-      graft.ops.Graph.diameterDoubleSweep(edges, "a", "b", maxHops = 8)
-    }),
+    "g17_diameter" -> ((s, dir) =>
+      graft.ops.Graph.diameterDoubleSweep(supplyEdges(s, dir), "a", "b", maxHops = 8)),
 
     // ---- X: per-cell standardized residuals — x40's drill-down:
     //      WHICH status×priority cells are over/under-represented;
@@ -3342,13 +3328,10 @@ object SparkEntry {
     //      buyers are hubs, suppliers authorities (direction is the
     //      point vs g1's undirected PageRank); 2 rounds, L∞-normalized
     //      integer scores the oracle unrolls exactly ----
-    "g8_hits" -> ((s, dir) => {
-      val edges = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      graft.ops.Graph.hits(edges, "src", "dst", iterations = 2)
-    }),
+    "g8_hits" -> ((s, dir) =>
+      // customers (even ids) are the sources: buyers are hubs,
+      // suppliers authorities — supplyPairs' (a, b) IS (src, dst)
+      graft.ops.Graph.hits(supplyPairs(s, dir), "a", "b", iterations = 2)),
 
     "g8s_hits_slice" -> ((s, dir) => {
       val edges = t(s, dir, "orders")

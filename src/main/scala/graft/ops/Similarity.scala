@@ -910,7 +910,14 @@ object Similarity {
   private val driftSlot = new CacheSlot
   private val oneShotCentSlot = new CacheSlot
   private val lshCandSlot = new CacheSlot
-  private val bfSlot = new CacheSlot
+  // Brute-force ground truths are |Q|·k rows — KB-scale — while each one
+  // costs a full |Q|·|corpus| scoring pass, and the recall-gate family
+  // cycles ~8 distinct (corpus, queries) plans through this slot in one
+  // session (v20..v31: full-dim, truncated, projected, budget-capped
+  // query sets). At the default capacity the v29 gate re-ran a ground
+  // truth v26 had already computed (~55 executor-CPU-s, r10 bench);
+  // 16 tiny entries hold the whole family.
+  private val bfSlot = new CacheSlot(16)
   private val pqCentSlot = new CacheSlot
   private val postingsSlot = new CacheSlot
   private val tfSlot = new CacheSlot

@@ -61,4 +61,48 @@ class CacheSlotSpec extends AnyFunSuite with SparkSpec {
   test("default capacity is >= 2 (concurrent-session churn bound)") {
     assert(CacheSlot.defaultCapacity >= 2)
   }
+
+  test("ResultMemo: same (input, params) returns the memoized frame; " +
+      "different params or input recompute") {
+    val memo = new ResultMemo(2)
+    var computes = 0
+    def run(df: org.apache.spark.sql.DataFrame, p: String) =
+      memo.getOrCompute(df, p) { computes += 1; df.localCheckpoint(true) }
+    val in = Seq(1, 2, 3).toDF("x")
+    val r1 = run(in, "rounds=3")
+    assert(computes == 1)
+    // identical input PLAN (fresh object) + same params: memo hit
+    val r2 = run(Seq(1, 2, 3).toDF("x"), "rounds=3")
+    assert(computes == 1)
+    assert(r2 eq r1, "equal key must return the memoized handle")
+    // same input, different params: a different loop result — recompute
+    run(in, "rounds=5")
+    assert(computes == 2)
+    // different input plan: recompute
+    run(Seq(9).toDF("x"), "rounds=3")
+    assert(computes == 3)
+    memo.clear()
+    run(in, "rounds=3")
+    assert(computes == 4, "clear() must drop the memoized entries")
+    memo.clear()
+  }
+
+  test("ResultMemo: capacity bounds the entries, LRU evicted first") {
+    val memo = new ResultMemo(2)
+    var computes = 0
+    def run(n: Int) = memo.getOrCompute(Seq.fill(n)(1).toDF("x"), "p") {
+      computes += 1; Seq.fill(n)(1).toDF("x").localCheckpoint(true)
+    }
+    run(1); run(2)
+    assert(computes == 2)
+    run(1) // touch: 2 becomes LRU
+    assert(computes == 2)
+    run(3) // evicts 2
+    assert(computes == 3)
+    run(1)
+    assert(computes == 3, "recently-used entry must survive the eviction")
+    run(2)
+    assert(computes == 4, "evicted entry must recompute")
+    memo.clear()
+  }
 }
