@@ -10,19 +10,25 @@ import org.apache.spark.storage.StorageLevel
   * Each operator owns one slot holding up to [[CacheSlot.defaultCapacity]]
   * entries, keyed by CANONICALIZED plan and evicted least-recently-used.
   * Capacity 1 is the original single-occupant behaviour (a session calling
-  * the operator N times holds one cached copy, not N); 2 covers the
-  * measured concurrent-session case — two sessions driving the SAME
-  * operator over DIFFERENT corpora (tools.StressConcurrent phase 2)
+  * the operator N times holds one cached copy, not N); the default of 2
+  * covers the measured concurrent-session case — two sessions driving the
+  * SAME operator over DIFFERENT corpora (tools.StressConcurrent phase 2)
   * alternate plans, and a single-occupant slot turns every call into a
-  * full recompute. The default of 4 exists because the verified query
-  * surface ships THREE input variants of each operator family (full +
-  * mod-10 slice + mod-100 centile gates): a session running them in
-  * sequence cycles three plans through the slot, and capacity 2 evicted
-  * the full-graph artifact exactly when the next full-graph consumer
-  * needed it (measured in the r10 bench: g2/g4/g14 each re-ran the
-  * co-occurrence join g12 had already cached). Memory stays bounded at
-  * capacity × one artifact per operator, MEMORY_AND_DISK so cold entries
-  * degrade to disk blocks rather than executor heap.
+  * full recompute. Slots whose entries are SMALL relative to the work
+  * they cache (pair lists, per-node aggregates, |Q|·k ground truths)
+  * opt into larger capacities explicitly — the verified query surface
+  * ships three input variants of each operator family (full + mod-10
+  * slice + mod-100 centile gates), and capacity 2 evicts the full-graph
+  * artifact exactly when the next full-graph consumer needs it. The
+  * default deliberately stays at 2 for everything else: raising it
+  * globally to 4 was measured to REGRESS the full 288-query bench
+  * (~+20 s wall, v7-class queries up to +250 executor-CPU-s) — the
+  * big-artifact slots (probe LUT relations, postings, shingle arrays)
+  * overflow the 8 GiB driver's storage pool at 2× retention, hot blocks
+  * degrade to serialized disk blocks, and every consumer then pays
+  * per-read deserialization. Memory stays bounded at capacity × one
+  * artifact per operator, MEMORY_AND_DISK so cold entries degrade to
+  * disk blocks rather than executor heap.
   *
   * Unpersisting a DataFrame that an in-flight query still references is
   * safe in Spark — the query falls back to recomputing the lineage — so
@@ -103,7 +109,7 @@ object CacheSlot {
     * `-Dgraft.cacheSlot.capacity=N`.
     */
   val defaultCapacity: Int =
-    Integer.getInteger("graft.cacheSlot.capacity", 4)
+    Integer.getInteger("graft.cacheSlot.capacity", 2)
 }
 
 /** Memoization for operators whose RESULT plan is not derivable from

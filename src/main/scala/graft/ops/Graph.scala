@@ -95,12 +95,16 @@ object Graph {
   private val bfsAdjSlot = new CacheSlot
   // co-occurrence pair lists (see coOccurrenceEdges) and per-node
   // triangle counts (nodes-sized — the wedge-closing pass they cost is
-  // the whole point of keeping them)
-  private val coocSlot = new CacheSlot
-  private val triSlot = new CacheSlot
+  // the whole point of keeping them). Capacity 4: these entries are
+  // small, and the full + mod-10 slice + mod-100 centile gate variants
+  // cycle three plans through each slot before the full-graph consumers
+  // return (the CacheSlot scaladoc's small-entry opt-in).
+  private val coocSlot = new CacheSlot(4)
+  private val triSlot = new CacheSlot(4)
   // finished label-propagation states, keyed by (edge plan, rounds) —
-  // a checkpoint leaf can't be keyed by its own plan (see ResultMemo)
-  private val lpaMemo = new ResultMemo
+  // a checkpoint leaf can't be keyed by its own plan (see ResultMemo);
+  // capacity 4 for the same full/slice/centile variant cycling
+  private val lpaMemo = new ResultMemo(4)
 
   def pageRank(
       edges: DataFrame,

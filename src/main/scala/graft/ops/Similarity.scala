@@ -909,6 +909,10 @@ object Similarity {
 
   private val driftSlot = new CacheSlot
   private val oneShotCentSlot = new CacheSlot
+  // one-shot index cell relations (ivfBuild/ivfPqBuild persist=false) —
+  // corpus-sized entries, so the default bound: one resident one-shot
+  // index (plus one alternate) mirrors the oneShotCentSlot discipline
+  private val oneShotCellsSlot = new CacheSlot
   private val lshCandSlot = new CacheSlot
   // Brute-force ground truths are |Q|·k rows — KB-scale — while each one
   // costs a full |Q|·|corpus| scoring pass, and the recall-gate family
@@ -980,7 +984,14 @@ object Similarity {
       .crossJoin(broadcast(centArr))
       .select(col("neighbor_id"), col("c_vec"),
         graft.functions.IvfCells.nearest_cell(col("c_vec"), col("cents")).as("cell"))
-    val cells = if (persist) assigned.persist(MEMORY_AND_DISK) else assigned
+    // one-shot cells park in a bounded slot like the centroids: a probe
+    // consumes the cell relation from several jobs (scan, rerank, the
+    // recall gate's double read), and left lazy each one re-ran the
+    // whole assignment pass — the amplification behind the v7-class
+    // run-to-run CPU swings in the full bench
+    val cells =
+      if (persist) assigned.persist(MEMORY_AND_DISK)
+      else oneShotCellsSlot.persist(assigned)
     IvfIndex(cells, centArr)
   }
 
@@ -1538,7 +1549,11 @@ object Similarity {
     val cb = pqTrain(corpus, idCol, vecCol, m, ksub, iters, persist)
     val pqc = cb.cents.select(col("cents").as("pq_cents"))
     val enc = encodeForIndex(corpus, idCol, vecCol, centArr, pqc, m, ksub, par)
-    val cells = if (persist) enc.persist(MEMORY_AND_DISK) else enc
+    // same one-shot parking as ivfBuild — the encode pass (two codebook
+    // cross joins + pq_encode per vector) otherwise re-runs per consumer
+    val cells =
+      if (persist) enc.persist(MEMORY_AND_DISK)
+      else oneShotCellsSlot.persist(enc)
     IvfPqIndex(cells, centArr, pqc, m, ksub)
   }
 
