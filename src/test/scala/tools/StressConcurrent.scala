@@ -139,6 +139,34 @@ object StressConcurrent {
     }
     println(f"concurrent cc (2 threads x 2 calls): $ccWall%.1fs (memo-hit path, correct)")
 
+    // ---- phase 4: ResultMemo (LPA) — compute-outside-lock under
+    //      concurrent first callers of the SAME key (both threads race
+    //      the loop; first put wins, both answers must equal the
+    //      single-threaded baseline) and of DIFFERENT keys (must not
+    //      serialize behind each other's rounds) ----
+    println("== phase 4: label-propagation ResultMemo x 2 threads ==")
+    def lpaEdges(c: DataFrame): DataFrame = {
+      val pairs = graft.ops.Dedup.minhashNearDup(c, "doc_id", "text", 0.8)
+      pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+        .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+    }
+    def lpa(c: DataFrame): (BigDecimal, Long) =
+      rowHash(graft.ops.Graph.labelPropagation(lpaEdges(c), "s", "d", rounds = 3))
+    val expLpaA = lpa(corpusA)
+    val expLpaB = lpa(corpusB)
+    val (_, lpaWall) = timed {
+      val fs = Seq(
+        // same-key race: two first callers for corpusA simultaneously
+        scala.concurrent.Future(assert(lpa(corpusA) == expLpaA, "lpaA-1")),
+        scala.concurrent.Future(assert(lpa(corpusA) == expLpaA, "lpaA-2")),
+        // different key concurrently — must not block on A's loop
+        scala.concurrent.Future(assert(lpa(corpusB) == expLpaB, "lpaB")))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration.Inf)
+    }
+    println(f"concurrent lpa (same-key race + distinct key): $lpaWall%.1fs (all correct)")
+
     pool.shutdown()
     println("[stress-concurrent] PASS — no failures, no wrong answers")
     spark.stop()
