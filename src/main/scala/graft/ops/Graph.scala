@@ -475,14 +475,39 @@ object Graph {
 
   /** Per-seed BFS hop distances, bounded depth — [[bfsHops]] with seed
     * IDENTITY preserved: each seed runs its own level-synchronous
-    * expansion, all seeds advancing together in one join per round
-    * (the frontier key is the (seed, node) pair, so k landmarks cost
-    * the same round count as one, not k sequential traversals).
+    * expansion, all seeds advancing together in one join per round.
     *
-    * State is |seeds|·reachable rows — this is the LANDMARK contract:
-    * pick a bounded seed panel (the candidates whose centrality you
-    * are ranking), never the full node set (that would be all-pairs
-    * BFS, O(n·m) — wrong tool at any scale).
+    * Frontier layout is the MS-BFS bitmask form (Then et al., VLDB
+    * 2015): seeds get dense bit indices, round state is
+    * `(node, word_idx, mask LONG)` — 64 seeds per word — and a round is
+    * adjacency-join → explode → `bit_or` aggregate, with the new-bit
+    * mask `m & ~known` deciding both the next frontier and the hop
+    * stamp. The previous `(seed, node)`-pair frontier exploded the
+    * adjacency once PER SEED sharing a node: at sf0.1/g15 the hop-3
+    * round shuffled 13.06M pair rows to produce ~600k new entries
+    * (tools.ProfileStages: 24 of the query's 37 warm CPU-s in that one
+    * explode+distinct). The bitmask frontier explodes each frontier
+    * NODE once regardless of how many seeds sit on it and the map-side
+    * `bit_or` partials collapse to ≤ |touched nodes|·words rows per
+    * task before the exchange — frontier volume is bounded by the node
+    * set, not the seed×node cross. Per-seed rows exist only in the
+    * final decode (set bits → `(seed, node, hops)`), which emits
+    * exactly the true output size.
+    *
+    * Determinism: bit assignment is `row_number() ORDER BY seed`
+    * (total order), `bit_or` is order-immune, and a bit enters the
+    * known mask exactly at its level-synchronous BFS depth — the
+    * decoded rows are the same exact (seed, node, hops) set as the
+    * pair-frontier form, which the GraphSpec hand-computed cases and
+    * the g15 hash oracle pin.
+    *
+    * State is |reachable|·words rows per round — this is the LANDMARK
+    * contract: pick a bounded seed panel (the candidates whose
+    * centrality you are ranking), never the full node set (that would
+    * be all-pairs BFS, O(n·m) — wrong tool at any scale). The one
+    * driver-side piece is the row_number window over the SEED PANEL
+    * (single-partition sort of the panel only — bounded by the same
+    * contract).
     *
     * @return (seed, node, hops), hops in [0, maxHops], self at 0
     */
@@ -498,30 +523,66 @@ object Graph {
     // same CSR-once shape as [[bfsHops]] (shared slot — identical edge
     // plans, e.g. a diameter sweep and a landmark panel over one graph,
     // share ONE cached adjacency); each round exchanges only the
-    // (seed, node) frontier, never the edge relation
+    // node-keyed bitmask frontier, never the edge relation
     val adj = bfsAdjSlot.persist(
       e.groupBy("src").agg(collect_set(col("dst")).as("dsts")))
-    var known = CheckpointCut.cut(seeds.select(col(seedCol).as("seed")).distinct()
-      .select(col("seed"), col("seed").as("node"), lit(0L).as("hops")))
-    var frontier = known.select("seed", "node")
-    var frontierState: DataFrame = null
+    // dense bit index per seed, deterministic (panel-sized window);
+    // cut once — both the hop-0 state and the final decode read it
+    val seedMap = CheckpointCut.cut(
+      seeds.select(col(seedCol).as("seed")).distinct()
+        .withColumn("idx",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("seed"))).cast("long") - 1L)
+        .select(col("seed"), col("idx"),
+          expr("idx div 64").as("word_idx"),
+          expr("shiftleft(1L, cast(idx % 64 as int))").as("mask")))
+    // hop-0: each seed node owns its own bit (seeds are distinct, so no
+    // two rows share (node, word_idx) yet — no merge needed)
+    var known = CheckpointCut.cut(
+      seedMap.select(col("seed").as("node"), col("word_idx"), col("mask")))
+    // level frames back the returned plan — they stay alive (the old
+    // pair form kept the same information inside the accumulated
+    // union). Hop-0 reads from the never-released seedMap leaf, NOT
+    // from `known`: round 1 releases the round-0 known state, and a
+    // levels frame built on it would lose its checkpoint blocks.
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](
+      seedMap.select(col("seed").as("node"), col("word_idx"), col("mask"))
+        .withColumn("hops", lit(0L)))
+    var frontier = known
     var d = 0L
     while (d < maxHops && !frontier.isEmpty) {
       d += 1
-      val next = CheckpointCut.cut(
-        adj.join(frontier.hint("shuffle_hash"), adj("src") === frontier("node"))
-          .select(col("seed"), explode(col("dsts")).as("node")).distinct()
-          .join(known, Seq("seed", "node"), "left_anti")
-          .withColumn("hops", lit(d)))
+      // one adjacency explode per frontier NODE; bit_or partials
+      // collapse the fan-out map-side before the exchange
+      val contrib = adj
+        .join(frontier.hint("shuffle_hash"), adj("src") === frontier("node"))
+        .select(explode(col("dsts")).as("node"), col("word_idx"), col("mask"))
+        .groupBy("node", "word_idx").agg(expr("bit_or(mask)").as("m"))
+      val next = CheckpointCut.cut(contrib
+        .join(known.withColumnRenamed("mask", "k"), Seq("node", "word_idx"), "left")
+        .select(col("node"), col("word_idx"),
+          expr("m & ~coalesce(k, 0L)").as("mask"))
+        .where(col("mask") =!= 0L))
       val prevKnown = known
-      known = CheckpointCut.cut(known.union(next))
+      known = CheckpointCut.cut(
+        known.unionByName(next)
+          .groupBy("node", "word_idx").agg(expr("bit_or(mask)").as("mask")))
       CheckpointCut.release(prevKnown)
-      if (frontierState != null) CheckpointCut.release(frontierState)
-      frontierState = next
-      frontier = next.select("seed", "node")
+      levels += next.withColumn("hops", lit(d))
+      frontier = next
     }
-    if (frontierState != null) CheckpointCut.release(frontierState)
-    known
+    // decode set bits to (seed, node, hops): emit only the bits that
+    // are actually set (never a 64-way join fan-out), then attach seed
+    // identity via the panel-sized map
+    val allLevels = levels.reduce(_ unionByName _)
+    allLevels
+      .select(col("node"), col("hops"),
+        explode(expr(
+          "transform(filter(sequence(0, 63), b -> ((mask >> b) & 1) = 1), " +
+            "b -> word_idx * 64 + cast(b as bigint))")).as("seed_idx"))
+      .join(broadcast(seedMap.select(col("seed"), col("idx").as("seed_idx"))),
+        Seq("seed_idx"))
+      .select(col("seed"), col("node"), col("hops"))
   }
 
   /** Closeness + harmonic centrality of a landmark panel (Bavelas 1950;
