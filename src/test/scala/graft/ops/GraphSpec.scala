@@ -541,6 +541,24 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(out.getLong(5) == 2000000L)
   }
 
+  test("seededDistances: a 100-seed panel exercises the multi-word bitmask path exactly") {
+    // 200-node undirected cycle, seeds 0..99 — two 64-bit mask words
+    // (the MS-BFS frontier layout's word_idx > 0 branch, which the
+    // 40-seed verified queries never reach). Expected set is closed
+    // form: each seed reaches s±1 at hop 1 and s±2 at hop 2.
+    val edges = (0L until 200L).map(i => i -> ((i + 1) % 200))
+    val e = (edges ++ edges.map(_.swap)).toDF("s", "d")
+    val out = Graph.seededDistances(e, "s", "d",
+        (0L until 100L).toDF("seed"), "seed", maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (0L until 100L).flatMap { s =>
+      Seq((s, s, 0L),
+        (s, (s + 1) % 200, 1L), (s, (s + 199) % 200, 1L),
+        (s, (s + 2) % 200, 2L), (s, (s + 198) % 200, 2L))
+    }.toSet
+    assert(out == expected)
+  }
+
   test("closenessCentrality: an isolated seed reports zeros and a NULL closeness, never a crash") {
     val e = Seq(1L -> 2L, 2L -> 1L).toDF("s", "d")
     val out = Graph.closenessCentrality(e, "s", "d",
