@@ -906,7 +906,9 @@ object Graph {
     * in-adjacency (dst → srcs[]) propagates authority→hub; both built
     * ONCE, cached in operator-owned [[CacheSlot]]s, hash-partitioned
     * by their groupBy. Per round: two shuffle_hash joins of nodes-sized
-    * relations, two map-side-partial sums, two scalar-subquery maxes.
+    * relations, two map-side-partial sums, two one-row maxes — each max
+    * reads the half-round's CUT raw sums (nodes-sized), never a second
+    * pass over the edge fan-out.
     * Round state is nodes-sized (node + two longs), [[CheckpointCut]]
     * like every iterative tier — reliable files on a cluster with a
     * checkpoint dir, executor-local blocks in local mode.
@@ -943,11 +945,23 @@ object Graph {
       // crossed in as a scalar (the established one-row-cross shape) so
       // the division stays a LONG `div` — floor-exact, never a double.
       // The greatest(·,1) guard only fires on an edgeless graph; nodes
-      // with no contribution score 0
-      val mx = raw.agg(greatest(coalesce(max(col("m")), lit(1L)), lit(1L)).as("mx"))
-      nodes.join(raw, Seq("node"), "left").crossJoin(broadcast(mx))
-        .select(col("node"),
-          expr("(coalesce(m, 0L) * 1000000L) div mx").as(outCol))
+      // with no contribution score 0.
+      // `raw` (the half-round join+explode+sum — the round's dominant
+      // term) is CUT first: the max's broadcast subplan and the
+      // normalize join otherwise each run it in full — ReuseExchange
+      // does not bridge the broadcast subtree under AQE (measured:
+      // duplicate 326k-row partial-sum stages, ~2 executor-CPU-s per
+      // half-round at sf0.1, a full extra edge pass per half-round at
+      // scale). The cut state is nodes-sized and released as soon as
+      // the normalized round state is materialized.
+      val rawCut = CheckpointCut.cut(raw)
+      val mx = rawCut.agg(greatest(coalesce(max(col("m")), lit(1L)), lit(1L)).as("mx"))
+      val out = CheckpointCut.cut(
+        nodes.join(rawCut, Seq("node"), "left").crossJoin(broadcast(mx))
+          .select(col("node"),
+            expr("(coalesce(m, 0L) * 1000000L) div mx").as(outCol)))
+      CheckpointCut.release(rawCut)
+      out
     }
 
     var hubs = nodes.withColumn("hub_fp", lit(1000000L))
@@ -959,13 +973,13 @@ object Graph {
       val aRaw = adjOut.join(hubs.hint("shuffle_hash"), adjOut("src") === hubs("node"))
         .select(explode(col("dsts")).as("node"), col("hub_fp").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
-      auths = CheckpointCut.cut(normalized(aRaw, "auth_fp"))
+      auths = normalized(aRaw, "auth_fp")
       // hub half-round: every edge ships its destination's FRESH
       // authority score back (the in-adjacency direction)
       val hRaw = adjIn.join(auths.hint("shuffle_hash"), adjIn("dst") === auths("node"))
         .select(explode(col("srcs")).as("node"), col("auth_fp").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
-      hubs = CheckpointCut.cut(normalized(hRaw, "hub_fp"))
+      hubs = normalized(hRaw, "hub_fp")
       CheckpointCut.release(prevH)
       if (prevA != null) CheckpointCut.release(prevA)
     }

@@ -925,6 +925,16 @@ object Similarity {
   private val pqCentSlot = new CacheSlot
   private val postingsSlot = new CacheSlot
   private val tfSlot = new CacheSlot
+  // Exact near-dup pair lists: tiny outputs (matches only) that each cost
+  // a full O(n²·dim) scoring pass. DBSCAN consumes its pair relation
+  // TWICE inside one action (the symmetric neighbor counts and the
+  // core-core subgraph — measured as two full pair-scan stages, 23+17
+  // executor-CPU-s at sf0.1), and the standalone near-dup query over the
+  // same (corpus, threshold) plan re-runs the identical scan. Small-entry
+  // slot rule (see CacheSlot scaladoc): capacity 4 covers the verified
+  // full/slice input variants plus the semantic-dedup threshold without
+  // evicting the entry its own query is about to re-read.
+  private val embPairSlot = new CacheSlot(4)
 
   /** Shared (doc_id, word, tf) relation for the sparse-retrieval family
     * ([[sparseCosineTopK]], [[bm25TopK]]): tokenize + term-frequency
@@ -1965,10 +1975,13 @@ object Similarity {
     val a = embeddings.repartition(par, col(idCol))
       .select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine_native(col("vec_a"), col("vec_b")))
-      .where(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    // cached post-filter: the entry is the match list (KB–MB at any
+    // verified SF), the work it saves is the n² scan — see embPairSlot
+    embPairSlot.persist(
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cosine", cosine_native(col("vec_a"), col("vec_b")))
+        .where(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine")))
   }
 
   /** Embedding-distribution drift monitor: per slice (a source, a

@@ -77,6 +77,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("embedding near-dup: same (corpus, threshold) plan returns the slot-cached " +
+      "handle; a different threshold is a distinct entry with its own rows") {
+    // the pair list is slot-cached (one O(n²) scoring pass per plan, not
+    // per consumer — DBSCAN reads it three times in one action and the
+    // standalone near-dup query shares it); the slot contract is the
+    // CacheSlot one: identical canonicalized plans alias ONE entry
+    val a = Similarity.embeddingNearDup(corpus, "vec_id", "embedding", 0.99)
+    val b = Similarity.embeddingNearDup(corpus, "vec_id", "embedding", 0.99)
+    assert(b eq a, "identical (corpus, threshold) must return the cached handle")
+    val loose = Similarity.embeddingNearDup(corpus, "vec_id", "embedding", -1.0)
+    assert(!(loose eq a), "a different threshold is a different plan/entry")
+    // cached and uncached answers agree (cache is an execution detail)
+    val n = corpus.count()
+    assert(loose.count() == n * (n - 1) / 2, "all pairs at threshold -1")
+    assert(a.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((0L, 1L)))
+  }
+
   test("k-means centroids: k rows, refined means converge toward cluster centers") {
     val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", k = 2, iters = 2)
       .collect()
