@@ -30,6 +30,18 @@ object Dedup {
   private val pairSlot = new CacheSlot
   private val candSlot = new CacheSlot
   private val shingleSlot = new CacheSlot
+  // Exact n-gram-Jaccard pair lists (the embPairSlot recipe on the text
+  // side): the matched-pair output is tiny at any dedup threshold, the
+  // pass that produces it is the corpus-wide inverted-index/prefix-filter
+  // join, and one session runs the IDENTICAL (corpus, threshold, n)
+  // computation from several queries — the standalone pair query, the
+  // keep-best cluster dedup, and the band sweep's truth set. Capacity 4:
+  // full corpus + slice/dense gate variants coexist without evicting the
+  // entry the current query family is sharing. The exact-copy COLLAPSE
+  // tier's expansion is deliberately NOT slotted — its output is
+  // answer-sized (r²/2 per duplicate group), not match-sized; its
+  // rep-level recursion lands in this slot via the dispatched tier.
+  private val jacPairSlot = new CacheSlot(4)
 
   // ---------------------------------------------------------------- exact
 
@@ -485,12 +497,12 @@ object Dedup {
     // no broadcast() hint: `sizes` is corpus-sized (one row per doc) and
     // force-broadcasting it OOMs the driver at scale; AQE still picks a
     // broadcast when it actually fits
-    inter
+    jacPairSlot.persist(inter
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")))
   }
 
   /** Exact all-pairs n-gram Jaccard with PREFIX FILTERING (Chaudhuri et
@@ -589,13 +601,13 @@ object Dedup {
     // Exact verification: one set intersection per surviving candidate.
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    cand.join(a, "id_a").join(b, "id_b")
+    jacPairSlot.persist(cand.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
         size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")))
   }
 
   /** Exact all-pairs n-gram Jaccard with ADAPTIVE tier selection — same

@@ -138,6 +138,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(naive.nonEmpty) // the generator must actually produce near-dups
   }
 
+  test("ngram jaccard pair list is slot-cached per (corpus, threshold, n): " +
+      "repeat calls return the cached handle, a new threshold a new entry") {
+    // the pair list is a tiny match-sized output of a corpus-wide join;
+    // one session computes the IDENTICAL relation from the standalone
+    // pair query, the keep-best dedup, and the band sweep's truth set —
+    // the slot makes the second and third consumers block reads
+    val a = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+    val b = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+    assert(b eq a, "identical (corpus, threshold, n) must return the cached handle")
+    assert(!(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9) eq a))
+    val p = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 0.5)
+    assert(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 0.5) eq p)
+    assert(!(p eq a), "prefix and naive tiers are distinct plans/entries")
+  }
+
   test("adaptive jaccard picks a tier per corpus skew; result identical") {
     // benign hand corpus: candidate rows per posting is tiny -> must
     // dispatch naive AND return the naive result set
