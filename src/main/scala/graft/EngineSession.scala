@@ -116,6 +116,25 @@ object EngineSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Let AQE apply (incl. partition coalescing) when materializing
+      // CACHED plans. Off (the default), every `persist()`ed operator
+      // artifact — the CacheSlot adjacencies, postings, signature tables
+      // every iterative loop joins per round — materializes at the full
+      // spark.sql.shuffle.partitions, and that layout propagates to every
+      // downstream loop stage (the cached side satisfies the join's
+      // distribution, so nothing downstream ever re-sizes it). Measured at
+      // sf0.1/local[32]: nodes-sized round state ran 32 tasks/stage with
+      // ~0.3-0.7 executor-CPU-s of pure per-task overhead each — g8_hits
+      // burned 52 CPU-s at 32 cores vs 8.8 at 8 cores for identical work
+      // (the r10 verdict's anti-scaling cohort). With AQE sizing the
+      // cached build, the same state materializes at bytes-derived
+      // partition counts (1-5 at sf0.1): g8 52->5.3 CPU-s, g1 77->9.8,
+      // full 288-query bench 1451->804 CPU-s on one boot, zero
+      // regressions. Scale-adaptive by construction: big cached relations
+      // keep ~parallelism-many partitions (AQE's parallelismFirst rule),
+      // so this is not a local-mode constant — it replaces the
+      // thread-count floor with AQE's bytes rule for cached state.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // reliable-checkpoint files (iterative operators with a checkpoint
       // dir set) must be GC-collectable — the Spark default leaves them
       // on disk for the application's lifetime
