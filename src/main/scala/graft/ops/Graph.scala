@@ -940,51 +940,64 @@ object Graph {
       adjOut.select(col("src").as("node"))
         .union(adjOut.select(explode(col("dsts")).as("node"))).distinct())
 
-    def normalized(raw: DataFrame, outCol: String): DataFrame = {
-      // L∞ normalization: the round max is ONE one-row aggregate,
-      // crossed in as a scalar (the established one-row-cross shape) so
-      // the division stays a LONG `div` — floor-exact, never a double.
-      // The greatest(·,1) guard only fires on an edgeless graph; nodes
-      // with no contribution score 0.
-      // `raw` (the half-round join+explode+sum — the round's dominant
-      // term) is CUT first: the max's broadcast subplan and the
-      // normalize join otherwise each run it in full — ReuseExchange
-      // does not bridge the broadcast subtree under AQE (measured:
-      // duplicate 326k-row partial-sum stages, ~2 executor-CPU-s per
-      // half-round at sf0.1, a full extra edge pass per half-round at
-      // scale). The cut state is nodes-sized and released as soon as
-      // the normalized round state is materialized.
+    // L∞ normalization: the round max is ONE one-row aggregate, crossed
+    // in as a scalar (the established one-row-cross shape) so the
+    // division stays a LONG `div` — floor-exact, never a double. The
+    // greatest(·,1) guard only fires on an edgeless graph; nodes with no
+    // contribution score 0.
+    // ONE cut per half-round, on the RAW sums (the half-round's dominant
+    // join+explode+sum term): the max's broadcast subplan and the
+    // normalize join otherwise each run it in full — ReuseExchange does
+    // not bridge the broadcast subtree under AQE (measured: duplicate
+    // 326k-row partial-sum stages per half-round at sf0.1, a full extra
+    // edge pass at scale). The normalized state itself stays LAZY — it is
+    // a cheap join of the cached node set with the cut leaf plus a
+    // broadcast scalar, consumed exactly once by the next half-round (and
+    // once more by the final output join), so materializing it too was a
+    // second nodes-sized checkpoint per half-round of pure overhead (the
+    // r10 verdict's item 1: 4 cuts/round → 2).
+    def normalized(raw: DataFrame, outCol: String): (DataFrame, DataFrame) = {
       val rawCut = CheckpointCut.cut(raw)
       val mx = rawCut.agg(greatest(coalesce(max(col("m")), lit(1L)), lit(1L)).as("mx"))
-      val out = CheckpointCut.cut(
-        nodes.join(rawCut, Seq("node"), "left").crossJoin(broadcast(mx))
-          .select(col("node"),
-            expr("(coalesce(m, 0L) * 1000000L) div mx").as(outCol)))
-      CheckpointCut.release(rawCut)
-      out
+      val out = nodes.join(rawCut, Seq("node"), "left").crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr("(coalesce(m, 0L) * 1000000L) div mx").as(outCol))
+      (out, rawCut)
     }
 
     var hubs = nodes.withColumn("hub_fp", lit(1000000L))
+    var hubsCut: DataFrame = null
     var auths: DataFrame = null
-    for (_ <- 1 to iterations) {
-      val prevH = hubs
-      val prevA = auths
+    for (i <- 1 to iterations) {
       // authority half-round: every edge ships its source's hub score
       val aRaw = adjOut.join(hubs.hint("shuffle_hash"), adjOut("src") === hubs("node"))
         .select(explode(col("dsts")).as("node"), col("hub_fp").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
-      auths = normalized(aRaw, "auth_fp")
+      val (a, aCut) = normalized(aRaw, "auth_fp")
+      // the previous round's hub cut is fully folded into aCut (the lazy
+      // hub state's only consumer) — release it now aCut is materialized
+      if (hubsCut != null) CheckpointCut.release(hubsCut)
+      // FINAL round: auths has TWO consumers (the hub half-round and the
+      // returned join) — materialize it once instead of evaluating the
+      // normalize join + max twice; every other round state stays lazy
+      // (single consumer)
+      auths = if (i == iterations) {
+        val c = CheckpointCut.cut(a); CheckpointCut.release(aCut); c
+      } else a
       // hub half-round: every edge ships its destination's FRESH
       // authority score back (the in-adjacency direction)
       val hRaw = adjIn.join(auths.hint("shuffle_hash"), adjIn("dst") === auths("node"))
         .select(explode(col("srcs")).as("node"), col("auth_fp").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
-      hubs = normalized(hRaw, "hub_fp")
-      CheckpointCut.release(prevH)
-      if (prevA != null) CheckpointCut.release(prevA)
+      val (h, hCut) = normalized(hRaw, "hub_fp")
+      // this round's auth cut is consumed by hCut — releasable except in
+      // the FINAL round, where the returned join still reads it
+      if (i < iterations) CheckpointCut.release(aCut)
+      hubs = h
+      hubsCut = hCut
     }
-    // the final round's cut state backs the returned plan — NOT released
-    // here (the caller's action consumes it; same contract as pageRank)
+    // the final round's cut states back the returned plan — NOT released
+    // here (the caller's action consumes them; same contract as pageRank)
     hubs.join(auths, Seq("node")).select("node", "hub_fp", "auth_fp")
   }
 
