@@ -42,6 +42,10 @@ object Dedup {
   // answer-sized (r²/2 per duplicate group), not match-sized; its
   // rep-level recursion lands in this slot via the dispatched tier.
   private val jacPairSlot = new CacheSlot(4)
+  // 64-bit signature tables feeding the pigeonhole hamming self-join
+  // (simhash, image aHash, audio fingerprint): one (id, sig) row per doc,
+  // capacity 4 so the d3/m5/m7 signature families coexist in one session
+  private val hammingSigSlot = new CacheSlot(4)
 
   // ---------------------------------------------------------------- exact
 
@@ -1156,7 +1160,15 @@ object Dedup {
       sigCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 chunks of 16 bits cover hamming<=3")
-    val s = sig.select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
+    // The signature table feeds BOTH sides of the chunk self-join, and
+    // Spark does not common-subexpression the DataFrame DAG — so an
+    // expensive upstream (the m5/m7 image/audio container decode + hash,
+    // ~2.3 executor-CPU-s per evaluation at sf0.1) ran TWICE per query.
+    // One bounded cached copy (tiny: one (id, sig) row per doc) makes it
+    // one decode pass. Streaming callers bypass the cache (persist is
+    // unsupported on streaming plans); all current callers are batch.
+    val proj = sig.select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
+    val s = if (sig.isStreaming) proj else hammingSigSlot.persist(proj)
     val chunks = s.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 to 3).map(i =>
