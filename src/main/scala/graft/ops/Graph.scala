@@ -106,6 +106,56 @@ object Graph {
   // capacity 4 for the same full/slice/centile variant cycling
   private val lpaMemo = new ResultMemo(4)
 
+  /** Neighbor-list degree cap for the CSR adjacency builders
+    * (`-Dgraft.adjacency.degreeCap=N`, default uncapped). The CSR layout
+    * stores a vertex's whole neighbor list in ONE row — fine on the
+    * verified co-purchase graphs, but at web scale a 1e8-degree hub is a
+    * multi-GB row materialized inside a single aggregation buffer/task
+    * (guide §2.5 skew). With a cap, every adjacency groups by
+    * (key, segment) instead, segment = `pmod(xxhash64(neighbor),
+    * ceil(degree/cap))`, so a hub's list splits into ~degree/cap bounded
+    * rows BEFORE any array is collected; low-degree vertices keep one
+    * segment. Loop consumers are segmentation-oblivious: they join on
+    * the vertex key (each segment row receives the round state and
+    * explodes only its slice — the union of slices is the whole list)
+    * and `outdeg` carries the TRUE degree on every segment row, so
+    * per-edge contributions divide correctly. Results are bit-identical
+    * (AdjacencyCapSpec pins capped == uncapped on real operators and a
+    * bounded max segment size on a synthetic 1e6-degree hub); the
+    * default path compiles to exactly the pre-cap plan (no extra join).
+    */
+  private[graft] def adjacencyDegreeCap: Int =
+    Integer.getInteger("graft.adjacency.degreeCap", Int.MaxValue)
+
+  /** Shared CSR adjacency builder — one `groupBy(key)` collect when
+    * uncapped, the (key, segment) split under [[adjacencyDegreeCap]].
+    */
+  private[ops] def groupedAdjacency(
+      e: DataFrame,
+      key: String,
+      value: String,
+      outCol: String,
+      useSet: Boolean,
+      withCount: Boolean): DataFrame = {
+    val cap = adjacencyDegreeCap
+    def coll =
+      if (useSet) collect_set(col(value)) else collect_list(col(value))
+    if (cap == Int.MaxValue) {
+      if (withCount) e.groupBy(key).agg(coll.as(outCol), count(lit(1)).as("outdeg"))
+      else e.groupBy(key).agg(coll.as(outCol))
+    } else {
+      require(cap >= 1, s"graft.adjacency.degreeCap must be >= 1, got $cap")
+      val deg = e.groupBy(key).agg(count(lit(1)).as("__deg"))
+      val seg = e.join(deg, Seq(key)).withColumn("__seg",
+        expr(s"pmod(xxhash64($value), (__deg + ${cap.toLong - 1}L) div ${cap.toLong}L)"))
+      val g = seg.groupBy(col(key), col("__seg"))
+      val out =
+        if (withCount) g.agg(coll.as(outCol), max(col("__deg")).as("outdeg"))
+        else g.agg(coll.as(outCol))
+      out.drop("__seg")
+    }
+  }
+
   def pageRank(
       edges: DataFrame,
       srcCol: String,
@@ -133,8 +183,7 @@ object Graph {
     // with 1e8 in-links would need the standard split-vertex/salting
     // treatment before this layout.)
     val adj = edgeSlot.persist(
-      e.groupBy("src").agg(collect_list(col("dst")).as("dsts"),
-        count(lit(1)).as("outdeg")))
+      groupedAdjacency(e, "src", "dst", "dsts", useSet = false, withCount = true))
     // node set DERIVED FROM the cached adjacency (sources + one explode
     // of the neighbor arrays) — deriving it from `e` instead would
     // recompute the caller's whole edge plan twice more
@@ -224,8 +273,7 @@ object Graph {
     require(e.schema(0).dataType == e.schema(1).dataType,
       s"src/dst types differ: ${e.schema(0).dataType} vs ${e.schema(1).dataType}")
     val adj = edgeSlot.persist(
-      e.groupBy("src").agg(collect_list(col("dst")).as("dsts"),
-        count(lit(1)).as("outdeg")))
+      groupedAdjacency(e, "src", "dst", "dsts", useSet = false, withCount = true))
     val plainNodes = nodeSlot.persist(
       adj.select(col("src").as("node"))
         .union(adj.select(explode(col("dsts")).as("node"))).distinct())
@@ -297,8 +345,7 @@ object Graph {
     // converged labels instead of re-running every round
     lpaMemo.getOrCompute(e, s"lpa:rounds=$rounds") {
       val adj = edgeSlot.persist(
-        e.groupBy("src").agg(collect_list(col("dst")).as("dsts"),
-          count(lit(1)).as("outdeg")))
+        groupedAdjacency(e, "src", "dst", "dsts", useSet = false, withCount = true))
       val nodes = nodeSlot.persist(
         adj.select(col("src").as("node"))
           .union(adj.select(explode(col("dsts")).as("node"))).distinct())
@@ -366,7 +413,7 @@ object Graph {
     // 67 CPU-s. With the cached partitioning satisfying the join's
     // distribution, each round shuffles only the frontier.
     val adj = bfsAdjSlot.persist(
-      e.groupBy("src").agg(collect_set(col("dst")).as("dsts")))
+      groupedAdjacency(e, "src", "dst", "dsts", useSet = true, withCount = false))
     var known = CheckpointCut.cut(seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("hops", lit(0L)))
     var frontier = known.select("node")
@@ -525,7 +572,7 @@ object Graph {
     // share ONE cached adjacency); each round exchanges only the
     // node-keyed bitmask frontier, never the edge relation
     val adj = bfsAdjSlot.persist(
-      e.groupBy("src").agg(collect_set(col("dst")).as("dsts")))
+      groupedAdjacency(e, "src", "dst", "dsts", useSet = true, withCount = false))
     // dense bit index per seed, deterministic (panel-sized window);
     // cut once — both the hop-0 state and the final decode read it
     val seedMap = CheckpointCut.cut(
@@ -933,9 +980,9 @@ object Graph {
         col("src") =!= col("dst"))
       .distinct()
     val adjOut = hitsOutSlot.persist(
-      e.groupBy("src").agg(collect_list(col("dst")).as("dsts")))
+      groupedAdjacency(e, "src", "dst", "dsts", useSet = false, withCount = false))
     val adjIn = hitsInSlot.persist(
-      e.groupBy("dst").agg(collect_list(col("src")).as("srcs")))
+      groupedAdjacency(e, "dst", "src", "srcs", useSet = false, withCount = false))
     val nodes = hitsNodeSlot.persist(
       adjOut.select(col("src").as("node"))
         .union(adjOut.select(explode(col("dsts")).as("node"))).distinct())
