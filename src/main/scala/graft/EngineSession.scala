@@ -135,6 +135,16 @@ object EngineSession {
       // so this is not a local-mode constant — it replaces the
       // thread-count floor with AQE's bytes rule for cached state.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // spark.shuffle.sort.bypassMergeThreshold stays at its default
+      // (200): thread-stack sampling showed the bypass writer's
+      // file-per-reduce-partition opens as the dominant busy-thread
+      // activity on tiny shuffles, and lowering the threshold to 8 did
+      // cut the full-bench executor CPU 791 -> 654 s — but it REGRESSED
+      // wall 255 -> 347 s (geomean 1.38x; streaming micro-batch queries
+      // up to 4x) because the sort-path writer's per-task serialization
+      // latency outweighs the saved opens when every task is tiny.
+      // Measured and rejected; at cluster scale reduce counts exceed the
+      // threshold and the bypass writer never fires anyway.
       // reliable-checkpoint files (iterative operators with a checkpoint
       // dir set) must be GC-collectable — the Spark default leaves them
       // on disk for the application's lifetime

@@ -245,7 +245,14 @@ object Similarity {
       bits: Int = 8): DataFrame = {
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
     val levels = (1 << bits) - 1
-    val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // spread the corpus across the full thread count before the
+    // O(|Q|·n) scoring pass (the bruteForceTopK recipe): a single-split
+    // local parquet otherwise runs the whole encode+score serially; at
+    // cluster scale the scan's file splits already give this and the
+    // repartition is one narrow linear pass
+    val par = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val c0 = corpus.repartition(par, col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     // per-dimension [min, max] over the corpus, folded to ONE row of
     // (mins[], spans[]) — a constant-sized quantizer, broadcast like a
     // codebook; a constant dimension (span 0) dequantizes to its min
@@ -387,8 +394,13 @@ object Similarity {
       vecCol: String,
       k: Int,
       scaleFp: Long = 1000000L): DataFrame = {
-    val c0 = corpus.select(col(idCol).as("neighbor_id"),
-      expr(intVecSql(vecCol, scaleFp)).as("cv"))
+    // same corpus spread as bruteForceTopK/sqTopK — the packed scan and
+    // the sign-score join otherwise inherit a single-split scan's serial
+    // partitioning (measured: v26's bq side was ONE 3.3 CPU-s task)
+    val par = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val c0 = corpus.repartition(par, col(idCol))
+      .select(col(idCol).as("neighbor_id"),
+        expr(intVecSql(vecCol, scaleFp)).as("cv"))
     val thr = bqThresholds(c0)
     val packed = c0.crossJoin(broadcast(thr))
       .withColumn("word", expr(bqPackSql))
