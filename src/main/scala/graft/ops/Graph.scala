@@ -414,29 +414,33 @@ object Graph {
     // distribution, each round shuffles only the frontier.
     val adj = bfsAdjSlot.persist(
       groupedAdjacency(e, "src", "dst", "dsts", useSet = true, withCount = false))
-    var known = CheckpointCut.cut(seeds.select(col(seedCol).as("node")).distinct()
+    // BFS levels are APPEND-ONLY and pairwise disjoint (the anti-join
+    // guarantees a node enters exactly one level), so the known set is
+    // kept as the list of materialized LEVEL frames instead of being
+    // re-materialized as one growing cut per round — that rewrite cost
+    // one extra checkpoint job AND an O(|known|) write every round
+    // (O(V·depth) total state writes over a traversal). The per-round
+    // anti-join consumes the lazy union of the level leaves, which
+    // shuffles the same rows the materialized cut shuffled (a checkpoint
+    // leaf carries no partitioning into the join either way) without the
+    // write. Levels all back the returned union — nothing to release.
+    val hop0 = CheckpointCut.cut(seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("hops", lit(0L)))
-    var frontier = known.select("node")
-    var frontierState: DataFrame = null
+    var levels = List(hop0)
+    var frontier = hop0.select("node")
     var d = 0L
     while (d < maxHops && !frontier.isEmpty) {
       d += 1
+      val known = levels.map(_.select("node")).reduce(_ union _)
       val next = CheckpointCut.cut(
         adj.join(frontier.hint("shuffle_hash"), adj("src") === frontier("node"))
           .select(explode(col("dsts")).as("node")).distinct()
           .join(known, Seq("node"), "left_anti")
           .withColumn("hops", lit(d)))
-      val prevKnown = known
-      known = CheckpointCut.cut(known.union(next))
-      // both retired states are fully folded into the new `known` cut;
-      // release them (blocks or reliable-checkpoint files) eagerly
-      CheckpointCut.release(prevKnown)
-      if (frontierState != null) CheckpointCut.release(frontierState)
-      frontierState = next
+      levels ::= next
       frontier = next.select("node")
     }
-    if (frontierState != null) CheckpointCut.release(frontierState)
-    known
+    levels.reduce(_ unionByName _)
   }
 
   /** Double-sweep diameter lower bound (the standard BFS heuristic —
@@ -584,21 +588,27 @@ object Graph {
           expr("idx div 64").as("word_idx"),
           expr("shiftleft(1L, cast(idx % 64 as int))").as("mask")))
     // hop-0: each seed node owns its own bit (seeds are distinct, so no
-    // two rows share (node, word_idx) yet — no merge needed)
-    var known = CheckpointCut.cut(
+    // two rows share (node, word_idx) yet — no merge needed).
+    // The known-mask state is kept as the list of materialized LEVEL
+    // frames (new bits per round are disjoint from all earlier bits by
+    // the `m & ~known` construction), aggregated lazily per round with
+    // one bit_or — the old shape re-MATERIALIZED the merged mask table
+    // every round (an extra checkpoint job + an O(|known|) write per
+    // round, O(V·words·depth) total), while the lazy union shuffles the
+    // same rows into the round join that the materialized leaf shuffled
+    // (a checkpoint carries no partitioning into the join either way).
+    // Level frames all back the returned decode — nothing to release.
+    val hop0 = CheckpointCut.cut(
       seedMap.select(col("seed").as("node"), col("word_idx"), col("mask")))
-    // level frames back the returned plan — they stay alive (the old
-    // pair form kept the same information inside the accumulated
-    // union). Hop-0 reads from the never-released seedMap leaf, NOT
-    // from `known`: round 1 releases the round-0 known state, and a
-    // levels frame built on it would lose its checkpoint blocks.
+    val levelMasks = scala.collection.mutable.ArrayBuffer[DataFrame](hop0)
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame](
-      seedMap.select(col("seed").as("node"), col("word_idx"), col("mask"))
-        .withColumn("hops", lit(0L)))
-    var frontier = known
+      hop0.withColumn("hops", lit(0L)))
+    var frontier: DataFrame = hop0
     var d = 0L
     while (d < maxHops && !frontier.isEmpty) {
       d += 1
+      val known = levelMasks.reduce(_ unionByName _)
+        .groupBy("node", "word_idx").agg(expr("bit_or(mask)").as("mask"))
       // one adjacency explode per frontier NODE; bit_or partials
       // collapse the fan-out map-side before the exchange
       val contrib = adj
@@ -610,11 +620,7 @@ object Graph {
         .select(col("node"), col("word_idx"),
           expr("m & ~coalesce(k, 0L)").as("mask"))
         .where(col("mask") =!= 0L))
-      val prevKnown = known
-      known = CheckpointCut.cut(
-        known.unionByName(next)
-          .groupBy("node", "word_idx").agg(expr("bit_or(mask)").as("mask")))
-      CheckpointCut.release(prevKnown)
+      levelMasks += next
       levels += next.withColumn("hops", lit(d))
       frontier = next
     }
