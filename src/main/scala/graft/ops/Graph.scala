@@ -523,6 +523,9 @@ object Graph {
   }
 
   private val diamEdgeSlot = new CacheSlot
+  // Bellman-Ford's weighted edge list (flat (src, dst, w) — a different
+  // shape than the CSR adjacency slots)
+  private val weightedEdgeSlot = new CacheSlot
 
   /** Per-seed BFS hop distances, bounded depth — [[bfsHops]] with seed
     * IDENTITY preserved: each seed runs its own level-synchronous
@@ -795,9 +798,14 @@ object Graph {
       seedCol: String,
       maxRounds: Int): DataFrame = {
     require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(weightCol).cast("long").as("w"))
-      .where(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
+    // the weighted edge relation feeds EVERY relaxation round — uncached,
+    // each round re-runs the caller's whole edge build (g6: the
+    // orders⋈lineitem join + symmetrize + weight agg re-ran 3×, ~8 of the
+    // query's 14 cold CPU-s). Same slot discipline as every other loop.
+    val e = weightedEdgeSlot.persist(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+          col(weightCol).cast("long").as("w"))
+        .where(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull))
     var dist = CheckpointCut.cut(seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L)))
     var r = 0
